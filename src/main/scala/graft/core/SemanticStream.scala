@@ -1,0 +1,366 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** A stream element: `value` plus the reference's logical index
+  * (`function.h:11`), and a hidden arrival-order key.
+  *
+  * The reference's push-based generators give every operator an implicit
+  * *emission order* that is distinct from the user-visible index: `filter`
+  * renumbers survivors by an arrival counter (semantic.h:1204-1209) even
+  * after `reverse`/`translate` have remapped the visible indices. To be
+  * faithful under Spark's unordered execution we carry both:
+  *
+  *   - `ord`  — arrival order. Strictly increasing along emission order,
+  *     values are meaningless (may be sparse); only ever used as a sort key.
+  *   - `idx`  — the user-visible index (`Timestamp`), observable by
+  *     index-aware lambdas and wrapped mod-n at ordered materialization
+  *     (semantic.h:492-504).
+  */
+case class Elem[E](ord: Long, idx: Long, value: E)
+
+/** How the stored `idx` column relates to the user-visible index. */
+sealed trait IndexState
+object IndexState {
+  /** idx == ord == 0..n-1 in emission order (freshly renumbered). */
+  case object Contiguous extends IndexState
+  /** A renumbering op (filter/distinct/dropWhile) is pending: the visible
+    * index is rank-of-`ord`; the stored idx column is stale. Deferring the
+    * global rank keeps chains of filters shuffle-free. */
+  case object RankPending extends IndexState
+  /** idx is authoritative but arbitrary (after translate/reverse/skip/sub):
+    * possibly negative, out of range, or colliding; wrap applies at
+    * ordered materialization. */
+  case object Raw extends IndexState
+}
+
+/** Lazy indexed stream — the Spark-native counterpart of the reference's
+  * `semantic::Semantic<E>` pipeline (`semantic.h:980-1591`).
+  *
+  * Design (SURVEY.md §7.1):
+  *   - wraps a `Dataset[Elem[E]]`; intermediate ops extend the Catalyst
+  *     plan — the reference's closure-composition fusion is whole-stage
+  *     codegen here, for free;
+  *   - renumbering (the arrival-counter semantics above) is deferred via
+  *     [[IndexState.RankPending]] and executed as a fully distributed
+  *     two-shuffle rank (see [[IndexOps.renumberBy]]) — never a
+  *     single-partition global window;
+  *   - the reference's `.parallel(n)` (replicated scan over a thread pool,
+  *     collector.h:96-121) maps to `repartition(n)`: Spark partitioning is
+  *     strictly better, so `parallel` is a partitioning hint only.
+  */
+final class SemanticStream[E](
+    val ds: Dataset[Elem[E]],
+    val state: IndexState) extends Serializable {
+
+  import IndexState._
+
+  def spark: SparkSession = ds.sparkSession
+  implicit private def enc: Encoder[Elem[E]] = ds.encoder
+  private def wrap(df: DataFrame, st: IndexState): SemanticStream[E] =
+    new SemanticStream(df.as[Elem[E]], st)
+
+  /** Stream with the user-visible index materialized in `idx`. */
+  def resolved: SemanticStream[E] = state match {
+    case RankPending =>
+      wrap(IndexOps.rankByOrd(ds.toDF()), Contiguous)
+    case _ => this
+  }
+
+  // ---- intermediate ops (SURVEY.md §2.2) --------------------------------
+
+  /** 1:1 transform, index preserved (semantic.h:1376-1395). */
+  def map[R](f: E => R)(implicit encR: Encoder[Elem[R]]): SemanticStream[R] =
+    new SemanticStream(ds.map(e => Elem(e.ord, e.idx, f(e.value))), state)
+
+  /** Index-aware mapper — the reference's arity-adaptive `map(f(E,Timestamp))`
+    * (semantic.h:1342-1357). Observes the visible index. */
+  def mapIndexed[R](f: (E, Long) => R)(implicit encR: Encoder[Elem[R]]): SemanticStream[R] = {
+    val r = resolved
+    new SemanticStream(r.ds.map(e => Elem(e.ord, e.idx, f(e.value, e.idx))), r.state)
+  }
+
+  /** Column-expression map for Catalyst-visible transforms: `f` rewrites
+    * the `value` column. Prefer over [[map]] in hot paths (codegen'd). */
+  def mapColumn[R](f: Column => Column)(implicit encR: Encoder[Elem[R]]): SemanticStream[R] =
+    new SemanticStream(
+      ds.toDF().withColumn("value", f(col("value"))).as[Elem[R]], state)
+
+  /** Keep matching elements; survivors renumbered by arrival counter
+    * (semantic.h:1197-1216) — deferred as RankPending. */
+  def filter(p: E => Boolean): SemanticStream[E] =
+    wrap(ds.filter((e: Elem[E]) => p(e.value)).toDF(), RankPending)
+
+  /** Column-predicate filter (pushdown-friendly). */
+  def filterColumn(p: Column => Column): SemanticStream[E] =
+    wrap(ds.toDF().filter(p(col("value"))), RankPending)
+
+  /** Side-effect observer; stream unchanged (semantic.h:1407-1431).
+    * The consumer runs on executors. */
+  def peek(consumer: E => Unit): SemanticStream[E] =
+    new SemanticStream(ds.map { e => consumer(e.value); e }, state)
+
+  /** First n by arrival, indices renumbered to the arrival counter
+    * (semantic.h:1359-1374: `accept(element, count)`). */
+  def limit(n: Long): SemanticStream[E] = {
+    val r = resolvedRanks
+    wrap(r.ds.toDF().filter(col("idx") < n), Contiguous)
+  }
+
+  /** Drop first n; survivors keep arrival counters n, n+1, … as indices
+    * (semantic.h:1463-1481). */
+  def skip(n: Long): SemanticStream[E] = {
+    val r = resolvedRanks
+    wrap(r.ds.toDF().filter(col("idx") >= n), Raw)
+  }
+
+  /** Arrival positions in [start,end), renumbered to those positions
+    * (semantic.h:1512-1530). */
+  def sub(start: Long, end: Long): SemanticStream[E] = {
+    val r = resolvedRanks
+    wrap(r.ds.toDF().filter(col("idx") >= start && col("idx") < end), Raw)
+  }
+
+  /** Stream with idx := arrival rank — what limit/skip/sub consume; their
+    * renumber-to-counter semantics overwrite even Raw indices. */
+  private def resolvedRanks: SemanticStream[E] = state match {
+    case Contiguous => this
+    case _ => wrap(IndexOps.rankByOrd(ds.toDF()), Contiguous)
+  }
+
+  /** Add a constant to every visible index (semantic.h:1577-1590). */
+  def translate(offset: Long): SemanticStream[E] = {
+    val r = resolved
+    wrap(r.ds.toDF().withColumn("idx", col("idx") + offset),
+      if (offset == 0L) r.state else Raw)
+  }
+
+  /** Negate indices (semantic.h:1448-1461); meaning crystallizes at ordered
+    * materialization via the mod-n wrap: element 0 stays first, the rest
+    * reverse. */
+  def reverse: SemanticStream[E] = {
+    val r = resolved
+    wrap(r.ds.toDF().withColumn("idx", -col("idx")), Raw)
+  }
+
+  /** Rewrite each element as f(element, index); index unchanged
+    * (semantic.h:1433-1446 — despite the README calling it an index remap). */
+  def redirect(f: (E, Long) => E): SemanticStream[E] = {
+    val r = resolved
+    new SemanticStream(r.ds.map(e => Elem(e.ord, e.idx, f(e.value, e.idx))), r.state)
+  }
+
+  /** UNION ALL preserving order, renumbered continuously
+    * (semantic.h:1012-1120). Lazy: order key is (source ordinal, ord). */
+  def concatenate(other: SemanticStream[E]): SemanticStream[E] = {
+    val a = ds.toDF().withColumn("__src", lit(0))
+    val b = other.ds.toDF().withColumn("__src", lit(1))
+    val u = IndexOps.renumberBy(a.unionByName(b), Seq(col("__src"), col("ord"))).drop("__src")
+    wrap(u, Contiguous)
+  }
+
+  /** Append a single element (semantic.h:1043-1067 overload). */
+  def concatenate(single: E): SemanticStream[E] = {
+    val one = ds.sparkSession.createDataset(Seq(Elem(0L, 0L, single)))(ds.encoder)
+    concatenate(new SemanticStream(one, Contiguous))
+  }
+
+  /** Keep first occurrence per value in arrival order (semantic.h:1122-1164),
+    * then renumber (deferred). One shuffle (partial min_by per partition). */
+  def distinct: SemanticStream[E] = {
+    val df = ds.toDF()
+      .groupBy(col("value"))
+      .agg(min(col("ord")).as("ord"), min_by(col("idx"), col("ord")).as("idx"))
+      .select(col("ord"), col("idx"), col("value"))
+    wrap(df, RankPending)
+  }
+
+  /** distinct by derived key (the comparator overload, semantic.h:1144-1164):
+    * min-ord element per key. Map-side partial reduce, one shuffle. */
+  def distinctBy[K](key: E => K)(implicit encK: Encoder[K]): SemanticStream[E] = {
+    val firsts = ds.groupByKey(e => key(e.value))
+      .reduceGroups((a: Elem[E], b: Elem[E]) => if (a.ord <= b.ord) a else b)
+      .map(_._2)(ds.encoder)
+    new SemanticStream(firsts, RankPending)
+  }
+
+  /** Emit until first predicate failure in arrival order; indices unchanged
+    * (semantic.h:1532-1554). The boundary aggregate is broadcast — no
+    * collect(), no single-partition stage. */
+  def takeWhile(p: Column => Column): SemanticStream[E] = {
+    val df = ds.toDF()
+    val boundary = df.filter(!p(col("value")))
+      .agg(coalesce(min(col("ord")), lit(Long.MaxValue)).as("__b"))
+    wrap(df.join(broadcast(boundary)).filter(col("ord") < col("__b")).drop("__b"), state)
+  }
+
+  /** Skip leading matches, emit the rest renumbered from 0
+    * (semantic.h:1166-1195). */
+  def dropWhile(p: Column => Column): SemanticStream[E] = {
+    val df = ds.toDF()
+    val boundary = df.filter(!p(col("value")))
+      .agg(coalesce(min(col("ord")), lit(Long.MaxValue)).as("__b"))
+    wrap(df.join(broadcast(boundary)).filter(col("ord") >= col("__b")).drop("__b"), RankPending)
+  }
+
+  /** Map to many, flatten, continuous renumbering (semantic.h:1276-1335).
+    * For array columns prefer [[explodeColumn]] (fully Catalyst-native). */
+  def flatMap[R](f: E => IterableOnce[R])(implicit encR: Encoder[R], encER: Encoder[Elem[R]]): SemanticStream[R] = {
+    implicit val tupEnc: Encoder[(Long, Long, R)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong, encR)
+    val exploded = ds.flatMap { e =>
+      f(e.value).iterator.zipWithIndex.map { case (r, p) => (e.ord, p.toLong, r) }
+    }
+    val df = IndexOps.renumberBy(
+      exploded.toDF("__oord", "__pos", "value"),
+      Seq(col("__oord"), col("__pos"))).drop("__oord", "__pos")
+    new SemanticStream(df.as[Elem[R]], IndexState.Contiguous)
+  }
+
+  /** `flat()` over an array-typed value column (semantic.h:1244-1274):
+    * flattened in order, continuous renumbering, empties dropped. */
+  def explodeColumn[R](f: Column => Column)(implicit encR: Encoder[Elem[R]]): SemanticStream[R] = {
+    val df = ds.toDF()
+      .select(col("ord").as("__oord"), posexplode(f(col("value"))).as(Seq("__pos", "value")))
+    val out = IndexOps.renumberBy(df, Seq(col("__oord"), col("__pos")))
+      .drop("__oord", "__pos")
+    new SemanticStream(out.as[Elem[R]], IndexState.Contiguous)
+  }
+
+  /** Value-sort, stable on the visible index (semantic.h:1483-1503,
+    * 477-490), renumbered 0..n-1. Value column must be Catalyst-orderable. */
+  def sorted: SemanticStream[E] = sortByColumn(identity)
+
+  /** Distributed stable value sort by column expression. */
+  def sortByColumn(key: Column => Column, ascending: Boolean = true): SemanticStream[E] = {
+    val r = resolved
+    val k = if (ascending) key(col("value")).asc else key(col("value")).desc
+    val df = IndexOps.renumberBy(r.ds.toDF(), Seq(k, col("idx").asc))
+    wrap(df, Contiguous)
+  }
+
+  /** Partitioning hint — the reference's `.parallel(n)`
+    * (semantic.h:1397-1405). */
+  def parallel(n: Int): SemanticStream[E] =
+    new SemanticStream(ds.repartition(n), state)
+
+  /** Ordered materialization (OrderedCollectable, semantic.h:506-517):
+    * Raw indices are folded into [0,n) by `((idx % n) + n) % n` — for n<2
+    * everything maps to 0 — then laid out by (wrapped idx, arrival) and
+    * re-emitted with the wrapped index (duplicates possible, exactly like
+    * the reference's multimap). */
+  def ordered: SemanticStream[E] = state match {
+    case Contiguous => this
+    case RankPending => resolved
+    case Raw =>
+      val df = ds.toDF()
+      val n = df.agg(count(lit(1)).as("__n"))
+      val wrapped = df.join(broadcast(n))
+        .withColumn("idx",
+          when(col("__n") < 2, lit(0L))
+            .otherwise(((col("idx") % col("__n")) + col("__n")) % col("__n")))
+        .drop("__n")
+      wrap(IndexOps.reorderKeepIdx(wrapped, Seq(col("idx"), col("ord"))), Raw)
+  }
+
+  /** Underlying DataFrame (ord, idx, value) — escape hatch to column-land. */
+  def toDF: DataFrame = ds.toDF()
+}
+
+object SemanticStream {
+  import IndexState._
+
+  /** Bridge from a table to an indexed stream: assign contiguous indices in
+    * the order of the given sort columns. Returns (ord, idx, value) df. */
+  def indexedFrom(df: DataFrame, valueCol: Column, order: Seq[Column]): DataFrame =
+    IndexOps.renumberBy(df.withColumn("value", valueCol), order)
+
+  /** Half-open numeric range with step (useRange, semantic.h:1654-1706).
+    * step=0 → empty; negative steps count down. */
+  def range(spark: SparkSession, start: Long, end: Long, step: Long = 1L): SemanticStream[Long] = {
+    import spark.implicits._
+    val n =
+      if (step == 0L) 0L
+      else if (step > 0) math.max(0L, (end - start + step - 1) / step)
+      else math.max(0L, (start - end + (-step) - 1) / (-step))
+    val ds = spark.range(n).select(
+      col("id").as("ord"), col("id").as("idx"),
+      (lit(start) + col("id") * step).as("value")).as[Elem[Long]]
+    new SemanticStream(ds, Contiguous)
+  }
+
+  /** Inclusive range (useRangeClosed, semantic.h:1709-1761). */
+  def rangeClosed(spark: SparkSession, start: Long, end: Long, step: Long = 1L): SemanticStream[Long] =
+    if (step > 0) range(spark, start, end + 1, step)
+    else if (step < 0) range(spark, start, end - 1, step)
+    else range(spark, 0, 0)
+
+  def empty[E](spark: SparkSession)(implicit enc: Encoder[Elem[E]]): SemanticStream[E] =
+    new SemanticStream(spark.emptyDataset[Elem[E]], Contiguous)
+
+  /** Literal elements (useOf, semantic.h:1983-2029). */
+  def of[E](spark: SparkSession, elems: E*)(implicit enc: Encoder[Elem[E]]): SemanticStream[E] =
+    from(spark, elems)
+
+  /** Stream over a local collection (useFrom, semantic.h:2031-2066). */
+  def from[E](spark: SparkSession, elems: Iterable[E])(implicit enc: Encoder[Elem[E]]): SemanticStream[E] = {
+    val indexed = elems.iterator.zipWithIndex
+      .map { case (e, i) => Elem(i.toLong, i.toLong, e) }.toSeq
+    new SemanticStream(spark.createDataset(indexed), Contiguous)
+  }
+
+  /** Element repeated n times (useRepeat, semantic.h:2086-2099). */
+  def repeat[E](spark: SparkSession, elem: E, n: Long)(implicit enc: Encoder[Elem[E]]): SemanticStream[E] = {
+    val df = spark.range(n).select(
+      col("id").as("ord"), col("id").as("idx"), lit(elem).as("value"))
+    new SemanticStream(df.as[Elem[E]], Contiguous)
+  }
+
+  /** Uniform random doubles in [min,max) (useRandom, semantic.h:1873-1973).
+    * The reference seeds from random_device; we take an explicit seed
+    * (documented divergence, for reproducibility). */
+  def randomDoubles(spark: SparkSession, min: Double, max: Double, n: Long, seed: Long): SemanticStream[Double] = {
+    import spark.implicits._
+    val df = spark.range(n).select(
+      col("id").as("ord"), col("id").as("idx"),
+      (rand(seed) * (max - min) + min).as("value"))
+    new SemanticStream(df.as[Elem[Double]], Contiguous)
+  }
+
+  /** Uniform random longs in [min,max] (useRandom int overloads). */
+  def randomLongs(spark: SparkSession, min: Long, max: Long, n: Long, seed: Long): SemanticStream[Long] = {
+    import spark.implicits._
+    val df = spark.range(n).select(
+      col("id").as("ord"), col("id").as("idx"),
+      floor(rand(seed) * (max - min + 1) + min).cast("long").as("value"))
+    new SemanticStream(df.as[Elem[Long]], Contiguous)
+  }
+
+  /** Bounded iterate: seed, f(seed), … n elements (useIterate,
+    * semantic.h:1829-1871). Inherently sequential — generated on the
+    * driver, then distributed. Unbounded → graft.streaming rate source. */
+  def iterate[E](spark: SparkSession, seed: E, f: E => E, n: Int)(implicit enc: Encoder[Elem[E]]): SemanticStream[E] =
+    from(spark, Iterator.iterate(seed)(f).take(n).toSeq)
+
+  /** Bounded generate: n supplier calls (useGenerate, semantic.h:1785-1827). */
+  def generate[E](spark: SparkSession, supplier: () => E, n: Int)(implicit enc: Encoder[Elem[E]]): SemanticStream[E] =
+    from(spark, Iterator.continually(supplier()).take(n).toSeq)
+
+  /** Line stream from a text file (useBlob(istream)/useText,
+    * semantic.h:2140-2258): one element per line, indexed in file order
+    * (zipWithIndex over splits ordered by file offset). */
+  def fromTextFile(spark: SparkSession, path: String): SemanticStream[String] = {
+    import spark.implicits._
+    val rdd = spark.sparkContext.textFile(path).zipWithIndex()
+      .map { case (line, i) => Elem(i, i, line) }
+    new SemanticStream(spark.createDataset(rdd), Contiguous)
+  }
+
+  /** Code-point stream of a string (useSequence, semantic.h:2260-2345). */
+  def codePoints(spark: SparkSession, s: String)(implicit enc: Encoder[Elem[Int]]): SemanticStream[Int] =
+    from(spark, s.codePoints().toArray.toIndexedSeq)
+}

@@ -1,0 +1,228 @@
+package graft.core
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.functions._
+import graft.functions.{Moments, Spectral}
+
+/** Terminal operators — the reference's collector surface (SURVEY.md §2.5)
+  * as methods over [[SemanticStream]]. Aggregation-shaped terminals stay
+  * distributed (Catalyst partial/final aggregation ≈ the reference's
+  * Accumulator/Combiner/Finisher split, collector.h:51-382);
+  * container-returning terminals collect — small by construction, exactly
+  * like the reference's finishers.
+  */
+final class Terminals[E](s: SemanticStream[E]) extends Serializable {
+
+  private def df: DataFrame = s.toDF
+
+  // ---- counting / matching (collector.h:399-474) ------------------------
+
+  def count(): Long = s.ds.count()
+  def isEmpty: Boolean = s.ds.isEmpty
+
+  /** ∀ pred — short-circuits via limit-1 on the negation
+    * (useAllMatch, collector.h:399-414). */
+  def allMatch(p: Column => Column): Boolean =
+    df.filter(!p(col("value"))).limit(1).isEmpty
+  /** ∃ pred (useAnyMatch, collector.h:416-431). */
+  def anyMatch(p: Column => Column): Boolean =
+    !df.filter(p(col("value"))).limit(1).isEmpty
+  def noneMatch(p: Column => Column): Boolean = !anyMatch(p)
+
+  // ---- finding (collector.h:838-1063) -----------------------------------
+
+  /** First element in arrival order (useFindFirst, collector.h:912-931). */
+  def findFirst(): Option[E] =
+    if (s.ds.isEmpty) None
+    else Some(df.agg(min_by(col("value"), col("ord")).as("v"))
+      .collect()(0).getAs[E]("v"))
+
+  /** Last element in arrival order (useFindLast, collector.h:933-951). */
+  def findLast(): Option[E] =
+    if (s.ds.isEmpty) None
+    else Some(df.agg(max_by(col("value"), col("ord")).as("v"))
+      .collect()(0).getAs[E]("v"))
+
+  /** i ≥ 0: first element (arrival order) whose visible index equals i
+    * (useFindAt, collector.h:859-881). i < 0: arrival position
+    * `(n − (|i| mod n)) mod n` (useFindNegativeAt, collector.h:883-910). */
+  def findAt(i: Long): Option[E] =
+    if (i >= 0)
+      s.resolved.toDF.filter(col("idx") === i)
+        .orderBy(col("ord")).limit(1)
+        .collect().headOption.map(_.getAs[E]("value"))
+    else {
+      val n = s.ds.count()
+      if (n == 0) return None
+      val target = (n - (math.abs(i) % n)) % n
+      IndexOps.rankByOrd(df).filter(col("idx") === target)
+        .collect().headOption.map(_.getAs[E]("value"))
+    }
+
+  /** Deterministic stand-in for useFindAny's coin-flip nondeterminism
+    * (collector.h:838-857): uniform pick keyed on a seed. */
+  def findAny(seed: Long): Option[E] =
+    df.orderBy(xxhash64(col("ord"), lit(seed))).limit(1)
+      .collect().headOption.map(_.getAs[E]("value"))
+
+  // ---- reduction (collector.h:2337-2375) ---------------------------------
+
+  /** Fold without identity → None on empty (useReduce, collector.h:2337). */
+  def reduce(f: (E, E) => E)(implicit encE: Encoder[E]): Option[E] =
+    if (s.ds.isEmpty) None else Some(s.ds.map(_.value).reduce(f))
+
+  /** Fold with identity (useReduce, collector.h:2357). */
+  def reduce(identity: E, f: (E, E) => E)(implicit encE: Encoder[E]): E =
+    if (s.ds.isEmpty) identity else f(identity, s.ds.map(_.value).reduce(f))
+
+  // ---- collect-to-container (collector.h:2434-2742) ----------------------
+
+  /** Elements in materialized order (with the reference's mod-n wrap). */
+  def toVector: Vector[E] =
+    s.ordered.toDF.orderBy(col("ord")).select(col("value"))
+      .collect().iterator.map(_.getAs[E]("value")).toVector
+
+  def toList: List[E] = toVector.toList
+  def toSet: Set[E] =
+    df.select(col("value")).distinct().collect().iterator.map(_.getAs[E]("value")).toSet
+
+  /** Last-wins keyed map (useToMap, collector.h:2377-2415). */
+  def toMap[K](keyCol: Column => Column): Map[K, E] =
+    df.groupBy(keyCol(col("value")).as("k"))
+      .agg(max_by(col("value"), col("ord")).as("v"))
+      .collect().map(r => r.getAs[K]("k") -> r.getAs[E]("v")).toMap
+
+  /** Concatenate string forms in materialized order
+    * (useJoin, collector.h:1132-1349). */
+  def joinString(delimiter: String = ",", prefix: String = "[", suffix: String = "]"): String = {
+    val parts = s.ordered.toDF.orderBy(col("ord"))
+      .select(col("value").cast("string")).collect().map(_.getString(0))
+    parts.mkString(prefix, delimiter, suffix)
+  }
+}
+
+/** Numeric terminal surface — the reference's `Statistics<E,D>` collectable
+  * (semantic.h:600-879): elements viewed through a numeric cast column `D`.
+  * All single-pass distributed except the percentile family (Spark
+  * `percentile`) and the spectral transforms (gathered finisher, exactly
+  * like the reference's).
+  *
+  * `df` columns: ord (arrival), idx (visible index), value (double).
+  */
+final class Statistics(val df: DataFrame) extends Serializable {
+
+  private def v = col("value")
+
+  private def scalar(c: Column): Double = {
+    val r = df.agg(c.as("r")).collect()(0)
+    if (r.isNullAt(0)) 0.0 else r.getDouble(0)
+  }
+
+  /** Σ; empty → 0 (useSummate, collector.h:488-506). */
+  def summate: Double = scalar(coalesce(sum(v), lit(0.0)))
+  /** mean; empty → 0 not null (useAverage, collector.h:508-544). */
+  def average: Double = scalar(coalesce(avg(v), lit(0.0)))
+  /** max−min; empty → 0. The reference's (0,0)-sentinel restart bug
+    * (collector.h:553-559) is documented, not replicated. */
+  def rangeStat: Double = scalar(coalesce(max(v) - min(v), lit(0.0)))
+  def minimum: Option[Double] =
+    { val r = df.agg(min(v)).collect()(0); if (r.isNullAt(0)) None else Some(r.getDouble(0)) }
+  def maximum: Option[Double] =
+    { val r = df.agg(max(v)).collect()(0); if (r.isNullAt(0)) None else Some(r.getDouble(0)) }
+
+  /** Population variance — Welford + Chan merge in the reference
+    * (collector.h:688-723) ≡ Spark's var_pop. */
+  def variance: Double = scalar(coalesce(var_pop(v), lit(0.0)))
+  def standardDeviation: Double = math.sqrt(variance)
+
+  /** Exact percentile, linear interpolation at rank p/100·(n−1) — the
+    * NumPy-default convention (usePercentile, collector.h:2298-2304),
+    * which is also Spark's `percentile`. */
+  def percentile(p: Double): Double = {
+    require(p >= 0 && p <= 100, s"percentile $p out of [0,100]")
+    scalar(coalesce(org.apache.spark.sql.functions.percentile(v, lit(p / 100.0)), lit(0.0)))
+  }
+  def median: Double = percentile(50)
+  def firstQuartile: Double = percentile(25)
+  def thirdQuartile: Double = percentile(75)
+  def interquartileRange: Double = thirdQuartile - firstQuartile
+
+  /** Most frequent value (useMode, collector.h:2251-2277 — its complex
+    * phasor is always 0-phase, so it degenerates to frequency counting).
+    * Ties break to the smallest value (deterministic; the reference's
+    * hash-order winner is nondeterministic — documented divergence). */
+  def mode: Option[Double] =
+    df.groupBy(v.as("val")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("val").asc).limit(1)
+      .collect().headOption.map(_.getDouble(0))
+
+  private def centralMoments: Moments = {
+    val r = df.agg(
+      count(v).as("n"), coalesce(avg(v), lit(0.0)).as("mean"),
+      coalesce(sum(pow(v, 2)), lit(0.0)).as("s2"),
+      coalesce(sum(pow(v, 3)), lit(0.0)).as("s3"),
+      coalesce(sum(pow(v, 4)), lit(0.0)).as("s4")).collect()(0)
+    val n = r.getLong(0); val mean = r.getDouble(1)
+    val s2 = r.getDouble(2); val s3 = r.getDouble(3); val s4 = r.getDouble(4)
+    // raw → central moments
+    val m2 = s2 - n * mean * mean
+    val m3 = s3 - 3 * mean * s2 + 2 * n * mean * mean * mean
+    val m4 = s4 - 4 * mean * s3 + 6 * mean * mean * s2 - 3 * n * math.pow(mean, 4)
+    Moments(n, mean, m2, m3, m4)
+  }
+
+  /** Reference-formula skewness (collector.h:3065-3103). */
+  def skewness: Double = centralMoments.skewness
+  /** Reference-formula excess kurtosis (collector.h:3147-3186). */
+  def kurtosis: Double = centralMoments.kurtosis
+
+  /** Occurrence profile per distinct value: (visible-index positions, count)
+    * (useFrequency, collector.h:1805-1906). */
+  def frequency: Map[Double, (Seq[Long], Long)] =
+    df.groupBy(v.as("val"))
+      .agg(sort_array(collect_list(col("idx"))).as("pos"), count(lit(1)).as("cnt"))
+      .collect()
+      .map(r => r.getDouble(0) -> (r.getSeq[Long](1), r.getLong(2))).toMap
+
+  /** Direct DFT in arrival order → (re[], im[]) (useDFT,
+    * collector.h:2744-2779). Gathered finisher, like the reference; for
+    * per-group series use [[graft.functions.DftAggregator]]. */
+  def dft: (Array[Double], Array[Double]) = seriesTransform(Spectral.dft)
+  def idft: (Array[Double], Array[Double]) = seriesTransform(Spectral.idft)
+  def fft: (Array[Double], Array[Double]) = seriesTransform(Spectral.fft)
+  def ifft: (Array[Double], Array[Double]) = seriesTransform(Spectral.ifft)
+
+  private def seriesTransform(
+      f: (Array[Double], Array[Double]) => (Array[Double], Array[Double])): (Array[Double], Array[Double]) = {
+    val xs = df.orderBy(col("ord")).select(v).collect().map(_.getDouble(0))
+    f(xs, new Array[Double](xs.length))
+  }
+
+  /** Gradient descent over the collected element vector as initial θ
+    * (useGradient, collector.h:2944-2994) — inherently sequential,
+    * driver-side; dimension = element count, small by construction. */
+  def gradient(grad: Array[Double] => Array[Double], lr: Double,
+               maxIter: Int, eps: Double): Array[Double] = {
+    var theta = df.orderBy(col("ord")).select(v).collect().map(_.getDouble(0))
+    var it = 0
+    var maxAbs = Double.MaxValue
+    while (it < maxIter && maxAbs >= eps) {
+      val g = grad(theta)
+      maxAbs = if (g.isEmpty) 0.0 else g.map(math.abs).max
+      theta = theta.zip(g).map { case (t, gi) => t - lr * gi }
+      it += 1
+    }
+    theta
+  }
+}
+
+object Terminals {
+  implicit class TerminalSyntax[E](val s: SemanticStream[E]) {
+    def terminals: Terminals[E] = new Terminals[E](s)
+    /** The reference's `toStatistics<D>()` (semantic.h:1561-1565): view the
+      * stream through a numeric cast of the value column. */
+    def toStatistics: Statistics =
+      new Statistics(s.resolved.toDF
+        .select(col("ord"), col("idx"), col("value").cast("double").as("value")))
+  }
+}

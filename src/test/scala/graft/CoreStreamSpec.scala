@@ -1,0 +1,238 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.core.Terminals._
+import graft.functions.Moments
+
+object TestSpark {
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+}
+
+/** Per-op unit tests against the in-memory indexed-fold oracle
+  * (SURVEY.md §5.1): each assertion encodes the reference semantics —
+  * renumbering rules, index wrap, exact statistic formulas. */
+class CoreStreamSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def rng(n: Int): SemanticStream[Long] = SemanticStream.range(spark, 0, n)
+
+  test("range: half-open, stepped, negative, zero-step-empty") {
+    assert(SemanticStream.range(spark, 0, 5).terminals.toVector == Vector(0L, 1, 2, 3, 4))
+    assert(SemanticStream.range(spark, 0, 10, 3).terminals.toVector == Vector(0L, 3, 6, 9))
+    assert(SemanticStream.range(spark, 5, 0, -2).terminals.toVector == Vector(5L, 3, 1))
+    assert(SemanticStream.range(spark, 0, 5, 0).terminals.count() == 0)
+    assert(SemanticStream.rangeClosed(spark, 1, 5).terminals.toVector == Vector(1L, 2, 3, 4, 5))
+  }
+
+  test("map preserves index; filter renumbers 0..n-1") {
+    val s = rng(10).map(_ * 2)          // idx 0..9 preserved
+    val f = s.filter(_ % 3 == 0)        // values 0,6,12,18 → renumbered
+    val pairs = f.resolved.ds.collect().sortBy(_.idx).map(e => (e.idx, e.value)).toSeq
+    assert(pairs == Seq((0L, 0L), (1L, 6L), (2L, 12L), (3L, 18L)))
+  }
+
+  test("mapIndexed observes renumbered indices") {
+    val v = rng(10).filter(_ % 2 == 1).mapIndexed((e, i) => e * 100 + i).terminals.toVector
+    assert(v == Vector(100L, 301L, 502L, 703L, 904L)) // values 1,3,5,7,9 idx 0..4
+  }
+
+  test("limit / skip / sub / translate index contracts") {
+    assert(rng(10).limit(3).terminals.toVector == Vector(0L, 1, 2))
+    // skip keeps counters n, n+1, ... as indices (semantic.h:1469-1473)
+    val sk = rng(10).skip(7)
+    assert(sk.ds.collect().map(_.idx).sorted.toSeq == Seq(7L, 8, 9))
+    // …which wrap mod 3 at ordered materialization: 7%3=1, 8%3=2, 9%3=0
+    assert(sk.terminals.toVector == Vector(9L, 7, 8))
+    // sub keeps positions 2,3,4 as indices; wrap mod 3 → [3,4,2]
+    assert(rng(10).sub(2, 5).terminals.toVector == Vector(3L, 4, 2))
+    val tr = rng(3).translate(100)
+    assert(tr.ds.collect().map(_.idx).sorted.toSeq == Seq(100L, 101, 102))
+    // 100%3=1, 101%3=2, 102%3=0 → [2, 0, 1]
+    assert(tr.terminals.toVector == Vector(2L, 0, 1))
+  }
+
+  test("limit/filter follow arrival order even after reverse") {
+    // reverse only negates indices; emission order is unchanged, so limit
+    // takes the FIRST-emitted elements (semantic.h:1363-1367)…
+    assert(rng(5).reverse.limit(2).terminals.toVector == Vector(0L, 1))
+    // …and filter renumbers survivors by the arrival counter
+    assert(rng(5).reverse.filter(_ % 2 == 0).terminals.toVector == Vector(0L, 2, 4))
+  }
+
+  test("reverse: mod-n wrap keeps element 0 first, reverses the rest") {
+    // idx negation + wrap (n-(|i|%n))%n: [e0, e4, e3, e2, e1]
+    assert(rng(5).reverse.terminals.toVector == Vector(0L, 4, 3, 2, 1))
+  }
+
+  test("negative translate wraps at ordered materialization") {
+    // idx-1 for 0..4 → -1,0,1,2,3 → wrap(-1)=4: element 0 goes last
+    assert(rng(5).translate(-1).terminals.toVector == Vector(1L, 2, 3, 4, 0))
+  }
+
+  test("distinct keeps first occurrence") {
+    val s = SemanticStream.from(spark, Seq(3, 1, 3, 2, 1, 3))
+    assert(s.distinct.terminals.toVector == Vector(3, 1, 2))
+  }
+
+  test("distinctBy derived key keeps min-idx element") {
+    val s = SemanticStream.from(spark, Seq("aa", "b", "cc", "d"))
+    assert(s.distinctBy(_.length).terminals.toVector == Vector("aa", "b"))
+  }
+
+  test("concatenate renumbers continuously, preserves order") {
+    val a = SemanticStream.from(spark, Seq(1, 2))
+    val b = SemanticStream.from(spark, Seq(10, 20, 30))
+    val c = a.concatenate(b)
+    assert(c.terminals.toVector == Vector(1, 2, 10, 20, 30))
+    assert(c.ds.collect().map(_.idx).sorted.toSeq == Seq(0L, 1, 2, 3, 4))
+    assert(a.concatenate(99).terminals.toVector == Vector(1, 2, 99))
+  }
+
+  test("takeWhile stops at first failure; dropWhile mirrors") {
+    val s = SemanticStream.from(spark, Seq(1, 2, 3, 10, 2, 1))
+    assert(s.takeWhile(v => v < 5).terminals.toVector == Vector(1, 2, 3))
+    assert(s.dropWhile(v => v < 5).terminals.toVector == Vector(10, 2, 1))
+    // all match → takeWhile keeps everything, dropWhile empties
+    assert(s.takeWhile(v => v < 100).terminals.count() == 6)
+    assert(s.dropWhile(v => v < 100).terminals.count() == 0)
+  }
+
+  test("flatMap renumbers continuously; empties vanish") {
+    val s = SemanticStream.from(spark, Seq(2, 0, 3))
+    val f = s.flatMap(n => Seq.fill(n)(n))
+    assert(f.terminals.toVector == Vector(2, 2, 3, 3, 3))
+    assert(f.ds.collect().map(_.idx).sorted.toSeq == Seq(0L, 1, 2, 3, 4))
+  }
+
+  test("explodeColumn flattens array values in order") {
+    val s = SemanticStream.from(spark, Seq(Seq(1, 2), Seq.empty[Int], Seq(3)))
+    assert(s.explodeColumn[Int](identity).terminals.toVector == Vector(1, 2, 3))
+  }
+
+  test("sorted is stable and renumbers") {
+    val s = SemanticStream.from(spark, Seq(3, 1, 2, 1))
+    assert(s.sorted.terminals.toVector == Vector(1, 1, 2, 3))
+    val idx = s.sorted.ds.collect().sortBy(_.idx).map(_.idx).toSeq
+    assert(idx == Seq(0L, 1, 2, 3))
+  }
+
+  test("findAt with negative index wraps (n-(|i|%n))%n") {
+    val s = SemanticStream.from(spark, Seq(10, 20, 30, 40))
+    assert(s.terminals.findAt(1).contains(20))
+    assert(s.terminals.findAt(-1).contains(40))   // (4-1)%4=3
+    assert(s.terminals.findAt(-5).contains(40))   // (4-(5%4))%4=3
+    assert(s.terminals.findAt(-4).contains(10))   // (4-0)%4... (4-(4%4))%4=0
+    assert(s.terminals.findAt(9).isEmpty)
+  }
+
+  test("find first/last/any, matches") {
+    val s = rng(100).filter(_ % 7 == 3)
+    assert(s.terminals.findFirst().contains(3L))
+    assert(s.terminals.findLast().contains(94L))
+    assert(s.terminals.findAny(42L).nonEmpty)
+    assert(rng(10).terminals.allMatch(v => v < 10))
+    assert(rng(10).terminals.anyMatch(v => v === 5))
+    assert(rng(10).terminals.noneMatch(v => v > 100))
+  }
+
+  test("reduce with and without identity") {
+    assert(rng(5).terminals.reduce(_ + _).contains(10L))
+    assert(rng(5).terminals.reduce(100L, _ + _) == 110L)
+    assert(rng(0).terminals.reduce(_ + _).isEmpty)
+    assert(rng(0).terminals.reduce(7L, _ + _) == 7L)
+  }
+
+  test("joinString and toMap last-wins") {
+    val s = SemanticStream.from(spark, Seq(1, 2, 3))
+    assert(s.terminals.joinString() == "[1,2,3]")
+    assert(s.terminals.joinString("-", "<", ">") == "<1-2-3>")
+    val m = SemanticStream.from(spark, Seq("a1", "b1", "a2"))
+      .terminals.toMap[String](v => org.apache.spark.sql.functions.substring(v, 1, 1))
+    assert(m == Map("a" -> "a2", "b" -> "b1"))
+  }
+
+  test("statistics: summate/average/range/variance vs oracle; empty → 0") {
+    val xs = Seq(2.0, 4.0, 4.0, 4.0, 5.0, 5.0, 7.0, 9.0)
+    val st = SemanticStream.from(spark, xs).toStatistics
+    assert(st.summate == xs.sum)
+    assert(st.average == xs.sum / xs.size)
+    assert(st.rangeStat == 7.0)
+    assert(math.abs(st.variance - 4.0) < 1e-12)      // classic σ²=4 set
+    assert(math.abs(st.standardDeviation - 2.0) < 1e-12)
+    val e = SemanticStream.from(spark, Seq.empty[Double]).toStatistics
+    assert(e.summate == 0.0 && e.average == 0.0 && e.rangeStat == 0.0)
+  }
+
+  test("percentile: NumPy linear interpolation; median even-n mean") {
+    val st = SemanticStream.from(spark, Seq(1.0, 2.0, 3.0, 4.0)).toStatistics
+    assert(st.median == 2.5)
+    assert(st.percentile(25) == 1.75)  // rank .25*3 = 0.75 → 1 + .75*(2-1)
+    assert(st.percentile(0) == 1.0 && st.percentile(100) == 4.0)
+    assertThrows[IllegalArgumentException](st.percentile(101))
+  }
+
+  test("mode: frequency counting, smallest-value tie-break") {
+    assert(SemanticStream.from(spark, Seq(1.0, 2.0, 2.0, 3.0)).toStatistics.mode.contains(2.0))
+    assert(SemanticStream.from(spark, Seq(3.0, 1.0)).toStatistics.mode.contains(1.0))
+  }
+
+  test("skewness/kurtosis match reference formulas incl. small-n zeros") {
+    def refSkew(xs: Seq[Double]): Double = {
+      if (xs.size < 3) return 0.0
+      val n = xs.size.toDouble; val mean = xs.sum / n
+      val varp = xs.map(x => (x - mean) * (x - mean)).sum / n
+      if (varp == 0) return 0.0
+      val sd = math.sqrt(varp)
+      (n / ((n - 1) * (n - 2))) * xs.map(x => math.pow(x - mean, 3)).sum / (sd * sd * sd)
+    }
+    def refKurt(xs: Seq[Double]): Double = {
+      if (xs.size < 4) return 0.0
+      val n = xs.size.toDouble; val mean = xs.sum / n
+      val varp = xs.map(x => (x - mean) * (x - mean)).sum / n
+      if (varp == 0) return 0.0
+      val s4 = varp * varp
+      val num = n * (n + 1) * (n - 1) * xs.map(x => math.pow(x - mean, 4)).sum
+      val den = (n - 2) * (n - 3) * s4 * n * n
+      num / den - 3.0 * (n - 1) * (n - 1) / ((n - 2) * (n - 3))
+    }
+    val sets = Seq(
+      Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 4.0, 8.0),
+      Seq(2.0, 4.0, 4.0, 4.0, 5.0, 5.0, 7.0, 9.0),
+      (1 to 100).map(i => math.sin(i * 1.7) * i))
+    for (xs <- sets) {
+      val st = SemanticStream.from(spark, xs).toStatistics
+      assert(math.abs(st.skewness - refSkew(xs)) < 1e-9, s"skew $xs")
+      assert(math.abs(st.kurtosis - refKurt(xs)) < 1e-9, s"kurt $xs")
+    }
+  }
+
+  test("Moments aggregator: combiner law merge(fold(a), fold(b)) == fold(a++b)") {
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 20) {
+      val a = Seq.fill(rnd.nextInt(50))(rnd.nextDouble() * 100 - 50)
+      val b = Seq.fill(rnd.nextInt(50))(rnd.nextDouble() * 100 - 50)
+      val merged = Moments.of(a).merge(Moments.of(b))
+      val whole = Moments.of(a ++ b)
+      assert(merged.n == whole.n)
+      assert(math.abs(merged.mean - whole.mean) < 1e-9)
+      assert(math.abs(merged.m2 - whole.m2) < 1e-6)
+      assert(math.abs(merged.m3 - whole.m3) < 1e-5)
+      assert(math.abs(merged.m4 - whole.m4) < 1e-3)
+    }
+  }
+
+  test("frequency: per-value position profile") {
+    val f = SemanticStream.from(spark, Seq(5.0, 7.0, 5.0)).toStatistics.frequency
+    assert(f(5.0) == (Seq(0L, 2L), 2L))
+    assert(f(7.0) == (Seq(1L), 1L))
+  }
+}
