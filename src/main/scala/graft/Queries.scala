@@ -1,23 +1,25 @@
 package graft
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Query registry backing [[SparkEntry]].
+/** Query registry backing [[SparkEntry]]: every implemented operator from
+  * SURVEY.md §2 plus the LLM-pipeline operators, each over the driver
+  * parquet tables and (where SQL-expressible) paired with a DuckDB oracle.
   *
-  * Each named query is a function (SparkSession, sfDir) => DataFrame over
-  * the driver-generated parquet tables, paired (where SQL-expressible) with
-  * a DuckDB oracle in [[oracles]].
+  * Families: [[QueriesCore]] (sources/index ops/windows/grouping),
+  * [[QueriesStats]] (statistics/find/match/joins), [[QueriesText]]
+  * (charsequence surface, text analysis, dedup, multimodal),
+  * [[QueriesSim]] (similarity search, spectral, sessionization).
   */
 object Queries {
 
   private[graft] def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** TPC-H Q1-shaped pricing summary: groupBy + sums/avgs over lineitem.
-    * Exercises the reference's group/summate/average collectors
-    * (collector.h:488-544, 1065-1130) as one shuffle-partial-aggregated
-    * Spark plan. */
+  /** TPC-H Q1-shaped pricing summary: groupBy + sums/avgs over lineitem —
+    * the reference's group/summate/average collectors (collector.h:488-544,
+    * 1065-1130) as one partial-aggregated Spark plan. */
   def q1Agg(spark: SparkSession, dir: String): DataFrame =
     tbl(spark, dir, "lineitem")
       .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
@@ -31,9 +33,9 @@ object Queries {
         count(lit(1)).as("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q1_agg" -> (q1Agg _)
-  )
+  val all: Map[String, (SparkSession, String) => DataFrame] =
+    Map("q1_agg" -> (q1Agg _)) ++
+      QueriesCore.all ++ QueriesStats.all ++ QueriesText.all ++ QueriesSim.all
 
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
@@ -48,5 +50,6 @@ object Queries {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin
-  )
+  ) ++ QueriesCore.oracles ++ QueriesStats.oracles ++
+    QueriesText.oracles ++ QueriesSim.oracles
 }

@@ -1,0 +1,135 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.DftAggregator
+import graft.operators.Similarity
+
+/** Similarity-search + spectral + sessionization queries with DuckDB
+  * oracles. Cosine math runs in double on both engines and is rounded
+  * before ranking so summation order can never flip a rank.
+  */
+object QueriesSim {
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // brute-force cosine top-k (queries broadcast against corpus scan)
+    "q35_cosine_topk" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
+    // md5-seeded random-hyperplane LSH buckets (the ANN scale path)
+    "q36_lsh_buckets" -> ((s, dir) =>
+      Similarity.hyperplaneBuckets(tbl(s, dir, "embeddings"),
+        "vec_id", "embedding", planes = 6)
+        .select(col("id").as("vec_id"), col("bucket"))
+        .orderBy(col("vec_id"))),
+
+    // per-user DFT of the first-8 event series, via the typed Aggregator
+    // (the reference's useDFT collector shape, collector.h:2744-2779)
+    "q37_dft8" -> ((s, dir) => {
+      val dftUdaf = udaf(new DftAggregator(),
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val series = tbl(s, dir, "events")
+        .withColumn("rn", row_number().over(w) - 1)
+        .filter(col("rn") < 8)
+      val n8 = series.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") === 8).select(col("user_id"))
+      val spec = series.join(n8, "user_id")
+        .groupBy(col("user_id"))
+        .agg(dftUdaf(col("rn").cast("long"), col("value")).as("bins"))
+      spec.select(col("user_id"), posexplode(col("bins")).as(Seq("k", "bin")))
+        .select(col("user_id"), col("k").cast("long").as("k"),
+          round(col("bin._1"), 4).as("re"), round(col("bin._2"), 4).as("im"))
+        .orderBy(col("user_id"), col("k"))
+    }),
+
+    // gap-based sessionization (30-min inactivity) — batch shape of the
+    // streaming session_window
+    "q38_sessions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      // ts arrives as long nanos (nanosAsLong); the 30-min gap test is an
+      // exact integer compare — no FP, so it can never disagree with the
+      // oracle's epoch_ns() arithmetic
+      tbl(s, dir, "events")
+        .withColumn("gap", col("ts") - lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("gap").isNull || col("gap") > 1800L * 1000000000L, 1L).otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+        .orderBy(col("user_id"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q35_cosine_topk" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.qid, v.vec_id AS nid,
+        |    round(list_sum(list_apply(range(1, len(q.qe) + 1),
+        |            i -> q.qe[i] * v.e[i]))
+        |      / (sqrt(list_sum(list_apply(q.qe, x -> x * x)))
+        |         * sqrt(list_sum(list_apply(v.e, x -> x * x)))), 4) AS cosine
+        |  FROM v CROSS JOIN q WHERE v.vec_id <> q.qid),
+        |ranked AS (
+        |  SELECT qid, nid, cosine, CAST(row_number() OVER (
+        |    PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT qid, rank, nid, cosine FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+
+    "q36_lsh_buckets" ->
+      """WITH comps AS (
+        |  SELECT vec_id, unnest(embedding) AS comp,
+        |    generate_subscripts(embedding, 1) - 1 AS dim
+        |  FROM embeddings),
+        |projs AS (
+        |  SELECT vec_id, p.p AS plane,
+        |    sum(CAST(comp AS DOUBLE) *
+        |      (CASE WHEN substr(md5(p.p::VARCHAR || '-' || dim::VARCHAR), 1, 1)
+        |        BETWEEN '8' AND 'f' THEN 1.0 ELSE -1.0 END)) AS proj
+        |  FROM comps, generate_series(0, 5) AS p(p)
+        |  GROUP BY vec_id, p.p)
+        |SELECT vec_id,
+        |  CAST(sum(CASE WHEN proj > 0 THEN CAST(pow(2, plane) AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) AS bucket
+        |FROM projs GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "q37_dft8" ->
+      """WITH numbered AS (
+        |  SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS n
+        |  FROM events),
+        |series AS (SELECT * FROM numbered WHERE n < 8),
+        |full8 AS (
+        |  SELECT user_id FROM series GROUP BY user_id HAVING count(*) = 8)
+        |SELECT s.user_id, CAST(k.k AS BIGINT) AS k,
+        |  round(sum(s.value * cos(-2 * pi() * k.k * s.n / 8)), 4) AS re,
+        |  round(sum(s.value * sin(-2 * pi() * k.k * s.n / 8)), 4) AS im
+        |FROM series s JOIN full8 f ON s.user_id = f.user_id,
+        |  generate_series(0, 7) AS k(k)
+        |GROUP BY s.user_id, k.k ORDER BY s.user_id, k""".stripMargin,
+
+    "q38_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |    epoch_ns(ts) - epoch_ns(lag(ts) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id)) AS gap
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}

@@ -1,0 +1,234 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.core.IndexOps
+import graft.functions.StatFunctions
+
+/** Statistics / find / match / join queries (SURVEY.md §2.3, §2.5) with
+  * DuckDB oracles. Skewness/kurtosis use the reference's exact formulas
+  * (population σ inside, sample bias factors outside — collector.h:3065-
+  * 3239) via the single-pass Chan-merge Aggregator; the oracle recomputes
+  * them two-pass in SQL.
+  */
+object QueriesStats {
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // variance family: population convention (collector.h:688-836)
+    "q17_stats_group" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(var_pop(col("l_quantity")), 4).as("var_pop_qty"),
+          round(stddev_pop(col("l_quantity")), 4).as("stddev_pop_qty"),
+          round(min(col("l_quantity")), 4).as("min_qty"),
+          round(max(col("l_quantity")), 4).as("max_qty"),
+          round(max(col("l_quantity")) - min(col("l_quantity")), 4).as("range_qty"))
+        .orderBy(col("l_returnflag"))),
+
+    // percentile family: linear interpolation at p·(n−1) (collector.h:2298)
+    "q18_percentiles" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(percentile(col("l_extendedprice"), lit(0.5)), 4).as("median_price"),
+          round(percentile(col("l_extendedprice"), lit(0.25)), 4).as("p25_price"),
+          round(percentile(col("l_extendedprice"), lit(0.75)), 4).as("p75_price"),
+          round(percentile(col("l_extendedprice"), lit(0.75)) -
+            percentile(col("l_extendedprice"), lit(0.25)), 4).as("iqr_price"))
+        .orderBy(col("l_returnflag"))),
+
+    // mode: frequency count, smallest-value tie-break (collector.h:2251)
+    "q19_mode" -> ((s, dir) => {
+      val counts = tbl(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"), col("l_quantity"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("l_linestatus"))
+        .orderBy(col("cnt").desc, col("l_quantity").asc)
+      counts.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("l_linestatus"), col("l_quantity").as("mode_qty"), col("cnt"))
+        .orderBy(col("l_linestatus"))
+    }),
+
+    // reference-formula skewness/kurtosis via single-pass Aggregator
+    "q20_skew_kurt" -> ((s, dir) =>
+      tbl(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(StatFunctions.skewness_ref(col("l_quantity")), 4).as("skew_qty"),
+          round(StatFunctions.kurtosis_ref(col("l_quantity")), 4).as("kurt_qty"))
+        .orderBy(col("l_returnflag"))),
+
+    // find first/last/at/negative-at (collector.h:838-1063)
+    "q21_find" -> ((s, dir) => {
+      val ev = IndexOps.renumberBy(tbl(s, dir, "events"), Seq(col("event_id").asc))
+      val n = ev.count()
+      val negTarget = (n - (5 % n)) % n // findAt(-5)
+      ev.agg(
+        min_by(col("event_id"), col("idx")).as("first_event"),
+        max_by(col("event_id"), col("idx")).as("last_event"),
+        max(when(col("idx") === 100, col("event_id"))).as("at_100"),
+        max(when(col("idx") === negTarget, col("event_id"))).as("at_neg5"))
+    }),
+
+    // all/any/none match (collector.h:399-448)
+    "q22_match" -> ((s, dir) =>
+      tbl(s, dir, "events").agg(
+        bool_and(col("value") >= 0.0).as("all_nonneg"),
+        bool_or(col("value") > 1000.0).as("any_big"),
+        (!bool_or(col("value") < 0.0)).as("none_neg"))),
+
+    // frequency/distribution profile per value class (collector.h:1805-2096)
+    "q23_frequency_profile" -> ((s, dir) => {
+      val ev = IndexOps.renumberBy(tbl(s, dir, "events"), Seq(col("event_id").asc))
+      ev.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), min(col("idx")).as("min_idx"),
+          max(col("idx")).as("max_idx"), sum(col("idx")).as("sum_idx"))
+        .orderBy(col("event_type"))
+    }),
+
+    // broadcast equi-join (parity-plus relational surface)
+    "q24_join_brand" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      val p = tbl(s, dir, "part")
+      li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"), count(lit(1)).as("n"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // 3-way join, TPC-H Q3 shape
+    "q25_join_q3" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = tbl(s, dir, "orders")
+      val li = tbl(s, dir, "lineitem")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"), count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // anti join: customers with no high-value order, per nation
+    "q26_anti_join" -> ((s, dir) => {
+      val c = tbl(s, dir, "customer")
+      val o = tbl(s, dir, "orders").filter(col("o_totalprice") > 450000.0)
+      val n = tbl(s, dir, "nation")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_lonely"))
+        .orderBy(col("n_name"))
+    })
+  )
+
+  private def skewKurtOracle: String =
+    """WITH m AS (
+      |  SELECT l_returnflag AS k, count(*) AS n, avg(l_quantity) AS mu
+      |  FROM lineitem GROUP BY 1),
+      |c AS (
+      |  SELECT m.k, m.n,
+      |    sum(pow(l.l_quantity - m.mu, 2)) / m.n AS varp,
+      |    sum(pow(l.l_quantity - m.mu, 3)) AS s3,
+      |    sum(pow(l.l_quantity - m.mu, 4)) AS s4
+      |  FROM lineitem l JOIN m ON l.l_returnflag = m.k
+      |  GROUP BY m.k, m.n, m.mu)
+      |SELECT k AS l_returnflag,
+      |  round(CASE WHEN n < 3 OR varp = 0 THEN 0 ELSE
+      |    (n / ((n - 1.0) * (n - 2.0))) * (s3 / pow(sqrt(varp), 3)) END, 4)
+      |    AS skew_qty,
+      |  round(CASE WHEN n < 4 OR varp = 0 THEN 0 ELSE
+      |    (n * (n + 1.0) * (n - 1.0) * s4) /
+      |      ((n - 2.0) * (n - 3.0) * varp * varp * n * n)
+      |    - 3.0 * (n - 1.0) * (n - 1.0) / ((n - 2.0) * (n - 3.0)) END, 4)
+      |    AS kurt_qty
+      |FROM c ORDER BY l_returnflag""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q17_stats_group" ->
+      """SELECT l_returnflag,
+        |  round(var_pop(l_quantity), 4) AS var_pop_qty,
+        |  round(stddev_pop(l_quantity), 4) AS stddev_pop_qty,
+        |  round(min(l_quantity), 4) AS min_qty,
+        |  round(max(l_quantity), 4) AS max_qty,
+        |  round(max(l_quantity) - min(l_quantity), 4) AS range_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q18_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+        |  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price,
+        |  round(quantile_cont(l_extendedprice, 0.75)
+        |    - quantile_cont(l_extendedprice, 0.25), 4) AS iqr_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q19_mode" ->
+      """WITH counts AS (
+        |  SELECT l_linestatus, l_quantity, count(*) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY l_linestatus ORDER BY cnt DESC, l_quantity ASC) AS rn
+        |  FROM counts)
+        |SELECT l_linestatus, l_quantity AS mode_qty, cnt
+        |FROM ranked WHERE rn = 1 ORDER BY l_linestatus""".stripMargin,
+
+    "q20_skew_kurt" -> skewKurtOracle,
+
+    "q21_find" ->
+      """WITH ev AS (SELECT *, row_number() OVER (ORDER BY event_id) - 1 AS idx
+        |  FROM events),
+        |n AS (SELECT count(*) AS n FROM ev)
+        |SELECT
+        |  min_by(event_id, idx) AS first_event,
+        |  max_by(event_id, idx) AS last_event,
+        |  max(CASE WHEN idx = 100 THEN event_id END) AS at_100,
+        |  max(CASE WHEN idx = (SELECT (n - (5 % n)) % n FROM n)
+        |      THEN event_id END) AS at_neg5
+        |FROM ev""".stripMargin,
+
+    "q22_match" ->
+      """SELECT bool_and(value >= 0) AS all_nonneg,
+        |  bool_or(value > 1000) AS any_big,
+        |  NOT bool_or(value < 0) AS none_neg
+        |FROM events""".stripMargin,
+
+    "q23_frequency_profile" ->
+      """WITH ev AS (SELECT *, row_number() OVER (ORDER BY event_id) - 1 AS idx
+        |  FROM events)
+        |SELECT event_type, count(*) AS n, min(idx) AS min_idx,
+        |  max(idx) AS max_idx, CAST(sum(idx) AS BIGINT) AS sum_idx
+        |FROM ev GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q24_join_brand" ->
+      """SELECT p_brand,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+
+    "q25_join_q3" ->
+      """SELECT o_orderpriority,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q26_anti_join" ->
+      """SELECT n_name, count(*) AS n_lonely
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 450000)
+        |GROUP BY n_name ORDER BY n_name""".stripMargin
+  )
+}

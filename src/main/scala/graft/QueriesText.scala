@@ -1,0 +1,222 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, TextAnalysis => TA}
+
+/** Text-analysis / dedup / multimodal queries over `documents`, with
+  * DuckDB oracles that mirror the exact same deterministic (md5-seeded)
+  * logic — no RNG anywhere, so Spark and DuckDB agree bit-for-bit on
+  * every hash-derived value.
+  */
+object QueriesText {
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // charsequence scalar surface: ASCII-only case map, occurrence count,
+    // affix tests (charsequence.h:844-1158)
+    "q27_text_case" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        TA.asciiUpper(substring(col("text"), 1, 40)).as("upper40"),
+        TA.countOccurrences(col("text"), "the").as("n_the"),
+        col("text").startsWith("the").as("starts_the"),
+        col("text").endsWith("row").as("ends_row"))
+        .orderBy(col("doc_id"))),
+
+    // token counting: whitespace + BPE-ish regex
+    "q28_tokens" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        TA.tokenCount(col("text")).as("n_tokens"),
+        TA.tokenCountBpeish(col("text")).as("n_bpeish"),
+        length(col("text")).cast("long").as("n_chars_len"))
+        .orderBy(col("doc_id"))),
+
+    // language-ID heuristic + quality score (deterministic, SQL-mirrored)
+    "q29_langid_quality" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        TA.langId(col("text")).as("pred_lang"),
+        TA.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))),
+
+    // document fingerprinting: content + prefix-shingle hash
+    "q30_fingerprints" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        TA.fingerprint(col("text")).as("fp"),
+        TA.prefixShingleFingerprint(col("text"), 8).as("prefix_fp"))
+        .orderBy(col("doc_id"))),
+
+    // exact dedup: canonical min-id per identical text
+    "q31_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(tbl(s, dir, "documents"), "doc_id", "text")
+        .orderBy(col("id"))),
+
+    // MinHash + LSH near-dup pairs, exact-Jaccard verified
+    "q32_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashNearDups(tbl(s, dir, "documents"), "doc_id", "text",
+        shingleWidth = 3, numHashes = 12, bands = 4, threshold = 0.2)
+        .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy(col("a"), col("b"))),
+
+    // 16-bit SimHash fingerprint per doc
+    "q33_simhash" -> ((s, dir) =>
+      Dedup.simhash16(tbl(s, dir, "documents"), "doc_id", "text")
+        .select(col("id"), col("simhash"))
+        .orderBy(col("id"))),
+
+    // multimodal plumbing: binary payload → stub-decoded metadata
+    "q34_multimodal_meta" -> ((s, dir) =>
+      Multimodal.extractMeta(
+        tbl(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("payload")),
+        "doc_id", "payload")
+        .toDF().orderBy(col("id")))
+  )
+
+  // shared SQL fragments (DuckDB dialect)
+  private val wordsCte =
+    """words AS (
+      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
+      |    generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
+      |  FROM documents)""".stripMargin
+
+  private def occ(expr: String, target: String): String =
+    s"CAST((length($expr) - length(replace($expr, '$target', ''))) / ${target.length} AS BIGINT)"
+
+  private def langHits(markers: Seq[String]): String =
+    markers.map(m => occ("' ' || text || ' '", s" $m ")).mkString(" + ")
+
+  val oracles: Map[String, String] = Map(
+    "q27_text_case" ->
+      s"""SELECT doc_id,
+         |  translate(substr(text, 1, 40),
+         |    'abcdefghijklmnopqrstuvwxyz', 'ABCDEFGHIJKLMNOPQRSTUVWXYZ') AS upper40,
+         |  ${occ("text", "the")} AS n_the,
+         |  starts_with(text, 'the') AS starts_the,
+         |  text LIKE '%row' AS ends_row
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q28_tokens" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+        |    AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
+        |    AS BIGINT) AS n_bpeish,
+        |  CAST(length(text) AS BIGINT) AS n_chars_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q29_langid_quality" -> {
+      val en = langHits(Seq("the", "a", "and"))
+      val de = langHits(Seq("der", "und", "die"))
+      val fr = langHits(Seq("le", "la", "et"))
+      val es = langHits(Seq("el", "los", "y"))
+      val stopHits = Seq("the", "a", "and", "of", "to", "in", "is")
+        .map(m => occ("' ' || text || ' '", s" $m ")).mkString(" + ")
+      val nTokens = "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
+        "len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)"
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang, text,
+         |    $en AS s_en, $de AS s_de, $fr AS s_fr, $es AS s_es,
+         |    CASE WHEN length(text) BETWEEN 200 AND 5000 THEN 1.0
+         |      WHEN length(text) >= 50 THEN 0.5 ELSE 0.0 END AS len_score,
+         |    CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+         |      / greatest(length(text), 1) AS alpha,
+         |    least((($stopHits) * 1.0 / greatest($nTokens, 1)) * 5.0, 1.0)
+         |      AS stop_score
+         |  FROM documents)
+         |SELECT doc_id, lang,
+         |  CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en > 0
+         |      THEN 'en'
+         |    WHEN s_de >= s_fr AND s_de >= s_es AND s_de > 0 THEN 'de'
+         |    WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
+         |    WHEN s_es > 0 THEN 'es'
+         |    ELSE 'und' END AS pred_lang,
+         |  round((len_score + alpha + stop_score) / 3.0, 4) AS quality
+         |FROM scored ORDER BY doc_id""".stripMargin
+    },
+
+    "q30_fingerprints" ->
+      """SELECT doc_id, md5(text) AS fp,
+        |  md5(array_to_string(
+        |    list_slice(regexp_split_to_array(trim(text), '\s+'), 1, 8), ' '))
+        |    AS prefix_fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q31_dedup_exact" ->
+      """WITH g AS (
+        |  SELECT md5(text) AS digest, min(doc_id) AS canonical_id,
+        |    count(*) AS group_size
+        |  FROM documents GROUP BY 1)
+        |SELECT d.doc_id AS id, g.canonical_id, g.group_size
+        |FROM documents d JOIN g ON md5(d.text) = g.digest
+        |ORDER BY id""".stripMargin,
+
+    "q32_minhash_pairs" ->
+      s"""WITH $wordsCte,
+         |shingled AS (
+         |  SELECT doc_id, tok || ' ' ||
+         |    lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) || ' ' ||
+         |    lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS shingle
+         |  FROM words),
+         |shingles AS (
+         |  SELECT DISTINCT doc_id AS id, shingle FROM shingled
+         |  WHERE shingle IS NOT NULL),
+         |sig AS (
+         |  SELECT id, i.i, min(md5(i.i::VARCHAR || '#' || shingle)) AS h
+         |  FROM shingles, generate_series(0, 11) AS i(i)
+         |  GROUP BY id, i.i),
+         |bands AS (
+         |  SELECT id, CAST(floor(i / 3) AS INT) AS band,
+         |    string_agg(h, '|' ORDER BY i) AS key
+         |  FROM sig GROUP BY id, CAST(floor(i / 3) AS INT)),
+         |cand AS (
+         |  SELECT DISTINCT l.id AS a, r.id AS b
+         |  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key
+         |    AND l.id < r.id),
+         |sizes AS (SELECT id, count(*) AS sz FROM shingles GROUP BY id),
+         |inter AS (
+         |  SELECT c.a, c.b, count(*) AS inter
+         |  FROM cand c
+         |  JOIN shingles sa ON sa.id = c.a
+         |  JOIN shingles sb ON sb.id = c.b AND sb.shingle = sa.shingle
+         |  GROUP BY c.a, c.b)
+         |SELECT i.a, i.b,
+         |  round(CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter), 4)
+         |    AS jaccard
+         |FROM inter i
+         |JOIN sizes za ON za.id = i.a
+         |JOIN sizes zb ON zb.id = i.b
+         |WHERE CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter) >= 0.2
+         |ORDER BY a, b""".stripMargin,
+
+    "q33_simhash" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id AS id,
+         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+         |  FROM documents),
+         |bits AS (
+         |  SELECT id, i.i,
+         |    sum(CASE WHEN substr(md5(tok), i.i + 1, 1) BETWEEN '8' AND 'f'
+         |      THEN 1 ELSE -1 END) AS s
+         |  FROM toks, generate_series(0, 15) AS i(i)
+         |  GROUP BY id, i.i)
+         |SELECT id,
+         |  CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END)
+         |    AS BIGINT) AS simhash
+         |FROM bits GROUP BY id ORDER BY id""".stripMargin,
+
+    "q34_multimodal_meta" ->
+      """SELECT doc_id AS id,
+        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+        |  CASE octet_length(CAST(text AS BLOB)) % 3
+        |    WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(octet_length(CAST(text AS BLOB)) % 640 AS BIGINT) AS width,
+        |  CAST(octet_length(CAST(text AS BLOB)) % 480 AS BIGINT) AS height
+        |FROM documents ORDER BY id""".stripMargin
+  )
+}

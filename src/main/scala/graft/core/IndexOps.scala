@@ -36,22 +36,23 @@ object IndexOps {
   def rankByOrd(df: DataFrame): DataFrame = renumberBy(df, Seq(col("ord").asc))
 
   private def rank(df: DataFrame, order: Seq[Column], renumberIdx: Boolean): DataFrame = {
-    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val ranged = df.repartitionByRange(parts, order: _*)
-      .withColumn("__pid", spark_partition_id())
-    val offsets = ranged.groupBy(col("__pid"))
-      .agg(count(lit(1)).as("__cnt"))
-      .withColumn("__off", coalesce(
-        sum(col("__cnt")).over(
-          Window.orderBy(col("__pid")).rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .select(col("__pid"), col("__off"))
-    val rn = row_number().over(Window.partitionBy(col("__pid")).orderBy(order: _*))
-    val ranked = ranged
-      .withColumn("__rn", rn.cast("long"))
-      .join(broadcast(offsets), "__pid")
-      .withColumn("ord", col("__off") + col("__rn") - 1L)
-    val out = if (renumberIdx) ranked.withColumn("idx", col("ord")) else ranked
-    out.drop("__pid", "__rn", "__off")
+    val spark = df.sparkSession
+    val parts = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    val sorted = df.repartitionByRange(parts, order: _*).sortWithinPartitions(order: _*)
+    // zipWithIndex freezes the RDD lineage, so partition ids and range
+    // boundaries are computed exactly once (a two-branch DataFrame plan
+    // with spark_partition_id() is NOT safe: AQE may coalesce the two
+    // consumers of the exchange differently). The extra job it runs to
+    // count partition sizes reuses the shuffle output — no source re-scan.
+    val schema = sorted.schema
+    val ranked = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i)
+    }
+    val withRank = spark.createDataFrame(ranked,
+      org.apache.spark.sql.types.StructType(
+        schema.fields :+ org.apache.spark.sql.types.StructField(
+          "__rank", org.apache.spark.sql.types.LongType, nullable = false)))
+    val out = withRank.withColumn("ord", col("__rank"))
+    (if (renumberIdx) out.withColumn("idx", col("__rank")) else out).drop("__rank")
   }
 }

@@ -137,14 +137,14 @@ object Spectral {
   * finisher, collector.h:2744-2779) while groups parallelize across the
   * cluster. Suitable for many small/medium series, not one giant one. */
 class DftAggregator(inverse: Boolean = false, useFft: Boolean = false)
-  extends Aggregator[(Long, Double), Seq[(Long, Double)], Seq[Double]] {
+  extends Aggregator[(Long, Double), Seq[(Long, Double)], Seq[(Double, Double)]] {
 
   def zero: Seq[(Long, Double)] = Nil
   def reduce(b: Seq[(Long, Double)], x: (Long, Double)): Seq[(Long, Double)] = x +: b
   def merge(a: Seq[(Long, Double)], b: Seq[(Long, Double)]): Seq[(Long, Double)] = a ++ b
 
-  /** Interleaved [re0, im0, re1, im1, …] to keep a flat schema. */
-  def finish(buf: Seq[(Long, Double)]): Seq[Double] = {
+  /** k-th output bin as a (re, im) pair. */
+  def finish(buf: Seq[(Long, Double)]): Seq[(Double, Double)] = {
     val xs = buf.sortBy(_._1).map(_._2).toArray
     val zeros = new Array[Double](xs.length)
     val (r, i) =
@@ -152,11 +152,11 @@ class DftAggregator(inverse: Boolean = false, useFft: Boolean = false)
       else if (useFft) Spectral.fft(xs, zeros)
       else if (inverse) Spectral.idft(xs, zeros)
       else Spectral.dft(xs, zeros)
-    r.indices.flatMap(k => Seq(r(k), i(k)))
+    r.indices.map(k => (r(k), i(k)))
   }
 
   def bufferEncoder: Encoder[Seq[(Long, Double)]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Long, Double)]]()
-  def outputEncoder: Encoder[Seq[Double]] =
-    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+  def outputEncoder: Encoder[Seq[(Double, Double)]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[(Double, Double)]]()
 }

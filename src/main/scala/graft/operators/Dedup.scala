@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication for training-data pipelines. Each flavor is a standalone
+  * DataFrame transform designed for the 100 TB shape:
+  *
+  *   - exact: one hash-groupBy shuffle on a digest, never on raw text;
+  *   - MinHash+LSH: shingle → k independent min-hashes → banded bucket
+  *     join, so candidate generation is a groupBy on short band keys and
+  *     the quadratic verify step only runs inside buckets;
+  *   - SimHash: linear-scan fingerprint, near-dups collide in buckets;
+  *   - n-gram Jaccard: exact pairwise similarity, but only on LSH/bucket
+  *     candidates — never all-pairs.
+  *
+  * All hashing is md5-based (deterministic, engine-portable) — no RNG, so
+  * results are reproducible run-to-run and match the DuckDB oracle.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical (min-id) row per identical text. Returns
+    * (id, canonical_id, group_size); a row is a duplicate iff
+    * id != canonical_id. Shuffles a 32-byte digest, not the document. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val groups = df.select(col(idCol).as("id"), md5(col(textCol)).as("digest"))
+      .groupBy(col("digest"))
+      .agg(min(col("id")).as("canonical_id"), count(lit(1)).as("group_size"))
+    df.select(col(idCol).as("id"), md5(col(textCol)).as("digest"))
+      .join(groups, "digest")
+      .select(col("id"), col("canonical_id"), col("group_size"))
+  }
+
+  /** Word w-shingles: (id, shingle) distinct. The shingle is the joined
+    * w-token window — the unit for MinHash and Jaccard. */
+  def wordShingles(df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
+    val toks = df.select(
+      col(idCol).as("id"),
+      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
+    val win = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val shingled = (1 until w).foldLeft(toks) { (d, i) =>
+      d.withColumn(s"tok$i", lead(col("tok"), i).over(win))
+    }
+    val parts = col("tok") +: (1 until w).map(i => col(s"tok$i"))
+    shingled
+      .filter(parts.map(_.isNotNull).reduce(_ && _))
+      .select(col("id"), concat_ws(" ", parts: _*).as("shingle"))
+      .distinct()
+  }
+
+  /** MinHash signature: h_i = min over shingles of md5(i || '#' || shingle)
+    * — the lexicographic min of a keyed digest is a valid min-hash family,
+    * needs no RNG, and is identical in any engine with md5. One groupBy. */
+  def minhashSignature(shingles: DataFrame, numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes).map(i =>
+      min(md5(concat(lit(i.toString), lit("#"), col("shingle")))).as(s"h$i"))
+    shingles.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: split the signature into `bands` bands of `rowsPerBand`
+    * hashes; band key = joined hashes. Docs sharing any band key are
+    * candidates. Returns (band, key, id). */
+  def lshBands(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandRows = (0 until bands).map { b =>
+      val ks = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      sig.select(lit(b).as("band"), concat_ws("|", ks: _*).as("key"), col("id"))
+    }
+    bandRows.reduce(_ unionByName _)
+  }
+
+  /** Candidate pairs (a < b) sharing at least one LSH band bucket. The
+    * self-join happens per (band, key) bucket — skew-safe as long as
+    * bucket sizes stay small (r large enough). */
+  def lshCandidates(bandDf: DataFrame): DataFrame = {
+    val l = bandDf.as("l"); val r = bandDf.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b")).distinct()
+  }
+
+  /** Exact Jaccard over shingle sets for the given candidate pairs only. */
+  def jaccard(candidates: DataFrame, shingles: DataFrame): DataFrame = {
+    val sizes = shingles.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val sa = shingles.select(col("id").as("a"), col("shingle"))
+    val sb = shingles.select(col("id").as("b"), col("shingle"))
+    val inter = candidates.join(sa, "a").join(sb, Seq("b", "shingle"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "a").withColumnRenamed("sz", "sza"), "a")
+      .join(sizes.withColumnRenamed("id", "b").withColumnRenamed("sz", "szb"), "b")
+      .select(col("a"), col("b"),
+        (col("inter").cast("double") /
+          (col("sza") + col("szb") - col("inter")).cast("double")).as("jaccard"))
+  }
+
+  /** Full MinHash-LSH near-dup pipeline → (a, b, jaccard) pairs above
+    * threshold, verified exactly. */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      shingleWidth: Int = 3, numHashes: Int = 12,
+                      bands: Int = 4, threshold: Double = 0.7): DataFrame = {
+    val sh = wordShingles(df, idCol, textCol, shingleWidth)
+    val sig = minhashSignature(sh, numHashes)
+    val cand = lshCandidates(lshBands(sig, bands, numHashes / bands))
+    jaccard(cand, sh).filter(col("jaccard") >= threshold)
+  }
+
+  /** 16-bit SimHash over whitespace tokens: bit i is set when the majority
+    * of token digests have hex digit i in [8..f]. Same-fingerprint docs are
+    * near-dup candidates. Linear scan + one groupBy. */
+  def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+      .withColumn("h", md5(col("tok")))
+    val bitSums = (0 until 16).map { i =>
+      sum(when(substring(col("h"), i + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
+        .otherwise(-1)).as(s"s$i")
+    }
+    val agg = toks.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    val fp = (0 until 16).map(i =>
+      when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    agg.select(col("id"), fp.as("simhash"))
+  }
+
+  /** Embedding cosine near-dup: pairs with cosine ≥ threshold. Brute-force
+    * within LSH sign-buckets (see [[Similarity.hyperplaneBuckets]]) to
+    * avoid the full cross join. */
+  def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
+                        planes: Int, threshold: Double): DataFrame = {
+    val buckets = Similarity.hyperplaneBuckets(emb, idCol, vecCol, planes)
+    val v = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+    val withB = v.join(buckets, "id")
+    val l = withB.as("l"); val r = withB.as("r")
+    l.join(r, col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"),
+        Similarity.cosine(col("l.vec"), col("r.vec")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

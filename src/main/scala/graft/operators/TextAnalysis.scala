@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis for large-scale training-data pipelines, plus the
+  * reference's charsequence scalar surface (charsequence.h §2.6) expressed
+  * as pure column functions — everything here is codegen'd Catalyst
+  * expressions, no UDFs, so it survives 100 TB scans.
+  */
+object TextAnalysis {
+
+  private val lower = "abcdefghijklmnopqrstuvwxyz"
+  private val upper = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+
+  /** ASCII-only case mapping (charsequence.h:1120-1158: a-z/A-Z ±32 only,
+    * non-ASCII untouched — full-Unicode upper()/lower() would diverge). */
+  def asciiUpper(c: Column): Column = translate(c, lower, upper)
+  def asciiLower(c: Column): Column = translate(c, upper, lower)
+
+  /** Non-overlapping occurrence count (charsequence.h:1078-1103). */
+  def countOccurrences(c: Column, target: String): Column =
+    ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(target), "")))
+      / target.length).cast("long")
+
+  /** Whitespace token count. Empty/blank → 0. */
+  def tokenCount(c: Column): Column =
+    when(length(trim(c)) === 0, lit(0L))
+      .otherwise(size(split(trim(c), "\\s+")).cast("long"))
+
+  /** BPE-ish token count: alpha runs, digit runs, single punctuation. */
+  def tokenCountBpeish(c: Column): Column =
+    size(regexp_extract_all(c, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).cast("long")
+
+  def alphaRatio(c: Column): Column =
+    length(regexp_replace(c, "[^a-zA-Z]", "")).cast("double") /
+      greatest(length(c), lit(1)).cast("double")
+
+  def spaceRatio(c: Column): Column =
+    (length(c) - length(regexp_replace(c, "\\s", ""))).cast("double") /
+      greatest(length(c), lit(1)).cast("double")
+
+  def stopwordRatio(c: Column): Column = {
+    val stops = Seq("the", "a", "and", "of", "to", "in", "is")
+    val hits = stops.map(s => countOccurrences(concat(lit(" "), c, lit(" ")), s" $s ")).reduce(_ + _)
+    hits.cast("double") / greatest(tokenCount(c), lit(1L)).cast("double")
+  }
+
+  /** Composite quality score in [0,1]: length band + alpha ratio +
+    * stopword presence — the standard cheap pre-filter for LLM corpora. */
+  def qualityScore(c: Column): Column = {
+    val lenScore = when(length(c) >= 200 && length(c) <= 5000, 1.0)
+      .when(length(c) >= 50, 0.5).otherwise(0.0)
+    val alpha = alphaRatio(c)
+    val stop = least(stopwordRatio(c) * 5.0, lit(1.0))
+    round((lenScore + alpha + stop) / 3.0, 4)
+  }
+
+  /** N-gram-free language-ID heuristic: marker-token hit counts per
+    * language, argmax with fixed precedence (en,de,fr,es), 'und' when all
+    * zero. Deterministic and SQL-mirrorable. */
+  def langId(c: Column): Column = {
+    def hits(markers: Seq[String]): Column =
+      markers.map(m => countOccurrences(concat(lit(" "), c, lit(" ")), s" $m ")).reduce(_ + _)
+    val en = hits(Seq("the", "a", "and"))
+    val de = hits(Seq("der", "und", "die"))
+    val fr = hits(Seq("le", "la", "et"))
+    val es = hits(Seq("el", "los", "y"))
+    when(en >= de && en >= fr && en >= es && en > 0, "en")
+      .when(de >= fr && de >= es && de > 0, "de")
+      .when(fr >= es && fr > 0, "fr")
+      .when(es > 0, "es")
+      .otherwise("und")
+  }
+
+  /** Document fingerprint: content hash plus a prefix-shingle hash (a
+    * cheap stand-in for rolling-hash sketches; md5 matches every engine). */
+  def fingerprint(c: Column): Column = md5(c)
+  def prefixShingleFingerprint(c: Column, nTokens: Int = 8): Column =
+    md5(array_join(slice(split(trim(c), "\\s+"), 1, nTokens), " "))
+}
