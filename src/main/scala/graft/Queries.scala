@@ -35,7 +35,8 @@ object Queries {
 
   val all: Map[String, (SparkSession, String) => DataFrame] =
     Map("q1_agg" -> (q1Agg _)) ++
-      QueriesCore.all ++ QueriesStats.all ++ QueriesText.all ++ QueriesSim.all
+      QueriesCore.all ++ QueriesStats.all ++ QueriesText.all ++
+      QueriesSim.all ++ QueriesChar.all
 
   val oracles: Map[String, String] = Map(
     "q1_agg" ->
@@ -51,5 +52,5 @@ object Queries {
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin
   ) ++ QueriesCore.oracles ++ QueriesStats.oracles ++
-    QueriesText.oracles ++ QueriesSim.oracles
+    QueriesText.oracles ++ QueriesSim.oracles ++ QueriesChar.oracles
 }

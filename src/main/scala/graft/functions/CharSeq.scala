@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Charsequence scalar surface (reference charsequence.h §2.6) as pure
+  * Catalyst column functions, with the reference's exact conventions:
+  * 0-based positions, -1 for absent, non-regex splits that keep empty
+  * fields, ASCII-only case mapping (see operators.TextAnalysis), and
+  * code-point-oriented length/access.
+  */
+object CharSeq {
+
+  private def quote(s: String): String = java.util.regex.Pattern.quote(s)
+
+  /** First occurrence, 0-based; -1 when absent (indexOf,
+    * charsequence.h:900-988 — reference returns size_t max ≡ "not found";
+    * we normalize to -1 as documented in SURVEY §2.6). */
+  def indexOf(c: Column, target: String): Column =
+    (locate(target, c) - 1).cast("long")
+
+  /** Last occurrence, 0-based; -1 when absent (lastIndexOf). Implemented
+    * via the reverse trick — still one codegen'd expression. */
+  def lastIndexOf(c: Column, target: String): Column =
+    when(locate(target, c) === 0, lit(-1L))
+      .otherwise((char_length(c) - locate(target.reverse, reverse(c))
+        - lit(target.length) + 1).cast("long"))
+
+  /** Replace only the first occurrence (replace(maxCount=1),
+    * charsequence.h:989-1076): locate + splice, no regex. */
+  def replaceFirst(c: Column, target: String, repl: String): Column = {
+    val pos = locate(target, c)
+    when(pos === 0, c).otherwise(
+      concat(substring(c, lit(1), pos - 1), lit(repl),
+        substring(c, pos + target.length, lit(Int.MaxValue))))
+  }
+
+  /** Non-regex split keeping empty fields, including a trailing empty when
+    * the string ends with the delimiter (split, charsequence.h:1172-1198).
+    * Spark's limit=-1 keeps trailing empties like the reference. */
+  def splitKeepEmpty(c: Column, delim: String): Column =
+    split(c, quote(delim), -1)
+
+  /** Code-point count (Charsequence.size; Spark char_length is code points
+    * for UTF8 strings). */
+  def codePointCount(c: Column): Column = char_length(c).cast("long")
+
+  /** Code points of the first n characters as an array<int>
+    * (useSequence-style access, semantic.h:2260-2345). */
+  def codePoints(c: Column, n: Int): Column =
+    transform(
+      sequence(lit(1), least(char_length(c), lit(n))),
+      i => ascii(substring(c, i, lit(1))))
+
+  /** n-fold repetition (repeat, charsequence.h:812-832). */
+  def repeatSeq(c: Column, n: Int): Column = repeat(c, n)
+
+  /** Clamped code-point substring (sub, charsequence.h:786-810): start is
+    * 0-based and clamped, overlong lengths truncate — never an error. */
+  def subSequence(c: Column, start: Int, len: Int): Column =
+    substring(c, start + 1, len)
+}

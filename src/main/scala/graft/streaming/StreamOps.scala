@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured-Streaming reinterpretation of the reference's stream surface
+  * (BASELINE.json north-star; SURVEY.md §7.2 step 8).
+  *
+  * The reference's streams are bounded index sequences; unbounded
+  * generators (`useInfinite`/`useGenerate`/`useRandom` with no limit,
+  * semantic.h:1763-1827) only make sense as true streaming sources here:
+  *
+  *   - rate source ≈ `useInfinite` (monotone value + timestamp);
+  *   - event-time `window()` ≈ slide/tumble with time standing in for the
+  *     logical index (the reference has no watermarks or late data —
+  *     SURVEY.md §2.4 — so watermarking is additive);
+  *   - `flatMapGroupsWithState` ≈ a per-key running Collector
+  *     (Identity/Accumulate live in the state, Finish on emit).
+  */
+object StreamOps {
+
+  /** `useInfinite`-style unbounded generator: one row per tick with a
+    * monotone `idx` and `value = f(idx)` expressed as a Column transform. */
+  def infinite(spark: SparkSession, rowsPerSecond: Long, f: Column => Column): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString)
+      .load()
+      .select(col("timestamp"), col("value").as("idx"), f(col("value")).as("value"))
+
+  /** Tumbling event-time window aggregation with watermarking —
+    * the streaming face of Windows.tumbleId. */
+  def tumbleAgg(events: DataFrame, tsCol: String, valueCol: String,
+                size: String, watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), size))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
+
+  /** Sliding event-time window aggregation (slide < size overlaps, exactly
+    * like WindowCollectable.slide). */
+  def slideAgg(events: DataFrame, tsCol: String, valueCol: String,
+               size: String, slide: String, watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), size, slide))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("sum_value"))
+
+  /** Gap-based session windows — the streaming twin of the batch
+    * sessionization query (q38). */
+  def sessionAgg(events: DataFrame, tsCol: String, keyCol: String,
+                 gap: String, watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n"))
+
+  case class RunningAgg(key: String, n: Long, sum: Double, mean: Double)
+
+  /** Per-key running summate/average as a stateful collector: the state is
+    * the Accumulator, every trigger emits the Finished view — a faithful
+    * streaming rendering of Collector.collect (collector.h:186-204). */
+  def runningStats[K](events: Dataset[(String, Double)]): Dataset[RunningAgg] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Double), RunningAgg](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[(Long, Double)]) =>
+          val (n0, s0) = state.getOption.getOrElse((0L, 0.0))
+          var n = n0; var s = s0
+          rows.foreach { r => n += 1; s += r._2 }
+          state.update((n, s))
+          Iterator.single(RunningAgg(key, n, s, if (n == 0) 0.0 else s / n))
+      }
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.StreamOps
+
+/** Streaming smoke: MemoryStream drives the streaming operators
+  * synchronously (processAllAvailable), asserting against batch answers. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("tumbleAgg over a memory stream matches the batch aggregation") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = (0 until 120).map { i =>
+      (new java.sql.Timestamp(base.getTime + i * 10000L), i.toDouble)
+    }
+    mem.addData(rows: _*)
+    val df = mem.toDF().toDF("ts", "value")
+    val agg = StreamOps.tumbleAgg(df, "ts", "value", "5 minutes", "1 minute")
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("tumble_out").trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    // 120 rows @10s = 20 min → 4 windows of 30 rows; append mode emits only
+    // watermark-closed windows, so check the ones that fired
+    val out = spark.table("tumble_out").orderBy(col("window.start")).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getAs[Long]("n") == 30L))
+    val sums = out.map(_.getAs[Double]("sum_value")).toSeq
+    // batch oracle: groupBy 5-min buckets of the same rows
+    val batch = rows.groupBy(r => r._1.getTime / 300000L).view.mapValues(_.map(_._2).sum)
+      .toSeq.sortBy(_._1).map(_._2)
+    assert(sums == batch.take(sums.length))
+  }
+
+  test("runningStats stateful collector accumulates across triggers") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(String, Double)]
+    val out = StreamOps.runningStats(mem.toDS())
+    val q = out.writeStream.outputMode("update").format("memory")
+      .queryName("running_out").start()
+    mem.addData(("a", 1.0), ("a", 2.0), ("b", 10.0))
+    q.processAllAvailable()
+    mem.addData(("a", 3.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("running_out").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    // last update for key a must reflect all three rows
+    val lastA = rows.filter(_._1 == "a").maxBy(_._2)
+    assert(lastA == (("a", 3L, 6.0)))
+    val lastB = rows.filter(_._1 == "b").maxBy(_._2)
+    assert(lastB == (("b", 1L, 10.0)))
+  }
+
+  test("session windows close on gap") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(minutes: Int) = new java.sql.Timestamp(base.getTime + minutes * 60000L)
+    mem.addData((t(0), "u1"), (t(1), "u1"), (t(45), "u1"), (t(46), "u1"),
+      (t(120), "u1")) // third burst just advances the watermark
+    val df = mem.toDF().toDF("ts", "user")
+    val agg = StreamOps.sessionAgg(df, "ts", "user", "10 minutes", "1 minute")
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("session_out").start()
+    q.processAllAvailable(); q.stop()
+    val ns = spark.table("session_out").collect().map(_.getAs[Long]("n")).sorted.toSeq
+    assert(ns == Seq(2L, 2L)) // two closed 2-event sessions
+  }
+}
