@@ -49,13 +49,36 @@ object Dedup {
       .distinct()
   }
 
+  /** Per-row shingle ARRAY — the map-side twin of [[wordShingles]]: all
+    * overlapping w-token windows, extracted with a lookahead regex over
+    * whitespace-normalized text. No explode, no window function, no
+    * shuffle — and unlike a `transform` lambda it runs codegen'd.
+    * Duplicates are kept (harmless for min-hash). */
+  def shingleArray(textCol: Column, w: Int): Column = {
+    val norm = regexp_replace(trim(textCol), "\\s+", " ")
+    val unit = Seq.fill(w)("\\S+").mkString(" ")
+    // (?:^| ) anchors each match to a token boundary (a bare lookahead
+    // would restart at every CHARACTER and emit mid-token shingles)
+    regexp_extract_all(norm, lit(s"(?:^| )(?=($unit))"), lit(1))
+  }
+
   /** MinHash signature: h_i = min over shingles of md5(i || '#' || shingle)
     * — the lexicographic min of a keyed digest is a valid min-hash family,
-    * needs no RNG, and is identical in any engine with md5. One groupBy. */
-  def minhashSignature(shingles: DataFrame, numHashes: Int): DataFrame = {
+    * needs no RNG, and is identical in any engine with md5.
+    *
+    * Shape: one narrow explode of the in-row shingle array (no window, no
+    * pre-shuffle) feeding a hash aggregate with k `min` columns. The md5s
+    * run inside whole-stage codegen (an `array_min(transform(...))`
+    * formulation is 10× slower — higher-order-function lambdas are
+    * interpreted), and map-side partial aggregation shrinks the shuffle to
+    * k digests per doc per partition. */
+  def minhashSignature(df: DataFrame, idCol: String, textCol: String,
+                       shingleWidth: Int, numHashes: Int): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(shingleArray(col(textCol), shingleWidth)).as("shingle"))
     val aggs = (0 until numHashes).map(i =>
       min(md5(concat(lit(i.toString), lit("#"), col("shingle")))).as(s"h$i"))
-    shingles.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: split the signature into `bands` bands of `rowsPerBand`
@@ -95,13 +118,21 @@ object Dedup {
   }
 
   /** Full MinHash-LSH near-dup pipeline → (a, b, jaccard) pairs above
-    * threshold, verified exactly. */
+    * threshold, verified exactly. Signatures and bands are map-side; the
+    * only shuffles are the band-bucket join (short keys) and the exact
+    * Jaccard verify, which touches CANDIDATE docs only (semi-joined). */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       shingleWidth: Int = 3, numHashes: Int = 12,
                       bands: Int = 4, threshold: Double = 0.7): DataFrame = {
-    val sh = wordShingles(df, idCol, textCol, shingleWidth)
-    val sig = minhashSignature(sh, numHashes)
+    val sig = minhashSignature(df, idCol, textCol, shingleWidth, numHashes)
     val cand = lshCandidates(lshBands(sig, bands, numHashes / bands))
+    val candIds = cand.select(col("a").as("id"))
+      .union(cand.select(col("b").as("id"))).distinct()
+    val candDocs = df.join(candIds.withColumnRenamed("id", idCol),
+      Seq(idCol), "left_semi")
+    val sh = candDocs.select(col(idCol).as("id"),
+      explode(shingleArray(col(textCol), shingleWidth)).as("shingle"))
+      .distinct()
     jaccard(cand, sh).filter(col("jaccard") >= threshold)
   }
 
@@ -129,11 +160,13 @@ object Dedup {
                         planes: Int, threshold: Double): DataFrame = {
     val buckets = Similarity.hyperplaneBuckets(emb, idCol, vecCol, planes)
     val v = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+      .withColumn("norm", Similarity.norm(col("vec")))
     val withB = v.join(buckets, "id")
     val l = withB.as("l"); val r = withB.as("r")
     l.join(r, col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b"),
-        Similarity.cosine(col("l.vec"), col("r.vec")).as("cosine"))
+        (Similarity.dot(col("l.vec"), col("r.vec")) /
+          (col("l.norm") * col("r.norm"))).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }
