@@ -115,6 +115,23 @@ object QueriesStats {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // distribution collector: z-scores of per-value (position-sum, count)
+    // against the mode across distinct values (collector.h:1908-2096)
+    "q41_distribution" -> ((s, dir) => {
+      import s.implicits._
+      val li = IndexOps.renumberBy(tbl(s, dir, "lineitem"),
+        Seq(col("l_orderkey").asc, col("l_linenumber").asc))
+      val stream = new graft.core.SemanticStream(
+        li.select(col("ord"), col("idx"),
+          col("l_quantity").cast("double").as("value")).as[graft.core.Elem[Double]],
+        graft.core.IndexState.Contiguous)
+      import graft.core.Terminals._
+      stream.toStatistics.distribution
+        .select(col("value"), round(col("pos_score"), 4).as("pos_score"),
+          round(col("cnt_score"), 4).as("cnt_score"))
+        .orderBy(col("value"))
+    }),
+
     // anti join: customers with no high-value order, per nation
     "q26_anti_join" -> ((s, dir) => {
       val c = tbl(s, dir, "customer")
@@ -223,6 +240,33 @@ object QueriesStats {
         |JOIN customer ON o_custkey = c_custkey
         |WHERE c_mktsegment = 'BUILDING'
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q41_distribution" ->
+      """WITH li AS (SELECT *,
+        |    row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS idx
+        |  FROM lineitem),
+        |pv AS (
+        |  SELECT CAST(l_quantity AS DOUBLE) AS val,
+        |    CAST(sum(idx) AS DOUBLE) AS pos_sum,
+        |    CAST(count(*) AS DOUBLE) AS cnt
+        |  FROM li GROUP BY 1),
+        |mp AS (SELECT pos_sum AS mode_pos FROM (
+        |  SELECT pos_sum, count(*) f FROM pv GROUP BY 1
+        |  ORDER BY f DESC, pos_sum ASC LIMIT 1)),
+        |mc AS (SELECT cnt AS mode_cnt FROM (
+        |  SELECT cnt, count(*) f FROM pv GROUP BY 1
+        |  ORDER BY f DESC, cnt ASC LIMIT 1)),
+        |sd AS (
+        |  SELECT
+        |    CASE WHEN sqrt(avg(pow(pos_sum - mode_pos, 2))) < 0.001 THEN 1.0
+        |      ELSE sqrt(avg(pow(pos_sum - mode_pos, 2))) END AS sd_pos,
+        |    CASE WHEN sqrt(avg(pow(cnt - mode_cnt, 2))) < 0.001 THEN 1.0
+        |      ELSE sqrt(avg(pow(cnt - mode_cnt, 2))) END AS sd_cnt
+        |  FROM pv, mp, mc)
+        |SELECT val AS value,
+        |  round((pos_sum - mode_pos) / sd_pos, 4) AS pos_score,
+        |  round((cnt - mode_cnt) / sd_cnt, 4) AS cnt_score
+        |FROM pv, mp, mc, sd ORDER BY value""".stripMargin,
 
     "q26_anti_join" ->
       """SELECT n_name, count(*) AS n_lonely

@@ -269,6 +269,59 @@ final class SemanticStream[E](
 
   /** Underlying DataFrame (ord, idx, value) — escape hatch to column-land. */
   def toDF: DataFrame = ds.toDF()
+
+  // ---- grouping / windows (SURVEY.md §2.3-2.4) --------------------------
+
+  /** Elements of the value column in emission order as one array —
+    * shared shape of the grouping collectors below. */
+  private def orderedList: Column =
+    transform(array_sort(collect_list(struct(col("ord"), col("value")))),
+      x => x.getField("value"))
+
+  /** Hash group-by: key → arrival-ordered element list (group,
+    * collector.h:1065-1093). One shuffle, map-side partial collect. */
+  def group(key: Column => Column): DataFrame =
+    ds.toDF().groupBy(key(col("value")).as("key"))
+      .agg(orderedList.as("elements"))
+
+  /** group + projected value (groupBy(keyF,valF), collector.h:1095-1130). */
+  def groupMap(key: Column => Column, value: Column => Column): DataFrame =
+    ds.toDF()
+      .withColumn("value", value(col("value")))
+      .groupBy(key(col("value")).as("key"))
+      .agg(orderedList.as("elements"))
+
+  /** Fixed-size chunks in arrival order (partition(size),
+    * collector.h:2098-2136). */
+  def partitionChunks(size: Long): DataFrame = {
+    val r = resolvedRanks
+    r.ds.toDF().groupBy(floor(col("idx") / size).cast("long").as("chunk"))
+      .agg(orderedList.as("elements"))
+  }
+
+  /** Buckets by a Timestamp-valued key, ascending key order
+    * (partitionBy(keyF), collector.h:2138-2203). */
+  def partitionByKey(key: Column => Column): DataFrame =
+    ds.toDF().groupBy(key(col("value")).cast("long").as("key"))
+      .agg(orderedList.as("elements"))
+      .orderBy(col("key"))
+
+  /** Sliding windows over the visible index: window w covers
+    * [w·step, w·step+size) (WindowCollectable.slide, semantic.h:1595-1643);
+    * partial tails included. Each row fans out to ≤ ⌈size/step⌉ windows. */
+  def slide(size: Long, step: Long): DataFrame = {
+    val r = resolved
+    val wMax = floor(col("idx") / step)
+    val wMin = greatest(lit(0L), floor((col("idx") - size) / step) + 1)
+    r.ds.toDF()
+      .select(col("ord"), col("value"),
+        explode(sequence(wMin.cast("long"), wMax.cast("long"))).as("win"))
+      .groupBy(col("win"))
+      .agg(orderedList.as("elements"))
+  }
+
+  /** Tumbling windows: slide(size, size) (semantic.h:910-913). */
+  def tumble(size: Long): DataFrame = slide(size, size)
 }
 
 object SemanticStream {

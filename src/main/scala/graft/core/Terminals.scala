@@ -184,6 +184,34 @@ final class Statistics(val df: DataFrame) extends Serializable {
       .collect()
       .map(r => r.getDouble(0) -> (r.getSeq[Long](1), r.getLong(2))).toMap
 
+  /** Distribution profile (useDistribution, collector.h:1908-2096): per
+    * distinct value, z-scores of its position-sum and count against the
+    * MODE (smallest-on-tie) of those statistics across distinct values,
+    * with the reference's σ floor (<0.001 → 1.0). Returns a DataFrame
+    * (value, pos_score, cnt_score) — distributed; distinct-value
+    * cardinality sized. */
+  def distribution: DataFrame = {
+    val perValue = df.groupBy(v.as("val"))
+      .agg(sum(col("idx")).cast("double").as("pos_sum"),
+        count(lit(1)).cast("double").as("cnt"))
+    def modeOf(c: String): DataFrame =
+      perValue.groupBy(col(c).as("x")).agg(count(lit(1)).as("f"))
+        .orderBy(col("f").desc, col("x").asc).limit(1)
+        .select(col("x").as(s"mode_$c"))
+    val scalars = modeOf("pos_sum").crossJoin(modeOf("cnt"))
+    val withModes = perValue.crossJoin(broadcast(scalars))
+    val devs = withModes.agg(
+      sqrt(avg(pow(col("pos_sum") - col("mode_pos_sum"), 2))).as("sd_pos"),
+      sqrt(avg(pow(col("cnt") - col("mode_cnt"), 2))).as("sd_cnt"))
+    val floored = devs.select(
+      when(col("sd_pos") < 0.001, 1.0).otherwise(col("sd_pos")).as("sd_pos"),
+      when(col("sd_cnt") < 0.001, 1.0).otherwise(col("sd_cnt")).as("sd_cnt"))
+    withModes.crossJoin(broadcast(floored)).select(
+      col("val").as("value"),
+      ((col("pos_sum") - col("mode_pos_sum")) / col("sd_pos")).as("pos_score"),
+      ((col("cnt") - col("mode_cnt")) / col("sd_cnt")).as("cnt_score"))
+  }
+
   /** Direct DFT in arrival order → (re[], im[]) (useDFT,
     * collector.h:2744-2779). Gathered finisher, like the reference; for
     * per-group series use [[graft.functions.DftAggregator]]. */

@@ -59,4 +59,27 @@ object CharSeq {
     * 0-based and clamped, overlong lengths truncate — never an error. */
   def subSequence(c: Column, start: Int, len: Int): Column =
     substring(c, start + 1, len)
+
+  /** Charsets shared by the reference (charsequence.h:21-32) and Spark's
+    * encode/decode built-ins. utf32le/be exist only in the reference —
+    * unsupported here (documented divergence; would need a custom
+    * Expression). */
+  val charsets: Map[String, String] = Map(
+    "ascii" -> "US-ASCII", "latin1" -> "ISO-8859-1", "utf8" -> "UTF-8",
+    "utf16le" -> "UTF-16LE", "utf16be" -> "UTF-16BE", "utf16" -> "UTF-16")
+
+  /** String → bytes in the given reference charset name
+    * (encode, charsequence.h:123-263). Invalid/unmappable input follows
+    * JVM replacement semantics ('?' for ascii/latin1) like the reference. */
+  def encodeCharset(c: Column, refCharset: String): Column =
+    encode(c, charsets.getOrElse(refCharset.toLowerCase, refCharset))
+
+  /** Bytes → string, invalid sequences → U+FFFD
+    * (decode, charsequence.h:265-495). */
+  def decodeCharset(c: Column, refCharset: String): Column =
+    decode(c, charsets.getOrElse(refCharset.toLowerCase, refCharset))
+
+  /** Transcode via decode→encode (convert, charsequence.h:497-544). */
+  def convertCharset(c: Column, from: String, to: String): Column =
+    encodeCharset(decodeCharset(c, from), to)
 }

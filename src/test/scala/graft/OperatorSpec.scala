@@ -1,0 +1,127 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core._
+import graft.core.Terminals._
+import graft.functions.CharSeq
+import graft.operators.{Multimodal, Similarity}
+
+/** Specs for grouping/window stream methods, distribution, gradient,
+  * encode/decode, multimodal plumbing, and bucketed ANN. */
+class OperatorSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def fromInts(xs: Int*): SemanticStream[Int] = SemanticStream.from(spark, xs)
+
+  test("group collects per key in arrival order") {
+    val g = fromInts(5, 2, 7, 4, 9).group(v => v % 2)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Int](1)).toMap
+    assert(g(1) == Seq(5, 7, 9))
+    assert(g(0) == Seq(2, 4))
+  }
+
+  test("partitionChunks preserves arrival order inside chunks") {
+    val p = SemanticStream.range(spark, 0, 10).partitionChunks(4)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(p(0L) == Seq(0L, 1, 2, 3))
+    assert(p(1L) == Seq(4L, 5, 6, 7))
+    assert(p(2L) == Seq(8L, 9))
+  }
+
+  test("slide includes partial tails; tumble == slide(n,n)") {
+    val s = SemanticStream.range(spark, 0, 10)
+    val windows = s.slide(4, 3).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(windows(0L) == Seq(0L, 1, 2, 3))
+    assert(windows(1L) == Seq(3L, 4, 5, 6))
+    assert(windows(2L) == Seq(6L, 7, 8, 9))
+    assert(windows(3L) == Seq(9L)) // partial tail
+    val t = s.tumble(4).collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val t2 = s.slide(4, 4).collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(t == t2)
+  }
+
+  test("distribution matches the reference finisher on a hand-computed case") {
+    // values: 1 at idx {0,3}, 2 at idx {1}, 3 at idx {2}
+    // posSums: 1→3, 2→1, 3→2 ; counts: 1→2, 2→1, 3→1
+    // mode posSum = 1 (all freq 1, smallest wins), mode cnt = 1
+    // sd_pos = sqrt(((3-1)²+0+1²)/3) = sqrt(5/3); sd_cnt = sqrt(1/3)
+    val st = SemanticStream.from(spark, Seq(1.0, 2.0, 3.0, 1.0)).toStatistics
+    val d = st.distribution.collect()
+      .map(r => r.getDouble(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val sdPos = math.sqrt(5.0 / 3.0); val sdCnt = math.sqrt(1.0 / 3.0)
+    assert(math.abs(d(1.0)._1 - 2.0 / sdPos) < 1e-9)
+    assert(math.abs(d(1.0)._2 - 1.0 / sdCnt) < 1e-9)
+    assert(math.abs(d(2.0)._1 - 0.0) < 1e-9)
+    assert(math.abs(d(3.0)._1 - 1.0 / sdPos) < 1e-9)
+    // constant stream: all sums equal → σ floored to 1.0, scores 0
+    val c = SemanticStream.from(spark, Seq(7.0, 7.0, 7.0)).toStatistics
+    val dc = c.distribution.collect()
+    assert(dc.length == 1 && dc(0).getDouble(1) == 0.0 && dc(0).getDouble(2) == 0.0)
+  }
+
+  test("gradient descent converges on a quadratic") {
+    // cost = Σ (θ_i - i)² → gradient 2(θ_i - i); start from collected values
+    val st = SemanticStream.from(spark, Seq(5.0, 5.0, 5.0)).toStatistics
+    val theta = st.gradient(
+      t => t.zipWithIndex.map { case (x, i) => 2.0 * (x - i) },
+      lr = 0.1, maxIter = 500, eps = 1e-9)
+    theta.zipWithIndex.foreach { case (x, i) =>
+      assert(math.abs(x - i) < 1e-6, s"theta($i)=$x")
+    }
+  }
+
+  test("encode/decode round-trips across reference charsets; invalid → U+FFFD") {
+    val df = Seq("hello", "héllo latin", "日本語 text").toDF("s")
+    for (cs <- Seq("utf8", "utf16le", "utf16be")) {
+      val rt = df.select(
+        CharSeq.decodeCharset(CharSeq.encodeCharset(col("s"), cs), cs).as("r"))
+        .collect().map(_.getString(0))
+      assert(rt.toSeq == Seq("hello", "héllo latin", "日本語 text"), cs)
+    }
+    // latin1 round-trips only its own repertoire
+    val lat = df.select(CharSeq.decodeCharset(
+      CharSeq.encodeCharset(col("s"), "latin1"), "latin1").as("r"))
+      .collect().map(_.getString(0))
+    assert(lat(0) == "hello" && lat(1) == "héllo latin")
+    // truncated UTF-8 multibyte sequence decodes to replacement chars
+    val bad = Seq(Array[Byte](0x68, 0xC3.toByte)).toDF("b")
+    val dec = bad.select(CharSeq.decodeCharset(col("b"), "utf8")).collect()(0).getString(0)
+    assert(dec.startsWith("h") && dec.contains("�"))
+  }
+
+  test("multimodal extractMeta and frameSamplePlan shapes") {
+    val df = Seq((1L, "abcdef"), (2L, "x" * 301), (3L, "yz"))
+      .toDF("id", "payload")
+      .select(col("id"), col("payload").cast("binary").as("payload"))
+    val meta = Multimodal.extractMeta(df, "id", "payload").collect()
+      .map(m => m.id -> m).toMap
+    assert(meta(1L).byte_len == 6 && meta(1L).kind == "image")
+    assert(meta(2L).kind == "audio" && meta(2L).width == 301 % 640)
+    assert(meta(3L).kind == "video")
+    val frames = Multimodal.frameSamplePlan(
+      Multimodal.extractMeta(df, "id", "payload").toDF(), stride = 2)
+    val f3 = frames.filter(col("id") === 3).collect()
+    assert(f3.nonEmpty) // video row fans out to sampled frame indices
+    assert(f3.map(_.getAs[Long]("frame_idx")).forall(_ % 2 == 0))
+  }
+
+  test("annTopKBucketed agrees with brute force within shared buckets") {
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 0.7 + j).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 3)
+    val ann = Similarity.annTopKBucketed(vecs, queries, "vec_id", "embedding",
+      k = 3, planes = 2).collect()
+    assert(ann.nonEmpty)
+    val buckets = Similarity.hyperplaneBuckets(vecs, "vec_id", "embedding", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every returned neighbor must share the query's bucket, ranks 1..k
+    ann.foreach { r =>
+      assert(buckets(r.getAs[Long]("qid")) == buckets(r.getAs[Long]("nid")))
+      assert(r.getAs[Long]("rank") >= 1 && r.getAs[Long]("rank") <= 3)
+    }
+  }
+}

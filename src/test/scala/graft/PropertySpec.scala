@@ -1,0 +1,68 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.{Moments, Spectral}
+
+/** Property tests (SURVEY.md §5.2): algebraic laws the reference's
+  * collector framework guarantees by construction, checked with
+  * ScalaCheck properties (driven directly — the scalatest bridge module
+  * is not vendored). Spark-level laws live in CoreStreamSpec.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  private def check(name: String, prop: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(50), prop)
+    assert(res.passed, s"$name: $res")
+  }
+
+  val doubles: Gen[List[Double]] = Gen.listOfN(60, Gen.choose(-1e3, 1e3))
+
+  test("Combiner law: merge(fold(a), fold(b)) == fold(a ++ b) for Moments") {
+    check("combiner", Prop.forAll(doubles, doubles) { (a, b) =>
+      val merged = Moments.of(a).merge(Moments.of(b))
+      val whole = Moments.of(a ++ b)
+      merged.n == whole.n &&
+        math.abs(merged.mean - whole.mean) < 1e-6 &&
+        math.abs(merged.m2 - whole.m2) / math.max(1.0, whole.m2.abs) < 1e-6 &&
+        math.abs(merged.m3 - whole.m3) / math.max(1.0, whole.m3.abs) < 1e-5 &&
+        math.abs(merged.m4 - whole.m4) / math.max(1.0, whole.m4.abs) < 1e-5
+    })
+  }
+
+  test("Moments identity: merge with zero is a no-op") {
+    check("identity", Prop.forAll(doubles) { a =>
+      val m = Moments.of(a)
+      Moments.zero.merge(m) == m && m.merge(Moments.zero) == m
+    })
+  }
+
+  test("IDFT ∘ DFT == identity within 1e-6") {
+    check("idft-dft", Prop.forAll(Gen.listOfN(24, Gen.choose(-100.0, 100.0))) { xs =>
+      val re = xs.toArray
+      val (fr, fi) = Spectral.dft(re, new Array[Double](re.length))
+      val (br, bi) = Spectral.idft(fr, fi)
+      re.indices.forall(i => math.abs(br(i) - re(i)) < 1e-6 && math.abs(bi(i)) < 1e-6)
+    })
+  }
+
+  test("FFT == DFT on power-of-two lengths") {
+    check("fft-dft", Prop.forAll(Gen.listOfN(16, Gen.choose(-50.0, 50.0))) { xs =>
+      val re = xs.toArray
+      val (fr, fi) = Spectral.fft(re, new Array[Double](16))
+      val (dr, di) = Spectral.dft(re, new Array[Double](16))
+      re.indices.forall(i =>
+        math.abs(fr(i) - dr(i)) < 1e-6 && math.abs(fi(i) - di(i)) < 1e-6)
+    })
+  }
+
+  test("skewness of a symmetric sample is ~0; small-n and σ=0 gates hold") {
+    check("skew-sym", Prop.forAll(Gen.listOfN(30, Gen.choose(0.1, 100.0))) { xs =>
+      val sym = xs ++ xs.map(-_) // exactly symmetric around 0
+      math.abs(Moments.of(sym).skewness) < 1e-6
+    })
+    assert(Moments.of(Seq(1.0, 2.0)).skewness == 0.0)       // n<3 → 0
+    assert(Moments.of(Seq(1.0, 2.0, 3.0)).kurtosis == 0.0)  // n<4 → 0
+    assert(Moments.of(Seq(5.0, 5.0, 5.0, 5.0)).skewness == 0.0) // σ=0 → 0
+  }
+}
