@@ -167,6 +167,14 @@ final class SemanticStream[E](
     concatenate(new SemanticStream(one, Contiguous))
   }
 
+  /** Append any local container (semantic.h:1069-1120 overload). */
+  def concatenateAll(elems: Iterable[E]): SemanticStream[E] = {
+    val more = elems.iterator.zipWithIndex
+      .map { case (e, i) => Elem(i.toLong, i.toLong, e) }.toSeq
+    concatenate(new SemanticStream(
+      ds.sparkSession.createDataset(more)(ds.encoder), Contiguous))
+  }
+
   /** Keep first occurrence per value in arrival order (semantic.h:1122-1164),
     * then renumber (deferred). One shuffle (partial min_by per partition). */
   def distinct: SemanticStream[E] = {
@@ -416,4 +424,13 @@ object SemanticStream {
   /** Code-point stream of a string (useSequence, semantic.h:2260-2345). */
   def codePoints(spark: SparkSession, s: String)(implicit enc: Encoder[Elem[Int]]): SemanticStream[Int] =
     from(spark, s.codePoints().toArray.toIndexedSeq)
+
+  /** Byte stream of a string, optionally a [start,end) byte range
+    * (useBlob(string), semantic.h:2101-2138). */
+  def blob(spark: SparkSession, s: String, start: Int = 0, end: Int = Int.MaxValue)
+          (implicit enc: Encoder[Elem[Byte]]): SemanticStream[Byte] = {
+    val bytes = s.getBytes("UTF-8")
+    val lo = math.max(0, start); val hi = math.min(bytes.length, end)
+    from(spark, if (lo >= hi) Seq.empty[Byte] else bytes.slice(lo, hi).toSeq)
+  }
 }

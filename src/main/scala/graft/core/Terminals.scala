@@ -65,6 +65,46 @@ final class Terminals[E](s: SemanticStream[E]) extends Serializable {
     df.orderBy(xxhash64(col("ord"), lit(seed))).limit(1)
       .collect().headOption.map(_.getAs[E]("value"))
 
+  /** Max/min element by a derived orderable key (useFindMaximum/Minimum
+    * with comparator, collector.h:953-1063) — one distributed agg. */
+  def maxBy(key: Column => Column): Option[E] =
+    if (s.ds.isEmpty) None
+    else Some(df.agg(max_by(col("value"), key(col("value"))).as("v"))
+      .collect()(0).getAs[E]("v"))
+
+  def minBy(key: Column => Column): Option[E] =
+    if (s.ds.isEmpty) None
+    else Some(df.agg(min_by(col("value"), key(col("value"))).as("v"))
+      .collect()(0).getAs[E]("v"))
+
+  /** Side effect per element, returns the count (useForEach,
+    * collector.h:450-464). Runs on executors. */
+  def forEach(f: E => Unit): Long = {
+    s.ds.foreach((e: Elem[E]) => f(e.value))
+    s.ds.count()
+  }
+
+  /** Run a user-supplied collector — the reference's useCollect
+    * (collector.h:476-486): any Aggregator over the element type. */
+  def collectWith[B, R](agg: org.apache.spark.sql.expressions.Aggregator[E, B, R])
+                       (implicit encE: Encoder[E]): R =
+    s.ds.map(_.value).select(agg.toColumn).collect()(0)
+
+  /** Join elements and print to stdout, returning the string (useOut,
+    * collector.h:1351-1576). */
+  def out(delimiter: String = ",", prefix: String = "[", suffix: String = "]"): String = {
+    val j = joinString(delimiter, prefix, suffix)
+    println(j)
+    j
+  }
+
+  /** As [[out]] but to stderr (useError, collector.h:1578-1803). */
+  def error(delimiter: String = ",", prefix: String = "[", suffix: String = "]"): String = {
+    val j = joinString(delimiter, prefix, suffix)
+    System.err.println(j)
+    j
+  }
+
   // ---- reduction (collector.h:2337-2375) ---------------------------------
 
   /** Fold without identity → None on empty (useReduce, collector.h:2337). */
@@ -225,6 +265,16 @@ final class Statistics(val df: DataFrame) extends Serializable {
     val xs = df.orderBy(col("ord")).select(v).collect().map(_.getDouble(0))
     f(xs, new Array[Double](xs.length))
   }
+
+  /** Numerical gradient descent: central-difference gradient of a cost
+    * function, step h (useGradient numerical form, collector.h:2996-3063). */
+  def gradientNumerical(cost: Array[Double] => Double, lr: Double,
+                        maxIter: Int, eps: Double, h: Double = 1e-6): Array[Double] =
+    gradient(theta => theta.indices.toArray.map { i =>
+      val up = theta.clone; up(i) += h
+      val dn = theta.clone; dn(i) -= h
+      (cost(up) - cost(dn)) / (2 * h)
+    }, lr, maxIter, eps)
 
   /** Gradient descent over the collected element vector as initial θ
     * (useGradient, collector.h:2944-2994) — inherently sequential,

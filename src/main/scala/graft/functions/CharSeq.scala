@@ -52,6 +52,23 @@ object CharSeq {
       sequence(lit(1), least(char_length(c), lit(n))),
       i => ascii(substring(c, i, lit(1))))
 
+  /** Replace the first k occurrences (replace(maxCount), charsequence.h:
+    * 989-1076): k splice steps, k a small constant. */
+  def replaceFirstK(c: Column, target: String, repl: String, k: Int): Column =
+    (1 to k).foldLeft(c)((acc, _) => replaceFirst(acc, target, repl))
+
+  /** Trim the reference's whitespace set " \t\n\r\v\f"
+    * (charsequence.h:1105-1118, 1365-1368) — Spark's bare trim() strips
+    * spaces only. */
+  def asciiTrim(c: Column): Column =
+    trim(c, " \t\n\r\f")
+
+  /** Bytes per code unit for a charset (sequenceLength,
+    * charsequence.h:96-121). */
+  val sequenceLength: Map[String, Int] = Map(
+    "ascii" -> 1, "latin1" -> 1, "utf8" -> 1,
+    "utf16le" -> 2, "utf16be" -> 2, "utf32le" -> 4, "utf32be" -> 4)
+
   /** n-fold repetition (repeat, charsequence.h:812-832). */
   def repeatSeq(c: Column, n: Int): Column = repeat(c, n)
 

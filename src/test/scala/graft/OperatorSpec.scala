@@ -108,6 +108,46 @@ class OperatorSpec extends AnyFunSuite {
     assert(f3.map(_.getAs[Long]("frame_idx")).forall(_ % 2 == 0))
   }
 
+  test("gap-fill terminals: maxBy/minBy, forEach count, collectWith, out/error, blob, concatenateAll") {
+    val s = fromInts(3, 1, 4, 1, 5)
+    assert(s.terminals.maxBy(identity).contains(5))
+    assert(s.terminals.minBy(identity).contains(1))
+    assert(s.terminals.forEach(_ => ()) == 5L)
+    val sumAgg = new org.apache.spark.sql.expressions.Aggregator[Int, Long, Long] {
+      def zero = 0L
+      def reduce(b: Long, x: Int) = b + x
+      def merge(a: Long, b: Long) = a + b
+      def finish(r: Long) = r
+      def bufferEncoder = org.apache.spark.sql.Encoders.scalaLong
+      def outputEncoder = org.apache.spark.sql.Encoders.scalaLong
+    }
+    assert(s.terminals.collectWith(sumAgg) == 14L)
+    assert(s.terminals.out() == "[3,1,4,1,5]")
+    assert(s.terminals.error("|", "", "") == "3|1|4|1|5")
+    assert(SemanticStream.blob(spark, "abc").terminals.toVector ==
+      Vector('a'.toByte, 'b'.toByte, 'c'.toByte))
+    assert(SemanticStream.blob(spark, "abcdef", 1, 3).terminals.toVector ==
+      Vector('b'.toByte, 'c'.toByte))
+    assert(fromInts(1, 2).concatenateAll(Seq(7, 8, 9)).terminals.toVector ==
+      Vector(1, 2, 7, 8, 9))
+  }
+
+  test("charseq gap-fills: replaceFirstK, asciiTrim") {
+    val df = Seq("a-b-a-b-a", "\t x \n").toDF("s")
+    val r = df.select(CharSeq.replaceFirstK(col("s"), "a", "X", 2).as("r"),
+      CharSeq.asciiTrim(col("s")).as("t")).collect()
+    assert(r(0).getString(0) == "X-b-X-b-a")
+    assert(r(1).getString(1) == "x")
+  }
+
+  test("numerical gradient converges on a quadratic cost") {
+    val st = SemanticStream.from(spark, Seq(4.0, 4.0)).toStatistics
+    val theta = st.gradientNumerical(
+      t => t.zipWithIndex.map { case (x, i) => (x - i) * (x - i) }.sum,
+      lr = 0.1, maxIter = 1000, eps = 1e-9)
+    assert(math.abs(theta(0) - 0.0) < 1e-4 && math.abs(theta(1) - 1.0) < 1e-4)
+  }
+
   test("annTopKBucketed agrees with brute force within shared buckets") {
     val vecs = (0 until 40).map { i =>
       (i.toLong, Array.tabulate(8)(j => math.sin(i * 0.7 + j).toFloat))
