@@ -51,6 +51,45 @@ object QueriesSim {
         .orderBy(col("user_id"), col("k"))
     }),
 
+    // per-user FFT of the first-12 series: pad-to-16 → transform →
+    // truncate-to-12, the reference's exact quirk (collector.h:2836-2876)
+    "q42_fft12" -> ((s, dir) => {
+      val fftUdaf = udaf(new DftAggregator(useFft = true),
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val series = tbl(s, dir, "events")
+        .withColumn("rn", row_number().over(w) - 1)
+        .filter(col("rn") < 12)
+      val n12 = series.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") === 12).select(col("user_id"))
+      val spec = series.join(n12, "user_id")
+        .groupBy(col("user_id"))
+        .agg(fftUdaf(col("rn").cast("long"), col("value")).as("bins"))
+      spec.select(col("user_id"), posexplode(col("bins")).as(Seq("k", "bin")))
+        .select(col("user_id"), col("k").cast("long").as("k"),
+          round(col("bin._1"), 4).as("re"), round(col("bin._2"), 4).as("im"))
+        .orderBy(col("user_id"), col("k"))
+    }),
+
+    // AS-OF join: latest order at or before each event's timestamp for the
+    // event's implied customer — union + running-last, one shuffle
+    "q43_asof_join" -> ((s, dir) => {
+      val ev = tbl(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val ord = tbl(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("o_totalprice"))
+      graft.operators.Joins.asof(
+        left = ev, right = ord,
+        leftKey = col("user_id") + 1, rightKey = col("o_custkey"),
+        leftTime = col("ts"), // long nanos (nanosAsLong)
+        rightTime = unix_micros(col("o_orderdate").cast("timestamp")) * 1000L,
+        rightPayload = Seq("o_orderkey", "o_totalprice"),
+        rightTieBreak = col("o_orderkey"))
+        .select(col("event_id"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("last_price"))
+        .orderBy(col("event_id"))
+    }),
+
     // gap-based sessionization (30-min inactivity) — batch shape of the
     // streaming session_window
     "q38_sessions" -> ((s, dir) => {
@@ -119,6 +158,46 @@ object QueriesSim {
         |FROM series s JOIN full8 f ON s.user_id = f.user_id,
         |  generate_series(0, 7) AS k(k)
         |GROUP BY s.user_id, k.k ORDER BY s.user_id, k""".stripMargin,
+
+    "q42_fft12" ->
+      """WITH numbered AS (
+        |  SELECT user_id, value,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS n
+        |  FROM events),
+        |series AS (SELECT * FROM numbered WHERE n < 12),
+        |full12 AS (
+        |  SELECT user_id FROM series GROUP BY user_id HAVING count(*) = 12)
+        |SELECT s.user_id, CAST(k.k AS BIGINT) AS k,
+        |  round(sum(s.value * cos(-2 * pi() * k.k * s.n / 16)), 4) AS re,
+        |  round(sum(s.value * sin(-2 * pi() * k.k * s.n / 16)), 4) AS im
+        |FROM series s JOIN full12 f ON s.user_id = f.user_id,
+        |  generate_series(0, 11) AS k(k)
+        |GROUP BY s.user_id, k.k ORDER BY s.user_id, k""".stripMargin,
+
+    "q43_asof_join" ->
+      """WITH l AS (
+        |  SELECT user_id + 1 AS k, epoch_ns(ts) AS t, 1 AS tag,
+        |    CAST(NULL AS BIGINT) AS tie, event_id,
+        |    CAST(NULL AS BIGINT) AS o_orderkey,
+        |    CAST(NULL AS DOUBLE) AS o_totalprice
+        |  FROM events),
+        |r AS (
+        |  SELECT o_custkey AS k, epoch_ns(o_orderdate) AS t, 0 AS tag,
+        |    o_orderkey AS tie, CAST(NULL AS BIGINT) AS event_id,
+        |    o_orderkey, o_totalprice
+        |  FROM orders),
+        |u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+        |c AS (
+        |  SELECT event_id, tag,
+        |    last_value(o_orderkey IGNORE NULLS) OVER (
+        |      PARTITION BY k ORDER BY t, tag, tie NULLS FIRST
+        |      ROWS UNBOUNDED PRECEDING) AS ok,
+        |    last_value(o_totalprice IGNORE NULLS) OVER (
+        |      PARTITION BY k ORDER BY t, tag, tie NULLS FIRST
+        |      ROWS UNBOUNDED PRECEDING) AS tp
+        |  FROM u)
+        |SELECT event_id, ok AS o_orderkey, round(tp, 2) AS last_price
+        |FROM c WHERE tag = 1 ORDER BY event_id""".stripMargin,
 
     "q38_sessions" ->
       """WITH g AS (

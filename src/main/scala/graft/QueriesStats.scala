@@ -115,6 +115,16 @@ object QueriesStats {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // two-stage salted aggregation — result must equal the direct groupBy
+    "q44_salted_agg" -> ((s, dir) =>
+      graft.operators.Joins.saltedAgg(
+        tbl(s, dir, "lineitem"), col("l_returnflag"), saltBuckets = 8,
+        partials = Seq(sum(col("l_quantity")).as("psum"), count(lit(1)).as("pcnt")),
+        finals = Seq(round(sum(col("psum")), 2).as("sum_qty"),
+          sum(col("pcnt")).as("n")))
+        .withColumnRenamed("key", "l_returnflag")
+        .orderBy(col("l_returnflag"))),
+
     // distribution collector: z-scores of per-value (position-sum, count)
     // against the mode across distinct values (collector.h:1908-2096)
     "q41_distribution" -> ((s, dir) => {
@@ -168,6 +178,11 @@ object QueriesStats {
       |FROM c ORDER BY l_returnflag""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q44_salted_agg" ->
+      """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q17_stats_group" ->
       """SELECT l_returnflag,
         |  round(var_pop(l_quantity), 4) AS var_pop_qty,

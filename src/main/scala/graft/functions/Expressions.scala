@@ -1,0 +1,123 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the charsequence surface that Spark's
+  * built-ins cannot express (SURVEY.md §2.6):
+  *
+  *   - [[CodePointsExpr]] — string → array<int> of Unicode code points
+  *     (the reference's `Charsequence.getPoints`, charsequence.h:1264-1281)
+  *     with real `doGenCode`, so it stays inside whole-stage codegen
+  *     (unlike a `transform(sequence…)` lambda, which is interpreted);
+  *   - [[Utf32Encode]] / [[Utf32Decode]] — the utf32le/be charsets
+  *     (charsequence.h:21-32, 214-263, 428-495) missing from Spark's
+  *     encode/decode; strict validation with U+FFFD replacement exactly
+  *     like the reference (invalid scalar → U+FFFD on encode; bad length /
+  *     out-of-range / surrogate word → U+FFFD on decode).
+  */
+case class CodePointsExpr(child: Expression)
+  extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "graft_code_points"
+
+  override def nullSafeEval(input: Any): Any =
+    new GenericArrayData(input.asInstanceOf[UTF8String].toString.codePoints().toArray)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |int[] ${ev.value}_cps = $c.toString().codePoints().toArray();
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(${ev.value}_cps);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CodePointsExpr =
+    copy(child = newChild)
+}
+
+case class Utf32Encode(child: Expression, bigEndian: Boolean)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = if (bigEndian) "graft_utf32be_encode" else "graft_utf32le_encode"
+
+  override def nullSafeEval(input: Any): Any = {
+    val cps = input.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val out = new Array[Byte](cps.length * 4)
+    var i = 0
+    while (i < cps.length) {
+      // lone surrogates cannot appear in a valid String's codePoints();
+      // out-of-range values are impossible — but keep the reference's
+      // U+FFFD guard for defense in depth (charsequence.h:214-231)
+      val cp = if (cps(i) > 0x10FFFF || (cps(i) >= 0xD800 && cps(i) <= 0xDFFF)) 0xFFFD else cps(i)
+      val o = i * 4
+      if (bigEndian) {
+        out(o) = ((cp >> 24) & 0xff).toByte; out(o + 1) = ((cp >> 16) & 0xff).toByte
+        out(o + 2) = ((cp >> 8) & 0xff).toByte; out(o + 3) = (cp & 0xff).toByte
+      } else {
+        out(o) = (cp & 0xff).toByte; out(o + 1) = ((cp >> 8) & 0xff).toByte
+        out(o + 2) = ((cp >> 16) & 0xff).toByte; out(o + 3) = ((cp >> 24) & 0xff).toByte
+      }
+      i += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Utf32Encode =
+    copy(child = newChild)
+}
+
+case class Utf32Decode(child: Expression, bigEndian: Boolean)
+  extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = if (bigEndian) "graft_utf32be_decode" else "graft_utf32le_decode"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[Array[Byte]]
+    val sb = new java.lang.StringBuilder(bytes.length / 4 + 1)
+    var o = 0
+    while (o + 4 <= bytes.length) {
+      val cp =
+        if (bigEndian)
+          ((bytes(o) & 0xff) << 24) | ((bytes(o + 1) & 0xff) << 16) |
+            ((bytes(o + 2) & 0xff) << 8) | (bytes(o + 3) & 0xff)
+        else
+          (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+            ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+      // strict validation → U+FFFD (charsequence.h:428-471)
+      val valid = cp >= 0 && cp <= 0x10FFFF && !(cp >= 0xD800 && cp <= 0xDFFF)
+      sb.appendCodePoint(if (valid) cp else 0xFFFD)
+      o += 4
+    }
+    if (o < bytes.length) sb.appendCodePoint(0xFFFD) // truncated trailing unit
+    UTF8String.fromString(sb.toString)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Utf32Decode =
+    copy(child = newChild)
+}
+
+/** Session registration for the native expressions, so they are usable
+  * from SQL and via `call_function`. */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_code_points",
+      exprs => CodePointsExpr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_utf32le_encode",
+      exprs => Utf32Encode(exprs.head, bigEndian = false), "built-in")
+    reg.createOrReplaceTempFunction("graft_utf32be_encode",
+      exprs => Utf32Encode(exprs.head, bigEndian = true), "built-in")
+    reg.createOrReplaceTempFunction("graft_utf32le_decode",
+      exprs => Utf32Decode(exprs.head, bigEndian = false), "built-in")
+    reg.createOrReplaceTempFunction("graft_utf32be_decode",
+      exprs => Utf32Decode(exprs.head, bigEndian = true), "built-in")
+  }
+}

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Parity-plus relational operators the reference lacks (SURVEY.md §2.3
+  * note): the joins a training-data pipeline actually needs, expressed in
+  * shapes that survive scale.
+  */
+object Joins {
+
+  /** AS-OF join: for each left row, the most recent right row with
+    * `rightTime <= leftTime` within the same key.
+    *
+    * Implemented as union + running `last(_, ignoreNulls)` over
+    * (key, time) — ONE shuffle by key, no range self-join, no per-row
+    * probe; ties at equal time resolve to the right row (inclusive
+    * semantics), and among equal-time right rows the one latest in
+    * `rightTieBreak` wins (deterministic). This composition is preferred
+    * over a custom SparkPlan (SURVEY §7.1: compose built-ins first). */
+  def asof(left: DataFrame, right: DataFrame,
+           leftKey: Column, rightKey: Column,
+           leftTime: Column, rightTime: Column,
+           rightPayload: Seq[String],
+           rightTieBreak: Column): DataFrame = {
+    val lCols = left.columns
+    val l = left.select(
+      (leftKey.as("__k") +: leftTime.cast("long").as("__t") +: lit(1).as("__tag") +:
+        lit(null).cast("long").as("__tie") +:
+        lCols.map(col(_)) ++:
+        rightPayload.map(c => lit(null).cast(right.schema(c).dataType).as(c))): _*)
+    val r = right.select(
+      (rightKey.as("__k") +: rightTime.cast("long").as("__t") +: lit(0).as("__tag") +:
+        rightTieBreak.cast("long").as("__tie") +:
+        lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++:
+        rightPayload.map(col(_))): _*)
+    val u = l.unionByName(r)
+    // right rows sort before left rows at equal time (inclusive <=); the
+    // running last() then carries each payload forward to following lefts
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__t").asc, col("__tag").asc, col("__tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightPayload.foldLeft(u) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__tag") === 1)
+      .drop("__k", "__t", "__tag", "__tie")
+  }
+
+  /** Two-stage salted aggregation for skewed keys: partial aggregate on
+    * (key, salt), final aggregate on key. `partials` aggregate raw input;
+    * `finals` re-aggregate the partial columns (by matching name). For
+    * algebraic aggregates (sum/count/min/max) results are identical to a
+    * direct groupBy — this is the manual fallback when AQE skew handling
+    * isn't enough. */
+  def saltedAgg(df: DataFrame, key: Column, saltBuckets: Int,
+                partials: Seq[Column], finals: Seq[Column]): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(spark_partition_id(), monotonically_increasing_id()),
+        lit(saltBuckets.toLong)))
+    val partial = salted.groupBy(key.as("__key"), col("__salt"))
+      .agg(partials.head, partials.tail: _*)
+    partial.groupBy(col("__key"))
+      .agg(finals.head, finals.tail: _*)
+      .withColumnRenamed("__key", "key")
+  }
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.GraftFunctions
+
+/** Native-expression specs: code_points under codegen, utf32 round trips,
+  * and U+FFFD policies (SURVEY.md §5, unicodeCorpus fixture). */
+class ExpressionSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("graft_code_points matches String.codePoints incl. astral plane") {
+    GraftFunctions.register(spark)
+    val corpus = Seq("hello", "héllo", "日本語", "emoji 🎉🎊 end", "")
+    val got = corpus.toDF("s")
+      .selectExpr("graft_code_points(s) AS cps")
+      .collect().map(_.getSeq[Int](0).toSeq)
+    val want = corpus.map(_.codePoints().toArray.toSeq)
+    assert(got.toSeq == want)
+  }
+
+  test("utf32 encode/decode round-trips; byte layout is per-endianness") {
+    GraftFunctions.register(spark)
+    val corpus = Seq("A", "héllo", "日本語", "🎉")
+    val rt = corpus.toDF("s").selectExpr(
+      "graft_utf32le_decode(graft_utf32le_encode(s)) AS le",
+      "graft_utf32be_decode(graft_utf32be_encode(s)) AS be",
+      "graft_utf32be_encode(s) AS bytes").collect()
+    rt.zip(corpus).foreach { case (r, s) =>
+      assert(r.getString(0) == s && r.getString(1) == s)
+    }
+    // "A" big-endian = 00 00 00 41
+    assert(rt(0).getAs[Array[Byte]]("bytes").toSeq == Seq[Byte](0, 0, 0, 0x41))
+    // 🎉 U+1F389 big-endian = 00 01 F3 89
+    assert(rt(3).getAs[Array[Byte]]("bytes").toSeq ==
+      Seq[Byte](0, 1, 0xF3.toByte, 0x89.toByte))
+  }
+
+  test("utf32 decode: invalid scalar values and truncated tails → U+FFFD") {
+    GraftFunctions.register(spark)
+    val bad = Seq(
+      Array[Byte](0, 0, 0xD8.toByte, 0),          // U+D800 surrogate (BE)
+      Array[Byte](0, 0x11, 0, 0),                 // U+110000 out of range
+      Array[Byte](0, 0, 0, 0x41, 0, 0))           // 'A' + truncated tail
+      .toDF("b")
+    val out = bad.selectExpr("graft_utf32be_decode(b) AS s")
+      .collect().map(_.getString(0))
+    assert(out(0) == "�")
+    assert(out(1) == "�")
+    assert(out(2) == "A�")
+  }
+}
