@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.core.{Elem, IndexOps, IndexState, SemanticStream}
+
+/** Source layer: files → indexed streams.
+  *
+  * The reference's only sources are in-memory factories plus text/blob
+  * readers (semantic.h:2101-2417); everything else here is the Spark-side
+  * generalization a real deployment needs. All readers return plain
+  * DataFrames (Catalyst sees the scan → pushdown/pruning apply) with an
+  * optional bridge into [[SemanticStream]] when index semantics matter.
+  */
+object Readers {
+
+  /** Parquet table (the driver-testdata layout: `<dir>/<name>.parquet`). */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** CSV with headers + schema inference off (pin schemas in production —
+    * inference is a second full scan at 100 TB). */
+  def csv(spark: SparkSession, path: String, schemaDdl: String,
+          delimiter: String = ","): DataFrame =
+    spark.read.option("header", "true").option("sep", delimiter)
+      .schema(schemaDdl).csv(path)
+
+  /** JSON-lines with a pinned schema (same rationale). */
+  def jsonLines(spark: SparkSession, path: String, schemaDdl: String): DataFrame =
+    spark.read.schema(schemaDdl).json(path)
+
+  /** Line source (useBlob(istream)/useText, semantic.h:2140-2258). */
+  def lines(spark: SparkSession, path: String): SemanticStream[String] =
+    SemanticStream.fromTextFile(spark, path)
+
+  /** Bridge: any DataFrame → SemanticStream over one value column, indexed
+    * by the given total order (distributed rank, no global window). */
+  def indexed[E](df: DataFrame, valueCol: Column, order: Seq[Column])
+                (implicit enc: org.apache.spark.sql.Encoder[Elem[E]]): SemanticStream[E] = {
+    val ranked = IndexOps.renumberBy(df.withColumn("value", valueCol), order)
+      .select(col("ord"), col("idx"), col("value"))
+    new SemanticStream[E](ranked.as[Elem[E]], IndexState.Contiguous)
+  }
+
+  /** Sink: partitioned parquet write — the deployment-shaped inverse of
+    * [[table]]. Partition columns choose pruning keys at read time;
+    * `maxRecordsPerFile` bounds file sizes at scale. */
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String],
+                       maxRecordsPerFile: Long = 5000000L): Unit =
+    df.write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+}

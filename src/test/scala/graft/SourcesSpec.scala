@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.Terminals._
+import graft.sources.Readers
+
+/** Source/sink layer + extensions + driver-contract sanity. */
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("lines source indexes file order; csv/json readers honor pinned schemas") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-src").toFile
+    val txt = new java.io.File(dir, "t.txt")
+    java.nio.file.Files.writeString(txt.toPath, "alpha\nbeta\ngamma\n")
+    assert(Readers.lines(spark, txt.getPath).terminals.toVector ==
+      Vector("alpha", "beta", "gamma"))
+
+    val csvF = new java.io.File(dir, "t.csv")
+    java.nio.file.Files.writeString(csvF.toPath, "id,name\n1,a\n2,b\n")
+    val c = Readers.csv(spark, csvF.getPath, "id INT, name STRING")
+    assert(c.schema.simpleString == "struct<id:int,name:string>")
+    assert(c.count() == 2)
+
+    val jsonF = new java.io.File(dir, "t.json")
+    java.nio.file.Files.writeString(jsonF.toPath, """{"id":1}""" + "\n" + """{"id":2}""" + "\n")
+    assert(Readers.jsonLines(spark, jsonF.getPath, "id BIGINT").count() == 2)
+  }
+
+  test("indexed bridge + partitioned write round trip") {
+    val df = Seq((3L, "c"), (1L, "a"), (2L, "b")).toDF("k", "v")
+    val s = Readers.indexed[String](df, col("v"), Seq(col("k").asc))
+    assert(s.terminals.toVector == Vector("a", "b", "c"))
+
+    val out = java.nio.file.Files.createTempDirectory("graft-sink").toFile.getPath + "/p"
+    Readers.writePartitioned(df, out, Seq("k"))
+    val back = spark.read.parquet(out)
+    assert(back.count() == 3)
+    // partition pruning: filter on the partition column reads one dir
+    assert(back.filter(col("k") === 2L).collect().map(_.getString(0)).toSeq == Seq("b"))
+  }
+
+  test("GraftExtensions injects native functions at session build") {
+    val base = spark // force TestSpark init first
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      // reuses the JVM's SparkContext but builds a NEW session; the
+      // programmatic hook exercises the same injection path the static
+      // spark.sql.extensions conf drives on a fresh cluster
+      val s2 = SparkSession.builder()
+        .withExtensions(new graft.plans.GraftExtensions())
+        .getOrCreate()
+      val r = s2.sql("SELECT graft_code_points('hi') AS c, " +
+        "graft_utf32be_decode(graft_utf32be_encode('héllo')) AS s")
+        .collect()(0)
+      assert(r.getSeq[Int](0) == Seq(104, 105))
+      assert(r.getString(1) == "héllo")
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
+  test("driver contract: every oracle key has a query; queries are well-formed at smoke tier") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+    // every query must plan and execute on sf0.001 without throwing
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, "/root/testdata/sf0.001")
+      assert(df.columns.nonEmpty, name)
+      df.count() // executes the plan
+    }
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
