@@ -42,6 +42,17 @@ object Readers {
     new SemanticStream[E](ranked.as[Elem[E]], IndexState.Contiguous)
   }
 
+  /** Sink: bucketed + sorted table write. Two tables bucketed the same
+    * way join WITHOUT any exchange (co-located sort-merge) — the
+    * pre-shuffle investment that pays for itself on every subsequent
+    * 100 TB join. Requires saveAsTable (bucket metadata lives in the
+    * catalog). */
+  def writeBucketed(df: DataFrame, tableName: String, bucketCol: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(tableName)
+
   /** Sink: partitioned parquet write — the deployment-shaped inverse of
     * [[table]]. Partition columns choose pruning keys at read time;
     * `maxRecordsPerFile` bounds file sizes at scale. */

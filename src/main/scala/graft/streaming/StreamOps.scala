@@ -54,6 +54,41 @@ object StreamOps {
 
   case class RunningAgg(key: String, n: Long, sum: Double, mean: Double)
 
+  /** The same running collector on the Spark 4 `transformWithState` API —
+    * the target surface for custom stateful operators (BASELINE.json
+    * north-star). State layout is explicit (a named ValueState holding the
+    * Accumulator), timers/TTL available when needed. Requires the RocksDB
+    * state store provider. */
+  class RunningStatsProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, (String, Double), RunningAgg] {
+    import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var state: ValueState[(Long, Double)] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[(Long, Double)]("acc",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble), TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[(String, Double)],
+                                 timerValues: TimerValues): Iterator[RunningAgg] = {
+      var (n, s) = Option(state.get()).getOrElse((0L, 0.0))
+      rows.foreach { r => n += 1; s += r._2 }
+      state.update((n, s))
+      Iterator.single(RunningAgg(key, n, s, if (n == 0) 0.0 else s / n))
+    }
+  }
+
+  /** [[runningStats]] rendered with transformWithState. */
+  def runningStatsTws(events: Dataset[(String, Double)]): Dataset[RunningAgg] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_._1)
+      .transformWithState(new RunningStatsProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update)
+  }
+
   /** Per-key running summate/average as a stateful collector: the state is
     * the Accumulator, every trigger emits the Finished view — a faithful
     * streaming rendering of Collector.collect (collector.h:186-204). */

@@ -42,6 +42,22 @@ class SourcesSpec extends AnyFunSuite {
     assert(back.filter(col("k") === 2L).collect().map(_.getString(0)).toSeq == Seq("b"))
   }
 
+  test("bucketed tables join without a shuffle") {
+    val a = (1 to 200).map(i => (i.toLong, s"a$i")).toDF("k", "va")
+    val b = (1 to 200).map(i => (i.toLong, i * 2.0)).toDF("k", "vb")
+    Readers.writeBucketed(a, "graft_bkt_a", "k", 4)
+    Readers.writeBucketed(b, "graft_bkt_b", "k", 4)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("graft_bkt_a").join(spark.table("graft_bkt_b"), "k")
+      assert(j.count() == 200)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+      assert(plan.contains("SortMergeJoin"))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("GraftExtensions injects native functions at session build") {
     val base = spark // force TestSpark init first
     SparkSession.clearActiveSession()

@@ -57,6 +57,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(lastB == (("b", 1L, 10.0)))
   }
 
+  test("transformWithState running collector matches flatMapGroupsWithState") {
+    implicit val sq = spark.sqlContext
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[(String, Double)]
+      val out = StreamOps.runningStatsTws(mem.toDS())
+      val q = out.writeStream.outputMode("update").format("memory")
+        .queryName("tws_out").start()
+      mem.addData(("a", 1.0), ("a", 2.0), ("b", 10.0))
+      q.processAllAvailable()
+      mem.addData(("a", 3.0))
+      q.processAllAvailable()
+      q.stop()
+      val rows = spark.table("tws_out").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.filter(_._1 == "a").maxBy(_._2) == (("a", 3L, 6.0)))
+      assert(rows.filter(_._1 == "b").maxBy(_._2) == (("b", 1L, 10.0)))
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("session windows close on gap") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String)]
