@@ -69,6 +69,25 @@ object QueriesText {
         .select(col("id"), col("simhash"))
         .orderBy(col("id"))),
 
+    // end-to-end LLM-corpus pipeline: quality gate → exact-dedup →
+    // per-language token statistics, composed from the library operators
+    "q45_pipeline" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+        .withColumn("quality", TA.qualityScore(col("text")))
+        .withColumn("n_tokens", TA.tokenCount(col("text")))
+        .filter(col("quality") >= 0.5)
+      val kept = Dedup.exact(docs, "doc_id", "text")
+        .filter(col("id") === col("canonical_id"))
+        .select(col("id").as("doc_id"))
+      docs.join(kept, "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          round(avg(col("quality")), 4).as("avg_quality"),
+          round(avg(col("n_tokens")), 4).as("avg_tokens"))
+        .orderBy(col("lang"))
+    }),
+
     // multimodal plumbing: binary payload → stub-decoded metadata
     "q34_multimodal_meta" -> ((s, dir) =>
       Multimodal.extractMeta(
@@ -209,6 +228,34 @@ object QueriesText {
          |  CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END)
          |    AS BIGINT) AS simhash
          |FROM bits GROUP BY id ORDER BY id""".stripMargin,
+
+    "q45_pipeline" -> {
+      val stopHits = Seq("the", "a", "and", "of", "to", "in", "is")
+        .map(m => occ("' ' || text || ' '", s" $m ")).mkString(" + ")
+      val nTokens = "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
+        "len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)"
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang, text, $nTokens AS n_tokens,
+         |    round(((CASE WHEN length(text) BETWEEN 200 AND 5000 THEN 1.0
+         |        WHEN length(text) >= 50 THEN 0.5 ELSE 0.0 END)
+         |      + CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+         |        / greatest(length(text), 1)
+         |      + least((($stopHits) * 1.0 / greatest($nTokens, 1)) * 5.0, 1.0)
+         |      ) / 3.0, 4) AS quality
+         |  FROM documents),
+         |gated AS (SELECT * FROM scored WHERE quality >= 0.5),
+         |canon AS (
+         |  SELECT md5(text) AS digest, min(doc_id) AS canonical_id
+         |  FROM gated GROUP BY 1),
+         |kept AS (
+         |  SELECT g.* FROM gated g
+         |  JOIN canon c ON md5(g.text) = c.digest AND g.doc_id = c.canonical_id)
+         |SELECT lang, count(*) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+         |  round(avg(quality), 4) AS avg_quality,
+         |  round(avg(n_tokens), 4) AS avg_tokens
+         |FROM kept GROUP BY lang ORDER BY lang""".stripMargin
+    },
 
     "q34_multimodal_meta" ->
       """SELECT doc_id AS id,

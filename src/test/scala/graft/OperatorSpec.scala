@@ -43,6 +43,17 @@ class OperatorSpec extends AnyFunSuite {
     assert(t == t2)
   }
 
+  test("nested per-window aggregation: map over windows like the reference") {
+    // reference: slide → map(w -> w.toStatistics.average()) — here the
+    // window elements array aggregates in place (semantic.h:1595-1643 + §3.2)
+    val s = SemanticStream.range(spark, 0, 10)
+    val avgs = s.slide(4, 3)
+      .select(col("win"), expr("aggregate(elements, 0D, (a, x) -> a + x)" +
+        " / size(elements)").as("avg"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(avgs(0L) == 1.5 && avgs(1L) == 4.5 && avgs(2L) == 7.5 && avgs(3L) == 9.0)
+  }
+
   test("distribution matches the reference finisher on a hand-computed case") {
     // values: 1 at idx {0,3}, 2 at idx {1}, 3 at idx {2}
     // posSums: 1→3, 2→1, 3→2 ; counts: 1→2, 2→1, 3→1
