@@ -32,8 +32,39 @@ object IndexOps {
   def reorderKeepIdx(df: DataFrame, order: Seq[Column]): DataFrame =
     rank(df, order, renumberIdx = false)
 
-  /** Resolve a RankPending stream: visible index = rank of arrival order. */
-  def rankByOrd(df: DataFrame): DataFrame = renumberBy(df, Seq(col("ord").asc))
+  /** Resolve a RankPending stream: visible index = rank of arrival order.
+    * `ord` is unique by invariant, so the Catalyst-only bucket path
+    * applies: buckets derived from the DATA (min/max + equal width), not
+    * from partition ids — deterministic under AQE re-execution, no RDD
+    * conversion, lineage preserved. */
+  def rankByOrd(df: DataFrame): DataFrame = rankNumericUnique(df, col("ord"), renumberIdx = true)
+
+  /** Catalyst-only rank over a UNIQUE numeric key: equal-width value
+    * buckets → per-bucket row_number → bucket-count prefix sums broadcast
+    * back. One full shuffle (the per-bucket window); the min/max and
+    * count branches re-read the (cheap, columnar) upstream. Ties are
+    * impossible by precondition, so results are deterministic. */
+  private def rankNumericUnique(df: DataFrame, key: Column, renumberIdx: Boolean): DataFrame = {
+    val parts = math.max(1, df.sparkSession.sessionState.conf.numShufflePartitions)
+    val stats = df.agg(min(key).cast("long").as("__mn"), max(key).cast("long").as("__mx"))
+    val width = greatest(lit(1.0),
+      ceil((col("__mx") - col("__mn") + 1L).cast("double") / parts))
+    val bucketed = df.join(broadcast(stats))
+      .withColumn("__b", floor((key - col("__mn")).cast("double") / width).cast("long"))
+      .drop("__mn", "__mx")
+    val w = Window.partitionBy(col("__b")).orderBy(key.asc)
+    val rn = bucketed.withColumn("__rn", row_number().over(w).cast("long"))
+    val offsets = rn.groupBy(col("__b")).agg(max(col("__rn")).as("__cnt"))
+      .withColumn("__off", coalesce(
+        sum(col("__cnt")).over(
+          Window.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("__b"), col("__off"))
+    val out = rn.join(broadcast(offsets), "__b")
+      .withColumn("ord", col("__off") + col("__rn") - 1L)
+    (if (renumberIdx) out.withColumn("idx", col("ord")) else out)
+      .drop("__b", "__rn", "__off")
+  }
 
   private def rank(df: DataFrame, order: Seq[Column], renumberIdx: Boolean): DataFrame = {
     val spark = df.sparkSession
