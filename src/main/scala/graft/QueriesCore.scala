@@ -16,7 +16,7 @@ object QueriesCore {
     s.read.parquet(s"$dir/$name.parquet")
 
   private def indexedEvents(s: SparkSession, dir: String): DataFrame =
-    IndexOps.renumberBy(tbl(s, dir, "events"), Seq(col("event_id").asc))
+    IndexOps.renumberByUniqueKey(tbl(s, dir, "events"), col("event_id"))
 
   /** Indexed events as a typed SemanticStream[Long] over event_id. */
   private def eventStream(s: SparkSession, dir: String): SemanticStream[Long] = {

@@ -65,7 +65,7 @@ object QueriesStats {
 
     // find first/last/at/negative-at (collector.h:838-1063)
     "q21_find" -> ((s, dir) => {
-      val ev = IndexOps.renumberBy(tbl(s, dir, "events"), Seq(col("event_id").asc))
+      val ev = IndexOps.renumberByUniqueKey(tbl(s, dir, "events"), col("event_id"))
       val n = ev.count()
       val negTarget = (n - (5 % n)) % n // findAt(-5)
       ev.agg(
@@ -84,7 +84,7 @@ object QueriesStats {
 
     // frequency/distribution profile per value class (collector.h:1805-2096)
     "q23_frequency_profile" -> ((s, dir) => {
-      val ev = IndexOps.renumberBy(tbl(s, dir, "events"), Seq(col("event_id").asc))
+      val ev = IndexOps.renumberByUniqueKey(tbl(s, dir, "events"), col("event_id"))
       ev.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), min(col("idx")).as("min_idx"),
           max(col("idx")).as("max_idx"), sum(col("idx")).as("sum_idx"))

@@ -27,6 +27,11 @@ object IndexOps {
   def renumberBy(df: DataFrame, order: Seq[Column]): DataFrame =
     rank(df, order, renumberIdx = true)
 
+  /** As [[renumberBy]] over a single numeric key the CALLER GUARANTEES
+    * unique (a primary key): takes the Catalyst-only bucket path. */
+  def renumberByUniqueKey(df: DataFrame, key: Column): DataFrame =
+    rankNumericUnique(df, key, renumberIdx = true)
+
   /** Rank following `order` written to `ord` only; `idx` passes through
     * (used by ordered materialization, where idx holds wrapped values). */
   def reorderKeepIdx(df: DataFrame, order: Seq[Column]): DataFrame =
