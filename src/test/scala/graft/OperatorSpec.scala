@@ -159,6 +159,34 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(theta(0) - 0.0) < 1e-4 && math.abs(theta(1) - 1.0) < 1e-4)
   }
 
+  test("multimodal feature stub feeds the ANN path end-to-end") {
+    val df = (1 to 30).map(i => (i.toLong, ("payload" * i).take(50 + i)))
+      .toDF("id", "payload")
+      .select(col("id"), col("payload").cast("binary").as("payload"))
+    val feats = Multimodal.fakeFeatures(df, "id", "payload", dims = 16).toDF()
+    // deterministic: same payload → same embedding
+    val again = Multimodal.fakeFeatures(df, "id", "payload", dims = 16).toDF()
+    assert(feats.collect().map(_.getSeq[Float](1)).toSeq ==
+      again.collect().map(_.getSeq[Float](1)).toSeq)
+    // unit-normalized
+    feats.collect().foreach { r =>
+      val v = r.getSeq[Float](1)
+      assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-3)
+    }
+    // plugs into the similarity operators
+    val buckets = Similarity.hyperplaneBuckets(feats, "id", "embedding", planes = 3)
+    assert(buckets.count() == 30)
+    val topk = Similarity.cosineTopK(feats, feats.filter(col("id") <= 2),
+      "id", "embedding", k = 3)
+    assert(topk.count() == 6)
+    // resize plan clamps to the bounding box
+    val meta = Multimodal.extractMeta(df, "id", "payload").toDF()
+    val rp = Multimodal.resizePlan(meta, 64, 48).collect()
+    rp.foreach { r =>
+      assert(r.getAs[Long]("target_w") <= 64 && r.getAs[Long]("target_h") <= 48)
+    }
+  }
+
   test("annTopKBucketed agrees with brute force within shared buckets") {
     val vecs = (0 until 40).map { i =>
       (i.toLong, Array.tabulate(8)(j => math.sin(i * 0.7 + j).toFloat))
