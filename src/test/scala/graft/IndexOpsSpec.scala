@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.IndexOps
+
+/** Determinism/robustness stress for the ranking core — the operation
+  * everything else's index semantics rest on. */
+class IndexOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("rankByOrd: sparse, skewed ords → contiguous idx in ord order") {
+    // squares: heavily right-skewed value distribution across buckets
+    val df = (0 until 5000).map(i => (i.toLong * i, s"v$i"))
+      .toDF("ord", "value").withColumn("idx", lit(-1L))
+    val ranked = IndexOps.rankByOrd(df)
+    val rows = ranked.orderBy(col("idx")).collect()
+    assert(rows.length == 5000)
+    assert(rows.map(_.getAs[Long]("idx")).toSeq == (0L until 5000L))
+    // order preserved: idx follows ascending original ord
+    assert(rows.map(_.getAs[String]("value")).toSeq ==
+      (0 until 5000).map(i => s"v$i"))
+  }
+
+  test("rankByOrd: negative and adversarial ord ranges") {
+    val df = Seq(-1000000L, -1L, 0L, 1L, 999999999L).zipWithIndex
+      .map { case (o, i) => (o, i) }.toDF("ord", "value")
+      .withColumn("idx", lit(0L))
+    val r = IndexOps.rankByOrd(df).orderBy(col("idx"))
+      .collect().map(r => (r.getAs[Long]("idx"), r.getAs[Int]("value")))
+    assert(r.toSeq == Seq((0L, 0), (1L, 1), (2L, 2), (3L, 3), (4L, 4)))
+  }
+
+  test("rankByOrd: empty and single-row inputs") {
+    val empty = Seq.empty[(Long, String)].toDF("ord", "value").withColumn("idx", lit(0L))
+    assert(IndexOps.rankByOrd(empty).count() == 0)
+    val one = Seq((42L, "x")).toDF("ord", "value").withColumn("idx", lit(0L))
+    val r = IndexOps.rankByOrd(one).collect()(0)
+    assert(r.getAs[Long]("idx") == 0L && r.getAs[Long]("ord") == 0L)
+  }
+
+  test("renumberBy composite keys: stable across repeated runs") {
+    val df = (0 until 2000).map(i => ((i * 37) % 100, i % 7, i))
+      .toDF("a", "b", "value")
+    def run() = IndexOps.renumberBy(df, Seq(col("a").asc, col("b").asc, col("value").asc))
+      .orderBy(col("idx")).collect().map(_.getAs[Int]("value")).toSeq
+    val first = run()
+    assert(run() == first)
+    assert(first == (0 until 2000).sortBy(i => ((i * 37) % 100, i % 7, i)))
+  }
+}
