@@ -37,6 +37,11 @@ object IndexOps {
   def reorderKeepIdx(df: DataFrame, order: Seq[Column]): DataFrame =
     rank(df, order, renumberIdx = false)
 
+  /** As [[reorderKeepIdx]] over a single UNIQUE numeric key: `ord` := rank
+    * of key, idx untouched — Catalyst-only bucket path. */
+  def reorderKeepIdxUnique(df: DataFrame, key: Column): DataFrame =
+    rankNumericUnique(df, key, renumberIdx = false)
+
   /** Resolve a RankPending stream: visible index = rank of arrival order.
     * `ord` is unique by invariant, so the Catalyst-only bucket path
     * applies: buckets derived from the DATA (min/max + equal width), not

@@ -53,14 +53,16 @@ object IndexState {
   */
 final class SemanticStream[E](
     val ds: Dataset[Elem[E]],
-    val state: IndexState) extends Serializable {
+    val state: IndexState,
+    val ordBound: Long = Long.MaxValue) extends Serializable {
 
   import IndexState._
 
   def spark: SparkSession = ds.sparkSession
   implicit private def enc: Encoder[Elem[E]] = ds.encoder
-  private def wrap(df: DataFrame, st: IndexState): SemanticStream[E] =
-    new SemanticStream(df.as[Elem[E]], st)
+  private def wrap(df: DataFrame, st: IndexState,
+                   bound: Long = ordBound): SemanticStream[E] =
+    new SemanticStream(df.as[Elem[E]], st, bound)
 
   /** Stream with the user-visible index materialized in `idx`. */
   def resolved: SemanticStream[E] = state match {
@@ -73,20 +75,20 @@ final class SemanticStream[E](
 
   /** 1:1 transform, index preserved (semantic.h:1376-1395). */
   def map[R](f: E => R)(implicit encR: Encoder[Elem[R]]): SemanticStream[R] =
-    new SemanticStream(ds.map(e => Elem(e.ord, e.idx, f(e.value))), state)
+    new SemanticStream(ds.map(e => Elem(e.ord, e.idx, f(e.value))), state, ordBound)
 
   /** Index-aware mapper — the reference's arity-adaptive `map(f(E,Timestamp))`
     * (semantic.h:1342-1357). Observes the visible index. */
   def mapIndexed[R](f: (E, Long) => R)(implicit encR: Encoder[Elem[R]]): SemanticStream[R] = {
     val r = resolved
-    new SemanticStream(r.ds.map(e => Elem(e.ord, e.idx, f(e.value, e.idx))), r.state)
+    new SemanticStream(r.ds.map(e => Elem(e.ord, e.idx, f(e.value, e.idx))), r.state, r.ordBound)
   }
 
   /** Column-expression map for Catalyst-visible transforms: `f` rewrites
     * the `value` column. Prefer over [[map]] in hot paths (codegen'd). */
   def mapColumn[R](f: Column => Column)(implicit encR: Encoder[Elem[R]]): SemanticStream[R] =
     new SemanticStream(
-      ds.toDF().withColumn("value", f(col("value"))).as[Elem[R]], state)
+      ds.toDF().withColumn("value", f(col("value"))).as[Elem[R]], state, ordBound)
 
   /** Keep matching elements; survivors renumbered by arrival counter
     * (semantic.h:1197-1216) — deferred as RankPending. */
@@ -100,7 +102,7 @@ final class SemanticStream[E](
   /** Side-effect observer; stream unchanged (semantic.h:1407-1431).
     * The consumer runs on executors. */
   def peek(consumer: E => Unit): SemanticStream[E] =
-    new SemanticStream(ds.map { e => consumer(e.value); e }, state)
+    new SemanticStream(ds.map { e => consumer(e.value); e }, state, ordBound)
 
   /** First n by arrival, indices renumbered to the arrival counter
     * (semantic.h:1359-1374: `accept(element, count)`). */
@@ -149,7 +151,7 @@ final class SemanticStream[E](
     * (semantic.h:1433-1446 — despite the README calling it an index remap). */
   def redirect(f: (E, Long) => E): SemanticStream[E] = {
     val r = resolved
-    new SemanticStream(r.ds.map(e => Elem(e.ord, e.idx, f(e.value, e.idx))), r.state)
+    new SemanticStream(r.ds.map(e => Elem(e.ord, e.idx, f(e.value, e.idx))), r.state, r.ordBound)
   }
 
   /** UNION ALL preserving order, renumbered continuously
@@ -157,14 +159,28 @@ final class SemanticStream[E](
   def concatenate(other: SemanticStream[E]): SemanticStream[E] = {
     val a = ds.toDF().withColumn("__src", lit(0))
     val b = other.ds.toDF().withColumn("__src", lit(1))
-    val u = IndexOps.renumberBy(a.unionByName(b), Seq(col("__src"), col("ord"))).drop("__src")
-    wrap(u, Contiguous)
+    val u = a.unionByName(b)
+    // ords are nonnegative ranks < ordBound by invariant, so with known
+    // bounds the (src, ord) order linearizes into ONE unique numeric key
+    // and ranking stays on the Catalyst-only bucket path (no RDD hop)
+    val boundsKnown = ordBound != Long.MaxValue &&
+      other.ordBound != Long.MaxValue &&
+      ordBound + other.ordBound > 0
+    val renum =
+      if (boundsKnown) {
+        val key = when(col("__src") === 0, col("ord"))
+          .otherwise(lit(ordBound) + col("ord"))
+        IndexOps.renumberByUniqueKey(u, key)
+      } else IndexOps.renumberBy(u, Seq(col("__src"), col("ord")))
+    val newBound =
+      if (boundsKnown) ordBound + other.ordBound else Long.MaxValue
+    wrap(renum.drop("__src"), Contiguous, newBound)
   }
 
   /** Append a single element (semantic.h:1043-1067 overload). */
   def concatenate(single: E): SemanticStream[E] = {
     val one = ds.sparkSession.createDataset(Seq(Elem(0L, 0L, single)))(ds.encoder)
-    concatenate(new SemanticStream(one, Contiguous))
+    concatenate(new SemanticStream(one, Contiguous, 1L))
   }
 
   /** Append any local container (semantic.h:1069-1120 overload). */
@@ -172,7 +188,7 @@ final class SemanticStream[E](
     val more = elems.iterator.zipWithIndex
       .map { case (e, i) => Elem(i.toLong, i.toLong, e) }.toSeq
     concatenate(new SemanticStream(
-      ds.sparkSession.createDataset(more)(ds.encoder), Contiguous))
+      ds.sparkSession.createDataset(more)(ds.encoder), Contiguous, more.size.toLong))
   }
 
   /** Keep first occurrence per value in arrival order (semantic.h:1122-1164),
@@ -191,7 +207,7 @@ final class SemanticStream[E](
     val firsts = ds.groupByKey(e => key(e.value))
       .reduceGroups((a: Elem[E], b: Elem[E]) => if (a.ord <= b.ord) a else b)
       .map(_._2)(ds.encoder)
-    new SemanticStream(firsts, RankPending)
+    new SemanticStream(firsts, RankPending, ordBound)
   }
 
   /** Emit until first predicate failure in arrival order; indices unchanged
@@ -254,7 +270,7 @@ final class SemanticStream[E](
   /** Partitioning hint — the reference's `.parallel(n)`
     * (semantic.h:1397-1405). */
   def parallel(n: Int): SemanticStream[E] =
-    new SemanticStream(ds.repartition(n), state)
+    new SemanticStream(ds.repartition(n), state, ordBound)
 
   /** Ordered materialization (OrderedCollectable, semantic.h:506-517):
     * Raw indices are folded into [0,n) by `((idx % n) + n) % n` — for n<2
@@ -272,7 +288,15 @@ final class SemanticStream[E](
           when(col("__n") < 2, lit(0L))
             .otherwise(((col("idx") % col("__n")) + col("__n")) % col("__n")))
         .drop("__n")
-      wrap(IndexOps.reorderKeepIdx(wrapped, Seq(col("idx"), col("ord"))), Raw)
+      // wrapped idx < n <= ordBound, so (idx, ord) linearizes into
+      // idx*bound + ord when bound² fits a long — Catalyst-only path
+      val out =
+        if (ordBound != Long.MaxValue && ordBound < 3000000000L)
+          IndexOps.reorderKeepIdxUnique(wrapped,
+            col("idx") * ordBound + col("ord"))
+        else
+          IndexOps.reorderKeepIdx(wrapped, Seq(col("idx"), col("ord")))
+      wrap(out, Raw)
   }
 
   /** Underlying DataFrame (ord, idx, value) — escape hatch to column-land. */
@@ -351,7 +375,7 @@ object SemanticStream {
     val ds = spark.range(n).select(
       col("id").as("ord"), col("id").as("idx"),
       (lit(start) + col("id") * step).as("value")).as[Elem[Long]]
-    new SemanticStream(ds, Contiguous)
+    new SemanticStream(ds, Contiguous, math.max(n, 0L))
   }
 
   /** Inclusive range (useRangeClosed, semantic.h:1709-1761). */
@@ -361,7 +385,7 @@ object SemanticStream {
     else range(spark, 0, 0)
 
   def empty[E](spark: SparkSession)(implicit enc: Encoder[Elem[E]]): SemanticStream[E] =
-    new SemanticStream(spark.emptyDataset[Elem[E]], Contiguous)
+    new SemanticStream(spark.emptyDataset[Elem[E]], Contiguous, 0L)
 
   /** Literal elements (useOf, semantic.h:1983-2029). */
   def of[E](spark: SparkSession, elems: E*)(implicit enc: Encoder[Elem[E]]): SemanticStream[E] =
@@ -371,14 +395,14 @@ object SemanticStream {
   def from[E](spark: SparkSession, elems: Iterable[E])(implicit enc: Encoder[Elem[E]]): SemanticStream[E] = {
     val indexed = elems.iterator.zipWithIndex
       .map { case (e, i) => Elem(i.toLong, i.toLong, e) }.toSeq
-    new SemanticStream(spark.createDataset(indexed), Contiguous)
+    new SemanticStream(spark.createDataset(indexed), Contiguous, indexed.size.toLong)
   }
 
   /** Element repeated n times (useRepeat, semantic.h:2086-2099). */
   def repeat[E](spark: SparkSession, elem: E, n: Long)(implicit enc: Encoder[Elem[E]]): SemanticStream[E] = {
     val df = spark.range(n).select(
       col("id").as("ord"), col("id").as("idx"), lit(elem).as("value"))
-    new SemanticStream(df.as[Elem[E]], Contiguous)
+    new SemanticStream(df.as[Elem[E]], Contiguous, math.max(n, 0L))
   }
 
   /** Uniform random doubles in [min,max) (useRandom, semantic.h:1873-1973).
@@ -389,7 +413,7 @@ object SemanticStream {
     val df = spark.range(n).select(
       col("id").as("ord"), col("id").as("idx"),
       (rand(seed) * (max - min) + min).as("value"))
-    new SemanticStream(df.as[Elem[Double]], Contiguous)
+    new SemanticStream(df.as[Elem[Double]], Contiguous, math.max(n, 0L))
   }
 
   /** Uniform random longs in [min,max] (useRandom int overloads). */
@@ -398,7 +422,7 @@ object SemanticStream {
     val df = spark.range(n).select(
       col("id").as("ord"), col("id").as("idx"),
       floor(rand(seed) * (max - min + 1) + min).cast("long").as("value"))
-    new SemanticStream(df.as[Elem[Long]], Contiguous)
+    new SemanticStream(df.as[Elem[Long]], Contiguous, math.max(n, 0L))
   }
 
   /** Bounded iterate: seed, f(seed), … n elements (useIterate,

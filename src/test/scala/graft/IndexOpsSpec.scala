@@ -40,6 +40,22 @@ class IndexOpsSpec extends AnyFunSuite {
     assert(r.getAs[Long]("idx") == 0L && r.getAs[Long]("ord") == 0L)
   }
 
+  test("bounded concatenate and ordered wrap avoid the RDD hop") {
+    import graft.core.SemanticStream
+    import graft.core.Terminals._
+    val a = SemanticStream.range(spark, 0, 4)
+    val b = SemanticStream.from(spark, Seq(100L, 200L))
+    val c = a.concatenate(b)
+    assert(c.ordBound == 6L)
+    assert(c.terminals.toVector == Vector(0L, 1, 2, 3, 100, 200))
+    // bounded path: pure Catalyst — no ExistingRDD scan in the plan
+    assert(!c.toDF.queryExecution.executedPlan.toString.contains("ExistingRDD"))
+    // ordered wrap of Raw indices likewise stays in Catalyst
+    val w = SemanticStream.range(spark, 0, 5).translate(-1).ordered
+    assert(!w.toDF.queryExecution.executedPlan.toString.contains("ExistingRDD"))
+    assert(w.terminals.toVector == Vector(1L, 2, 3, 4, 0))
+  }
+
   test("renumberBy composite keys: stable across repeated runs") {
     val df = (0 until 2000).map(i => ((i * 37) % 100, i % 7, i))
       .toDF("a", "b", "value")
