@@ -69,6 +69,14 @@ object QueriesText {
         .select(col("id"), col("simhash"))
         .orderBy(col("id"))),
 
+    // vocabulary + document frequency + idf (tokenizer-training funnel)
+    "q46_vocab" -> ((s, dir) =>
+      TA.vocabulary(tbl(s, dir, "documents"), "doc_id", "text")
+        .select(col("token"), col("occurrences"), col("doc_freq"),
+          round(col("idf"), 4).as("idf"))
+        .orderBy(col("occurrences").desc, col("token").asc)
+        .limit(100)),
+
     // end-to-end LLM-corpus pipeline: quality gate → exact-dedup →
     // per-language token statistics, composed from the library operators
     "q45_pipeline" -> ((s, dir) => {
@@ -228,6 +236,18 @@ object QueriesText {
          |  CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END)
          |    AS BIGINT) AS simhash
          |FROM bits GROUP BY id ORDER BY id""".stripMargin,
+
+    "q46_vocab" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
+        |  FROM documents),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT token, count(*) AS occurrences,
+        |  count(DISTINCT id) AS doc_freq,
+        |  round(ln(n.n * 1.0 / count(DISTINCT id)), 4) AS idf
+        |FROM toks, n GROUP BY token, n.n
+        |ORDER BY occurrences DESC, token ASC LIMIT 100""".stripMargin,
 
     "q45_pipeline" -> {
       val stopHits = Seq("the", "a", "and", "of", "to", "in", "is")

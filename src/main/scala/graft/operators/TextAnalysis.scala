@@ -73,6 +73,22 @@ object TextAnalysis {
       .otherwise("und")
   }
 
+  /** Vocabulary with document frequencies over a corpus: one narrow
+    * explode + one aggregation; `idf = ln(N / doc_freq)`. The
+    * top-of-funnel op for tokenizer training and tf-idf pipelines. */
+  def vocabulary(df: org.apache.spark.sql.DataFrame, idCol: String,
+                 textCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(split(trim(col(textCol)), "\\s+")).as("token"))
+    val n = df.select(count(lit(1)).as("__n"))
+    toks.groupBy(col("token"))
+      .agg(count(lit(1)).as("occurrences"),
+        countDistinct(col("id")).as("doc_freq"))
+      .join(broadcast(n))
+      .withColumn("idf", log(col("__n").cast("double") / col("doc_freq")))
+      .drop("__n")
+  }
+
   /** Document fingerprint: content hash plus a prefix-shingle hash (a
     * cheap stand-in for rolling-hash sketches; md5 matches every engine). */
   def fingerprint(c: Column): Column = md5(c)

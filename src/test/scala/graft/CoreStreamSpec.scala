@@ -164,6 +164,21 @@ class CoreStreamSpec extends AnyFunSuite {
     assert(m == Map("a" -> "a2", "b" -> "b1"))
   }
 
+  test("materialize ⇄ transform alternation (Collectable.semantic round trip)") {
+    // reference: ordered materialization re-emits in buffer order; a
+    // downstream filter renumbers against THAT order (semantic.h:585-597)
+    val s = rng(5).reverse.ordered // [0,4,3,2,1]
+    assert(s.filter(_ % 2 == 0).terminals.toVector == Vector(0L, 4, 2))
+    assert(s.limit(3).terminals.toVector == Vector(0L, 4, 3))
+    // self-concatenation
+    val a = SemanticStream.from(spark, Seq(1, 2))
+    assert(a.concatenate(a).terminals.toVector == Vector(1, 2, 1, 2))
+    // takeWhile failing on the first element → empty; dropWhile keeps all
+    val t = SemanticStream.from(spark, Seq(9, 1, 2))
+    assert(t.takeWhile(v => v < 5).terminals.count() == 0)
+    assert(t.dropWhile(v => v < 5).terminals.toVector == Vector(9, 1, 2))
+  }
+
   test("statistics: summate/average/range/variance vs oracle; empty → 0") {
     val xs = Seq(2.0, 4.0, 4.0, 4.0, 5.0, 5.0, 7.0, 9.0)
     val st = SemanticStream.from(spark, xs).toStatistics
