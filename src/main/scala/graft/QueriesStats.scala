@@ -142,6 +142,24 @@ object QueriesStats {
         .orderBy(col("value"))
     }),
 
+    // 5-way join (TPC-H Q5 shape): revenue by nation for one region —
+    // broadcast chain for the dimensions, one shuffle for the fact join
+    "q47_q5ish" -> ((s, dir) => {
+      val li = tbl(s, dir, "lineitem")
+      val o = tbl(s, dir, "orders")
+      val c = tbl(s, dir, "customer")
+      val n = tbl(s, dir, "nation")
+      val r = tbl(s, dir, "region").filter(col("r_name") === "ASIA")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"), count(lit(1)).as("n"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
     // anti join: customers with no high-value order, per nation
     "q26_anti_join" -> ((s, dir) => {
       val c = tbl(s, dir, "customer")
@@ -282,6 +300,18 @@ object QueriesStats {
         |  round((pos_sum - mode_pos) / sd_pos, 4) AS pos_score,
         |  round((cnt - mode_cnt) / sd_cnt, 4) AS cnt_score
         |FROM pv, mp, mc, sd ORDER BY value""".stripMargin,
+
+    "q47_q5ish" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS n
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
 
     "q26_anti_join" ->
       """SELECT n_name, count(*) AS n_lonely
