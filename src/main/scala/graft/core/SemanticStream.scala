@@ -220,6 +220,37 @@ final class SemanticStream[E](
     wrap(df.join(broadcast(boundary)).filter(col("ord") < col("__b")).drop("__b"), state)
   }
 
+  /** [[takeWhile]] with short-circuit: probes exponentially growing
+    * arrival-order windows and stops at the first window containing a
+    * failure — the Spark rendering of the reference's `interrupt`
+    * early-out (collector.h:34, semantic.h:1544-1551). When the source is
+    * idx-sorted parquet, each probe prunes to row groups below the
+    * horizon, so a failure near the head touches a prefix of a 100 TB
+    * stream instead of all of it. Falls back to the full-scan semantics
+    * (identical results) when the failure is late or absent. */
+  def takeWhileProbed(p: Column => Column, initialWindow: Long = 1L << 16): SemanticStream[E] = {
+    require(initialWindow > 0)
+    val df = ds.toDF()
+    var lo = 0L
+    var w = initialWindow
+    var boundary = -1L
+    var exhausted = false
+    while (boundary < 0 && !exhausted) {
+      val probe = df.filter(col("ord") >= lo && col("ord") < lo + w)
+        .agg(min(when(!p(col("value")), col("ord"))).as("b"),
+          count(lit(1)).as("n")).collect()(0)
+      if (!probe.isNullAt(0)) boundary = probe.getLong(0)
+      else if (probe.getLong(1) == 0L) {
+        // sparse ords: jump to the next populated ord, or finish
+        val nxt = df.filter(col("ord") >= lo + w)
+          .agg(min(col("ord")).as("m")).collect()(0)
+        if (nxt.isNullAt(0)) exhausted = true else lo = nxt.getLong(0)
+      } else { lo += w; w *= 4 }
+    }
+    if (exhausted) this
+    else wrap(df.filter(col("ord") < boundary), state)
+  }
+
   /** Skip leading matches, emit the rest renumbered from 0
     * (semantic.h:1166-1195). */
   def dropWhile(p: Column => Column): SemanticStream[E] = {

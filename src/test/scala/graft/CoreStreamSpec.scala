@@ -110,6 +110,24 @@ class CoreStreamSpec extends AnyFunSuite {
     assert(s.dropWhile(v => v < 100).terminals.count() == 0)
   }
 
+  test("takeWhileProbed ≡ takeWhile across early/late/no-failure cases") {
+    val cases = Seq(
+      Seq(9, 1, 2),                        // first element fails
+      Seq(1, 2, 3, 10, 2, 1),              // mid failure
+      (1 to 500).map(_ % 5).toSeq,         // many failures
+      Seq(1, 2, 3, 4))                     // no failure
+    for (xs <- cases; win <- Seq(1L, 3L, 64L)) {
+      val s = SemanticStream.from(spark, xs)
+      val full = s.takeWhile(v => v < 5).terminals.toVector
+      val probed = s.takeWhileProbed(v => v < 5, win).terminals.toVector
+      assert(probed == full, s"xs=$xs win=$win")
+    }
+    // sparse ords (after a filter) still probe correctly
+    val sparse = SemanticStream.from(spark, (0 until 100)).filter(_ % 7 == 0)
+    assert(sparse.takeWhileProbed(v => v < 50, 2).terminals.toVector ==
+      sparse.takeWhile(v => v < 50).terminals.toVector)
+  }
+
   test("flatMap renumbers continuously; empties vanish") {
     val s = SemanticStream.from(spark, Seq(2, 0, 3))
     val f = s.flatMap(n => Seq.fill(n)(n))
