@@ -163,7 +163,7 @@ object QueriesText {
          |    WHEN s_fr >= s_es AND s_fr > 0 THEN 'fr'
          |    WHEN s_es > 0 THEN 'es'
          |    ELSE 'und' END AS pred_lang,
-         |  round((len_score + alpha + stop_score) / 3.0, 4) AS quality
+         |  round((len_score + alpha + stop_score) / 3.0 + 1e-9, 4) AS quality
          |FROM scored ORDER BY doc_id""".stripMargin
     },
 
@@ -261,7 +261,7 @@ object QueriesText {
          |      + CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
          |        / greatest(length(text), 1)
          |      + least((($stopHits) * 1.0 / greatest($nTokens, 1)) * 5.0, 1.0)
-         |      ) / 3.0, 4) AS quality
+         |      ) / 3.0 + 1e-9, 4) AS quality
          |  FROM documents),
          |gated AS (SELECT * FROM scored WHERE quality >= 0.5),
          |canon AS (

@@ -47,13 +47,16 @@ object TextAnalysis {
   }
 
   /** Composite quality score in [0,1]: length band + alpha ratio +
-    * stopword presence — the standard cheap pre-filter for LLM corpora. */
+    * stopword presence — the standard cheap pre-filter for LLM corpora.
+    * The 1e-9 nudge pushes exact round-half ties off the boundary, where
+    * engines' rounding algorithms (BigDecimal-exact vs scale-multiply)
+    * legitimately disagree by one ulp. */
   def qualityScore(c: Column): Column = {
     val lenScore = when(length(c) >= 200 && length(c) <= 5000, 1.0)
       .when(length(c) >= 50, 0.5).otherwise(0.0)
     val alpha = alphaRatio(c)
     val stop = least(stopwordRatio(c) * 5.0, lit(1.0))
-    round((lenScore + alpha + stop) / 3.0, 4)
+    round((lenScore + alpha + stop) / 3.0 + 1e-9, 4)
   }
 
   /** N-gram-free language-ID heuristic: marker-token hit counts per
