@@ -82,6 +82,45 @@ object Similarity {
       .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cosine"))
   }
 
+  /** IVF-style coarse quantization: `nlist` deterministic pseudo-centroids
+    * (md5-derived ±1 direction vectors — same family as the hyperplanes);
+    * each vector goes to its argmax-projection cell. Like the buckets,
+    * this is ONE narrow projection over the corpus. */
+  def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,
+                nlist: Int): DataFrame = {
+    val dims = vecDims(emb, vecCol)
+    val vec = col(vecCol).cast("array<double>")
+    val projs = array((0 until nlist).map { c =>
+      val signs = array((0 until dims).map(j => lit(planeSign(c + 7919, j))): _*)
+      dot(vec, signs)
+    }: _*)
+    emb.select(col(idCol).as("id"),
+      (array_position(projs, array_max(projs)) - 1).cast("long").as("cell"))
+  }
+
+  /** IVF ANN top-k with nprobe=1: exact cosine within the query's cell.
+    * Coarser than the hyperplane buckets (nlist cells vs 2^planes), which
+    * trades recall for fewer, larger candidate lists. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int, nlist: Int): DataFrame = {
+    val cells = ivfAssign(corpus, idCol, vecCol, nlist)
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).cast("array<double>").as("nvec"))
+      .withColumn("nnorm", norm(col("nvec")))
+      .join(cells.withColumnRenamed("id", "nid"), "nid")
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qvec"))
+      .withColumn("qnorm", norm(col("qvec")))
+      .join(cells.withColumnRenamed("id", "qid"), "qid")
+    val scored = c.join(q, "cell")
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        round(dot(col("qvec"), col("nvec")) / (col("qnorm") * col("nnorm")), 4)
+          .as("cosine"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cosine"))
+  }
+
   /** LSH-bucketed ANN top-k: exact cosine, but only within the query's
     * bucket — the 1000-executor path when the corpus no longer broadcasts. */
   def annTopKBucketed(corpus: DataFrame, queries: DataFrame, idCol: String,

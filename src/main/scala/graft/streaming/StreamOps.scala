@@ -80,6 +80,14 @@ object StreamOps {
     }
   }
 
+  /** Streaming exact dedup: first occurrence per key wins; state for a
+    * key expires once the watermark passes it — the unbounded twin of
+    * Dedup.exact with bounded state. */
+  def streamingDedup(events: DataFrame, keyCols: Seq[String],
+                     tsCol: String, watermark: String): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** [[runningStats]] rendered with transformWithState. */
   def runningStatsTws(events: Dataset[(String, Double)]): Dataset[RunningAgg] = {
     import events.sparkSession.implicits._

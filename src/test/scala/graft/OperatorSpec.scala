@@ -187,6 +187,30 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF assign/topk: cells partition the corpus; neighbors share cells") {
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.cos(i * 0.31 + j * 1.7).toFloat))
+    }.toDF("vec_id", "embedding")
+    val cells = Similarity.ivfAssign(vecs, "vec_id", "embedding", nlist = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cells.size == 60)
+    assert(cells.values.forall(c => c >= 0 && c < 4))
+    assert(cells.values.toSet.size > 1) // corpus actually spreads over cells
+    val topk = Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") < 3),
+      "vec_id", "embedding", k = 3, nlist = 4).collect()
+    assert(topk.nonEmpty)
+    topk.foreach { r =>
+      assert(cells(r.getAs[Long]("qid")) == cells(r.getAs[Long]("nid")))
+    }
+    // per query, ranks are 1..m with cosine non-increasing
+    topk.groupBy(_.getAs[Long]("qid")).values.foreach { rs =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to sorted.length))
+      val cos = sorted.map(_.getAs[Double]("cosine"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("annTopKBucketed agrees with brute force within shared buckets") {
     val vecs = (0 until 40).map { i =>
       (i.toLong, Array.tabulate(8)(j => math.sin(i * 0.7 + j).toFloat))

@@ -82,6 +82,25 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming dedup keeps first occurrence per key") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    def t(s: Int) = new java.sql.Timestamp(base.getTime + s * 1000L)
+    val df = mem.toDF().toDF("ts", "k", "v")
+    val out = StreamOps.streamingDedup(df, Seq("k"), "ts", "10 seconds")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("dedup_out").start()
+    mem.addData((t(0), "a", 1.0), (t(1), "a", 2.0), (t(2), "b", 3.0))
+    q.processAllAvailable()
+    mem.addData((t(3), "a", 4.0), (t(4), "c", 5.0))
+    q.processAllAvailable()
+    q.stop()
+    val vals = spark.table("dedup_out").collect()
+      .map(r => (r.getString(1), r.getDouble(2))).sorted.toSeq
+    assert(vals == Seq(("a", 1.0), ("b", 3.0), ("c", 5.0)))
+  }
+
   test("session windows close on gap") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String)]
