@@ -31,6 +31,13 @@ object QueriesSim {
         .select(col("id").as("vec_id"), col("bucket"))
         .orderBy(col("vec_id"))),
 
+    // IVF coarse cells: argmax projection onto md5-derived centroids
+    "q48_ivf_cells" -> ((s, dir) =>
+      Similarity.ivfAssign(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+        nlist = 4)
+        .select(col("id").as("vec_id"), col("cell"))
+        .orderBy(col("vec_id"))),
+
     // per-user DFT of the first-8 event series, via the typed Aggregator
     // (the reference's useDFT collector shape, collector.h:2744-2779)
     "q37_dft8" -> ((s, dir) => {
@@ -143,6 +150,25 @@ object QueriesSim {
         |  CAST(sum(CASE WHEN proj > 0 THEN CAST(pow(2, plane) AS BIGINT)
         |    ELSE 0 END) AS BIGINT) AS bucket
         |FROM projs GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "q48_ivf_cells" ->
+      """WITH comps AS (
+        |  SELECT vec_id, unnest(embedding) AS comp,
+        |    generate_subscripts(embedding, 1) - 1 AS dim
+        |  FROM embeddings),
+        |projs AS (
+        |  SELECT vec_id, c.c AS cell,
+        |    sum(CAST(comp AS DOUBLE) *
+        |      (CASE WHEN substr(md5((c.c + 7919)::VARCHAR || '-' || dim::VARCHAR), 1, 1)
+        |        BETWEEN '8' AND 'f' THEN 1.0 ELSE -1.0 END)) AS proj
+        |  FROM comps, generate_series(0, 3) AS c(c)
+        |  GROUP BY vec_id, c.c),
+        |ranked AS (
+        |  SELECT vec_id, cell, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY proj DESC, cell ASC) AS rn
+        |  FROM projs)
+        |SELECT vec_id, CAST(cell AS BIGINT) AS cell
+        |FROM ranked WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
     "q37_dft8" ->
       """WITH numbered AS (
