@@ -82,6 +82,26 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("slideAgg emits overlapping windows") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val rows = (0 until 60).map { i =>
+      (new java.sql.Timestamp(base.getTime + i * 10000L), 1.0)
+    }
+    mem.addData(rows: _*)
+    val agg = StreamOps.slideAgg(mem.toDF().toDF("ts", "value"),
+      "ts", "value", "4 minutes", "2 minutes", "1 minute")
+    val q = agg.writeStream.outputMode("append").format("memory")
+      .queryName("slide_out").start()
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("slide_out")
+      .orderBy(col("window.start")).collect()
+    assert(out.nonEmpty)
+    // interior windows cover 4 min @ 6 rows/min = 24 rows
+    assert(out.map(_.getAs[Long]("n")).max == 24L)
+  }
+
   test("streaming dedup keeps first occurrence per key") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
