@@ -31,6 +31,14 @@ object QueriesSim {
         .select(col("id").as("vec_id"), col("bucket"))
         .orderBy(col("vec_id"))),
 
+    // LSH-bucketed ANN top-k — the no-broadcast scale path under oracle
+    "q49_ann_bucketed" -> ((s, dir) => {
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.annTopKBucketed(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, planes = 4)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // IVF coarse cells: argmax projection onto md5-derived centroids
     "q48_ivf_cells" -> ((s, dir) =>
       Similarity.ivfAssign(tbl(s, dir, "embeddings"), "vec_id", "embedding",
@@ -150,6 +158,44 @@ object QueriesSim {
         |  CAST(sum(CASE WHEN proj > 0 THEN CAST(pow(2, plane) AS BIGINT)
         |    ELSE 0 END) AS BIGINT) AS bucket
         |FROM projs GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "q49_ann_bucketed" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |comps AS (
+        |  SELECT vec_id, unnest(embedding) AS comp,
+        |    generate_subscripts(embedding, 1) - 1 AS dim
+        |  FROM embeddings),
+        |projs AS (
+        |  SELECT vec_id, p.p AS plane,
+        |    sum(CAST(comp AS DOUBLE) *
+        |      (CASE WHEN substr(md5(p.p::VARCHAR || '-' || dim::VARCHAR), 1, 1)
+        |        BETWEEN '8' AND 'f' THEN 1.0 ELSE -1.0 END)) AS proj
+        |  FROM comps, generate_series(0, 3) AS p(p)
+        |  GROUP BY vec_id, p.p),
+        |buckets AS (
+        |  SELECT vec_id,
+        |    sum(CASE WHEN proj > 0 THEN CAST(pow(2, plane) AS BIGINT)
+        |      ELSE 0 END) AS bucket
+        |  FROM projs GROUP BY vec_id),
+        |q AS (
+        |  SELECT v.vec_id AS qid, v.e AS qe, b.bucket
+        |  FROM v JOIN buckets b ON v.vec_id = b.vec_id WHERE v.vec_id < 10),
+        |scored AS (
+        |  SELECT q.qid, v.vec_id AS nid,
+        |    round(list_sum(list_apply(range(1, len(q.qe) + 1),
+        |            i -> q.qe[i] * v.e[i]))
+        |      / (sqrt(list_sum(list_apply(q.qe, x -> x * x)))
+        |         * sqrt(list_sum(list_apply(v.e, x -> x * x)))), 4) AS cosine
+        |  FROM v JOIN buckets b ON v.vec_id = b.vec_id
+        |  JOIN q ON b.bucket = q.bucket AND v.vec_id <> q.qid),
+        |ranked AS (
+        |  SELECT qid, nid, cosine, CAST(row_number() OVER (
+        |    PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT qid, rank, nid, cosine FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
 
     "q48_ivf_cells" ->
       """WITH comps AS (

@@ -129,8 +129,8 @@ object QueriesStats {
     // against the mode across distinct values (collector.h:1908-2096)
     "q41_distribution" -> ((s, dir) => {
       import s.implicits._
-      val li = IndexOps.renumberBy(tbl(s, dir, "lineitem"),
-        Seq(col("l_orderkey").asc, col("l_linenumber").asc))
+      val li = IndexOps.renumberByUniqueKey(tbl(s, dir, "lineitem"),
+        col("l_orderkey") * 8 + col("l_linenumber"))
       val stream = new graft.core.SemanticStream(
         li.select(col("ord"), col("idx"),
           col("l_quantity").cast("double").as("value")).as[graft.core.Elem[Double]],
