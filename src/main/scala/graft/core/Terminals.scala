@@ -132,6 +132,26 @@ final class Terminals[E](s: SemanticStream[E]) extends Serializable {
       .agg(max_by(col("value"), col("ord")).as("v"))
       .collect().map(r => r.getAs[K]("k") -> r.getAs[E]("v")).toMap
 
+  /** Keyed duplicates kept, per-key arrival order (useToMultimap,
+    * collector.h:2571-2623). */
+  def toMultimap[K](keyCol: Column => Column): Map[K, Seq[E]] =
+    df.groupBy(keyCol(col("value")).as("k"))
+      .agg(transform(array_sort(collect_list(struct(col("ord"), col("value")))),
+        x => x.getField("value")).as("vs"))
+      .collect().map(r => r.getAs[K]("k") -> r.getSeq[E](1)).toMap
+
+  /** LIFO view — last element first (useToStack, collector.h:2679-2700). */
+  def toStack: List[E] = toVector.reverse.toList
+  /** FIFO view (useToQueue, collector.h:2702-2721). */
+  def toQueue: scala.collection.immutable.Queue[E] =
+    scala.collection.immutable.Queue.from(toVector)
+  /** Heap view (useToPriorityQueue, collector.h:2723-2742). */
+  def toPriorityQueue(implicit ord: Ordering[E]): scala.collection.mutable.PriorityQueue[E] =
+    scala.collection.mutable.PriorityQueue.from(toVector)
+  /** Sorted-set view (useToSet — std::set is ordered, collector.h:2463). */
+  def toSortedSet(implicit ord: Ordering[E]): scala.collection.immutable.SortedSet[E] =
+    scala.collection.immutable.SortedSet.from(toVector)
+
   /** Concatenate string forms in materialized order
     * (useJoin, collector.h:1132-1349). */
   def joinString(delimiter: String = ",", prefix: String = "[", suffix: String = "]"): String = {

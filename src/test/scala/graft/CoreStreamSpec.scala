@@ -173,6 +173,16 @@ class CoreStreamSpec extends AnyFunSuite {
     assert(rng(0).terminals.reduce(7L, _ + _) == 7L)
   }
 
+  test("container views: multimap/stack/queue/priority-queue/sorted-set") {
+    val s = SemanticStream.from(spark, Seq(3, 1, 4, 1, 5))
+    assert(s.terminals.toStack == List(5, 1, 4, 1, 3))
+    assert(s.terminals.toQueue.toList == List(3, 1, 4, 1, 5))
+    assert(s.terminals.toPriorityQueue.dequeueAll.toList == List(5, 4, 3, 1, 1))
+    assert(s.terminals.toSortedSet.toList == List(1, 3, 4, 5))
+    val mm = s.terminals.toMultimap[Int](v => v % 2)
+    assert(mm(1) == Seq(3, 1, 1, 5) && mm(0) == Seq(4))
+  }
+
   test("joinString and toMap last-wins") {
     val s = SemanticStream.from(spark, Seq(1, 2, 3))
     assert(s.terminals.joinString() == "[1,2,3]")
