@@ -347,11 +347,13 @@ final class SemanticStream[E](
     ds.toDF().groupBy(key(col("value")).as("key"))
       .agg(orderedList.as("elements"))
 
-  /** group + projected value (groupBy(keyF,valF), collector.h:1095-1130). */
+  /** group + projected value (groupBy(keyF,valF), collector.h:1095-1130).
+    * Both keyF and valF apply to the ORIGINAL element, like the reference. */
   def groupMap(key: Column => Column, value: Column => Column): DataFrame =
     ds.toDF()
-      .withColumn("value", value(col("value")))
-      .groupBy(key(col("value")).as("key"))
+      .select(col("ord"), key(col("value")).as("key"),
+        value(col("value")).as("value"))
+      .groupBy(col("key"))
       .agg(orderedList.as("elements"))
 
   /** Fixed-size chunks in arrival order (partition(size),

@@ -22,6 +22,16 @@ class OperatorSpec extends AnyFunSuite {
     assert(g(0) == Seq(2, 4))
   }
 
+  test("groupMap applies key and value projections to the ORIGINAL element") {
+    // key = parity of the original, value = original * 10 — if the key
+    // were computed from the projected value, everything would land in
+    // bucket 0 (multiples of 10 are all even)
+    val g = fromInts(1, 2, 3, 4).groupMap(v => v % 2, v => v * 10)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Int](1)).toMap
+    assert(g(1) == Seq(10, 30))
+    assert(g(0) == Seq(20, 40))
+  }
+
   test("partitionChunks preserves arrival order inside chunks") {
     val p = SemanticStream.range(spark, 0, 10).partitionChunks(4)
       .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
