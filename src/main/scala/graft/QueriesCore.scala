@@ -29,10 +29,12 @@ object QueriesCore {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // filter renumbers survivors 0..n-1 (semantic.h:1197-1216)
+    // filter renumbers survivors 0..n-1 (semantic.h:1197-1216); filtering
+    // BEFORE the rank pushes the predicate into the parquet scan and ranks
+    // only survivors — renumbering the full stream first would be wasted
     "q02_filter_renumber" -> ((s, dir) => {
-      val filtered = indexedEvents(s, dir).filter(col("value") > 50.0)
-      IndexOps.renumberBy(filtered.drop("ord", "idx"), Seq(col("event_id").asc))
+      val filtered = tbl(s, dir, "events").filter(col("value") > 50.0)
+      IndexOps.renumberByUniqueKey(filtered, col("event_id"))
         .select(col("idx"), col("event_id"))
         .orderBy(col("idx"))
     }),
