@@ -112,6 +112,16 @@ object QueriesCore {
         .orderBy(col("idx"))
     }),
 
+    // the SURVEY §7.2 minimum slice, factory-to-terminal, via the typed
+    // API: range → map → filter → summate (needs no input table)
+    "q11_range_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val st = SemanticStream.range(s, 0, 100000)
+        .mapColumn[Long](v => v * 2)
+        .filterColumn(v => v % 3 === 0)
+      st.toDF.agg(sum(col("value")).as("total"), count(lit(1)).as("n"))
+    }),
+
     // group → per-key ordered element list (collector.h:1065-1093)
     "q12_group_lines" -> ((s, dir) =>
       tbl(s, dir, "lineitem")
@@ -207,6 +217,11 @@ object QueriesCore {
         |    ORDER BY (CASE WHEN o_orderkey < 100 THEN 0 ELSE 1 END), o_orderkey) - 1
         |  AS idx, o_orderkey
         |FROM orders WHERE o_orderkey < 200 ORDER BY idx""".stripMargin,
+
+    "q11_range_pipeline" ->
+      """SELECT CAST(sum(x) AS BIGINT) AS total, count(*) AS n
+        |FROM (SELECT i * 2 AS x FROM range(0, 100000) t(i))
+        |WHERE x % 3 = 0""".stripMargin,
 
     "q12_group_lines" ->
       """SELECT l_orderkey, count(*) AS n_lines,
