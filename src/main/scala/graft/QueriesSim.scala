@@ -62,7 +62,10 @@ object QueriesSim {
         .agg(dftUdaf(col("rn").cast("long"), col("value")).as("bins"))
       spec.select(col("user_id"), posexplode(col("bins")).as(Seq("k", "bin")))
         .select(col("user_id"), col("k").cast("long").as("k"),
-          round(col("bin._1"), 4).as("re"), round(col("bin._2"), 4).as("im"))
+          // + 0.0 normalizes IEEE -0.0 (im-bins of real signals land on
+          // exact ±0.0; the driver hash-compares, so the sign bit matters)
+          (round(col("bin._1"), 4) + lit(0.0)).as("re"),
+          (round(col("bin._2"), 4) + lit(0.0)).as("im"))
         .orderBy(col("user_id"), col("k"))
     }),
 
@@ -82,7 +85,8 @@ object QueriesSim {
         .agg(fftUdaf(col("rn").cast("long"), col("value")).as("bins"))
       spec.select(col("user_id"), posexplode(col("bins")).as(Seq("k", "bin")))
         .select(col("user_id"), col("k").cast("long").as("k"),
-          round(col("bin._1"), 4).as("re"), round(col("bin._2"), 4).as("im"))
+          (round(col("bin._1"), 4) + lit(0.0)).as("re"),
+          (round(col("bin._2"), 4) + lit(0.0)).as("im"))
         .orderBy(col("user_id"), col("k"))
     }),
 
@@ -225,8 +229,8 @@ object QueriesSim {
         |full8 AS (
         |  SELECT user_id FROM series GROUP BY user_id HAVING count(*) = 8)
         |SELECT s.user_id, CAST(k.k AS BIGINT) AS k,
-        |  round(sum(s.value * cos(-2 * pi() * k.k * s.n / 8)), 4) AS re,
-        |  round(sum(s.value * sin(-2 * pi() * k.k * s.n / 8)), 4) AS im
+        |  round(sum(s.value * cos(-2 * pi() * k.k * s.n / 8)), 4) + 0.0 AS re,
+        |  round(sum(s.value * sin(-2 * pi() * k.k * s.n / 8)), 4) + 0.0 AS im
         |FROM series s JOIN full8 f ON s.user_id = f.user_id,
         |  generate_series(0, 7) AS k(k)
         |GROUP BY s.user_id, k.k ORDER BY s.user_id, k""".stripMargin,
@@ -240,8 +244,8 @@ object QueriesSim {
         |full12 AS (
         |  SELECT user_id FROM series GROUP BY user_id HAVING count(*) = 12)
         |SELECT s.user_id, CAST(k.k AS BIGINT) AS k,
-        |  round(sum(s.value * cos(-2 * pi() * k.k * s.n / 16)), 4) AS re,
-        |  round(sum(s.value * sin(-2 * pi() * k.k * s.n / 16)), 4) AS im
+        |  round(sum(s.value * cos(-2 * pi() * k.k * s.n / 16)), 4) + 0.0 AS re,
+        |  round(sum(s.value * sin(-2 * pi() * k.k * s.n / 16)), 4) + 0.0 AS im
         |FROM series s JOIN full12 f ON s.user_id = f.user_id,
         |  generate_series(0, 11) AS k(k)
         |GROUP BY s.user_id, k.k ORDER BY s.user_id, k""".stripMargin,

@@ -12,7 +12,7 @@ import org.apache.spark.sql.expressions.Aggregator
   *     original length — reproduced as-is (a truncated padded FFT is NOT
   *     the DFT of the original signal; tests must encode the reference's
   *     answer, not the textbook's);
-  *   - IFFT: inverse butterflies, ÷paddedN, truncate.
+  *   - IFFT: inverse butterflies, truncate, ÷originalN.
   *
   * Complex numbers are (re, im) pairs. The transforms themselves run on a
   * gathered vector — exactly like the reference's finisher — inside an
@@ -117,7 +117,11 @@ object Spectral {
     (re.take(n), im.take(n))
   }
 
-  /** Reference useIFFT: pad→inverse transform→÷paddedN→truncate. */
+  /** Reference useIFFT: pad→inverse transform→÷N→truncate. The scale
+    * divisor is the ORIGINAL length N, not the padded power of two — the
+    * reference resizes back to N first and then runs `data[i] /= N`
+    * (collector.h useIFFT finisher), so non-power-of-2 inputs keep the
+    * ÷N convention. */
   def ifft(reIn: Array[Double], imIn: Array[Double]): (Array[Double], Array[Double]) = {
     val n = reIn.length
     if (n == 0) return (Array.empty, Array.empty)
@@ -126,7 +130,7 @@ object Spectral {
     val im = java.util.Arrays.copyOf(imIn, p)
     radix2(re, im, +1)
     var i = 0
-    while (i < p) { re(i) /= p; im(i) /= p; i += 1 }
+    while (i < n) { re(i) /= n; im(i) /= n; i += 1 }
     (re.take(n), im.take(n))
   }
 }

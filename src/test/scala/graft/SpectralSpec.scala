@@ -53,10 +53,30 @@ class SpectralSpec extends AnyFunSuite {
     assert(fr.zip(dr).exists { case (a, b) => math.abs(a - b) > 1e-6 })
   }
 
-  test("IFFT inverts FFT on power-of-2 length; ÷paddedN semantics on others") {
+  test("IFFT inverts FFT on power-of-2 length") {
     val xs = Array.tabulate(8)(j => j * 1.5 - 3)
     val (fr, fi) = Spectral.fft(xs, new Array[Double](8))
     val (br, bi) = Spectral.ifft(fr, fi)
     assertClose(br, xs, 1e-8); assertClose(bi, new Array[Double](8), 1e-8)
+  }
+
+  test("IFFT divides by the ORIGINAL length N on non-power-of-2 input") {
+    // reference useIFFT resizes to N and then runs data[i] /= N — so a
+    // length-12 input padded to 16 is still scaled by 1/12, not 1/16
+    val n = 12
+    val re = Array.tabulate(n)(j => math.sin(j * 0.7) + 0.25 * j)
+    val im = Array.tabulate(n)(j => math.cos(j * 1.3))
+    val (ar, ai) = Spectral.ifft(re, im)
+    // unscaled inverse butterflies on the padded arrays, truncated
+    val p = 16
+    val pr = java.util.Arrays.copyOf(re, p)
+    val pi = java.util.Arrays.copyOf(im, p)
+    val (ur, ui) = {
+      // idft of the padded signal ÷p equals the radix-2 inverse ÷p; undo
+      // the ÷p and re-apply ÷n to get the expected reference answer
+      val (r, i) = Spectral.idft(pr, pi)
+      (r.take(n).map(_ * p / n), i.take(n).map(_ * p / n))
+    }
+    assertClose(ar, ur, 1e-8); assertClose(ai, ui, 1e-8)
   }
 }

@@ -60,8 +60,19 @@ def main():
                 import pandas as pd
                 if sv.dtype.kind in "fc" or dv.dtype.kind in "fc":
                     import numpy as np
-                    if not np.allclose(sv.astype(float), dv.astype(float),
-                                       rtol=0, atol=0, equal_nan=True):
+                    if os.environ.get("STRICT"):
+                        # driver-faithful: hash compare distinguishes -0.0
+                        # from 0.0 and any last-ulp difference — compare
+                        # bit patterns, not tolerances
+                        sb = sv.astype(float).map(lambda x: repr(float(x)))
+                        db = dv.astype(float).map(lambda x: repr(float(x)))
+                        if not sb.equals(db):
+                            ok = False
+                            mism = sb != db
+                            for i in mism[mism].index[:8]:
+                                print(f"    STRICT row {i}: spark={sb[i]} duck={db[i]}")
+                    elif not np.allclose(sv.astype(float), dv.astype(float),
+                                         rtol=0, atol=0, equal_nan=True):
                         ok = False
                 elif not sv.astype(str).equals(dv.astype(str)):
                     ok = False
