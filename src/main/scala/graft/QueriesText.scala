@@ -78,16 +78,18 @@ object QueriesText {
         .limit(100)),
 
     // end-to-end LLM-corpus pipeline: quality gate → exact-dedup →
-    // per-language token statistics, composed from the library operators
+    // per-language token statistics, composed from the library operators.
+    // Single-pass shape: the 9-regex quality subtree runs ONCE per row
+    // (one scan), and exactCanonical's map-side min_by makes the dedup a
+    // single digest-keyed shuffle — no join back to the scored scan.
     "q45_pipeline" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
-        .withColumn("quality", TA.qualityScore(col("text")))
-        .withColumn("n_tokens", TA.tokenCount(col("text")))
+        .select(col("doc_id"), col("lang"), col("text"),
+          TA.qualityScore(col("text")).as("quality"),
+          TA.tokenCount(col("text")).as("n_tokens"))
         .filter(col("quality") >= 0.5)
-      val kept = Dedup.exact(docs, "doc_id", "text")
-        .filter(col("id") === col("canonical_id"))
-        .select(col("id").as("doc_id"))
-      docs.join(kept, "doc_id")
+      Dedup.exactCanonical(docs, "doc_id", "text",
+        payloadCols = Seq("lang", "quality", "n_tokens"))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("total_tokens"),

@@ -32,6 +32,25 @@ object Dedup {
       .select(col("id"), col("canonical_id"), col("group_size"))
   }
 
+  /** Canonical (min-id) row per identical text, in ONE scan and ONE
+    * shuffle. Unlike [[exact]] — which returns every row's group mapping
+    * and therefore joins the digested input against itself (two scans of
+    * the source) — this keeps only the surviving canonical rows, the
+    * common shape for a dedup stage inside a corpus pipeline. Map-side
+    * partial `min_by` reduces each partition to one candidate row per
+    * digest BEFORE the shuffle, so at 100 TB the exchange carries a
+    * 32-byte digest + one payload struct per distinct document, not the
+    * corpus. Returns (id, payloadCols..., group_size). */
+  def exactCanonical(df: DataFrame, idCol: String, textCol: String,
+                     payloadCols: Seq[String]): DataFrame = {
+    val row = struct((col(idCol).as("id") +: payloadCols.map(col)): _*)
+    df.select(md5(col(textCol)).as("digest"), col(idCol).as("id"), row.as("row"))
+      .groupBy(col("digest"))
+      .agg(min_by(col("row"), col("id")).as("row"),
+        count(lit(1)).as("group_size"))
+      .select(col("row.*"), col("group_size"))
+  }
+
   /** Word w-shingles: (id, shingle) distinct. The shingle is the joined
     * w-token window — the unit for MinHash and Jaccard. */
   def wordShingles(df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {

@@ -221,6 +221,25 @@ class OperatorSpec extends AnyFunSuite {
     }
   }
 
+  test("exactCanonical keeps the min-id row per identical text with sizes") {
+    val docs = Seq(
+      (10L, "en", "hello world"),
+      (3L, "de", "hello world"),
+      (7L, "fr", "unique text"),
+      (5L, "en", "hello world")
+    ).toDF("doc_id", "lang", "text")
+    val out = graft.operators.Dedup.exactCanonical(docs, "doc_id", "text",
+      payloadCols = Seq("lang")).collect()
+      .map(r => r.getAs[Long]("id") -> (r.getAs[String]("lang"), r.getAs[Long]("group_size")))
+      .toMap
+    assert(out == Map(3L -> ("de", 3L), 7L -> ("fr", 1L)))
+    // must agree with exact()'s canonical mapping
+    val viaExact = graft.operators.Dedup.exact(docs, "doc_id", "text")
+      .filter(col("id") === col("canonical_id"))
+      .collect().map(_.getAs[Long]("id")).toSet
+    assert(out.keySet == viaExact)
+  }
+
   test("annTopKBucketed agrees with brute force within shared buckets") {
     val vecs = (0 until 40).map { i =>
       (i.toLong, Array.tabulate(8)(j => math.sin(i * 0.7 + j).toFloat))
