@@ -196,7 +196,7 @@ object QueriesText {
          |  SELECT DISTINCT doc_id AS id, shingle FROM shingled
          |  WHERE shingle IS NOT NULL),
          |sig AS (
-         |  SELECT id, i.i, min(md5(i.i::VARCHAR || '#' || shingle)) AS h
+         |  SELECT id, i.i, min(substr(md5(shingle), i.i + 1, 16)) AS h
          |  FROM shingles, generate_series(0, 11) AS i(i)
          |  GROUP BY id, i.i),
          |bands AS (

@@ -81,22 +81,31 @@ object Dedup {
     regexp_extract_all(norm, lit(s"(?:^| )(?=($unit))"), lit(1))
   }
 
-  /** MinHash signature: h_i = min over shingles of md5(i || '#' || shingle)
-    * — the lexicographic min of a keyed digest is a valid min-hash family,
-    * needs no RNG, and is identical in any engine with md5.
+  /** MinHash signature: the shingle is digested ONCE — h_i = min over
+    * shingles of the 16-hex window of md5(shingle) starting at offset i.
+    * Each window is a uniform 64-bit hash of the shingle, so its
+    * lexicographic min is a valid min-hash family; the families share a
+    * digest (correlated variance across families, same per-family
+    * collision probability), which LSH banding tolerates and the exact
+    * Jaccard verify downstream makes harmless. Needs no RNG and is
+    * identical in any engine with md5.
     *
     * Shape: one narrow explode of the in-row shingle array (no window, no
-    * pre-shuffle) feeding a hash aggregate with k `min` columns. The md5s
-    * run inside whole-stage codegen (an `array_min(transform(...))`
+    * pre-shuffle) feeding a hash aggregate with k `min` columns over ONE
+    * md5 per shingle occurrence — at 100 TB the digest, not the k salted
+    * re-digests of round 1, is the dominant cost (12× fewer md5 blocks).
+    * The md5 runs inside whole-stage codegen (an `array_min(transform())`
     * formulation is 10× slower — higher-order-function lambdas are
-    * interpreted), and map-side partial aggregation shrinks the shuffle to
-    * k digests per doc per partition. */
+    * interpreted), and map-side partial aggregation shrinks the shuffle
+    * to k 16-char keys per doc per partition. */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
                        shingleWidth: Int, numHashes: Int): DataFrame = {
+    require(numHashes <= 17, s"numHashes=$numHashes: a 32-hex md5 fits at most 17 16-hex windows")
     val sh = df.select(col(idCol).as("id"),
       explode(shingleArray(col(textCol), shingleWidth)).as("shingle"))
+      .select(col("id"), md5(col("shingle")).as("d"))
     val aggs = (0 until numHashes).map(i =>
-      min(md5(concat(lit(i.toString), lit("#"), col("shingle")))).as(s"h$i"))
+      min(substring(col("d"), i + 1, 16)).as(s"h$i"))
     sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
