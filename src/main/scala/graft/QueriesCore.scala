@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.core.{Elem, IndexOps, IndexState, SemanticStream}
+import graft.core.{IndexOps, SemanticStream}
 import graft.operators.Windows
 
 /** Index-op / window / grouping queries (SURVEY.md §2.1-2.4) over the
@@ -18,14 +18,14 @@ object QueriesCore {
   private def indexedEvents(s: SparkSession, dir: String): DataFrame =
     IndexOps.renumberByUniqueKey(tbl(s, dir, "events"), col("event_id"))
 
-  /** Indexed events as a typed SemanticStream[Long] over event_id. */
+  /** Indexed events as a typed SemanticStream[Long] over event_id —
+    * unique-key bridge, so the rank AND any downstream ordered-wrap stay
+    * on the Catalyst-only bucket path (no RDD zipWithIndex hops). */
   private def eventStream(s: SparkSession, dir: String): SemanticStream[Long] = {
     import s.implicits._
-    val df = SemanticStream.indexedFrom(
+    SemanticStream.fromUniqueKey[Long](
       tbl(s, dir, "events").select(col("event_id")),
-      col("event_id"), Seq(col("event_id").asc))
-      .select(col("ord"), col("idx"), col("value"))
-    new SemanticStream(df.as[Elem[Long]], IndexState.Contiguous)
+      col("event_id"), col("event_id"))
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -102,10 +102,10 @@ object QueriesCore {
       def part(lo: Long, hi: Long): SemanticStream[Long] = {
         val src = tbl(s, dir, "orders")
           .filter(col("o_orderkey") >= lo && col("o_orderkey") < hi)
-        val df = SemanticStream.indexedFrom(src.select(col("o_orderkey")),
-          col("o_orderkey"), Seq(col("o_orderkey").asc))
-          .select(col("ord"), col("idx"), col("value"))
-        new SemanticStream(df.as[Elem[Long]], IndexState.Contiguous)
+        // unique-key bridge → known ordBound → concatenate linearizes
+        // (src, ord) into one key and ranks Catalyst-only
+        SemanticStream.fromUniqueKey[Long](src.select(col("o_orderkey")),
+          col("o_orderkey"), col("o_orderkey"))
       }
       part(0, 100).concatenate(part(100, 200)).toDF
         .select(col("idx"), col("value").as("o_orderkey"))

@@ -397,6 +397,21 @@ object SemanticStream {
   def indexedFrom(df: DataFrame, valueCol: Column, order: Seq[Column]): DataFrame =
     IndexOps.renumberBy(df.withColumn("value", valueCol), order)
 
+  /** Bridge from a table whose index order follows a UNIQUE numeric key
+    * (a primary key): the rank stays on the Catalyst-only bucket path (no
+    * RDD hop, lineage stays AQE-visible), and the stream carries
+    * `ordBound = n` so downstream `ordered` / `concatenate` linearize
+    * their composite orders into one unique key and stay Catalyst-only
+    * too. The count is a metadata-cheap columnar scan, paid once at
+    * stream construction. */
+  def fromUniqueKey[E](df: DataFrame, valueCol: Column, key: Column)
+                      (implicit enc: Encoder[Elem[E]]): SemanticStream[E] = {
+    val n = df.count()
+    val renum = IndexOps.renumberByUniqueKey(df.withColumn("value", valueCol), key)
+      .select(col("ord"), col("idx"), col("value"))
+    new SemanticStream(renum.as[Elem[E]], Contiguous, math.max(n, 0L))
+  }
+
   /** Half-open numeric range with step (useRange, semantic.h:1654-1706).
     * step=0 → empty; negative steps count down. */
   def range(spark: SparkSession, start: Long, end: Long, step: Long = 1L): SemanticStream[Long] = {
