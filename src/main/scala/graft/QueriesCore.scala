@@ -67,10 +67,12 @@ object QueriesCore {
         .agg(min(col("idx")).as("first_idx"), count(lit(1)).as("n"))
         .orderBy(col("event_type"))),
 
-    // sort: stable value sort + renumber (semantic.h:1483-1503)
+    // sort: stable value sort + renumber (semantic.h:1483-1503) — the
+    // numeric lead (value) keeps the rank on the Catalyst bucket path
     "q07_sort_renumber" -> ((s, dir) => {
-      val sorted = IndexOps.renumberBy(
-        tbl(s, dir, "events"), Seq(col("value").asc, col("event_id").asc))
+      val sorted = IndexOps.rankNumericPrefix(
+        tbl(s, dir, "events"), col("value"),
+        Seq(col("value").asc, col("event_id").asc), renumberIdx = true)
       sorted.select(col("idx"), col("event_id"), col("value")).orderBy(col("idx"))
     }),
 
@@ -90,7 +92,7 @@ object QueriesCore {
       val boundary = ev.filter(!(col("value") < 99.0))
         .agg(coalesce(min(col("idx")), lit(Long.MaxValue)).as("b"))
       val rest = ev.join(broadcast(boundary)).filter(col("idx") >= col("b"))
-      IndexOps.renumberBy(rest.drop("ord", "idx", "b"), Seq(col("event_id").asc))
+      IndexOps.renumberByUniqueKey(rest.drop("ord", "idx", "b"), col("event_id"))
         .select(col("idx").as("new_idx"), col("event_id"))
         .orderBy(col("new_idx"))
     }),

@@ -270,9 +270,11 @@ final class SemanticStream[E](
     val exploded = ds.flatMap { e =>
       f(e.value).iterator.zipWithIndex.map { case (r, p) => (e.ord, p.toLong, r) }
     }
-    val df = IndexOps.renumberBy(
+    // (__oord, __pos) is a total order with a numeric lead → bucket rank
+    val df = IndexOps.rankNumericPrefix(
       exploded.toDF("__oord", "__pos", "value"),
-      Seq(col("__oord"), col("__pos"))).drop("__oord", "__pos")
+      col("__oord"), Seq(col("__oord"), col("__pos")),
+      renumberIdx = true).drop("__oord", "__pos")
     new SemanticStream(df.as[Elem[R]], IndexState.Contiguous)
   }
 
@@ -281,7 +283,8 @@ final class SemanticStream[E](
   def explodeColumn[R](f: Column => Column)(implicit encR: Encoder[Elem[R]]): SemanticStream[R] = {
     val df = ds.toDF()
       .select(col("ord").as("__oord"), posexplode(f(col("value"))).as(Seq("__pos", "value")))
-    val out = IndexOps.renumberBy(df, Seq(col("__oord"), col("__pos")))
+    val out = IndexOps.rankNumericPrefix(df, col("__oord"),
+      Seq(col("__oord"), col("__pos")), renumberIdx = true)
       .drop("__oord", "__pos")
     new SemanticStream(out.as[Elem[R]], IndexState.Contiguous)
   }
@@ -290,11 +293,20 @@ final class SemanticStream[E](
     * 477-490), renumbered 0..n-1. Value column must be Catalyst-orderable. */
   def sorted: SemanticStream[E] = sortByColumn(identity)
 
-  /** Distributed stable value sort by column expression. */
+  /** Distributed stable value sort by column expression. Numeric sort
+    * keys take the Catalyst-only bucket-rank path; non-numeric keys fall
+    * back to the range-partition + zipWithIndex rank. */
   def sortByColumn(key: Column => Column, ascending: Boolean = true): SemanticStream[E] = {
     val r = resolved
-    val k = if (ascending) key(col("value")).asc else key(col("value")).desc
-    val df = IndexOps.renumberBy(r.ds.toDF(), Seq(k, col("idx").asc))
+    val lead = key(col("value"))
+    val k = if (ascending) lead.asc else lead.desc
+    val isNumeric = r.ds.toDF().select(lead).schema.head.dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    val df =
+      if (isNumeric)
+        IndexOps.rankNumericPrefix(r.ds.toDF(), lead, Seq(k, col("idx").asc),
+          renumberIdx = true, ascending = ascending)
+      else IndexOps.renumberBy(r.ds.toDF(), Seq(k, col("idx").asc))
     wrap(df, Contiguous)
   }
 
@@ -320,13 +332,16 @@ final class SemanticStream[E](
             .otherwise(((col("idx") % col("__n")) + col("__n")) % col("__n")))
         .drop("__n")
       // wrapped idx < n <= ordBound, so (idx, ord) linearizes into
-      // idx*bound + ord when bound² fits a long — Catalyst-only path
+      // idx*bound + ord when bound² fits a long — Catalyst-only path.
+      // For huge/unknown bounds the wrapped idx (∈ [0,n)) is still a
+      // numeric lead for the bucket rank — no RDD hop either way.
       val out =
         if (ordBound != Long.MaxValue && ordBound < 3000000000L)
           IndexOps.reorderKeepIdxUnique(wrapped,
             col("idx") * ordBound + col("ord"))
         else
-          IndexOps.reorderKeepIdx(wrapped, Seq(col("idx"), col("ord")))
+          IndexOps.rankNumericPrefix(wrapped, col("idx"),
+            Seq(col("idx"), col("ord")), renumberIdx = false)
       wrap(out, Raw)
   }
 

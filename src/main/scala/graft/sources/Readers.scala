@@ -42,6 +42,13 @@ object Readers {
     new SemanticStream[E](ranked.as[Elem[E]], IndexState.Contiguous)
   }
 
+  /** Bridge over a UNIQUE numeric key (a primary key): Catalyst-only
+    * bucket rank with a known ordBound — prefer over [[indexed]] whenever
+    * a key exists (see [[SemanticStream.fromUniqueKey]]). */
+  def indexedByUniqueKey[E](df: DataFrame, valueCol: Column, key: Column)
+                           (implicit enc: org.apache.spark.sql.Encoder[Elem[E]]): SemanticStream[E] =
+    SemanticStream.fromUniqueKey[E](df, valueCol, key)
+
   /** Sink: bucketed + sorted table write. Two tables bucketed the same
     * way join WITHOUT any exchange (co-located sort-merge) — the
     * pre-shuffle investment that pays for itself on every subsequent
