@@ -77,12 +77,19 @@ object QueriesCore {
     }),
 
     // takeWhile: prefix strictly before first failure (semantic.h:1532-1554)
+    // via the PROBED short-circuit — exponentially growing ord windows stop
+    // at the first window containing a failure, so an early boundary (as
+    // here) never scans the tail. Oracle-gated equivalence with the plain
+    // boundary-aggregate form.
     "q08_takewhile" -> ((s, dir) => {
-      val ev = indexedEvents(s, dir)
-      val boundary = ev.filter(!(col("value") < 99.0))
-        .agg(coalesce(min(col("idx")), lit(Long.MaxValue)).as("b"))
-      ev.join(broadcast(boundary)).filter(col("idx") < col("b"))
-        .select(col("idx"), col("event_id"), col("value"))
+      import s.implicits._
+      val st = SemanticStream.fromUniqueKey[(Long, Double)](
+        tbl(s, dir, "events").select(col("event_id"), col("value")),
+        struct(col("event_id").as("_1"), col("value").as("_2")),
+        col("event_id"))
+      st.takeWhileProbed(v => v.getField("_2") < 99.0).toDF
+        .select(col("idx"), col("value._1").as("event_id"),
+          col("value._2").as("value"))
         .orderBy(col("idx"))
     }),
 

@@ -31,17 +31,36 @@ final class Terminals[E](s: SemanticStream[E]) extends Serializable {
 
   // ---- finding (collector.h:838-1063) -----------------------------------
 
-  /** First element in arrival order (useFindFirst, collector.h:912-931). */
-  def findFirst(): Option[E] =
-    if (s.ds.isEmpty) None
-    else Some(df.agg(min_by(col("value"), col("ord")).as("v"))
-      .collect()(0).getAs[E]("v"))
+  /** First element in arrival order (useFindFirst, collector.h:912-931).
+    *
+    * Short-circuits like the reference's Interrupt collector: first probes
+    * the bounded ord-prefix `[0, probeWindow)` — if any element lands
+    * there, its min-ord row IS the global first (every smaller ord would
+    * also be inside the window), and the 100 TB tail is never touched.
+    * Only sparse/shifted ord spaces fall through to the one-pass full
+    * aggregate (same cost as the non-probed form). */
+  def findFirst(probeWindow: Long = 1L << 16): Option[E] = {
+    val probe = df.filter(col("ord") >= 0 && col("ord") < probeWindow)
+      .agg(min_by(col("value"), col("ord")).as("v"), org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .collect()(0)
+    if (probe.getAs[Long]("n") > 0L) Some(probe.getAs[E]("v"))
+    else {
+      val full = df.agg(min_by(col("value"), col("ord")).as("v"),
+        org.apache.spark.sql.functions.count(lit(1)).as("n")).collect()(0)
+      if (full.getAs[Long]("n") == 0L) None else Some(full.getAs[E]("v"))
+    }
+  }
 
-  /** Last element in arrival order (useFindLast, collector.h:933-951). */
-  def findLast(): Option[E] =
-    if (s.ds.isEmpty) None
-    else Some(df.agg(max_by(col("value"), col("ord")).as("v"))
-      .collect()(0).getAs[E]("v"))
+  /** Last element in arrival order (useFindLast, collector.h:933-951).
+    * A push-model collector must consume the whole stream to know its
+    * last element — one full scan with map-side partial max_by is the
+    * faithful (and optimal) distributed shape; the count rides in the
+    * same aggregate, so empties cost no second pass. */
+  def findLast(): Option[E] = {
+    val r = df.agg(max_by(col("value"), col("ord")).as("v"),
+      org.apache.spark.sql.functions.count(lit(1)).as("n")).collect()(0)
+    if (r.getAs[Long]("n") == 0L) None else Some(r.getAs[E]("v"))
+  }
 
   /** i ≥ 0: first element (arrival order) whose visible index equals i
     * (useFindAt, collector.h:859-881). i < 0: arrival position
@@ -66,16 +85,19 @@ final class Terminals[E](s: SemanticStream[E]) extends Serializable {
       .collect().headOption.map(_.getAs[E]("value"))
 
   /** Max/min element by a derived orderable key (useFindMaximum/Minimum
-    * with comparator, collector.h:953-1063) — one distributed agg. */
-  def maxBy(key: Column => Column): Option[E] =
-    if (s.ds.isEmpty) None
-    else Some(df.agg(max_by(col("value"), key(col("value"))).as("v"))
-      .collect()(0).getAs[E]("v"))
+    * with comparator, collector.h:953-1063) — ONE distributed agg; the
+    * emptiness count rides along instead of a separate isEmpty scan. */
+  def maxBy(key: Column => Column): Option[E] = {
+    val r = df.agg(max_by(col("value"), key(col("value"))).as("v"),
+      org.apache.spark.sql.functions.count(lit(1)).as("n")).collect()(0)
+    if (r.getAs[Long]("n") == 0L) None else Some(r.getAs[E]("v"))
+  }
 
-  def minBy(key: Column => Column): Option[E] =
-    if (s.ds.isEmpty) None
-    else Some(df.agg(min_by(col("value"), key(col("value"))).as("v"))
-      .collect()(0).getAs[E]("v"))
+  def minBy(key: Column => Column): Option[E] = {
+    val r = df.agg(min_by(col("value"), key(col("value"))).as("v"),
+      org.apache.spark.sql.functions.count(lit(1)).as("n")).collect()(0)
+    if (r.getAs[Long]("n") == 0L) None else Some(r.getAs[E]("v"))
+  }
 
   /** Side effect per element, returns the count (useForEach,
     * collector.h:450-464). Runs on executors. */

@@ -166,6 +166,22 @@ class CoreStreamSpec extends AnyFunSuite {
     assert(rng(10).terminals.noneMatch(v => v > 100))
   }
 
+  test("findFirst probes a bounded ord prefix and falls back on sparse ords") {
+    // dense ords: the probe window [0,4) contains ord 0 → the probe alone
+    // answers; the result must match the full-scan semantics
+    val dense = rng(100)
+    assert(dense.terminals.findFirst(probeWindow = 4).contains(0L))
+    // sparse ords: filter survivors keep their original arrival ords
+    // (50..99), so the [0,4) probe is empty and the fallback aggregate
+    // must still find the min-ord survivor
+    val sparse = rng(100).filter(_ >= 50)
+    assert(sparse.terminals.findFirst(probeWindow = 4).contains(50L))
+    // empty stream: both probe and fallback miss → None, no exception
+    assert(rng(100).filter(_ > 1000).terminals.findFirst(probeWindow = 4).isEmpty)
+    assert(rng(0).terminals.findFirst().isEmpty)
+    assert(rng(0).terminals.findLast().isEmpty)
+  }
+
   test("reduce with and without identity") {
     assert(rng(5).terminals.reduce(_ + _).contains(10L))
     assert(rng(5).terminals.reduce(100L, _ + _) == 110L)
