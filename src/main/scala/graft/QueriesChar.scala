@@ -12,19 +12,24 @@ object QueriesChar {
     s.read.parquet(s"$dir/$name.parquet")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // indexOf / lastIndexOf / replaceFirst / splitKeepEmpty / codePoints
-    "q39_charseq" -> ((s, dir) =>
+    // indexOf / lastIndexOf (plain + fromPosition) / replaceFirst /
+    // splitKeepEmpty / codePoints (native CodePointsExpr)
+    "q39_charseq" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       tbl(s, dir, "documents").select(
         col("doc_id"),
         CharSeq.indexOf(col("text"), "data").as("idx_data"),
         CharSeq.lastIndexOf(col("text"), "data").as("last_data"),
+        CharSeq.indexOf(col("text"), "data", 20).as("idx_data_20"),
+        CharSeq.lastIndexOf(col("text"), "data", 100).as("last_data_100"),
         substring(CharSeq.replaceFirst(col("text"), "data", "DATA"), 1, 60)
           .as("repl60"),
         size(CharSeq.splitKeepEmpty(col("text"), "a")).cast("long").as("n_fields"),
         CharSeq.codePointCount(col("text")).as("n_points"),
         aggregate(CharSeq.codePoints(col("text"), 10), lit(0L),
           (acc, x) => acc + x.cast("long")).as("sum_points10"))
-        .orderBy(col("doc_id"))),
+        .orderBy(col("doc_id"))
+    }),
 
     // embedding-cosine near-dup pairs inside hyperplane-LSH buckets
     "q40_embedding_neardup" -> ((s, dir) =>
@@ -41,6 +46,14 @@ object QueriesChar {
         |  CAST(CASE WHEN strpos(text, 'data') = 0 THEN -1
         |    ELSE length(text) - strpos(reverse(text), 'atad')
         |      - length('data') + 1 END AS BIGINT) AS last_data,
+        |  CAST(CASE WHEN length(text) <= 20 OR strpos(substr(text, 21), 'data') = 0
+        |    THEN -1 ELSE strpos(substr(text, 21), 'data') + 19 END AS BIGINT)
+        |    AS idx_data_20,
+        |  CAST(CASE WHEN length(text) <= 100
+        |      OR strpos(substr(text, 1, 104), 'data') = 0 THEN -1
+        |    ELSE length(substr(text, 1, 104))
+        |      - strpos(reverse(substr(text, 1, 104)), 'atad')
+        |      - length('data') + 1 END AS BIGINT) AS last_data_100,
         |  substr(CASE WHEN strpos(text, 'data') = 0 THEN text
         |    ELSE substr(text, 1, strpos(text, 'data') - 1) || 'DATA'
         |      || substr(text, strpos(text, 'data') + 4) END, 1, 60) AS repl60,

@@ -19,12 +19,33 @@ object CharSeq {
   def indexOf(c: Column, target: String): Column =
     (locate(target, c) - 1).cast("long")
 
+  /** First occurrence at or after code point `from` (the fromPosition
+    * overload, charsequence.h:900-938): -1 when absent or when
+    * `from >= length` — locate() with a start past the end already
+    * returns 0, so the reference's guard falls out for free. */
+  def indexOf(c: Column, target: String, from: Int): Column = {
+    require(target.nonEmpty, "empty target: reference returns 0 — no search needed")
+    (locate(target, c, math.max(from, 0) + 1) - 1).cast("long")
+  }
+
   /** Last occurrence, 0-based; -1 when absent (lastIndexOf). Implemented
     * via the reverse trick — still one codegen'd expression. */
   def lastIndexOf(c: Column, target: String): Column =
     when(locate(target, c) === 0, lit(-1L))
       .otherwise((char_length(c) - locate(target.reverse, reverse(c))
         - lit(target.length) + 1).cast("long"))
+
+  /** Last occurrence STARTING at or before code point `from`
+    * (lastIndexOf(target, fromPosition), charsequence.h:940-988). The
+    * reference returns -1 outright when `from >= length` (no clamping),
+    * otherwise clamps the backward-search start to len-|target| —
+    * equivalently, the last match inside the prefix of from+|target|
+    * code points. */
+  def lastIndexOf(c: Column, target: String, from: Int): Column = {
+    require(target.nonEmpty, "empty target: reference returns length — no search needed")
+    when(lit(from.toLong) >= char_length(c).cast("long"), lit(-1L))
+      .otherwise(lastIndexOf(substring(c, 1, from + target.length), target))
+  }
 
   /** Replace only the first occurrence (replace(maxCount=1),
     * charsequence.h:989-1076): locate + splice, no regex. */
@@ -46,11 +67,19 @@ object CharSeq {
   def codePointCount(c: Column): Column = char_length(c).cast("long")
 
   /** Code points of the first n characters as an array<int>
-    * (useSequence-style access, semantic.h:2260-2345). */
+    * (useSequence-style access, semantic.h:2260-2345), built on the
+    * native [[CodePointsExpr]] — real Unicode code points (ascii() would
+    * return the first UTF-8 BYTE, wrong for any non-ASCII text) and
+    * codegen'd instead of an interpreted transform() lambda. Requires
+    * [[GraftFunctions.register]] (or the GraftExtensions SQL extension)
+    * on the session. */
   def codePoints(c: Column, n: Int): Column =
-    transform(
-      sequence(lit(1), least(char_length(c), lit(n))),
-      i => ascii(substring(c, i, lit(1))))
+    slice(call_function("graft_code_points", c), 1, n)
+
+  /** All code points as array<int> (getPoints, charsequence.h:1264-1281).
+    * Same registration requirement as [[codePoints]]. */
+  def codePointsAll(c: Column): Column =
+    call_function("graft_code_points", c)
 
   /** Replace the first k occurrences (replace(maxCount), charsequence.h:
     * 989-1076): k splice steps, k a small constant. */

@@ -20,6 +20,40 @@ class ExpressionSpec extends AnyFunSuite {
     assert(got.toSeq == want)
   }
 
+  test("CharSeq.codePoints rides CodePointsExpr: real code points, not UTF-8 bytes") {
+    GraftFunctions.register(spark)
+    // ascii()-based extraction would return the first UTF-8 byte of é
+    // (signed -61), not U+00E9 = 233
+    val got = Seq("héllo").toDF("s")
+      .select(graft.functions.CharSeq.codePoints(col("s"), 3).as("cps"))
+      .collect()(0).getSeq[Int](0)
+    assert(got == Seq('h'.toInt, 0xE9, 'l'.toInt))
+  }
+
+  test("positional indexOf/lastIndexOf follow charsequence.h:900-988") {
+    val df = Seq("xx data yy data zz").toDF("s") // "data" at 3 and 11
+    def one(c: org.apache.spark.sql.Column): Long =
+      df.select(c.as("v")).collect()(0).getLong(0)
+    import graft.functions.CharSeq._
+    assert(one(indexOf(col("s"), "data", 0)) == 3L)
+    assert(one(indexOf(col("s"), "data", 3)) == 3L)
+    assert(one(indexOf(col("s"), "data", 4)) == 11L)
+    assert(one(indexOf(col("s"), "data", 12)) == -1L)
+    assert(one(indexOf(col("s"), "data", 99)) == -1L)  // from >= len → -1
+    assert(one(lastIndexOf(col("s"), "data", 99)) == -1L) // reference: no clamp
+    assert(one(lastIndexOf(col("s"), "data", 17)) == 11L)
+    assert(one(lastIndexOf(col("s"), "data", 11)) == 11L)
+    assert(one(lastIndexOf(col("s"), "data", 10)) == 3L)
+    assert(one(lastIndexOf(col("s"), "data", 2)) == -1L)
+  }
+
+  test("asciiTrim strips the full reference set incl. vertical tab U+000B") {
+    val got = Seq("\t hi \f\r\n").toDF("s")
+      .select(graft.functions.CharSeq.asciiTrim(col("s")).as("t"))
+      .collect()(0).getString(0)
+    assert(got == "hi")
+  }
+
   test("utf32 encode/decode round-trips; byte layout is per-endianness") {
     GraftFunctions.register(spark)
     val corpus = Seq("A", "héllo", "日本語", "🎉")
