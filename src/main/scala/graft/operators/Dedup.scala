@@ -122,9 +122,25 @@ object Dedup {
 
   /** Candidate pairs (a < b) sharing at least one LSH band bucket. The
     * self-join happens per (band, key) bucket — skew-safe as long as
-    * bucket sizes stay small (r large enough). */
-  def lshCandidates(bandDf: DataFrame): DataFrame = {
-    val l = bandDf.as("l"); val r = bandDf.as("r")
+    * bucket sizes stay small (r large enough).
+    *
+    * `maxBucketSize` guards the adversarial case: a crawl with 10M copies
+    * of one page puts 10M ids in one band bucket, and the within-bucket
+    * self-join goes quadratic. With a cap, only the `cap` smallest ids of
+    * an oversized bucket generate pairs (deterministic; the capping
+    * row_number sorts the bucket — linearithmic, never quadratic). Mass
+    * duplicates still dedup: the surviving ids pair with each other, and
+    * byte-identical copies belong to [[exact]] anyway. */
+  def lshCandidates(bandDf: DataFrame, maxBucketSize: Option[Int] = None): DataFrame = {
+    val capped = maxBucketSize match {
+      case Some(cap) =>
+        require(cap >= 2, s"maxBucketSize=$cap: need at least 2 ids to form a pair")
+        val w = Window.partitionBy(col("band"), col("key")).orderBy(col("id"))
+        bandDf.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= cap).drop("__rn")
+      case None => bandDf
+    }
+    val l = capped.as("l"); val r = capped.as("r")
     l.join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
         col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b")).distinct()
@@ -151,9 +167,10 @@ object Dedup {
     * Jaccard verify, which touches CANDIDATE docs only (semi-joined). */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       shingleWidth: Int = 3, numHashes: Int = 12,
-                      bands: Int = 4, threshold: Double = 0.7): DataFrame = {
+                      bands: Int = 4, threshold: Double = 0.7,
+                      maxBucketSize: Option[Int] = None): DataFrame = {
     val sig = minhashSignature(df, idCol, textCol, shingleWidth, numHashes)
-    val cand = lshCandidates(lshBands(sig, bands, numHashes / bands))
+    val cand = lshCandidates(lshBands(sig, bands, numHashes / bands), maxBucketSize)
     val candIds = cand.select(col("a").as("id"))
       .union(cand.select(col("b").as("id"))).distinct()
     val candDocs = df.join(candIds.withColumnRenamed("id", idCol),

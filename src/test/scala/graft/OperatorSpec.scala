@@ -240,6 +240,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.keySet == viaExact)
   }
 
+  test("lshCandidates caps a pathological mega-bucket without losing dedup") {
+    import graft.operators.Dedup
+    // one band bucket with 200 ids (a mass-duplicated page) + a normal
+    // 2-id bucket that must be unaffected by the cap
+    val mega = (0 until 200).map(i => (0, "same-key", i.toLong))
+    val normal = Seq((1, "other-key", 500L), (1, "other-key", 501L))
+    val bands = (mega ++ normal).toDF("band", "key", "id")
+    val capped = Dedup.lshCandidates(bands, maxBucketSize = Some(10)).collect()
+    val megaPairs = capped.filter(_.getAs[Long]("a") < 500)
+    // quadratic blowup bounded: C(10,2) = 45 pairs, not C(200,2) = 19900
+    assert(megaPairs.length == 45)
+    assert(megaPairs.forall(r => r.getAs[Long]("a") < 10 && r.getAs[Long]("b") < 10))
+    // the small bucket still pairs
+    assert(capped.exists(r => r.getAs[Long]("a") == 500L && r.getAs[Long]("b") == 501L))
+    // uncapped behavior unchanged
+    assert(Dedup.lshCandidates(bands).count() == 19900L + 1L)
+  }
+
   test("annTopKBucketed agrees with brute force within shared buckets") {
     val vecs = (0 until 40).map { i =>
       (i.toLong, Array.tabulate(8)(j => math.sin(i * 0.7 + j).toFloat))
