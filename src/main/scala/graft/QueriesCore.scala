@@ -112,9 +112,10 @@ object QueriesCore {
         val src = tbl(s, dir, "orders")
           .filter(col("o_orderkey") >= lo && col("o_orderkey") < hi)
         // unique-key bridge → known ordBound → concatenate linearizes
-        // (src, ord) into one key and ranks Catalyst-only
+        // (src, ord) into one key and ranks Catalyst-only; the key filter
+        // bounds the row count, so no count job is needed
         SemanticStream.fromUniqueKey[Long](src.select(col("o_orderkey")),
-          col("o_orderkey"), col("o_orderkey"))
+          col("o_orderkey"), col("o_orderkey"), boundHint = Some(hi - lo))
       }
       part(0, 100).concatenate(part(100, 200)).toDF
         .select(col("idx"), col("value").as("o_orderkey"))

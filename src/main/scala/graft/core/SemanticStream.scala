@@ -419,9 +419,13 @@ object SemanticStream {
     * their composite orders into one unique key and stay Catalyst-only
     * too. The count is a metadata-cheap columnar scan, paid once at
     * stream construction. */
-  def fromUniqueKey[E](df: DataFrame, valueCol: Column, key: Column)
+  def fromUniqueKey[E](df: DataFrame, valueCol: Column, key: Column,
+                       boundHint: Option[Long] = None)
                       (implicit enc: Encoder[Elem[E]]): SemanticStream[E] = {
-    val n = df.count()
+    // ordBound only needs to be an UPPER bound on n — a caller who knows
+    // one (e.g. a filter key ∈ [lo,hi) admits at most hi-lo rows) can
+    // skip the count job entirely
+    val n = boundHint.getOrElse(df.count())
     val renum = IndexOps.renumberByUniqueKey(df.withColumn("value", valueCol), key)
       .select(col("ord"), col("idx"), col("value"))
     new SemanticStream(renum.as[Elem[E]], Contiguous, math.max(n, 0L))

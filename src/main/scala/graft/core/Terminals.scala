@@ -112,6 +112,52 @@ final class Terminals[E](s: SemanticStream[E]) extends Serializable {
                        (implicit encE: Encoder[E]): R =
     s.ds.map(_.value).select(agg.toColumn).collect()(0)
 
+  /** [[collectWith]] with the reference's Interrupt short-circuit
+    * (Collectable.collect, collector.h:34, 186-204): stop consuming at
+    * the first element whose accumulated state satisfies `interrupted`.
+    *
+    * Distributed rendering: aggregate exponentially growing ord-prefixes;
+    * when a window's result trips the interrupt, binary-search the ord
+    * space for the MINIMAL interrupting prefix — the exact element the
+    * reference would have stopped at, in O(log) small jobs, never
+    * scanning past the first interrupting window. Requires `interrupted`
+    * to be monotone along prefix growth (once true, stays true — e.g.
+    * count/threshold conditions; the reference never re-evaluates after
+    * stopping, so this matches its observable uses). */
+  def collectWithInterrupt[B, R](
+      agg: org.apache.spark.sql.expressions.Aggregator[E, B, R],
+      interrupted: R => Boolean,
+      initialWindow: Long = 1L << 16)(implicit encE: Encoder[E]): R = {
+    require(initialWindow > 0)
+    implicit val longEnc: Encoder[Long] = org.apache.spark.sql.Encoders.scalaLong
+    def prefix(bound: Long): (R, Long) = {
+      val p = s.ds.filter((e: Elem[E]) => e.ord < bound)
+      val r = p.map(_.value).select(agg.toColumn).collect()(0)
+      (r, p.count())
+    }
+    val total = s.ds.count()
+    var w = initialWindow
+    var loBound = 0L // largest probed bound known NOT interrupted
+    while (true) {
+      val (r, n) = prefix(w)
+      if (interrupted(r)) {
+        // minimal interrupting ord threshold in (loBound, w]
+        var lo = loBound; var hi = w
+        var best = r
+        while (lo + 1 < hi) {
+          val mid = lo + (hi - lo) / 2
+          val (rm, _) = prefix(mid)
+          if (interrupted(rm)) { hi = mid; best = rm } else lo = mid
+        }
+        return best
+      }
+      if (n >= total) return r // exhausted without interrupting
+      loBound = w
+      w = if (w > Long.MaxValue / 4) Long.MaxValue else w * 4
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
   /** Join elements and print to stdout, returning the string (useOut,
     * collector.h:1351-1576). */
   def out(delimiter: String = ",", prefix: String = "[", suffix: String = "]"): String = {

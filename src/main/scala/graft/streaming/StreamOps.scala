@@ -28,6 +28,21 @@ object StreamOps {
       .load()
       .select(col("timestamp"), col("value").as("idx"), f(col("value")).as("value"))
 
+  /** `useRandom()`-style unbounded generator (semantic.h:1873-1935, the
+    * no-count overloads): uniform doubles in [min, max) at a fixed rate.
+    * The uniform variate is a HASH of the rate source's monotone counter
+    * (not rand()): deterministic under micro-batch replay, so
+    * exactly-once sinks see the same values on retry — the streaming
+    * analog of the batch factory's explicit seed. */
+  def randomStream(spark: SparkSession, rowsPerSecond: Long,
+                   min: Double, max: Double, seed: Long): DataFrame =
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond.toString)
+      .load()
+      .select(col("timestamp"), col("value").as("idx"),
+        (lit(min) + pmod(xxhash64(col("value"), lit(seed)), lit(1L << 52))
+          .cast("double") / lit((1L << 52).toDouble) * (max - min)).as("value"))
+
   /** Tumbling event-time window aggregation with watermarking —
     * the streaming face of Windows.tumbleId. */
   def tumbleAgg(events: DataFrame, tsCol: String, valueCol: String,

@@ -182,6 +182,30 @@ class CoreStreamSpec extends AnyFunSuite {
     assert(rng(0).terminals.findLast().isEmpty)
   }
 
+  test("collectWithInterrupt stops at the reference's exact minimal prefix") {
+    import org.apache.spark.sql.{Encoder, Encoders}
+    class SumAgg extends org.apache.spark.sql.expressions.Aggregator[Long, Long, Long] {
+      def zero: Long = 0L
+      def reduce(b: Long, a: Long): Long = b + a
+      def merge(a: Long, b: Long): Long = a + b
+      def finish(r: Long): Long = r
+      def bufferEncoder: Encoder[Long] = Encoders.scalaLong
+      def outputEncoder: Encoder[Long] = Encoders.scalaLong
+    }
+    // reference semantics: accept 0,1,2,… and stop at the first element
+    // that pushes the running sum to >= 100 — that is 14 (sum 105)
+    val got = rng(1000).terminals.collectWithInterrupt(
+      new SumAgg, (r: Long) => r >= 100L, initialWindow = 4)
+    assert(got == 105L)
+    // never interrupts → full aggregate
+    val full = rng(1000).terminals.collectWithInterrupt(
+      new SumAgg, (r: Long) => r >= Long.MaxValue, initialWindow = 4)
+    assert(full == 499500L)
+    // empty stream → the collector's zero, no exception
+    assert(rng(0).terminals.collectWithInterrupt(
+      new SumAgg, (r: Long) => r >= 100L) == 0L)
+  }
+
   test("reduce with and without identity") {
     assert(rng(5).terminals.reduce(_ + _).contains(10L))
     assert(rng(5).terminals.reduce(100L, _ + _) == 110L)
