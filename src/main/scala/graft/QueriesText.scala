@@ -98,6 +98,15 @@ object QueriesText {
         .orderBy(col("lang"))
     }),
 
+    // repetition-ratio quality signal: duplicated-trigram fraction per doc
+    // (map-side only — one projection, no shuffle before the sort)
+    "q50_repetition" -> ((s, dir) =>
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        size(Dedup.shingleArray(col("text"), 3)).cast("long").as("n_grams"),
+        round(TA.repetitionRatio(col("text"), 3) + lit(1e-9), 4).as("rep_ratio"))
+        .orderBy(col("doc_id"))),
+
     // multimodal plumbing: binary payload → stub-decoded metadata
     "q34_multimodal_meta" -> ((s, dir) =>
       Multimodal.extractMeta(
@@ -278,6 +287,25 @@ object QueriesText {
          |  round(avg(n_tokens), 4) AS avg_tokens
          |FROM kept GROUP BY lang ORDER BY lang""".stripMargin
     },
+
+    "q50_repetition" ->
+      s"""WITH $wordsCte,
+         |shingled AS (
+         |  SELECT doc_id, tok || ' ' ||
+         |    lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) || ' ' ||
+         |    lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS shingle
+         |  FROM words),
+         |sh AS (SELECT doc_id, shingle FROM shingled WHERE shingle IS NOT NULL),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_grams,
+         |    count(DISTINCT shingle) AS n_distinct
+         |  FROM sh GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.n_grams, 0) AS n_grams,
+         |  round(CASE WHEN coalesce(a.n_grams, 0) > 0
+         |    THEN 1.0 - a.n_distinct * 1.0 / a.n_grams ELSE 0.0 END + 1e-9, 4)
+         |    AS rep_ratio
+         |FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q34_multimodal_meta" ->
       """SELECT doc_id AS id,

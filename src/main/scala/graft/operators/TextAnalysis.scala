@@ -92,6 +92,20 @@ object TextAnalysis {
       .drop("__n")
   }
 
+  /** Within-document repetition ratio in [0,1): the fraction of
+    * duplicated word n-grams, `1 - distinct/total` — the standard
+    * repetition filter for LLM corpora (boilerplate, keyword stuffing,
+    * degenerate generation loops). Rides [[Dedup.shingleArray]], so the
+    * whole thing is ONE codegen'd projection per row: no explode, no
+    * shuffle, linear in text size. Documents shorter than one n-gram
+    * score 0. */
+  def repetitionRatio(c: Column, n: Int = 3): Column = {
+    val sh = Dedup.shingleArray(c, n)
+    when(size(sh) <= 0, lit(0.0))
+      .otherwise(lit(1.0) -
+        size(array_distinct(sh)).cast("double") / size(sh).cast("double"))
+  }
+
   /** Document fingerprint: content hash plus a prefix-shingle hash (a
     * cheap stand-in for rolling-hash sketches; md5 matches every engine). */
   def fingerprint(c: Column): Column = md5(c)
