@@ -56,6 +56,37 @@ class IndexOpsSpec extends AnyFunSuite {
     assert(w.terminals.toVector == Vector(1L, 2, 3, 4, 0))
   }
 
+  test("rankNumericPrefix == local stable sort, incl. heavy lead ties") {
+    // lead has only 5 distinct values (worst-case bucket degeneracy) and
+    // a unique tiebreak; must match a local sort exactly and repeatedly
+    val rows = (0 until 3000).map(i => ((i * 13) % 5, (i * 7919) % 3000, i))
+    val df = rows.toDF("lead", "tie", "value")
+    def run() = IndexOps.rankNumericPrefix(df, col("lead"),
+      Seq(col("lead").asc, col("tie").asc), renumberIdx = true)
+      .orderBy(col("idx")).collect().map(_.getAs[Int]("value")).toSeq
+    val expected = rows.sortBy(r => (r._1, r._2)).map(_._3)
+    val first = run()
+    assert(first == expected)
+    assert(run() == first)
+  }
+
+  test("rankNumericPrefix: descending lead, doubles, degenerate all-equal") {
+    val df = (0 until 500).map(i => (math.sin(i) * 100.0, i)).toDF("lead", "value")
+    val desc = IndexOps.rankNumericPrefix(df, col("lead"),
+      Seq(col("lead").desc, col("value").asc), renumberIdx = true,
+      ascending = false)
+      .orderBy(col("idx")).collect().map(_.getAs[Int]("value")).toSeq
+    val expected = (0 until 500).map(i => (math.sin(i) * 100.0, i))
+      .sortBy { case (l, v) => (-l, v) }.map(_._2)
+    assert(desc == expected)
+    // all-equal lead: single bucket, still correct (width 0 guard)
+    val flat = (0 until 100).map(i => (7.0, i)).toDF("lead", "value")
+    val r = IndexOps.rankNumericPrefix(flat, col("lead"),
+      Seq(col("lead").asc, col("value").asc), renumberIdx = true)
+      .orderBy(col("idx")).collect().map(_.getAs[Int]("value")).toSeq
+    assert(r == (0 until 100))
+  }
+
   test("renumberBy composite keys: stable across repeated runs") {
     val df = (0 until 2000).map(i => ((i * 37) % 100, i % 7, i))
       .toDF("a", "b", "value")
