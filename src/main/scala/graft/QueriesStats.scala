@@ -59,8 +59,11 @@ object QueriesStats {
       tbl(s, dir, "lineitem")
         .groupBy(col("l_returnflag"))
         .agg(
-          round(StatFunctions.skewness_ref(col("l_quantity")), 4).as("skew_qty"),
-          round(StatFunctions.kurtosis_ref(col("l_quantity")), 4).as("kurt_qty"))
+          // + 0.0 kills IEEE -0.0 after rounding (a skew of exactly zero
+          // can carry either sign bit depending on summation order; the
+          // driver hash-compares raw values)
+          (round(StatFunctions.skewness_ref(col("l_quantity")), 4) + lit(0.0)).as("skew_qty"),
+          (round(StatFunctions.kurtosis_ref(col("l_quantity")), 4) + lit(0.0)).as("kurt_qty"))
         .orderBy(col("l_returnflag"))),
 
     // find first/last/at/negative-at (collector.h:838-1063)
@@ -187,12 +190,12 @@ object QueriesStats {
       |SELECT k AS l_returnflag,
       |  round(CASE WHEN n < 3 OR varp = 0 THEN 0 ELSE
       |    (n / ((n - 1.0) * (n - 2.0))) * (s3 / pow(sqrt(varp), 3)) END, 4)
-      |    AS skew_qty,
+      |    + 0.0 AS skew_qty,
       |  round(CASE WHEN n < 4 OR varp = 0 THEN 0 ELSE
       |    (n * (n + 1.0) * (n - 1.0) * s4) /
       |      ((n - 2.0) * (n - 3.0) * varp * varp * n * n)
       |    - 3.0 * (n - 1.0) * (n - 1.0) / ((n - 2.0) * (n - 3.0)) END, 4)
-      |    AS kurt_qty
+      |    + 0.0 AS kurt_qty
       |FROM c ORDER BY l_returnflag""".stripMargin
 
   val oracles: Map[String, String] = Map(

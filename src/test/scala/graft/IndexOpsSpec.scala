@@ -87,6 +87,20 @@ class IndexOpsSpec extends AnyFunSuite {
     assert(r == (0 until 100))
   }
 
+  test("numeric-lead rank paths never introduce an RDD scan") {
+    val df = (0 until 200).map(i => (math.cos(i) * 10.0, i)).toDF("lead", "value")
+    val plan = IndexOps.rankNumericPrefix(df, col("lead"),
+      Seq(col("lead").asc, col("value").asc), renumberIdx = true)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ExistingRDD"))
+    // the unique-key stream bridge likewise (the q05 regression class)
+    import graft.core.SemanticStream
+    val ev = (0 until 100).map(i => Tuple1(i.toLong)).toDF("k")
+    val st = SemanticStream.fromUniqueKey[Long](ev, col("k"), col("k"))
+    val wrapped = st.translate(-3).ordered
+    assert(!wrapped.toDF.queryExecution.executedPlan.toString.contains("ExistingRDD"))
+  }
+
   test("renumberBy composite keys: stable across repeated runs") {
     val df = (0 until 2000).map(i => ((i * 37) % 100, i % 7, i))
       .toDF("a", "b", "value")
