@@ -111,13 +111,19 @@ object Dedup {
 
   /** LSH banding: split the signature into `bands` bands of `rowsPerBand`
     * hashes; band key = joined hashes. Docs sharing any band key are
-    * candidates. Returns (band, key, id). */
+    * candidates. Returns (band, key, id).
+    *
+    * ONE posexplode pass — a union of per-band projections would plant
+    * `bands` copies of the (expensive) signature aggregation in the plan;
+    * ReuseExchange dedups the shuffle but each copy still re-runs the
+    * final aggregate. */
   def lshBands(sig: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
-    val bandRows = (0 until bands).map { b =>
+    val keys = (0 until bands).map { b =>
       val ks = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-      sig.select(lit(b).as("band"), concat_ws("|", ks: _*).as("key"), col("id"))
+      concat_ws("|", ks: _*)
     }
-    bandRows.reduce(_ unionByName _)
+    sig.select(col("id"), posexplode(array(keys: _*)).as(Seq("band", "key")))
+      .select(col("band"), col("key"), col("id"))
   }
 
   /** Candidate pairs (a < b) sharing at least one LSH band bucket. The
@@ -203,10 +209,12 @@ object Dedup {
     * avoid the full cross join. */
   def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
                         planes: Int, threshold: Double): DataFrame = {
-    val buckets = Similarity.hyperplaneBuckets(emb, idCol, vecCol, planes)
-    val v = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+    val dims = Similarity.vecDims(emb, vecCol)
+    // bucket computed inline on the single scan — a hyperplaneBuckets
+    // frame joined back by id would read and shuffle the corpus twice
+    val withB = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
       .withColumn("norm", Similarity.norm(col("vec")))
-    val withB = v.join(buckets, "id")
+      .withColumn("bucket", Similarity.bucketExpr(col("vec"), planes, dims))
     val l = withB.as("l"); val r = withB.as("r")
     l.join(r, col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b"),

@@ -44,20 +44,26 @@ object Similarity {
   private[operators] def vecDims(df: DataFrame, vecCol: String): Int =
     df.select(size(col(vecCol))).first().getInt(0)
 
-  /** Random-hyperplane LSH bucket per vector: bit p of the bucket id is
-    * the sign of Σ_j v_j·s(p,j). The sign matrix is inlined as array
-    * literals, so bucket assignment is ONE narrow projection — no explode,
-    * no join, no shuffle; it pipelines into whatever scan feeds it. That
-    * is the shape that survives a 100 TB corpus. */
-  def hyperplaneBuckets(emb: DataFrame, idCol: String, vecCol: String,
-                        planes: Int): DataFrame = {
-    val dims = vecDims(emb, vecCol)
-    val vec = col(vecCol).cast("array<double>")
-    val bucket = (0 until planes).map { p =>
+  /** The random-hyperplane bucket id as a PURE COLUMN EXPRESSION over an
+    * array<double> vector column: bit p is the sign of Σ_j v_j·s(p,j),
+    * sign matrix inlined as literals. Being an expression (not a
+    * DataFrame), consumers attach it to their own scan — no join back by
+    * id, no second read of the corpus. */
+  def bucketExpr(vec: Column, planes: Int, dims: Int): Column =
+    (0 until planes).map { p =>
       val signs = array((0 until dims).map(j => lit(planeSign(p, j))): _*)
       when(dot(vec, signs) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
-    emb.select(col(idCol).as("id"), bucket.as("bucket"))
+
+  /** Random-hyperplane LSH bucket per vector — [[bucketExpr]] over one
+    * narrow projection: no explode, no join, no shuffle; it pipelines
+    * into whatever scan feeds it. That is the shape that survives a
+    * 100 TB corpus. */
+  def hyperplaneBuckets(emb: DataFrame, idCol: String, vecCol: String,
+                        planes: Int): DataFrame = {
+    val dims = vecDims(emb, vecCol)
+    emb.select(col(idCol).as("id"),
+      bucketExpr(col(vecCol).cast("array<double>"), planes, dims).as("bucket"))
   }
 
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
@@ -86,16 +92,22 @@ object Similarity {
     * (md5-derived ±1 direction vectors — same family as the hyperplanes);
     * each vector goes to its argmax-projection cell. Like the buckets,
     * this is ONE narrow projection over the corpus. */
-  def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,
-                nlist: Int): DataFrame = {
-    val dims = vecDims(emb, vecCol)
-    val vec = col(vecCol).cast("array<double>")
+  /** The IVF cell id as a pure column expression (argmax projection onto
+    * `nlist` md5-derived pseudo-centroids) — same rationale as
+    * [[bucketExpr]]. */
+  def cellExpr(vec: Column, nlist: Int, dims: Int): Column = {
     val projs = array((0 until nlist).map { c =>
       val signs = array((0 until dims).map(j => lit(planeSign(c + 7919, j))): _*)
       dot(vec, signs)
     }: _*)
+    (array_position(projs, array_max(projs)) - 1).cast("long")
+  }
+
+  def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,
+                nlist: Int): DataFrame = {
+    val dims = vecDims(emb, vecCol)
     emb.select(col(idCol).as("id"),
-      (array_position(projs, array_max(projs)) - 1).cast("long").as("cell"))
+      cellExpr(col(vecCol).cast("array<double>"), nlist, dims).as("cell"))
   }
 
   /** IVF ANN top-k with nprobe=1: exact cosine within the query's cell.
@@ -103,13 +115,16 @@ object Similarity {
     * trades recall for fewer, larger candidate lists. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int, nlist: Int): DataFrame = {
-    val cells = ivfAssign(corpus, idCol, vecCol, nlist)
+    val dims = vecDims(corpus, vecCol)
+    // cell id is a pure function of the vector — computed inline on each
+    // side's scan; joining an ivfAssign frame back by id would re-read
+    // the corpus and shuffle it once more for nothing
     val c = corpus.select(col(idCol).as("nid"), col(vecCol).cast("array<double>").as("nvec"))
       .withColumn("nnorm", norm(col("nvec")))
-      .join(cells.withColumnRenamed("id", "nid"), "nid")
+      .withColumn("cell", cellExpr(col("nvec"), nlist, dims))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qvec"))
       .withColumn("qnorm", norm(col("qvec")))
-      .join(cells.withColumnRenamed("id", "qid"), "qid")
+      .withColumn("cell", cellExpr(col("qvec"), nlist, dims))
     val scored = c.join(q, "cell")
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
@@ -125,13 +140,14 @@ object Similarity {
     * bucket — the 1000-executor path when the corpus no longer broadcasts. */
   def annTopKBucketed(corpus: DataFrame, queries: DataFrame, idCol: String,
                       vecCol: String, k: Int, planes: Int): DataFrame = {
-    val buckets = hyperplaneBuckets(corpus, idCol, vecCol, planes)
+    val dims = vecDims(corpus, vecCol)
+    // bucket inline on each side's scan (see ivfTopK's rationale)
     val c = corpus.select(col(idCol).as("nid"), col(vecCol).cast("array<double>").as("nvec"))
       .withColumn("nnorm", norm(col("nvec")))
-      .join(buckets.withColumnRenamed("id", "nid"), "nid")
+      .withColumn("bucket", bucketExpr(col("nvec"), planes, dims))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qvec"))
       .withColumn("qnorm", norm(col("qvec")))
-      .join(buckets.withColumnRenamed("id", "qid"), "qid")
+      .withColumn("bucket", bucketExpr(col("qvec"), planes, dims))
     val scored = c.join(q, "bucket")
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
