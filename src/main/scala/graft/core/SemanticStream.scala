@@ -294,19 +294,32 @@ final class SemanticStream[E](
   def sorted: SemanticStream[E] = sortByColumn(identity)
 
   /** Distributed stable value sort by column expression. Numeric sort
-    * keys take the Catalyst-only bucket-rank path; non-numeric keys fall
-    * back to the range-partition + zipWithIndex rank. */
+    * keys bucket on the key itself; STRING keys bucket on an
+    * order-preserving numeric projection of their first 7 UTF-8 bytes
+    * (Spark's string order IS UTF8 binary order, so the projection is
+    * monotone; prefix ties just share a bucket and resolve inside it) —
+    * both stay on the Catalyst-only bucket-rank path. Only other types
+    * (structs, arrays) fall back to the zipWithIndex rank. */
   def sortByColumn(key: Column => Column, ascending: Boolean = true): SemanticStream[E] = {
     val r = resolved
     val lead = key(col("value"))
     val k = if (ascending) lead.asc else lead.desc
-    val isNumeric = r.ds.toDF().select(lead).schema.head.dataType
-      .isInstanceOf[org.apache.spark.sql.types.NumericType]
-    val df =
-      if (isNumeric)
-        IndexOps.rankNumericPrefix(r.ds.toDF(), lead, Seq(k, col("idx").asc),
+    val leadNum: Option[Column] =
+      r.ds.toDF().select(lead).schema.head.dataType match {
+        case _: org.apache.spark.sql.types.NumericType => Some(lead)
+        case org.apache.spark.sql.types.StringType =>
+          // first 7 bytes as a base-16 number: equal-length hex compares
+          // like the bytes, conv() makes it numeric, 56 bits fit a long
+          Some(conv(rpad(hex(substring(encode(lead, "UTF-8"), 1, 7)), 14, "0"),
+            16, 10).cast("long"))
+        case _ => None
+      }
+    val df = leadNum match {
+      case Some(ln) =>
+        IndexOps.rankNumericPrefix(r.ds.toDF(), ln, Seq(k, col("idx").asc),
           renumberIdx = true, ascending = ascending)
-      else IndexOps.renumberBy(r.ds.toDF(), Seq(k, col("idx").asc))
+      case None => IndexOps.renumberBy(r.ds.toDF(), Seq(k, col("idx").asc))
+    }
     wrap(df, Contiguous)
   }
 

@@ -147,6 +147,26 @@ class CoreStreamSpec extends AnyFunSuite {
     assert(idx == Seq(0L, 1, 2, 3))
   }
 
+  test("string sort takes the bucket path (no RDD) and stays stable") {
+    val words = Seq("pear", "Apple", "apple", "banana", "", "apples",
+      "zebra", "éclair", "banana", "ban")
+    val s = SemanticStream.from(spark, words)
+    val sorted = s.sortByColumn(identity)
+    assert(!sorted.toDF.queryExecution.executedPlan.toString.contains("ExistingRDD"))
+    val got = sorted.ds.collect().sortBy(_.idx).map(_.value).toVector
+    // Spark string order is UTF8 binary; for this corpus Java's order
+    // agrees (é > ASCII on both). Stability: equal keys keep arrival order
+    val expected = words.zipWithIndex
+      .sortBy { case (w, i) => (w, i) }.map(_._1).toVector
+    assert(got == expected)
+    val desc = s.sortByColumn(identity, ascending = false)
+      .ds.collect().sortBy(_.idx).map(_.value).toVector
+    val expDesc = words.zipWithIndex
+      .sortBy { case (w, i) => (w, i) }(Ordering.Tuple2(Ordering.String.reverse, Ordering.Int))
+      .map(_._1).toVector
+    assert(desc == expDesc)
+  }
+
   test("findAt with negative index wraps (n-(|i|%n))%n") {
     val s = SemanticStream.from(spark, Seq(10, 20, 30, 40))
     assert(s.terminals.findAt(1).contains(20))
