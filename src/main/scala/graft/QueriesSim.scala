@@ -109,6 +109,31 @@ object QueriesSim {
         .orderBy(col("event_id"))
     }),
 
+    // RANGE join: same-user event pairs within 10 minutes AFTER each
+    // trigger event — binned interval join (equi-join on (key, bin) +
+    // residual filter), never a theta join
+    "q51_range_join" -> ((s, dir) => {
+      // MICRO granularity on both engines: ts is long nanos here, but
+      // DuckDB reads TIMESTAMP(NANOS) at micro precision — truncate to
+      // micros (integer div, exact) so window membership and gaps agree
+      val ev = tbl(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          expr("ts div 1000L").as("ts_us"))
+      val win = 600L * 1000000L // 10 min in micros
+      val triggers = ev.select(col("event_id").as("t_event"),
+        col("user_id").as("t_user"), col("ts_us").as("lo"),
+        (col("ts_us") + win).as("hi"))
+      graft.operators.Joins.rangeJoin(ev, triggers,
+        leftKeyCol = "user_id", rightKeyCol = "t_user",
+        leftTimeCol = "ts_us", rightLoCol = "lo", rightHiCol = "hi",
+        binWidth = win)
+        .filter(col("l.event_id") =!= col("r.t_event"))
+        .select(col("r.t_event").as("a"), col("l.event_id").as("b"),
+          floor((col("l.ts_us") - col("r.lo")).cast("double") / 1e3).cast("long")
+            .as("gap_ms"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     // gap-based sessionization (30-min inactivity) — batch shape of the
     // streaming session_window
     "q38_sessions" -> ((s, dir) => {
@@ -274,6 +299,16 @@ object QueriesSim {
         |  FROM u)
         |SELECT event_id, ok AS o_orderkey, round(tp, 2) AS last_price
         |FROM c WHERE tag = 1 ORDER BY event_id""".stripMargin,
+
+    "q51_range_join" ->
+      """SELECT r0.event_id AS a, l0.event_id AS b,
+        |  CAST(floor((epoch_us(l0.ts) - epoch_us(r0.ts)) / 1000.0) AS BIGINT)
+        |    AS gap_ms
+        |FROM events l0 JOIN events r0 ON l0.user_id = r0.user_id
+        |  AND epoch_us(l0.ts) >= epoch_us(r0.ts)
+        |  AND epoch_us(l0.ts) < epoch_us(r0.ts) + 600000000
+        |  AND l0.event_id <> r0.event_id
+        |ORDER BY a, b""".stripMargin,
 
     "q38_sessions" ->
       """WITH g AS (

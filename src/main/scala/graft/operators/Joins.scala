@@ -48,6 +48,44 @@ object Joins {
       .drop("__k", "__t", "__tag", "__tie")
   }
 
+  /** RANGE (interval) join: left rows against right intervals of the same
+    * key — `leftTime ∈ [rightLo, rightHi)` — WITHOUT a theta join. The
+    * time axis is binned at `binWidth`; each right interval explodes into
+    * the bins it covers (⌈span/binWidth⌉ rows), each left row lives in
+    * exactly ONE bin, so the match becomes an equi-join on (key, bin) +
+    * a residual range filter, and every qualifying pair appears exactly
+    * once — no dedup pass. Pick binWidth near the typical interval span:
+    * wider bins fatten buckets, narrower bins fan the right side out.
+    *
+    * Column-NAME based (frames may share names — self-joins are the
+    * common case); the result carries the left columns aliased `l` and
+    * the right columns aliased `r`: select `col("l.x")` / `col("r.y")`.
+    * Times must be non-negative integers (epoch nanos/millis/seconds);
+    * empty intervals (hi <= lo) are dropped, matching the half-open
+    * semantics. */
+  def rangeJoin(left: DataFrame, right: DataFrame,
+                leftKeyCol: String, rightKeyCol: String,
+                leftTimeCol: String, rightLoCol: String, rightHiCol: String,
+                binWidth: Long): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    // integer `div` keeps 64-bit precision — double division would round
+    // epoch-nanos (~2^60) at bin boundaries
+    val l = left
+      .withColumn("__bin", expr(s"`$leftTimeCol` div ${binWidth}L"))
+      .as("l")
+    val r = right
+      .filter(col(rightHiCol) > col(rightLoCol))
+      .withColumn("__bin", explode(expr(
+        s"sequence(`$rightLoCol` div ${binWidth}L, (`$rightHiCol` - 1L) div ${binWidth}L)")))
+      .as("r")
+    l.join(r,
+      col("l.__bin") === col("r.__bin") &&
+        col(s"l.$leftKeyCol") === col(s"r.$rightKeyCol") &&
+        col(s"l.$leftTimeCol") >= col(s"r.$rightLoCol") &&
+        col(s"l.$leftTimeCol") < col(s"r.$rightHiCol"))
+      .drop("__bin")
+  }
+
   /** Two-stage salted aggregation for skewed keys: partial aggregate on
     * (key, salt), final aggregate on key. `partials` aggregate raw input;
     * `finals` re-aggregate the partial columns (by matching name). For

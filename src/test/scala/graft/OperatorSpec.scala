@@ -240,6 +240,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.keySet == viaExact)
   }
 
+  test("rangeJoin: bin-spanning intervals match once; empty intervals drop") {
+    import graft.operators.Joins
+    val points = Seq((1L, 10L, 5L), (2L, 10L, 25L), (3L, 10L, 95L), (4L, 99L, 25L))
+      .toDF("pid", "k", "t")
+    val intervals = Seq(
+      (100L, 10L, 0L, 30L),   // spans bins 0-2 @ binWidth 10 → matches t=5, t=25
+      (200L, 10L, 90L, 96L),  // matches t=95
+      (300L, 10L, 50L, 50L),  // empty → dropped
+      (400L, 77L, 0L, 100L))  // key with no points
+      .toDF("iid", "ik", "lo", "hi")
+    val out = Joins.rangeJoin(points, intervals, "k", "ik", "t", "lo", "hi",
+      binWidth = 10L)
+      .select(col("r.iid"), col("l.pid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // each qualifying pair EXACTLY once despite interval 100 covering 3 bins
+    assert(out == Seq((100L, 1L), (100L, 2L), (200L, 3L)))
+  }
+
   test("lshCandidates caps a pathological mega-bucket without losing dedup") {
     import graft.operators.Dedup
     // one band bucket with 200 ids (a mass-duplicated page) + a normal
