@@ -64,6 +64,9 @@ object IndexOps {
       .drop("__mn", "__mx")
     val w = Window.partitionBy(col("__b")).orderBy(key.asc)
     val rn = bucketed.withColumn("__rn", row_number().over(w).cast("long"))
+    // NOTE the prefix-sum window below is unpartitioned BY DESIGN — it
+    // runs over at most `parts` bucket-count rows, never the data, so
+    // the "No Partition Defined" warning it triggers is expected noise
     val offsets = rn.groupBy(col("__b")).agg(max(col("__rn")).as("__cnt"))
       .withColumn("__off", coalesce(
         sum(col("__cnt")).over(

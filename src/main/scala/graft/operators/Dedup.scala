@@ -22,13 +22,16 @@ object Dedup {
 
   /** Exact dedup: canonical (min-id) row per identical text. Returns
     * (id, canonical_id, group_size); a row is a duplicate iff
-    * id != canonical_id. Shuffles a 32-byte digest, not the document. */
+    * id != canonical_id. ONE scan (each document hashed once), ONE
+    * digest-keyed shuffle: the per-group min/count are unbounded-frame
+    * window aggregates over the digest partition — no join back to a
+    * second scan of the source. Shuffles a 32-byte digest, not the
+    * document. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val groups = df.select(col(idCol).as("id"), md5(col(textCol)).as("digest"))
-      .groupBy(col("digest"))
-      .agg(min(col("id")).as("canonical_id"), count(lit(1)).as("group_size"))
+    val w = Window.partitionBy(col("digest"))
     df.select(col(idCol).as("id"), md5(col(textCol)).as("digest"))
-      .join(groups, "digest")
+      .withColumn("canonical_id", min(col("id")).over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
       .select(col("id"), col("canonical_id"), col("group_size"))
   }
 
