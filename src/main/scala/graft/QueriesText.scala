@@ -98,6 +98,12 @@ object QueriesText {
         .orderBy(col("lang"))
     }),
 
+    // corpus bigram counts (the BPE-trainer merge statistic): top pairs
+    "q52_bigrams" -> ((s, dir) =>
+      TA.bigramCounts(tbl(s, dir, "documents"), "text")
+        .orderBy(col("n").desc, col("bigram").asc)
+        .limit(50)),
+
     // repetition-ratio quality signal: duplicated-trigram fraction per doc
     // (map-side only — one projection, no shuffle before the sort)
     "q50_repetition" -> ((s, dir) =>
@@ -287,6 +293,16 @@ object QueriesText {
          |  round(avg(n_tokens), 4) AS avg_tokens
          |FROM kept GROUP BY lang ORDER BY lang""".stripMargin
     },
+
+    "q52_bigrams" ->
+      s"""WITH $wordsCte,
+         |paired AS (
+         |  SELECT doc_id, tok || ' ' ||
+         |    lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS bigram
+         |  FROM words)
+         |SELECT bigram, count(*) AS n
+         |FROM paired WHERE bigram IS NOT NULL
+         |GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 50""".stripMargin,
 
     "q50_repetition" ->
       s"""WITH $wordsCte,

@@ -106,6 +106,16 @@ object TextAnalysis {
         size(array_distinct(sh)).cast("double") / size(sh).cast("double"))
   }
 
+  /** Corpus bigram (adjacent-token-pair) counts — the unit statistic a
+    * BPE-style tokenizer trainer maximizes over. Rides the in-row
+    * 2-shingle array: one explode + one aggregation, map-side partial
+    * counts shrink the shuffle to distinct pairs per partition. */
+  def bigramCounts(df: org.apache.spark.sql.DataFrame,
+                   textCol: String): org.apache.spark.sql.DataFrame =
+    df.select(explode(Dedup.shingleArray(col(textCol), 2)).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+
   /** Document fingerprint: content hash plus a prefix-shingle hash (a
     * cheap stand-in for rolling-hash sketches; md5 matches every engine). */
   def fingerprint(c: Column): Column = md5(c)

@@ -103,6 +103,51 @@ object StreamOps {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  /** Streaming MinHash+LSH near-dup candidates — the unbounded twin of
+    * [[graft.operators.Dedup.minhashNearDups]]'s candidate stage. Each
+    * incoming (id, text) is shingled, min-hashed (same construction as
+    * the batch operator: one md5 per shingle, 16-hex-window families)
+    * and banded ON THE MAP SIDE; the only stateful op is a per-band-key
+    * first-seen register, so state is one id per observed band key.
+    * Emits (id, firstSeenId) for every later doc that collides with a
+    * key's first document — the same pair may arrive via several bands;
+    * dedup downstream if exact pairs are needed. Production runs should
+    * bound state with a timeout/TTL policy appropriate to their
+    * duplication horizon (candidates, like the batch LSH stage, are
+    * subject to exact verification anyway). */
+  def streamingNearDupCandidates(docs: Dataset[(Long, String)],
+                                 shingleWidth: Int = 3, numHashes: Int = 12,
+                                 bands: Int = 4): Dataset[(Long, Long)] = {
+    import docs.sparkSession.implicits._
+    require(numHashes % bands == 0 && numHashes <= 17)
+    val rows = numHashes / bands
+    val banded: Dataset[(String, Long)] = docs.flatMap { case (id, text) =>
+      val toks = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      val shingles =
+        if (toks.isEmpty) Seq("")
+        else if (toks.length < shingleWidth) Seq(toks.mkString(" "))
+        else toks.sliding(shingleWidth).map(_.mkString(" ")).toSeq
+      val digests = shingles.map(md5hex)
+      val sig = (0 until numHashes).map(i => digests.map(_.substring(i, i + 16)).min)
+      (0 until bands).map { b =>
+        (b.toString + "|" + (0 until rows).map(r => sig(b * rows + r)).mkString("|"), id)
+      }
+    }
+    banded.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, it, state: GroupState[Long]) =>
+          val ids = it.map(_._2).toSeq.distinct.sorted
+          val first = state.getOption.getOrElse(ids.head)
+          if (!state.exists) state.update(first)
+          ids.filterNot(_ == first).map(dup => (dup, first)).iterator
+      }
+  }
+
   /** [[runningStats]] rendered with transformWithState. */
   def runningStatsTws(events: Dataset[(String, Double)]): Dataset[RunningAgg] = {
     import events.sparkSession.implicits._

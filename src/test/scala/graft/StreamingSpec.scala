@@ -37,6 +37,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(sums == batch.take(sums.length))
   }
 
+  test("streamingNearDupCandidates pairs near-identical docs across batches") {
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamOps.streamingNearDupCandidates(mem.toDS())
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("neardup_out").start()
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    mem.addData((1L, base), (2L, "completely unrelated text about spark internals and shuffles"))
+    q.processAllAvailable()
+    mem.addData((3L, base), (4L, base + " ok")) // exact + near duplicate of doc 1
+    q.processAllAvailable()
+    q.stop()
+    val pairs = spark.table("neardup_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // doc 3 (exact dup) must collide with first-seen doc 1 on every band;
+    // doc 4 (one-word suffix change) shares most shingles → at least one band
+    assert(pairs.contains((3L, 1L)))
+    assert(pairs.contains((4L, 1L)))
+    // the unrelated doc never pairs
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
   test("randomStream: streaming schema + deterministic hash-uniform values") {
     val st = StreamOps.randomStream(spark, 10, -2.0, 3.0, seed = 7L)
     assert(st.isStreaming)
