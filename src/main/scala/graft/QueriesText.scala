@@ -98,6 +98,15 @@ object QueriesText {
         .orderBy(col("lang"))
     }),
 
+    // deterministic stratified sample (training-mix reweighting): keep
+    // 50% en, 25% de, 10% everything else — md5-keyed, map-side only
+    "q53_stratified_sample" -> ((s, dir) =>
+      graft.operators.Sampling.stratified(tbl(s, dir, "documents"),
+        "doc_id", "lang", Map("en" -> 0.5, "de" -> 0.25),
+        defaultFraction = 0.1, seed = 7L)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))),
+
     // corpus bigram counts (the BPE-trainer merge statistic): top pairs
     "q52_bigrams" -> ((s, dir) =>
       TA.bigramCounts(tbl(s, dir, "documents"), "text")
@@ -292,6 +301,16 @@ object QueriesText {
          |  round(avg(quality), 4) AS avg_quality,
          |  round(avg(n_tokens), 4) AS avg_tokens
          |FROM kept GROUP BY lang ORDER BY lang""".stripMargin
+    },
+
+    "q53_stratified_sample" -> {
+      import graft.operators.Sampling.hexThreshold
+      s"""SELECT doc_id, lang FROM documents
+         |WHERE substr(md5('7#' || CAST(doc_id AS VARCHAR)), 1, 8) <
+         |  CASE lang WHEN 'en' THEN '${hexThreshold(0.5)}'
+         |    WHEN 'de' THEN '${hexThreshold(0.25)}'
+         |    ELSE '${hexThreshold(0.1)}' END
+         |ORDER BY doc_id""".stripMargin
     },
 
     "q52_bigrams" ->

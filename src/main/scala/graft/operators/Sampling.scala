@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * All selection is md5-keyed (no RNG): a row's fate is a pure function
+  * of (seed, id), so samples are reproducible run-to-run, stable under
+  * task retries and AQE re-execution, engine-portable (the DuckDB oracle
+  * reproduces them exactly), and the filter is map-side only — no
+  * shuffle, no sort, no sampling pass, at any scale.
+  *
+  * Selection rule: survive iff the first 8 hex chars of
+  * `md5(seed + "#" + id)` — a uniform 32-bit value — compare below the
+  * fraction's hex threshold. Comparing HEX STRINGS (same lowercase hex
+  * in every md5 implementation) avoids any hex→int conversion
+  * differences between engines.
+  */
+object Sampling {
+
+  /** `floor(fraction · 2^32)` as 8 lowercase hex chars — the selection
+    * threshold; exposed so oracles can embed the identical literal. */
+  def hexThreshold(fraction: Double): String = {
+    val t = math.min(math.max((fraction * 4294967296.0).toLong, 0L), 4294967295L)
+    f"$t%08x"
+  }
+
+  private def hash8(idCol: Column, seed: Long): Column =
+    substring(md5(concat(lit(s"$seed#"), idCol.cast("string"))), 1, 8)
+
+  /** Deterministic Bernoulli sample at `fraction`. */
+  def bernoulli(df: DataFrame, idCol: String, fraction: Double, seed: Long): DataFrame =
+    if (fraction >= 1.0) df
+    else df.filter(hash8(col(idCol), seed) < lit(hexThreshold(fraction)))
+
+  /** Stratified sample: per-stratum fractions (the training-mix
+    * reweighting step — e.g. upweight low-resource languages). The
+    * stratum→threshold table rides a map literal (`element_at`, pure
+    * codegen'd projection — no join, not even a broadcast). Strata
+    * absent from `fractions` use `defaultFraction`. */
+  def stratified(df: DataFrame, idCol: String, strataCol: String,
+                 fractions: Map[String, Double], defaultFraction: Double,
+                 seed: Long): DataFrame = {
+    val thresholds = fractions.map { case (k, f) => k -> hexThreshold(f) }
+    val thr = coalesce(
+      element_at(typedLit(thresholds), col(strataCol)),
+      lit(hexThreshold(defaultFraction)))
+    df.filter(hash8(col(idCol), seed) < thr)
+  }
+}

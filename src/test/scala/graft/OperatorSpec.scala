@@ -240,6 +240,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.keySet == viaExact)
   }
 
+  test("deterministic sampling: reproducible, rate-accurate, stable subsets") {
+    import graft.operators.Sampling
+    val df = (0 until 20000).map(i => (i.toLong, if (i % 3 == 0) "en" else "xx"))
+      .toDF("id", "lang")
+    val a = Sampling.bernoulli(df, "id", 0.3, seed = 11).collect().map(_.getLong(0)).toSet
+    val b = Sampling.bernoulli(df, "id", 0.3, seed = 11).collect().map(_.getLong(0)).toSet
+    assert(a == b) // run-to-run deterministic
+    assert(math.abs(a.size / 20000.0 - 0.3) < 0.02) // within 2pp of the rate
+    // a larger fraction with the same seed yields a SUPERSET (the
+    // threshold family is nested — handy for curriculum-style growth)
+    val big = Sampling.bernoulli(df, "id", 0.6, seed = 11).collect().map(_.getLong(0)).toSet
+    assert(a.subsetOf(big))
+    assert(Sampling.bernoulli(df, "id", 1.0, seed = 11).count() == 20000L)
+    // stratified rates hold per stratum
+    val st = Sampling.stratified(df, "id", "lang", Map("en" -> 0.9),
+      defaultFraction = 0.1, seed = 11)
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(st("en") / 6667.0 - 0.9) < 0.05)
+    assert(math.abs(st("xx") / 13333.0 - 0.1) < 0.05)
+  }
+
   test("rangeJoin: bin-spanning intervals match once; empty intervals drop") {
     import graft.operators.Joins
     val points = Seq((1L, 10L, 5L), (2L, 10L, 25L), (3L, 10L, 95L), (4L, 99L, 25L))
