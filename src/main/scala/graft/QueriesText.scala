@@ -98,6 +98,14 @@ object QueriesText {
         .orderBy(col("lang"))
     }),
 
+    // document chunking: ≤64-token shards per doc (pre-tokenization
+    // sharding before sequence packing) — map-side explode, no shuffle
+    "q54_chunking" -> ((s, dir) =>
+      TA.chunkByTokens(tbl(s, dir, "documents"), "doc_id", "text", size = 64)
+        .select(col("id"), col("chunk"), col("n_chunk_tokens"),
+          substring(col("chunk_text"), 1, 40).as("head40"))
+        .orderBy(col("id"), col("chunk"))),
+
     // deterministic stratified sample (training-mix reweighting): keep
     // 50% en, 25% de, 10% everything else — md5-keyed, map-side only
     "q53_stratified_sample" -> ((s, dir) =>
@@ -302,6 +310,27 @@ object QueriesText {
          |  round(avg(n_tokens), 4) AS avg_tokens
          |FROM kept GROUP BY lang ORDER BY lang""".stripMargin
     },
+
+    "q54_chunking" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+        |  FROM documents),
+        |ids AS (
+        |  SELECT doc_id AS id, t, n,
+        |    unnest(range(0, CAST(ceil(n / 64.0) AS BIGINT))) AS chunk
+        |  FROM toks WHERE n > 0),
+        |chunks AS (
+        |  SELECT id, chunk,
+        |    array_to_string(list_slice(t, chunk * 64 + 1,
+        |      least((chunk + 1) * 64, n)), ' ') AS chunk_text,
+        |    least(64, n - chunk * 64) AS n_chunk_tokens
+        |  FROM ids)
+        |SELECT id, CAST(chunk AS BIGINT) AS chunk,
+        |  CAST(n_chunk_tokens AS BIGINT) AS n_chunk_tokens,
+        |  substr(chunk_text, 1, 40) AS head40
+        |FROM chunks ORDER BY id, chunk""".stripMargin,
 
     "q53_stratified_sample" -> {
       import graft.operators.Sampling.hexThreshold

@@ -106,6 +106,28 @@ object TextAnalysis {
         size(array_distinct(sh)).cast("double") / size(sh).cast("double"))
   }
 
+  /** Split each document into consecutive ≤`size`-token chunks — the
+    * pre-tokenization sharding step before sequence packing. One output
+    * row per (doc, chunk) with the chunk's text and token count;
+    * map-side only (explode + array slice, no shuffle). Blank documents
+    * produce no chunks. */
+  def chunkByTokens(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, size: Int): org.apache.spark.sql.DataFrame = {
+    require(size > 0)
+    val toks = split(trim(col(textCol)), "\\s+")
+    val n = tokenCount(col(textCol))
+    val chunkIds = when(n === 0, array().cast("array<long>"))
+      .otherwise(sequence(lit(0L), ceil(n.cast("double") / size).cast("long") - 1))
+    df.select(col(idCol).as("id"), toks.as("__toks"),
+        explode(chunkIds).as("chunk"))
+      .select(col("id"), col("chunk"),
+        array_join(slice(col("__toks"), (col("chunk") * size + 1).cast("int"), lit(size)), " ")
+          .as("chunk_text"),
+        least(lit(size.toLong),
+          (org.apache.spark.sql.functions.size(col("__toks")) - col("chunk") * size).cast("long"))
+          .as("n_chunk_tokens"))
+  }
+
   /** Corpus bigram (adjacent-token-pair) counts — the unit statistic a
     * BPE-style tokenizer trainer maximizes over. Rides the in-row
     * 2-shingle array: one explode + one aggregation, map-side partial
