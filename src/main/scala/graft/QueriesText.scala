@@ -98,6 +98,19 @@ object QueriesText {
         .orderBy(col("lang"))
     }),
 
+    // benchmark-contamination check: 12-token prefixes of every 25th doc
+    // as the "eval set"; fraction of their trigrams found in the corpus
+    "q55_contamination" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val eval = docs.filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id"),
+          array_join(slice(split(trim(col("text")), "\\s+"), 1, 12), " ").as("text"))
+      Dedup.contamination(docs, eval, "doc_id", "text", w = 3)
+        .select(col("id"), col("matched"), col("total"),
+          round(col("contamination") + lit(1e-9), 4).as("contamination"))
+        .orderBy(col("id"))
+    }),
+
     // document chunking: ≤64-token shards per doc (pre-tokenization
     // sharding before sequence packing) — map-side explode, no shuffle
     "q54_chunking" -> ((s, dir) =>
@@ -310,6 +323,47 @@ object QueriesText {
          |  round(avg(n_tokens), 4) AS avg_tokens
          |FROM kept GROUP BY lang ORDER BY lang""".stripMargin
     },
+
+    "q55_contamination" ->
+      s"""WITH $wordsCte,
+         |shingled AS (
+         |  SELECT doc_id, tok || ' ' ||
+         |    lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) || ' ' ||
+         |    lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS shingle
+         |  FROM words),
+         |train_sh AS (
+         |  SELECT DISTINCT shingle FROM shingled WHERE shingle IS NOT NULL),
+         |eval_docs AS (
+         |  SELECT doc_id, array_to_string(
+         |    list_slice(regexp_split_to_array(trim(text), '\\s+'), 1, 12), ' ')
+         |    AS etext
+         |  FROM documents WHERE doc_id % 25 = 0),
+         |etoks AS (
+         |  SELECT doc_id, unnest(regexp_split_to_array(trim(etext), '\\s+')) AS tok,
+         |    generate_subscripts(regexp_split_to_array(trim(etext), '\\s+'), 1) AS pos
+         |  FROM eval_docs),
+         |eshingled AS (
+         |  SELECT doc_id, tok || ' ' ||
+         |    lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) || ' ' ||
+         |    lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS shingle
+         |  FROM etoks),
+         |esh AS (
+         |  SELECT DISTINCT doc_id AS id, shingle FROM eshingled
+         |  WHERE shingle IS NOT NULL),
+         |totals AS (SELECT id, count(*) AS total FROM esh GROUP BY id),
+         |hits AS (
+         |  SELECT e.id, count(*) AS matched FROM esh e
+         |  JOIN train_sh t ON e.shingle = t.shingle GROUP BY e.id)
+         |SELECT d.doc_id AS id,
+         |  coalesce(h.matched, 0) AS matched,
+         |  coalesce(tt.total, 0) AS total,
+         |  round(CASE WHEN coalesce(tt.total, 0) = 0 THEN 0.0
+         |    ELSE coalesce(h.matched, 0) * 1.0 / tt.total END + 1e-9, 4)
+         |    AS contamination
+         |FROM eval_docs d
+         |LEFT JOIN totals tt ON tt.id = d.doc_id
+         |LEFT JOIN hits h ON h.id = d.doc_id
+         |ORDER BY id""".stripMargin,
 
     "q54_chunking" ->
       """WITH toks AS (

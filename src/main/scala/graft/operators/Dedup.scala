@@ -190,6 +190,33 @@ object Dedup {
     jaccard(cand, sh).filter(col("jaccard") >= threshold)
   }
 
+  /** Benchmark-contamination check: for each EVAL document, the fraction
+    * of its distinct word w-shingles that appear anywhere in the TRAIN
+    * corpus. The eval set (benchmarks are small by definition) is
+    * broadcast, so the train side is ONE map-side scan — explode, hash
+    * join against the broadcast shingle set, partial-aggregated match
+    * counts; the 100 TB corpus never shuffles. Returns
+    * (id, matched, total, contamination ∈ [0,1]) per eval doc; eval docs
+    * shorter than one shingle report 0/0 → contamination 0. */
+  def contamination(train: DataFrame, eval: DataFrame, idCol: String,
+                    textCol: String, w: Int): DataFrame = {
+    val evalSh = eval.select(col(idCol).as("id"),
+      explode(shingleArray(col(textCol), w)).as("shingle")).distinct()
+    val totals = evalSh.groupBy(col("id")).agg(count(lit(1)).as("total"))
+    val hits = train.select(explode(shingleArray(col(textCol), w)).as("shingle"))
+      .join(broadcast(evalSh), "shingle")
+      .groupBy(col("id")).agg(countDistinct(col("shingle")).as("matched"))
+    eval.select(col(idCol).as("id"))
+      .join(totals, Seq("id"), "left")
+      .join(hits, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("matched"), lit(0L)).as("matched"),
+        coalesce(col("total"), lit(0L)).as("total"),
+        when(coalesce(col("total"), lit(0L)) === 0, lit(0.0))
+          .otherwise(coalesce(col("matched"), lit(0L)).cast("double") /
+            col("total").cast("double")).as("contamination"))
+  }
+
   /** 16-bit SimHash over whitespace tokens: bit i is set when the majority
     * of token digests have hex digit i in [8..f]. Same-fingerprint docs are
     * near-dup candidates. Linear scan + one groupBy. */
