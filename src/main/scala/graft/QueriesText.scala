@@ -98,6 +98,16 @@ object QueriesText {
         .orderBy(col("lang"))
     }),
 
+    // sequence packing: 64-token chunks → 256-token bins by distributed
+    // exclusive running total (bucketed prefix sums, no global window)
+    "q56_packing" -> ((s, dir) =>
+      TA.packChunks(
+        TA.chunkByTokens(tbl(s, dir, "documents"), "doc_id", "text", size = 64)
+          .select(col("id"), col("chunk"), col("n_chunk_tokens")),
+        "id", "chunk", "n_chunk_tokens", budget = 256)
+        .select(col("id"), col("chunk"), col("cum_tokens"), col("bin"))
+        .orderBy(col("id"), col("chunk"))),
+
     // benchmark-contamination check: 12-token prefixes of every 25th doc
     // as the "eval set"; fraction of their trigrams found in the corpus
     "q55_contamination" -> ((s, dir) => {
@@ -323,6 +333,28 @@ object QueriesText {
          |  round(avg(n_tokens), 4) AS avg_tokens
          |FROM kept GROUP BY lang ORDER BY lang""".stripMargin
     },
+
+    "q56_packing" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
+        |  FROM documents),
+        |ids AS (
+        |  SELECT doc_id AS id, n,
+        |    unnest(range(0, CAST(ceil(n / 64.0) AS BIGINT))) AS chunk
+        |  FROM toks WHERE n > 0),
+        |chunks AS (
+        |  SELECT id, chunk, least(64, n - chunk * 64) AS n_chunk_tokens
+        |  FROM ids),
+        |cums AS (
+        |  SELECT id, chunk, n_chunk_tokens,
+        |    CAST(sum(n_chunk_tokens) OVER (ORDER BY id, chunk
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+        |  FROM chunks)
+        |SELECT id, CAST(chunk AS BIGINT) AS chunk, cum_tokens,
+        |  CAST(floor((cum_tokens - n_chunk_tokens) / 256.0) AS BIGINT) AS bin
+        |FROM cums ORDER BY id, chunk""".stripMargin,
 
     "q55_contamination" ->
       s"""WITH $wordsCte,

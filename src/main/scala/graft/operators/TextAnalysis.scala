@@ -128,6 +128,25 @@ object TextAnalysis {
           .as("n_chunk_tokens"))
   }
 
+  /** Greedy contiguous sequence packing: assign chunks — consecutive in
+    * (doc, chunk) order — to fixed token-budget bins by EXCLUSIVE running
+    * total, i.e. the concat-then-split packing used before tokenization.
+    * A chunk that straddles a budget boundary belongs to the bin its
+    * first token falls in (real packers then split at the boundary).
+    * Rides [[Windows.runningTotal]], so the global cumulative sum is
+    * distributed (bucketed prefix sums), never a single-partition
+    * window. Adds (cum_tokens, bin). */
+  def packChunks(chunks: org.apache.spark.sql.DataFrame, idCol: String,
+                 chunkCol: String, nTokensCol: String,
+                 budget: Long): org.apache.spark.sql.DataFrame = {
+    require(budget > 0)
+    Windows.runningTotal(chunks, col(idCol),
+      Seq(col(idCol).asc, col(chunkCol).asc), col(nTokensCol), "cum_tokens")
+      .withColumn("bin",
+        floor((col("cum_tokens") - col(nTokensCol)).cast("double") / budget)
+          .cast("long"))
+  }
+
   /** Corpus bigram (adjacent-token-pair) counts — the unit statistic a
     * BPE-style tokenizer trainer maximizes over. Rides the in-row
     * 2-shingle array: one explode + one aggregation, map-side partial

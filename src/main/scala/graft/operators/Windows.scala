@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Index-based windows — the reference's WindowCollectable.slide/tumble
@@ -30,4 +31,40 @@ object Windows {
   /** Fixed-size chunks in arrival order — the reference's partition(size)
     * collector (collector.h:2098-2136). */
   def chunkId(idx: Column, size: Long): Column = tumbleId(idx, size)
+
+  /** Distributed INCLUSIVE running total of `value` along a total order
+    * with a numeric leading column — a global cumulative sum WITHOUT the
+    * classic single-partition `Window.orderBy` trap. Same shape as the
+    * rank core (IndexOps.rankNumericPrefix): equal-width value buckets
+    * on `lead` (data-derived min/max, AQE-safe) → per-bucket windowed
+    * running sum over the full order → per-bucket totals prefix-summed
+    * over ≤ shuffle-partitions rows and broadcast back. The order must
+    * be total (include a unique tiebreak); lead values non-null/non-NaN.
+    * Adds `cumCol` (long) to the input columns. */
+  def runningTotal(df: DataFrame, lead: Column, order: Seq[Column],
+                   value: Column, cumCol: String): DataFrame = {
+    val parts = math.max(1, df.sparkSession.sessionState.conf.numShufflePartitions)
+    val stats = df.agg(min(lead).cast("double").as("__mn"),
+      max(lead).cast("double").as("__mx"))
+    val width = (col("__mx") - col("__mn")) / parts
+    val bucketed = df.join(broadcast(stats))
+      .withColumn("__b",
+        when(col("__mx") === col("__mn"), lit(0L))
+          .otherwise(least(floor((lead.cast("double") - col("__mn")) / width),
+            lit(parts - 1L))).cast("long"))
+      .drop("__mn", "__mx")
+    val w = Window.partitionBy(col("__b")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = bucketed.withColumn("__cum", sum(value.cast("long")).over(w))
+    // bucket totals: ≤ `parts` rows — the unpartitioned window is fine
+    val offsets = cum.groupBy(col("__b")).agg(max(col("__cum")).as("__tot"))
+      .withColumn("__off", coalesce(
+        sum(col("__tot")).over(
+          Window.orderBy(col("__b").asc).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select(col("__b"), col("__off"))
+    cum.join(broadcast(offsets), "__b")
+      .withColumn(cumCol, col("__off") + col("__cum"))
+      .drop("__b", "__cum", "__off")
+  }
 }
