@@ -98,6 +98,13 @@ object QueriesText {
         .orderBy(col("lang"))
     }),
 
+    // deterministic epoch shuffle: reproducible corpus permutation
+    "q57_epoch_shuffle" -> ((s, dir) =>
+      graft.operators.Sampling.deterministicShuffle(
+        tbl(s, dir, "documents").select(col("doc_id")), "doc_id", seed = 3L)
+        .select(col("pos"), col("doc_id"))
+        .orderBy(col("pos"))),
+
     // sequence packing: 64-token chunks → 256-token bins by distributed
     // exclusive running total (bucketed prefix sums, no global window)
     "q56_packing" -> ((s, dir) =>
@@ -333,6 +340,12 @@ object QueriesText {
          |  round(avg(n_tokens), 4) AS avg_tokens
          |FROM kept GROUP BY lang ORDER BY lang""".stripMargin
     },
+
+    "q57_epoch_shuffle" ->
+      """SELECT row_number() OVER (
+        |    ORDER BY md5('3#' || CAST(doc_id AS VARCHAR)), doc_id) - 1 AS pos,
+        |  doc_id
+        |FROM documents ORDER BY pos""".stripMargin,
 
     "q56_packing" ->
       """WITH toks AS (

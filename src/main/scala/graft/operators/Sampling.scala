@@ -34,6 +34,23 @@ object Sampling {
     if (fraction >= 1.0) df
     else df.filter(hash8(col(idCol), seed) < lit(hexThreshold(fraction)))
 
+  /** Deterministic corpus shuffle (training-epoch reordering): position
+    * = rank of md5(seed#id), ties broken by id. Different seeds give
+    * independent permutations; the same seed reproduces the epoch order
+    * exactly across runs and engines. The rank runs on the Catalyst-only
+    * bucket path — the numeric lead is the digest's first 15 hex chars
+    * (60 uniform bits) — so no RDD hop and no single-partition sort.
+    * Adds `pos` (0-based). */
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: Long): DataFrame = {
+    val h = md5(concat(lit(s"$seed#"), col(idCol).cast("string")))
+    val lead = conv(substring(col("__h"), 1, 15), 16, 10).cast("long")
+    graft.core.IndexOps.rankNumericPrefix(
+      df.withColumn("__h", h), lead,
+      Seq(col("__h").asc, col(idCol).asc), renumberIdx = false)
+      .withColumn("pos", col("ord"))
+      .drop("__h", "ord", "idx")
+  }
+
   /** Stratified sample: per-stratum fractions (the training-mix
     * reweighting step — e.g. upweight low-resource languages). The
     * stratum→threshold table rides a map literal (`element_at`, pure
