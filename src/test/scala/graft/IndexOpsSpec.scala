@@ -87,6 +87,27 @@ class IndexOpsSpec extends AnyFunSuite {
     assert(r == (0 until 100))
   }
 
+  test("rankNumericPrefix: randomized trials vs local sort (negatives, dupes, clusters)") {
+    val rng = new scala.util.Random(0xC0FFEE)
+    for (trial <- 0 until 5) {
+      val n = 500 + rng.nextInt(2000)
+      // mix shapes: uniform, clustered (heavy ties), negative-heavy
+      val rows = (0 until n).map { i =>
+        val lead = trial % 3 match {
+          case 0 => rng.nextDouble() * 2000 - 1000
+          case 1 => (rng.nextInt(7) * 13).toDouble // 7 distinct values
+          case 2 => -math.abs(rng.nextGaussian()) * 100
+        }
+        (lead, i)
+      }
+      val got = IndexOps.rankNumericPrefix(rows.toDF("lead", "tie"),
+        col("lead"), Seq(col("lead").asc, col("tie").asc), renumberIdx = true)
+        .orderBy(col("idx")).collect().map(_.getAs[Int]("tie")).toSeq
+      val expected = rows.sortBy { case (l, t) => (l, t) }.map(_._2)
+      assert(got == expected, s"trial $trial, n=$n")
+    }
+  }
+
   test("numeric-lead rank paths never introduce an RDD scan") {
     val df = (0 until 200).map(i => (math.cos(i) * 10.0, i)).toDF("lead", "value")
     val plan = IndexOps.rankNumericPrefix(df, col("lead"),
