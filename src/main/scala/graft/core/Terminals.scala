@@ -220,6 +220,21 @@ final class Terminals[E](s: SemanticStream[E]) extends Serializable {
   def toSortedSet(implicit ord: Ordering[E]): scala.collection.immutable.SortedSet[E] =
     scala.collection.immutable.SortedSet.from(toVector)
 
+  /** Value → multiplicity — the faithful Scala rendering of
+    * useToMultiset / useToUnorderedMultiset (collector.h:2625-2677): a
+    * multiset IS its count function; iteration order is the only thing
+    * the two C++ containers disagree on, and a Map abstracts it. One
+    * distributed count aggregate, collected small like the reference's
+    * finisher. */
+  def toMultiset: Map[E, Long] =
+    df.groupBy(col("value"))
+      .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
+      .collect().map(r => r.getAs[E]("value") -> r.getAs[Long]("n")).toMap
+
+  /** [[toMultiset]] with keys in sorted order (std::multiset ordering). */
+  def toSortedMultiset(implicit ord: Ordering[E]): scala.collection.immutable.SortedMap[E, Long] =
+    scala.collection.immutable.SortedMap.from(toMultiset)
+
   /** Concatenate string forms in materialized order
     * (useJoin, collector.h:1132-1349). */
   def joinString(delimiter: String = ",", prefix: String = "[", suffix: String = "]"): String = {

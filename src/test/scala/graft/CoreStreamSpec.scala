@@ -241,6 +241,9 @@ class CoreStreamSpec extends AnyFunSuite {
     assert(s.terminals.toSortedSet.toList == List(1, 3, 4, 5))
     val mm = s.terminals.toMultimap[Int](v => v % 2)
     assert(mm(1) == Seq(3, 1, 1, 5) && mm(0) == Seq(4))
+    assert(s.terminals.toMultiset == Map(3 -> 1L, 1 -> 2L, 4 -> 1L, 5 -> 1L))
+    assert(s.terminals.toSortedMultiset.toList ==
+      List(1 -> 2L, 3 -> 1L, 4 -> 1L, 5 -> 1L))
   }
 
   test("joinString and toMap last-wins") {
