@@ -131,7 +131,9 @@ final class Terminals[E](s: SemanticStream[E]) extends Serializable {
     require(initialWindow > 0)
     implicit val longEnc: Encoder[Long] = org.apache.spark.sql.Encoders.scalaLong
     def prefix(bound: Long): (R, Long) = {
-      val p = s.ds.filter((e: Elem[E]) => e.ord < bound)
+      // column predicate, not a typed lambda — stays Catalyst-visible so
+      // an ord-correlated source can prune row groups under the probe
+      val p = s.toDF.filter(col("ord") < bound).as[Elem[E]](s.ds.encoder)
       val r = p.map(_.value).select(agg.toColumn).collect()(0)
       (r, p.count())
     }
