@@ -79,42 +79,59 @@ object IndexOps {
       .drop("__b", "__rn", "__off")
   }
 
+  /** Equal-width value buckets on a numeric lead column, derived from the
+    * DATA (min/max) — deterministic under AQE re-execution, unlike
+    * anything keyed on partition ids. Adds `__b`. NULL leads land in
+    * bucket -1: Spark's asc ordering is NULLS FIRST and its desc is
+    * NULLS LAST, and -1 is first in asc bucket order / last in desc —
+    * consistent either way. NaN leads fall into the last bucket via
+    * `least` (NaN compares greatest in Spark), again matching both sort
+    * directions. */
+  private[graft] def bucketizeByLead(df: DataFrame, lead: Column): DataFrame = {
+    val parts = math.max(1, df.sparkSession.sessionState.conf.numShufflePartitions)
+    val stats = df.agg(min(lead).cast("double").as("__mn"),
+      max(lead).cast("double").as("__mx"))
+    val width = (col("__mx") - col("__mn")) / parts
+    df.join(broadcast(stats))
+      .withColumn("__b",
+        when(lead.isNull, lit(-1L))
+          .when(col("__mx") === col("__mn"), lit(0L))
+          .otherwise(least(floor((lead.cast("double") - col("__mn")) / width),
+            lit(parts - 1L))).cast("long"))
+      .drop("__mn", "__mx")
+  }
+
+  /** Prefix offsets over per-bucket totals `(__b, __tot)` → `(__b, __off)`
+    * where `__off` is the sum of totals over buckets strictly earlier in
+    * the given direction. The window is unpartitioned BY DESIGN: it runs
+    * over at most #buckets rows, never the data. */
+  private[graft] def prefixOffsets(totals: DataFrame, ascending: Boolean): DataFrame = {
+    val bucketOrder = if (ascending) col("__b").asc else col("__b").desc
+    totals.withColumn("__off", coalesce(
+      sum(col("__tot")).over(
+        Window.orderBy(bucketOrder).rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0L)))
+      .select(col("__b"), col("__off"))
+  }
+
   /** Catalyst-only rank for a TOTAL order whose leading column is numeric:
-    * equal-width value buckets on the lead column (data-derived from its
-    * min/max — deterministic under AQE re-execution, unlike anything
-    * keyed on partition ids) → per-bucket `row_number` over the full
-    * order → bucket-count prefix sums broadcast back. The same shape as
+    * [[bucketizeByLead]] → per-bucket `row_number` over the full order →
+    * bucket-count [[prefixOffsets]] broadcast back. The same shape as
     * [[rankNumericUnique]], generalized: ties on the lead column are
     * broken by the remaining order columns inside the window, so the
     * caller MUST pass a total order (include a unique tiebreak).
     *
     * Lead-column distribution drives parallelism: equal-width buckets on
     * a high-cardinality lead spread evenly; a heavily-tied lead degrades
-    * to fewer effective buckets (still correct). Lead values must be
-    * non-null and not NaN. */
+    * to fewer effective buckets (still correct). Null/NaN leads sort
+    * where Spark's asc/desc ordering puts them (see bucketizeByLead). */
   def rankNumericPrefix(df: DataFrame, lead: Column, order: Seq[Column],
                         renumberIdx: Boolean, ascending: Boolean = true): DataFrame = {
-    val parts = math.max(1, df.sparkSession.sessionState.conf.numShufflePartitions)
-    val stats = df.agg(min(lead).cast("double").as("__mn"),
-      max(lead).cast("double").as("__mx"))
-    val width = (col("__mx") - col("__mn")) / parts
-    val bucketed = df.join(broadcast(stats))
-      .withColumn("__b",
-        when(col("__mx") === col("__mn"), lit(0L))
-          .otherwise(least(floor((lead.cast("double") - col("__mn")) / width),
-            lit(parts - 1L))).cast("long"))
-      .drop("__mn", "__mx")
     val w = Window.partitionBy(col("__b")).orderBy(order: _*)
-    val rn = bucketed.withColumn("__rn", row_number().over(w).cast("long"))
-    // the prefix-sum window is unpartitioned BY DESIGN: it runs over at
-    // most `parts` bucket-count rows, never the data
-    val bucketOrder = if (ascending) col("__b").asc else col("__b").desc
-    val offsets = rn.groupBy(col("__b")).agg(count(lit(1)).as("__cnt"))
-      .withColumn("__off", coalesce(
-        sum(col("__cnt")).over(
-          Window.orderBy(bucketOrder).rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .select(col("__b"), col("__off"))
+    val rn = bucketizeByLead(df, lead)
+      .withColumn("__rn", row_number().over(w).cast("long"))
+    val offsets = prefixOffsets(
+      rn.groupBy(col("__b")).agg(count(lit(1)).as("__tot")), ascending)
     val out = rn.join(broadcast(offsets), "__b")
       .withColumn("ord", col("__off") + col("__rn") - 1L)
     (if (renumberIdx) out.withColumn("idx", col("ord")) else out)

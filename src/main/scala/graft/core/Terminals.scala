@@ -132,12 +132,19 @@ final class Terminals[E](s: SemanticStream[E]) extends Serializable {
     implicit val longEnc: Encoder[Long] = org.apache.spark.sql.Encoders.scalaLong
     def prefix(bound: Long): (R, Long) = {
       // column predicate, not a typed lambda — stays Catalyst-visible so
-      // an ord-correlated source can prune row groups under the probe
+      // an ord-correlated source can prune row groups under the probe;
+      // the row count rides in the SAME aggregate (one job per probe)
       val p = s.toDF.filter(col("ord") < bound).as[Elem[E]](s.ds.encoder)
-      val r = p.map(_.value).select(agg.toColumn).collect()(0)
-      (r, p.count())
+      val row = p.map(_.value)
+        .select(agg.toColumn,
+          org.apache.spark.sql.functions.count(lit(1)).as[Long])
+        .collect()(0)
+      (row._1, row._2)
     }
-    val total = s.ds.count()
+    // exhaustion is only decidable against the full count — computed
+    // LAZILY, so a stream whose interrupt trips in the first window
+    // never pays a full scan
+    lazy val total = s.ds.count()
     var w = initialWindow
     var loBound = 0L // largest probed bound known NOT interrupted
     while (true) {

@@ -90,7 +90,7 @@ object CharSeq {
     * (charsequence.h:1105-1118, 1365-1368) — Spark's bare trim() strips
     * spaces only. */
   def asciiTrim(c: Column): Column =
-    trim(c, " \t\n\r\f")
+    trim(c, " \t\n\r\u000B\f")
 
   /** Bytes per code unit for a charset (sequenceLength,
     * charsequence.h:96-121). */

@@ -20,10 +20,16 @@ import org.apache.spark.sql.functions._
 object Sampling {
 
   /** `floor(fraction · 2^32)` as 8 lowercase hex chars — the selection
-    * threshold; exposed so oracles can embed the identical literal. */
+    * threshold; exposed so oracles can embed the identical literal.
+    * Fraction ≥ 1 returns "g", which compares above every hex string —
+    * keep-everything strata really keep everything (a clamped "ffffffff"
+    * would drop the 2^-32 of rows whose hash equals it). */
   def hexThreshold(fraction: Double): String = {
-    val t = math.min(math.max((fraction * 4294967296.0).toLong, 0L), 4294967295L)
-    f"$t%08x"
+    if (fraction >= 1.0) "g"
+    else {
+      val t = math.min(math.max((fraction * 4294967296.0).toLong, 0L), 4294967295L)
+      f"$t%08x"
+    }
   }
 
   private def hash8(idCol: Column, seed: Long): Column =

@@ -43,26 +43,15 @@ object Windows {
     * Adds `cumCol` (long) to the input columns. */
   def runningTotal(df: DataFrame, lead: Column, order: Seq[Column],
                    value: Column, cumCol: String): DataFrame = {
-    val parts = math.max(1, df.sparkSession.sessionState.conf.numShufflePartitions)
-    val stats = df.agg(min(lead).cast("double").as("__mn"),
-      max(lead).cast("double").as("__mx"))
-    val width = (col("__mx") - col("__mn")) / parts
-    val bucketed = df.join(broadcast(stats))
-      .withColumn("__b",
-        when(col("__mx") === col("__mn"), lit(0L))
-          .otherwise(least(floor((lead.cast("double") - col("__mn")) / width),
-            lit(parts - 1L))).cast("long"))
-      .drop("__mn", "__mx")
     val w = Window.partitionBy(col("__b")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = bucketed.withColumn("__cum", sum(value.cast("long")).over(w))
-    // bucket totals: ≤ `parts` rows — the unpartitioned window is fine
-    val offsets = cum.groupBy(col("__b")).agg(max(col("__cum")).as("__tot"))
-      .withColumn("__off", coalesce(
-        sum(col("__tot")).over(
-          Window.orderBy(col("__b").asc).rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .select(col("__b"), col("__off"))
+    val cum = graft.core.IndexOps.bucketizeByLead(df, lead)
+      .withColumn("__cum", sum(value.cast("long")).over(w))
+    // bucket totals are sum(value), NOT max(__cum) — with negative values
+    // a bucket's running sum can peak above its final total
+    val offsets = graft.core.IndexOps.prefixOffsets(
+      cum.groupBy(col("__b")).agg(sum(value.cast("long")).as("__tot")),
+      ascending = true)
     cum.join(broadcast(offsets), "__b")
       .withColumn(cumCol, col("__off") + col("__cum"))
       .drop("__b", "__cum", "__off")

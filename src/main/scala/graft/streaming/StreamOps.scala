@@ -127,14 +127,17 @@ object StreamOps {
     val rows = numHashes / bands
     val banded: Dataset[(String, Long)] = docs.flatMap { case (id, text) =>
       val toks = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
-      val shingles =
-        if (toks.isEmpty) Seq("")
-        else if (toks.length < shingleWidth) Seq(toks.mkString(" "))
-        else toks.sliding(shingleWidth).map(_.mkString(" ")).toSeq
-      val digests = shingles.map(md5hex)
-      val sig = (0 until numHashes).map(i => digests.map(_.substring(i, i + 16)).min)
-      (0 until bands).map { b =>
-        (b.toString + "|" + (0 until rows).map(r => sig(b * rows + r)).mkString("|"), id)
+      // docs shorter than one full shingle produce NO band keys — the
+      // batch operator's shingleArray is empty for them, and mapping
+      // them to a sentinel would make every blank doc collide
+      if (toks.length < shingleWidth) Seq.empty[(String, Long)]
+      else {
+        val shingles = toks.sliding(shingleWidth).map(_.mkString(" ")).toSeq
+        val digests = shingles.map(md5hex)
+        val sig = (0 until numHashes).map(i => digests.map(_.substring(i, i + 16)).min)
+        (0 until bands).map { b =>
+          (b.toString + "|" + (0 until rows).map(r => sig(b * rows + r)).mkString("|"), id)
+        }
       }
     }
     banded.groupByKey(_._1)

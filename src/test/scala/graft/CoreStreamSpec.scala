@@ -167,6 +167,20 @@ class CoreStreamSpec extends AnyFunSuite {
     assert(desc == expDesc)
   }
 
+  test("sortByColumn with NULL keys: nulls first asc, last desc (Spark order)") {
+    val s = SemanticStream.from(spark, Seq(9, 3, 6, 1, 12))
+    // key = null for multiples of 3 → nullable numeric lead
+    import org.apache.spark.sql.functions.{lit, when}
+    def key(v: org.apache.spark.sql.Column) = when(v % 3 === 0, lit(null)).otherwise(v)
+    val asc = s.sortByColumn(key).ds.collect().sortBy(_.idx).map(_.value).toSeq
+    // null-key rows (9,3,6,12) keep arrival order among themselves (idx
+    // tiebreak), then non-null keys ascending
+    assert(asc == Seq(9, 3, 6, 12, 1))
+    val desc = s.sortByColumn(key, ascending = false)
+      .ds.collect().sortBy(_.idx).map(_.value).toSeq
+    assert(desc == Seq(1, 9, 3, 6, 12)) // desc: non-null first, nulls last
+  }
+
   test("findAt with negative index wraps (n-(|i|%n))%n") {
     val s = SemanticStream.from(spark, Seq(10, 20, 30, 40))
     assert(s.terminals.findAt(1).contains(20))

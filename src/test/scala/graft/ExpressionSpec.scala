@@ -48,7 +48,7 @@ class ExpressionSpec extends AnyFunSuite {
   }
 
   test("asciiTrim strips the full reference set incl. vertical tab U+000B") {
-    val got = Seq("\t hi \f\r\n").toDF("s")
+    val got = Seq("\u000B\t hi \u000B\f\r\n").toDF("s")
       .select(graft.functions.CharSeq.asciiTrim(col("s")).as("t"))
       .collect()(0).getString(0)
     assert(got == "hi")

@@ -240,6 +240,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.keySet == viaExact)
   }
 
+  test("runningTotal matches a local cumulative sum, including negatives") {
+    import graft.operators.Windows
+    val rng = new scala.util.Random(42)
+    val rows = (0 until 3000).map(i => (i.toLong, rng.nextInt(200) - 100))
+    val got = Windows.runningTotal(rows.toDF("k", "v"), col("k"),
+      Seq(col("k").asc), col("v"), "cum")
+      .orderBy(col("k")).collect().map(_.getAs[Long]("cum")).toSeq
+    val expected = rows.map(_._2.toLong).scanLeft(0L)(_ + _).tail
+    // negatives make any bucket's running sum peak above its final
+    // total — offsets must come from sum(value), not max(cum)
+    assert(got == expected)
+  }
+
+  test("stratified fraction 1.0 keeps every row of the stratum") {
+    import graft.operators.Sampling
+    val df = (0 until 5000).map(i => (i.toLong, "en")).toDF("id", "lang")
+    assert(Sampling.stratified(df, "id", "lang", Map("en" -> 1.0),
+      defaultFraction = 0.0, seed = 1).count() == 5000L)
+    assert(Sampling.hexThreshold(1.0) == "g")
+  }
+
   test("deterministic sampling: reproducible, rate-accurate, stable subsets") {
     import graft.operators.Sampling
     val df = (0 until 20000).map(i => (i.toLong, if (i % 3 == 0) "en" else "xx"))

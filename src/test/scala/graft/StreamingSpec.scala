@@ -44,9 +44,10 @@ class StreamingSpec extends AnyFunSuite {
     val q = out.writeStream.outputMode("append").format("memory")
       .queryName("neardup_out").start()
     val base = "the quick brown fox jumps over the lazy dog again and again today"
-    mem.addData((1L, base), (2L, "completely unrelated text about spark internals and shuffles"))
+    mem.addData((1L, base), (2L, "completely unrelated text about spark internals and shuffles"),
+      (5L, "   "), (6L, ""))
     q.processAllAvailable()
-    mem.addData((3L, base), (4L, base + " ok")) // exact + near duplicate of doc 1
+    mem.addData((3L, base), (4L, base + " ok"), (7L, " \t "))
     q.processAllAvailable()
     q.stop()
     val pairs = spark.table("neardup_out").collect()
@@ -55,8 +56,10 @@ class StreamingSpec extends AnyFunSuite {
     // doc 4 (one-word suffix change) shares most shingles → at least one band
     assert(pairs.contains((3L, 1L)))
     assert(pairs.contains((4L, 1L)))
-    // the unrelated doc never pairs
-    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+    // the unrelated doc never pairs; blank docs (5,6,7) emit no band keys
+    // at all — they must NOT collide with each other or anything else
+    assert(!pairs.exists(p => Set(2L, 5L, 6L, 7L).contains(p._1) ||
+      Set(2L, 5L, 6L, 7L).contains(p._2)))
   }
 
   test("randomStream: streaming schema + deterministic hash-uniform values") {
