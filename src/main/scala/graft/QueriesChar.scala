@@ -32,11 +32,13 @@ object QueriesChar {
     }),
 
     // embedding-cosine near-dup pairs inside hyperplane-LSH buckets
-    "q40_embedding_neardup" -> ((s, dir) =>
+    "q40_embedding_neardup" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s) // native graft_dot
       Dedup.embeddingNearDups(tbl(s, dir, "embeddings"), "vec_id", "embedding",
         planes = 4, threshold = 0.4)
         .select(col("a"), col("b"), round(col("cosine"), 4).as("cosine"))
-        .orderBy(col("a"), col("b")))
+        .orderBy(col("a"), col("b"))
+    })
   )
 
   val oracles: Map[String, String] = Map(

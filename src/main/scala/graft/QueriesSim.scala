@@ -18,6 +18,7 @@ object QueriesSim {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // brute-force cosine top-k (queries broadcast against corpus scan)
     "q35_cosine_topk" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s) // native graft_dot
       val emb = tbl(s, dir, "embeddings")
       Similarity.cosineTopK(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5)
@@ -25,14 +26,17 @@ object QueriesSim {
     }),
 
     // md5-seeded random-hyperplane LSH buckets (the ANN scale path)
-    "q36_lsh_buckets" -> ((s, dir) =>
+    "q36_lsh_buckets" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       Similarity.hyperplaneBuckets(tbl(s, dir, "embeddings"),
         "vec_id", "embedding", planes = 6)
         .select(col("id").as("vec_id"), col("bucket"))
-        .orderBy(col("vec_id"))),
+        .orderBy(col("vec_id"))
+    }),
 
     // LSH-bucketed ANN top-k — the no-broadcast scale path under oracle
     "q49_ann_bucketed" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       val emb = tbl(s, dir, "embeddings")
       Similarity.annTopKBucketed(emb, emb.filter(col("vec_id") < 10),
         "vec_id", "embedding", k = 5, planes = 4)
@@ -40,11 +44,13 @@ object QueriesSim {
     }),
 
     // IVF coarse cells: argmax projection onto md5-derived centroids
-    "q48_ivf_cells" -> ((s, dir) =>
+    "q48_ivf_cells" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       Similarity.ivfAssign(tbl(s, dir, "embeddings"), "vec_id", "embedding",
         nlist = 4)
         .select(col("id").as("vec_id"), col("cell"))
-        .orderBy(col("vec_id"))),
+        .orderBy(col("vec_id"))
+    }),
 
     // per-user DFT of the first-8 event series, via the typed Aggregator
     // (the reference's useDFT collector shape, collector.h:2744-2779)

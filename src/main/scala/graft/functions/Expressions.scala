@@ -1,10 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the charsequence surface that Spark's
@@ -39,6 +39,48 @@ case class CodePointsExpr(child: Expression)
 
   override protected def withNewChildInternal(newChild: Expression): CodePointsExpr =
     copy(child = newChild)
+}
+
+/** Dot product of two array<double> columns with real `doGenCode` — the
+  * hot loop of every similarity/ANN operator. `zip_with` + `aggregate`
+  * express the same thing but higher-order-function lambdas run
+  * INTERPRETED (one closure call + boxing per element); this native loop
+  * reads packed ArrayData doubles inside whole-stage codegen. Lengths may
+  * differ (shorter wins) — callers pass equal-dim vectors. */
+case class DotProductExpr(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_dot"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      val i = ctx.freshName("i")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): DotProductExpr =
+    copy(left = newLeft, right = newRight)
 }
 
 case class Utf32Encode(child: Expression, bigEndian: Boolean)
@@ -111,6 +153,8 @@ object GraftFunctions {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("graft_code_points",
       exprs => CodePointsExpr(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_dot",
+      exprs => DotProductExpr(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("graft_utf32le_encode",
       exprs => Utf32Encode(exprs.head, bigEndian = false), "built-in")
     reg.createOrReplaceTempFunction("graft_utf32be_encode",

@@ -21,8 +21,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ over two array<double> columns. */
-  def dot(a: Column, b: Column): Column =
+  /** Σ aᵢ·bᵢ over two array<double> columns, via the native
+    * [[graft.functions.DotProductExpr]] (codegen'd tight loop). Requires
+    * `GraftFunctions.register(spark)` or the GraftExtensions SQL
+    * extension on the session — every graft query entry registers
+    * idempotently. The interpreted fallback below needs no registration. */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+
+  /** Registration-free dot product: `zip_with` + `aggregate` built-ins.
+    * Higher-order-function lambdas run interpreted — measurably slower
+    * per element — but need nothing on the session. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
 
   def norm(v: Column): Column = sqrt(dot(v, v))

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CodePointsExpr, Utf32Decode, Utf32Encode}
+import graft.functions.{CodePointsExpr, DotProductExpr, Utf32Decode, Utf32Encode}
 
 /** Session extensions: registers the native graft expressions at session
   * build time, so a cluster deployment enables them with
@@ -29,6 +29,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("graft_code_points"),
       info("graft_code_points", "string -> array<int> of Unicode code points"),
       (exprs: Seq[Expression]) => CodePointsExpr(exprs.head)))
+    e.injectFunction((FunctionIdentifier("graft_dot"),
+      info("graft_dot", "array<double> x array<double> -> dot product"),
+      (exprs: Seq[Expression]) => DotProductExpr(exprs(0), exprs(1))))
     e.injectFunction((FunctionIdentifier("graft_utf32le_encode"),
       info("graft_utf32le_encode", "string -> UTF-32LE bytes"),
       (exprs: Seq[Expression]) => Utf32Encode(exprs.head, bigEndian = false)))

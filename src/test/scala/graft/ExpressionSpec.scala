@@ -54,6 +54,21 @@ class ExpressionSpec extends AnyFunSuite {
     assert(got == "hi")
   }
 
+  test("graft_dot matches the interpreted zip_with form and known values") {
+    GraftFunctions.register(spark)
+    val df = Seq(
+      (Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),   // 4+10+18 = 32
+      (Array(0.5, -2.0), Array(-1.0, 0.25)),          // -0.5-0.5 = -1
+      (Array.empty[Double], Array.empty[Double])      // 0
+    ).toDF("a", "b")
+    val got = df.select(graft.operators.Similarity.dot(col("a"), col("b")).as("d"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(32.0, -1.0, 0.0))
+    val hof = df.select(graft.operators.Similarity.dotHof(col("a"), col("b")).as("d"))
+      .collect().map(_.getDouble(0)).toSeq
+    assert(got == hof)
+  }
+
   test("utf32 encode/decode round-trips; byte layout is per-endianness") {
     GraftFunctions.register(spark)
     val corpus = Seq("A", "héllo", "日本語", "🎉")
