@@ -41,25 +41,40 @@ case class CodePointsExpr(child: Expression)
     copy(child = newChild)
 }
 
-/** Dot product of two array<double> columns with real `doGenCode` — the
-  * hot loop of every similarity/ANN operator. `zip_with` + `aggregate`
+/** Dot product of two array<double|float> columns with real `doGenCode` —
+  * the hot loop of every similarity/ANN operator. `zip_with` + `aggregate`
   * express the same thing but higher-order-function lambdas run
   * INTERPRETED (one closure call + boxing per element); this native loop
-  * reads packed ArrayData doubles inside whole-stage codegen. Lengths may
-  * differ (shorter wins) — callers pass equal-dim vectors. */
+  * reads packed ArrayData inside whole-stage codegen. Float elements are
+  * widened per element (float→double is exact), so callers can dot raw
+  * float embeddings against double literals WITHOUT the array-copying
+  * `cast(array<double>)` projection. Accumulation is ascending-index
+  * double either way — bit-identical to the cast-then-fold form. Lengths
+  * may differ (shorter wins) — callers pass equal-dim vectors. */
 case class DotProductExpr(left: Expression, right: Expression)
   extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 
+  private def isFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
     val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val xf = isFloat(left); val yf = isFloat(right)
     val n = math.min(x.numElements(), y.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    while (i < n) {
+      val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
+      s += xv * yv
+      i += 1
+    }
     s
   }
 
@@ -68,11 +83,13 @@ case class DotProductExpr(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       val i = ctx.freshName("i")
+      def get(arr: String, idx: String, float: Boolean) =
+        if (float) s"(double) $arr.getFloat($idx)" else s"$arr.getDouble($idx)"
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |  $s += ${get(a, i, isFloat(left))} * ${get(b, i, isFloat(right))};
          |}
          |${ev.value} = $s;
        """.stripMargin

@@ -242,7 +242,7 @@ object Dedup {
     val dims = Similarity.vecDims(emb, vecCol)
     // bucket computed inline on the single scan — a hyperplaneBuckets
     // frame joined back by id would read and shuffle the corpus twice
-    val withB = emb.select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("vec"))
+    val withB = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("norm", Similarity.norm(col("vec")))
       .withColumn("bucket", Similarity.bucketExpr(col("vec"), planes, dims))
     val l = withB.as("l"); val r = withB.as("r")

@@ -13,15 +13,16 @@ import org.apache.spark.sql.functions._
   * pseudo-randomness is md5-derived — deterministic, engine-portable, and
   * reproducible against the DuckDB oracle.
   *
-  * Vector math is `zip_with`+`aggregate` (pure Catalyst, no UDF), with
-  * norms precomputed per side so each candidate pair costs one dot
-  * product. (Measured: unrolling the dot product into 64 element_at terms
-  * is ~2× SLOWER than the lambda form on this corpus — expression-tree
-  * size beats lambda overhead — so the lambda form stays.)
+  * Vector math rides the native codegen'd [[graft.functions.DotProductExpr]]
+  * (reads float embeddings directly — no array<double> cast projection),
+  * with norms precomputed per side so each candidate pair costs one dot
+  * product. Measured history: unrolling into 64 element_at terms was ~2×
+  * slower than the zip_with lambda; the native loop beats the lambda ~5×
+  * on the near-dup join.
   */
 object Similarity {
 
-  /** Σ aᵢ·bᵢ over two array<double> columns, via the native
+  /** Σ aᵢ·bᵢ over two array<double|float> columns, via the native
     * [[graft.functions.DotProductExpr]] (codegen'd tight loop). Requires
     * `GraftFunctions.register(spark)` or the GraftExtensions SQL
     * extension on the session — every graft query entry registers
@@ -72,7 +73,7 @@ object Similarity {
                         planes: Int): DataFrame = {
     val dims = vecDims(emb, vecCol)
     emb.select(col(idCol).as("id"),
-      bucketExpr(col(vecCol).cast("array<double>"), planes, dims).as("bucket"))
+      bucketExpr(col(vecCol), planes, dims).as("bucket"))
   }
 
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
@@ -81,10 +82,10 @@ object Similarity {
   def cosineTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                  vecCol: String, k: Int): DataFrame = {
     val c = corpus.select(col(idCol).as("nid"),
-        col(vecCol).cast("array<double>").as("nvec"))
+        col(vecCol).as("nvec"))
       .withColumn("nnorm", norm(col("nvec")))
     val q = queries.select(col(idCol).as("qid"),
-        col(vecCol).cast("array<double>").as("qvec"))
+        col(vecCol).as("qvec"))
       .withColumn("qnorm", norm(col("qvec")))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("nid") =!= col("qid"))
@@ -97,12 +98,9 @@ object Similarity {
       .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cosine"))
   }
 
-  /** IVF-style coarse quantization: `nlist` deterministic pseudo-centroids
-    * (md5-derived ±1 direction vectors — same family as the hyperplanes);
-    * each vector goes to its argmax-projection cell. Like the buckets,
-    * this is ONE narrow projection over the corpus. */
-  /** The IVF cell id as a pure column expression (argmax projection onto
-    * `nlist` md5-derived pseudo-centroids) — same rationale as
+  /** The IVF cell id as a pure column expression: argmax projection onto
+    * `nlist` deterministic pseudo-centroids (md5-derived ±1 direction
+    * vectors — same family as the hyperplanes); same rationale as
     * [[bucketExpr]]. */
   def cellExpr(vec: Column, nlist: Int, dims: Int): Column = {
     val projs = array((0 until nlist).map { c =>
@@ -116,7 +114,7 @@ object Similarity {
                 nlist: Int): DataFrame = {
     val dims = vecDims(emb, vecCol)
     emb.select(col(idCol).as("id"),
-      cellExpr(col(vecCol).cast("array<double>"), nlist, dims).as("cell"))
+      cellExpr(col(vecCol), nlist, dims).as("cell"))
   }
 
   /** IVF ANN top-k with nprobe=1: exact cosine within the query's cell.
@@ -128,10 +126,10 @@ object Similarity {
     // cell id is a pure function of the vector — computed inline on each
     // side's scan; joining an ivfAssign frame back by id would re-read
     // the corpus and shuffle it once more for nothing
-    val c = corpus.select(col(idCol).as("nid"), col(vecCol).cast("array<double>").as("nvec"))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
       .withColumn("nnorm", norm(col("nvec")))
       .withColumn("cell", cellExpr(col("nvec"), nlist, dims))
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qvec"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
       .withColumn("qnorm", norm(col("qvec")))
       .withColumn("cell", cellExpr(col("qvec"), nlist, dims))
     val scored = c.join(q, "cell")
@@ -151,10 +149,10 @@ object Similarity {
                       vecCol: String, k: Int, planes: Int): DataFrame = {
     val dims = vecDims(corpus, vecCol)
     // bucket inline on each side's scan (see ivfTopK's rationale)
-    val c = corpus.select(col(idCol).as("nid"), col(vecCol).cast("array<double>").as("nvec"))
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
       .withColumn("nnorm", norm(col("nvec")))
       .withColumn("bucket", bucketExpr(col("nvec"), planes, dims))
-    val q = queries.select(col(idCol).as("qid"), col(vecCol).cast("array<double>").as("qvec"))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
       .withColumn("qnorm", norm(col("qvec")))
       .withColumn("bucket", bucketExpr(col("qvec"), planes, dims))
     val scored = c.join(q, "bucket")
