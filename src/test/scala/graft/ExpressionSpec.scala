@@ -67,6 +67,18 @@ class ExpressionSpec extends AnyFunSuite {
     val hof = df.select(graft.operators.Similarity.dotHof(col("a"), col("b")).as("d"))
       .collect().map(_.getDouble(0)).toSeq
     assert(got == hof)
+    // float arrays read directly (no cast projection), incl. mixed
+    // float x double — equals the cast-then-dot form bit for bit
+    val fdf = Seq((Array(1.5f, -2.25f, 3.0f), Array(2.0, 4.0, -1.0)))
+      .toDF("f", "d")
+    val mixed = fdf.select(
+      graft.operators.Similarity.dot(col("f"), col("d")).as("m"),
+      graft.operators.Similarity.dot(col("f"), col("f")).as("ff"),
+      graft.operators.Similarity.dot(col("f").cast("array<double>"), col("d")).as("c"))
+      .collect()(0)
+    assert(mixed.getDouble(0) == mixed.getDouble(2)) // 3 - 9 - 3 = -9
+    assert(mixed.getDouble(0) == -9.0)
+    assert(mixed.getDouble(1) == 1.5 * 1.5 + 2.25 * 2.25 + 9.0)
   }
 
   test("utf32 encode/decode round-trips; byte layout is per-endianness") {
