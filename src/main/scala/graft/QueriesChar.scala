@@ -24,6 +24,8 @@ object QueriesChar {
         CharSeq.lastIndexOf(col("text"), "data", 100).as("last_data_100"),
         substring(CharSeq.replaceFirst(col("text"), "data", "DATA"), 1, 60)
           .as("repl60"),
+        substring(CharSeq.replaceAll(col("text"), "data", "D"), 1, 40)
+          .as("replall40"),
         size(CharSeq.splitKeepEmpty(col("text"), "a")).cast("long").as("n_fields"),
         CharSeq.codePointCount(col("text")).as("n_points"),
         aggregate(CharSeq.codePoints(col("text"), 10), lit(0L),
@@ -59,6 +61,7 @@ object QueriesChar {
         |  substr(CASE WHEN strpos(text, 'data') = 0 THEN text
         |    ELSE substr(text, 1, strpos(text, 'data') - 1) || 'DATA'
         |      || substr(text, strpos(text, 'data') + 4) END, 1, 60) AS repl60,
+        |  substr(replace(text, 'data', 'D'), 1, 40) AS replall40,
         |  CAST(len(string_split(text, 'a')) AS BIGINT) AS n_fields,
         |  CAST(length(text) AS BIGINT) AS n_points,
         |  CAST(list_sum(list_apply(range(1, least(length(text), 10) + 1),

@@ -47,6 +47,13 @@ object CharSeq {
       .otherwise(lastIndexOf(substring(c, 1, from + target.length), target))
   }
 
+  /** Replace ALL non-overlapping occurrences left-to-right — the
+    * reference's bare replace(target, replacement)
+    * (charsequence.h:989-1020). Spark's non-regex replace() has the
+    * identical scan semantics. */
+  def replaceAll(c: Column, target: String, repl: String): Column =
+    replace(c, lit(target), lit(repl))
+
   /** Replace only the first occurrence (replace(maxCount=1),
     * charsequence.h:989-1076): locate + splice, no regex. */
   def replaceFirst(c: Column, target: String, repl: String): Column = {
