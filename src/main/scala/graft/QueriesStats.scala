@@ -145,6 +145,29 @@ object QueriesStats {
         .orderBy(col("value"))
     }),
 
+    // frequency collector, DISTRIBUTED form (collector.h:1805-1906):
+    // per distinct value the sorted visible-index positions + count, as a
+    // DataFrame — never a driver map. The scalar projections (first/last/
+    // sum/size) are computed FROM the positions array, so the oracle
+    // checks the array content, not a recomputation from the source.
+    "q58_frequency" -> ((s, dir) => {
+      import s.implicits._
+      val li = IndexOps.renumberByUniqueKey(tbl(s, dir, "lineitem"),
+        col("l_orderkey") * 8 + col("l_linenumber"))
+      val stream = new graft.core.SemanticStream(
+        li.select(col("ord"), col("idx"),
+          col("l_quantity").cast("double").as("value")).as[graft.core.Elem[Double]],
+        graft.core.IndexState.Contiguous)
+      import graft.core.Terminals._
+      stream.toStatistics.frequencyDF
+        .select(col("value"), col("cnt"),
+          size(col("positions")).cast("long").as("n_pos"),
+          element_at(col("positions"), 1).as("first_pos"),
+          element_at(col("positions"), -1).as("last_pos"),
+          aggregate(col("positions"), lit(0L), (a, x) => a + x).as("sum_pos"))
+        .orderBy(col("value"))
+    }),
+
     // 5-way join (TPC-H Q5 shape): revenue by nation for one region —
     // broadcast chain for the dimensions, one shuffle for the fact join
     "q47_q5ish" -> ((s, dir) => {
@@ -303,6 +326,15 @@ object QueriesStats {
         |  round((pos_sum - mode_pos) / sd_pos, 4) AS pos_score,
         |  round((cnt - mode_cnt) / sd_cnt, 4) AS cnt_score
         |FROM pv, mp, mc, sd ORDER BY value""".stripMargin,
+
+    "q58_frequency" ->
+      """WITH li AS (SELECT l_quantity,
+        |    row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1 AS idx
+        |  FROM lineitem)
+        |SELECT CAST(l_quantity AS DOUBLE) AS value, count(*) AS cnt,
+        |  count(*) AS n_pos, min(idx) AS first_pos, max(idx) AS last_pos,
+        |  CAST(sum(idx) AS BIGINT) AS sum_pos
+        |FROM li GROUP BY 1 ORDER BY value""".stripMargin,
 
     "q47_q5ish" ->
       """SELECT n_name,

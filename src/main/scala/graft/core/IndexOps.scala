@@ -54,7 +54,17 @@ object IndexOps {
     * back. One full shuffle (the per-bucket window); the min/max and
     * count branches re-read the (cheap, columnar) upstream. Ties are
     * impossible by precondition, so results are deterministic. */
+  /** Equal-width bucketing is only monotone for genuinely numeric leads —
+    * reject anything else at plan-build time instead of mis-ranking. */
+  private def requireNumericLead(df: DataFrame, lead: Column): Unit = {
+    val dt = df.select(lead).schema.head.dataType
+    require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"bucket rank needs a numeric lead column, got ${dt.catalogString}; " +
+        "project the key to a monotone numeric (see sortByColumn) first")
+  }
+
   private def rankNumericUnique(df: DataFrame, key: Column, renumberIdx: Boolean): DataFrame = {
+    requireNumericLead(df, key)
     val parts = math.max(1, df.sparkSession.sessionState.conf.numShufflePartitions)
     val stats = df.agg(min(key).cast("long").as("__mn"), max(key).cast("long").as("__mx"))
     val width = greatest(lit(1.0),
@@ -88,6 +98,11 @@ object IndexOps {
     * `least` (NaN compares greatest in Spark), again matching both sort
     * directions. */
   private[graft] def bucketizeByLead(df: DataFrame, lead: Column): DataFrame = {
+    // A STRING lead would silently mis-rank: min/max would come from
+    // lexicographic order cast to double ('9' > '10'), inverting the
+    // bucket width. Callers with string leads must project them to a
+    // monotone numeric first (sortByColumn's 7-byte prefix shows how).
+    requireNumericLead(df, lead)
     val parts = math.max(1, df.sparkSession.sessionState.conf.numShufflePartitions)
     val stats = df.agg(min(lead).cast("double").as("__mn"),
       max(lead).cast("double").as("__mx"))

@@ -15,6 +15,13 @@ import org.apache.spark.sql.functions._
   *
   *   - `ord`  — arrival order. Strictly increasing along emission order,
   *     values are meaningless (may be sparse); only ever used as a sort key.
+  *     INVARIANT: ord is never negative — every producer (rank paths,
+  *     zipWithIndex, literal construction) assigns 0-based counters, and
+  *     no operator shifts ord (reverse/translate act on idx only). The
+  *     ord-prefix probes (findFirst, takeWhileProbed,
+  *     collectWithInterrupt) are only sound under this invariant: they
+  *     declare a hit in [0, w) globally first because no smaller ord can
+  *     exist outside the window.
   *   - `idx`  — the user-visible index (`Timestamp`), observable by
   *     index-aware lambdas and wrapped mod-n at ordered materialization
   *     (semantic.h:492-504).

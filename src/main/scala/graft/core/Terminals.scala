@@ -36,8 +36,9 @@ final class Terminals[E](s: SemanticStream[E]) extends Serializable {
     * Short-circuits like the reference's Interrupt collector: first probes
     * the bounded ord-prefix `[0, probeWindow)` — if any element lands
     * there, its min-ord row IS the global first (every smaller ord would
-    * also be inside the window), and the 100 TB tail is never touched.
-    * Only sparse/shifted ord spaces fall through to the one-pass full
+    * also be inside the window — sound because ord is never negative, the
+    * invariant documented on [[Elem]]), and the 100 TB tail is never
+    * touched. Only sparse ord spaces fall through to the one-pass full
     * aggregate (same cost as the non-probed form). */
   def findFirst(probeWindow: Long = 1L << 16): Option[E] = {
     val probe = df.filter(col("ord") >= 0 && col("ord") < probeWindow)
@@ -184,13 +185,25 @@ final class Terminals[E](s: SemanticStream[E]) extends Serializable {
 
   // ---- reduction (collector.h:2337-2375) ---------------------------------
 
-  /** Fold without identity → None on empty (useReduce, collector.h:2337). */
-  def reduce(f: (E, E) => E)(implicit encE: Encoder[E]): Option[E] =
-    if (s.ds.isEmpty) None else Some(s.ds.map(_.value).reduce(f))
+  /** Per-partition partial folds, collected (≤ #partitions values) — ONE
+    * job, empty partitions contribute nothing, so emptiness needs no
+    * separate pre-scan. `f` must be associative (the same contract
+    * Dataset.reduce imposes; the reference folds a single thread's
+    * arrival order, which only coincides under associativity anyway). */
+  private def partialReduce(f: (E, E) => E)(implicit encE: Encoder[E]): Array[E] =
+    s.ds.map(_.value).mapPartitions { it =>
+      if (it.hasNext) Iterator.single(it.reduce(f)) else Iterator.empty[E]
+    }.collect()
 
-  /** Fold with identity (useReduce, collector.h:2357). */
+  /** Fold without identity → None on empty (useReduce, collector.h:2337).
+    * Single pass: partial fold per partition, final merge on the driver. */
+  def reduce(f: (E, E) => E)(implicit encE: Encoder[E]): Option[E] =
+    partialReduce(f).reduceLeftOption(f)
+
+  /** Fold with identity (useReduce, collector.h:2357). The identity seeds
+    * the FINAL merge once (empty → identity, no scan wasted on it). */
   def reduce(identity: E, f: (E, E) => E)(implicit encE: Encoder[E]): E =
-    if (s.ds.isEmpty) identity else f(identity, s.ds.map(_.value).reduce(f))
+    partialReduce(f).foldLeft(identity)(f)
 
   // ---- collect-to-container (collector.h:2434-2742) ----------------------
 
@@ -328,12 +341,23 @@ final class Statistics(val df: DataFrame) extends Serializable {
   /** Reference-formula excess kurtosis (collector.h:3147-3186). */
   def kurtosis: Double = centralMoments.kurtosis
 
-  /** Occurrence profile per distinct value: (visible-index positions, count)
-    * (useFrequency, collector.h:1805-1906). */
+  /** Distributed occurrence profile per distinct value:
+    * (value, positions[], count) as a DataFrame (useFrequency,
+    * collector.h:1805-1906). One shuffle, distinct-value-cardinality
+    * sized, never driver-materialized — the scalable form; this is what
+    * a 100 TB column must use. Positions are ascending visible indices. */
+  def frequencyDF: DataFrame =
+    df.groupBy(v.as("value"))
+      .agg(sort_array(collect_list(col("idx"))).as("positions"),
+        count(lit(1)).as("cnt"))
+
+  /** [[frequencyDF]] collected to the reference's Map finisher shape.
+    * CAVEAT: materializes every distinct value AND its full position list
+    * on the driver — only safe for bounded-cardinality columns (the
+    * reference's finisher has the same hazard single-node). Prefer
+    * [[frequencyDF]] at scale. */
   def frequency: Map[Double, (Seq[Long], Long)] =
-    df.groupBy(v.as("val"))
-      .agg(sort_array(collect_list(col("idx"))).as("pos"), count(lit(1)).as("cnt"))
-      .collect()
+    frequencyDF.collect()
       .map(r => r.getDouble(0) -> (r.getSeq[Long](1), r.getLong(2))).toMap
 
   /** Distribution profile (useDistribution, collector.h:1908-2096): per

@@ -114,23 +114,34 @@ object CharSeq {
     substring(c, start + 1, len)
 
   /** Charsets shared by the reference (charsequence.h:21-32) and Spark's
-    * encode/decode built-ins. utf32le/be exist only in the reference —
-    * unsupported here (documented divergence; would need a custom
-    * Expression). */
+    * encode/decode built-ins. utf32le/be (also reference charsets) have no
+    * Spark built-in — [[encodeCharset]]/[[decodeCharset]] route them to the
+    * native [[Utf32Encode]]/[[Utf32Decode]] expressions instead. */
   val charsets: Map[String, String] = Map(
     "ascii" -> "US-ASCII", "latin1" -> "ISO-8859-1", "utf8" -> "UTF-8",
     "utf16le" -> "UTF-16LE", "utf16be" -> "UTF-16BE", "utf16" -> "UTF-16")
 
   /** String → bytes in the given reference charset name
     * (encode, charsequence.h:123-263). Invalid/unmappable input follows
-    * JVM replacement semantics ('?' for ascii/latin1) like the reference. */
+    * JVM replacement semantics ('?' for ascii/latin1) like the reference.
+    * utf32le/be route to the native [[Utf32Encode]] expression (requires
+    * [[GraftFunctions.register]], like [[codePoints]]). */
   def encodeCharset(c: Column, refCharset: String): Column =
-    encode(c, charsets.getOrElse(refCharset.toLowerCase, refCharset))
+    refCharset.toLowerCase match {
+      case "utf32le" => call_function("graft_utf32le_encode", c)
+      case "utf32be" => call_function("graft_utf32be_encode", c)
+      case lc => encode(c, charsets.getOrElse(lc, refCharset))
+    }
 
   /** Bytes → string, invalid sequences → U+FFFD
-    * (decode, charsequence.h:265-495). */
+    * (decode, charsequence.h:265-495). utf32le/be route to the native
+    * [[Utf32Decode]] expression (same registration requirement). */
   def decodeCharset(c: Column, refCharset: String): Column =
-    decode(c, charsets.getOrElse(refCharset.toLowerCase, refCharset))
+    refCharset.toLowerCase match {
+      case "utf32le" => call_function("graft_utf32le_decode", c)
+      case "utf32be" => call_function("graft_utf32be_decode", c)
+      case lc => decode(c, charsets.getOrElse(lc, refCharset))
+    }
 
   /** Transcode via decode→encode (convert, charsequence.h:497-544). */
   def convertCharset(c: Column, from: String, to: String): Column =

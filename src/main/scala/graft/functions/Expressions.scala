@@ -57,9 +57,33 @@ case class DotProductExpr(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "graft_dot"
 
+  /** Only array<float>/array<double> inputs make sense — anything else
+    * would read garbage through getDouble. Checked at ANALYSIS time, not
+    * discovered inside codegen. NULL ELEMENTS count as 0.0 (additive
+    * identity — a null dimension contributes nothing), checked only when
+    * the array type admits nulls so nullless columns keep the tight
+    * loop. */
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(org.apache.spark.sql.types.FloatType | DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<float>/array<double> arguments, " +
+          s"got ${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
   private def isFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
     case _ => false
+  }
+
+  private def mayHaveNulls(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, n) => n
+    case _ => true
   }
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -70,8 +94,12 @@ case class DotProductExpr(left: Expression, right: Expression)
     var s = 0.0
     var i = 0
     while (i < n) {
-      val xv = if (xf) x.getFloat(i).toDouble else x.getDouble(i)
-      val yv = if (yf) y.getFloat(i).toDouble else y.getDouble(i)
+      val xv =
+        if (x.isNullAt(i)) 0.0
+        else if (xf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv =
+        if (y.isNullAt(i)) 0.0
+        else if (yf) y.getFloat(i).toDouble else y.getDouble(i)
       s += xv * yv
       i += 1
     }
@@ -83,13 +111,16 @@ case class DotProductExpr(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val s = ctx.freshName("s")
       val i = ctx.freshName("i")
-      def get(arr: String, idx: String, float: Boolean) =
-        if (float) s"(double) $arr.getFloat($idx)" else s"$arr.getDouble($idx)"
+      def get(arr: String, idx: String, e: Expression) = {
+        val raw =
+          if (isFloat(e)) s"(double) $arr.getFloat($idx)" else s"$arr.getDouble($idx)"
+        if (mayHaveNulls(e)) s"($arr.isNullAt($idx) ? 0.0 : $raw)" else raw
+      }
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  $s += ${get(a, i, isFloat(left))} * ${get(b, i, isFloat(right))};
+         |  $s += ${get(a, i, left)} * ${get(b, i, right)};
          |}
          |${ev.value} = $s;
        """.stripMargin

@@ -251,6 +251,20 @@ class CoreStreamSpec extends AnyFunSuite {
     assert(rng(0).terminals.reduce(7L, _ + _) == 7L)
   }
 
+  test("reduce scans the data exactly once (no isEmpty pre-job)") {
+    // a per-element accumulator counts scans: the old isEmpty-then-reduce
+    // shape touched (part of) the data twice; the partial-fold form must
+    // touch every element exactly once, identity form included
+    val acc = spark.sparkContext.longAccumulator("touches")
+    val s = rng(1000).map { v => acc.add(1); v }
+    assert(s.terminals.reduce(_ + _).contains(499500L))
+    assert(acc.value == 1000L)
+    val acc2 = spark.sparkContext.longAccumulator("touches2")
+    val s2 = rng(1000).map { v => acc2.add(1); v }
+    assert(s2.terminals.reduce(0L, _ + _) == 499500L)
+    assert(acc2.value == 1000L)
+  }
+
   test("container views: multimap/stack/queue/priority-queue/sorted-set") {
     val s = SemanticStream.from(spark, Seq(3, 1, 4, 1, 5))
     assert(s.terminals.toStack == List(5, 1, 4, 1, 3))
@@ -362,5 +376,17 @@ class CoreStreamSpec extends AnyFunSuite {
     val f = SemanticStream.from(spark, Seq(5.0, 7.0, 5.0)).toStatistics.frequency
     assert(f(5.0) == (Seq(0L, 2L), 2L))
     assert(f(7.0) == (Seq(1L), 1L))
+  }
+
+  test("frequencyDF: distributed form — sorted positions, one row per distinct value") {
+    val df = SemanticStream.from(spark, Seq(5.0, 7.0, 5.0, 7.0, 5.0))
+      .toStatistics.frequencyDF
+    val rows = df.orderBy(org.apache.spark.sql.functions.col("value")).collect()
+      .map(r => (r.getDouble(0), r.getSeq[Long](1).toSeq, r.getLong(2)))
+    assert(rows.toSeq == Seq((5.0, Seq(0L, 2L, 4L), 3L), (7.0, Seq(1L, 3L), 2L)))
+    // the Map finisher is the collected view of the same frame
+    val m = SemanticStream.from(spark, Seq(5.0, 7.0, 5.0, 7.0, 5.0))
+      .toStatistics.frequency
+    assert(m(5.0) == (Seq(0L, 2L, 4L), 3L) && m(7.0) == (Seq(1L, 3L), 2L))
   }
 }

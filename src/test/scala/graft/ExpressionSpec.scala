@@ -98,6 +98,60 @@ class ExpressionSpec extends AnyFunSuite {
       Seq[Byte](0, 1, 0xF3.toByte, 0x89.toByte))
   }
 
+  test("encodeCharset/decodeCharset route utf32le/be NAMES to the native expressions") {
+    GraftFunctions.register(spark)
+    import graft.functions.CharSeq._
+    val df = Seq("héllo 🎉").toDF("s")
+    val r = df.select(
+      decodeCharset(encodeCharset(col("s"), "utf32le"), "utf32le").as("le"),
+      decodeCharset(encodeCharset(col("s"), "UTF32BE"), "utf32be").as("be"),
+      encodeCharset(lit("A"), "utf32be").as("bytes")).collect()(0)
+    assert(r.getString(0) == "héllo 🎉")
+    assert(r.getString(1) == "héllo 🎉") // case-insensitive name routing
+    assert(r.getAs[Array[Byte]]("bytes").toSeq == Seq[Byte](0, 0, 0, 0x41))
+  }
+
+  test("graft_dot rejects non-float/double arrays at ANALYSIS time") {
+    GraftFunctions.register(spark)
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((Array(1, 2), Array(3, 4))).toDF("a", "b")
+        .selectExpr("graft_dot(a, b)").collect()
+    }
+    assert(e.getMessage.contains("graft_dot"))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(("x", Array(1.0))).toDF("a", "b").selectExpr("graft_dot(a, b)").collect()
+    }
+  }
+
+  test("graft_dot: null elements count as 0.0 (additive identity), both eval paths") {
+    GraftFunctions.register(spark)
+    // 1*2 + null*5 + 3*4 = 14
+    val got = spark.sql(
+      "SELECT graft_dot(array(1.0D, NULL, 3.0D), array(2.0D, 5.0D, 4.0D)) AS d")
+      .collect()(0).getDouble(0)
+    assert(got == 14.0)
+  }
+
+  test("utf16le decode parity with the reference (charsequence.h:392-427)") {
+    import graft.functions.CharSeq._
+    def dec(bytes: Array[Byte]): Seq[Int] =
+      Seq(bytes).toDF("b").select(decodeCharset(col("b"), "utf16le").as("s"))
+        .collect()(0).getString(0).codePoints().toArray.toSeq
+    // matching cases: lone surrogates and truncated tails → U+FFFD
+    assert(dec(Array[Byte](0x00, 0xD8.toByte)) == Seq(0xFFFD))        // lone high, at end
+    assert(dec(Array[Byte](0x00, 0xDC.toByte)) == Seq(0xFFFD))        // lone low
+    assert(dec(Array[Byte](0x41, 0x00, 0x42)) == Seq(0x41, 0xFFFD))   // odd trailing byte
+    assert(dec(Array[Byte](0x3C, 0xD8.toByte, 0x89.toByte, 0xDF.toByte)) ==
+      Seq(0x1F389)) // valid astral pair
+    // DOCUMENTED DIVERGENCE (COVERAGE.md §2.6): high surrogate followed
+    // by a non-low unit — the reference consumes 2 bytes and re-decodes
+    // the next unit (→ U+FFFD U+0041); the JVM decoder reports the pair
+    // as ONE malformed sequence (→ U+FFFD). Pin the JVM behavior so any
+    // platform change is caught.
+    assert(dec(Array[Byte](0x00, 0xD8.toByte, 0x41, 0x00)) == Seq(0xFFFD))
+    assert(dec(Array[Byte](0x00, 0xD8.toByte, 0x00, 0xD8.toByte)) == Seq(0xFFFD))
+  }
+
   test("utf32 decode: invalid scalar values and truncated tails → U+FFFD") {
     GraftFunctions.register(spark)
     val bad = Seq(

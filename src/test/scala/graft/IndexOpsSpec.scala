@@ -10,6 +10,20 @@ class IndexOpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("bucket-rank paths REJECT string leads at plan-build time") {
+    // a numeric-parseable string lead would bucket on lexicographic
+    // min/max ('9' > '10') and silently mis-rank — must throw instead
+    val df = Seq("10", "11", "9").toDF("k").withColumn("x", lit(1))
+    val e = intercept[IllegalArgumentException] {
+      IndexOps.rankNumericPrefix(df, col("k"), Seq(col("k").asc),
+        renumberIdx = true)
+    }
+    assert(e.getMessage.contains("numeric lead"))
+    intercept[IllegalArgumentException] {
+      IndexOps.renumberByUniqueKey(df, col("k"))
+    }
+  }
+
   test("rankByOrd: sparse, skewed ords → contiguous idx in ord order") {
     // squares: heavily right-skewed value distribution across buckets
     val df = (0 until 5000).map(i => (i.toLong * i, s"v$i"))

@@ -282,6 +282,21 @@ class OperatorSpec extends AnyFunSuite {
     assert(math.abs(st("xx") / 13333.0 - 0.1) < 0.05)
   }
 
+  test("deterministicShuffle shelters caller ord/idx columns") {
+    import graft.operators.Sampling
+    val df = (0 until 100).map(i => (i.toLong, i * 10L, s"i$i"))
+      .toDF("id", "ord", "idx")
+    val out = Sampling.deterministicShuffle(df, "id", seed = 5L)
+    assert(out.columns.sorted.toSeq == Seq("id", "idx", "ord", "pos"))
+    val r = out.filter(col("id") === 7L).collect()(0)
+    assert(r.getAs[Long]("ord") == 70L && r.getAs[String]("idx") == "i7")
+    // permutation unchanged by the extra columns
+    val plain = Sampling.deterministicShuffle(df.select("id"), "id", seed = 5L)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("pos")).toMap
+    val withCols = out.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("pos")).toMap
+    assert(plain == withCols)
+  }
+
   test("rangeJoin: bin-spanning intervals match once; empty intervals drop") {
     import graft.operators.Joins
     val points = Seq((1L, 10L, 5L), (2L, 10L, 25L), (3L, 10L, 95L), (4L, 99L, 25L))
