@@ -56,10 +56,16 @@ object QueriesText {
       Dedup.exact(tbl(s, dir, "documents"), "doc_id", "text")
         .orderBy(col("id"))),
 
-    // MinHash + LSH near-dup pairs, exact-Jaccard verified
+    // MinHash + LSH near-dup pairs, exact-Jaccard verified. The bucket
+    // cap guards the adversarial mass-duplicate case (a crawl with 10k
+    // copies of one page would otherwise go quadratic inside one band
+    // bucket); 64 is provably inert here — the max band bucket across
+    // sf0.001/0.01/0.1 is 4 (asserted in OperatorSpec), so results are
+    // bit-identical to the uncapped run.
     "q32_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashNearDups(tbl(s, dir, "documents"), "doc_id", "text",
-        shingleWidth = 3, numHashes = 12, bands = 4, threshold = 0.2)
+        shingleWidth = 3, numHashes = 12, bands = 4, threshold = 0.2,
+        maxBucketSize = Some(64))
         .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("a"), col("b"))),
 
@@ -258,7 +264,9 @@ object QueriesText {
          |  SELECT DISTINCT doc_id AS id, shingle FROM shingled
          |  WHERE shingle IS NOT NULL),
          |sig AS (
-         |  SELECT id, i.i, min(substr(md5(shingle), i.i + 1, 16)) AS h
+         |  SELECT id, i.i,
+         |    min(substr(md5(CAST(i.i // 4 AS VARCHAR) || '#' || shingle),
+         |      (i.i % 4) * 8 + 1, 8)) AS h
          |  FROM shingles, generate_series(0, 11) AS i(i)
          |  GROUP BY id, i.i),
          |bands AS (

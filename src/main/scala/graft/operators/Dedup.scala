@@ -84,32 +84,35 @@ object Dedup {
     regexp_extract_all(norm, lit(s"(?:^| )(?=($unit))"), lit(1))
   }
 
-  /** MinHash signature: the shingle is digested ONCE — h_i = min over
-    * shingles of the 16-hex window of md5(shingle) starting at offset i.
-    * Each window is a uniform 64-bit hash of the shingle, so its
-    * lexicographic min is a valid min-hash family; the families share a
-    * digest (correlated variance across families, same per-family
-    * collision probability), which LSH banding tolerates and the exact
-    * Jaccard verify downstream makes harmless. Needs no RNG and is
-    * identical in any engine with md5.
+  /** MinHash signature: h_i = min over shingles of a DISJOINT 8-hex
+    * (32-bit) window of a salted digest — digest d_j = md5(j + "#" +
+    * shingle) carries families 4j..4j+3 at hex offsets 0/8/16/24, so
+    * every family reads an independent 32-bit hash. (Round 2 used
+    * OVERLAPPING 16-hex windows of one digest — stride-1 neighbors share
+    * 15 of 16 chars, so the per-shingle argmin was usually the same
+    * shingle across adjacent families: far fewer effective independent
+    * hashes than numHashes, degrading LSH recall, and the downstream
+    * exact-Jaccard verify can only kill false positives, never recover
+    * misses.) Needs no RNG and is identical in any engine with md5.
     *
     * Shape: one narrow explode of the in-row shingle array (no window, no
-    * pre-shuffle) feeding a hash aggregate with k `min` columns over ONE
-    * md5 per shingle occurrence — at 100 TB the digest, not the k salted
-    * re-digests of round 1, is the dominant cost (12× fewer md5 blocks).
-    * The md5 runs inside whole-stage codegen (an `array_min(transform())`
-    * formulation is 10× slower — higher-order-function lambdas are
-    * interpreted), and map-side partial aggregation shrinks the shuffle
-    * to k 16-char keys per doc per partition. */
+    * pre-shuffle) feeding a hash aggregate with k `min` columns over
+    * ⌈k/4⌉ md5 per shingle occurrence (3 for the default k=12 — still 4×
+    * fewer digest blocks than one-salt-per-family). The md5 runs inside
+    * whole-stage codegen (an `array_min(transform())` formulation is 10×
+    * slower — higher-order-function lambdas are interpreted), and
+    * map-side partial aggregation shrinks the shuffle to k 8-char keys
+    * per doc per partition. */
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
                        shingleWidth: Int, numHashes: Int): DataFrame = {
-    require(numHashes <= 17, s"numHashes=$numHashes: a 32-hex md5 fits at most 17 16-hex windows")
+    val numDigests = (numHashes + 3) / 4
     val sh = df.select(col(idCol).as("id"),
       explode(shingleArray(col(textCol), shingleWidth)).as("shingle"))
-      .select(col("id"), md5(col("shingle")).as("d"))
+    val withDigests = sh.select(col("id") +: (0 until numDigests).map(j =>
+      md5(concat(lit(s"$j#"), col("shingle"))).as(s"d$j")): _*)
     val aggs = (0 until numHashes).map(i =>
-      min(substring(col("d"), i + 1, 16)).as(s"h$i"))
-    sh.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+      min(substring(col(s"d${i / 4}"), (i % 4) * 8 + 1, 8)).as(s"h$i"))
+    withDigests.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: split the signature into `bands` bands of `rowsPerBand`

@@ -110,8 +110,9 @@ object StreamOps {
   /** Streaming MinHash+LSH near-dup candidates — the unbounded twin of
     * [[graft.operators.Dedup.minhashNearDups]]'s candidate stage. Each
     * incoming (id, text) is shingled, min-hashed (same construction as
-    * the batch operator: one md5 per shingle, 16-hex-window families)
-    * and banded ON THE MAP SIDE; the only stateful op is a per-band-key
+    * the batch operator: salted digests md5(j + "#" + shingle), four
+    * disjoint 8-hex windows per digest) and banded ON THE MAP SIDE; the
+    * only stateful op is a per-band-key
     * first-seen register, so state is one id per observed band key.
     * Emits (id, firstSeenId) for every later doc that collides with a
     * key's first document — the same pair may arrive via several bands;
@@ -123,7 +124,7 @@ object StreamOps {
                                  shingleWidth: Int = 3, numHashes: Int = 12,
                                  bands: Int = 4): Dataset[(Long, Long)] = {
     import docs.sparkSession.implicits._
-    require(numHashes % bands == 0 && numHashes <= 17)
+    require(numHashes % bands == 0)
     val rows = numHashes / bands
     val banded: Dataset[(String, Long)] = docs.flatMap { case (id, text) =>
       val toks = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
@@ -133,8 +134,11 @@ object StreamOps {
       if (toks.length < shingleWidth) Seq.empty[(String, Long)]
       else {
         val shingles = toks.sliding(shingleWidth).map(_.mkString(" ")).toSeq
-        val digests = shingles.map(md5hex)
-        val sig = (0 until numHashes).map(i => digests.map(_.substring(i, i + 16)).min)
+        val numDigests = (numHashes + 3) / 4
+        val digests = shingles.map(s =>
+          (0 until numDigests).map(j => md5hex(s"$j#$s")))
+        val sig = (0 until numHashes).map(i =>
+          digests.map(_(i / 4).substring((i % 4) * 8, (i % 4) * 8 + 8)).min)
         (0 until bands).map { b =>
           (b.toString + "|" + (0 until rows).map(r => sig(b * rows + r)).mkString("|"), id)
         }

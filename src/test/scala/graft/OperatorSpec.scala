@@ -333,6 +333,37 @@ class OperatorSpec extends AnyFunSuite {
     assert(Dedup.lshCandidates(bands).count() == 19900L + 1L)
   }
 
+  test("q32's bucket cap (64) is provably inert at every oracle scale") {
+    import graft.operators.Dedup
+    // the cap only truncates buckets LARGER than it; assert no band
+    // bucket at any oracle SF comes close, so capped ≡ uncapped results
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val docs = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
+      val sig = Dedup.minhashSignature(docs, "doc_id", "text", 3, 12)
+      val maxBucket = Dedup.lshBands(sig, 4, 3)
+        .groupBy("band", "key").count()
+        .agg(max("count")).collect()(0).getLong(0)
+      assert(maxBucket < 64, s"$sf max band bucket $maxBucket !< 64")
+    }
+  }
+
+  test("minhashNearDups duplicate bomb: capped banding stays linearithmic") {
+    import graft.operators.Dedup
+    // 10k byte-identical copies of one page: identical signatures put all
+    // 10k ids in ONE bucket per band. Uncapped, the within-bucket join is
+    // C(10000,2) ≈ 5·10^7 pairs; the cap bounds it to C(cap,2) from the
+    // cap smallest ids — still enough for the pairs to dedup against.
+    val docs = (0 until 10000).map(i =>
+      (i.toLong, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(docs, "doc_id", "text",
+      shingleWidth = 3, numHashes = 12, bands = 4, threshold = 0.2,
+      maxBucketSize = Some(8)).collect()
+    assert(pairs.length == 28) // C(8,2)
+    assert(pairs.forall(r => r.getAs[Long]("a") < 8 && r.getAs[Long]("b") < 8))
+    assert(pairs.forall(_.getAs[Double]("jaccard") == 1.0))
+  }
+
   test("annTopKBucketed agrees with brute force within shared buckets") {
     val vecs = (0 until 40).map { i =>
       (i.toLong, Array.tabulate(8)(j => math.sin(i * 0.7 + j).toFloat))
