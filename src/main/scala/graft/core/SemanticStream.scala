@@ -300,28 +300,31 @@ final class SemanticStream[E](
     * 477-490), renumbered 0..n-1. Value column must be Catalyst-orderable. */
   def sorted: SemanticStream[E] = sortByColumn(identity)
 
-  /** Distributed stable value sort by column expression. Numeric sort
-    * keys bucket on the key itself; STRING keys bucket on an
-    * order-preserving numeric projection of their first 7 UTF-8 bytes
-    * (Spark's string order IS UTF8 binary order, so the projection is
-    * monotone; prefix ties just share a bucket and resolve inside it) —
-    * both stay on the Catalyst-only bucket-rank path. Only other types
-    * (structs, arrays) fall back to the zipWithIndex rank. */
+  /** Distributed stable value sort by column expression. The bucket-rank
+    * path needs a numeric LEAD that is monotone in the sort order — the
+    * full order still resolves inside each bucket, so the lead only has
+    * to be a coarsening, never a total order:
+    *
+    *   - numeric keys bucket on the key itself;
+    *   - STRING keys on an order-preserving projection of their first 7
+    *     UTF-8 bytes (Spark's string order IS UTF8 binary order);
+    *   - date/timestamp/boolean on their numeric cast;
+    *   - STRUCT keys on the projection of their LEADING FIELD (struct
+    *     order compares field by field, so any coarsening of the first
+    *     field coarsens the struct order), recursively;
+    *   - ARRAY keys on the projection of their first element (array
+    *     order is lexicographic; empty arrays project to null → the
+    *     dedicated null bucket, which sorts first asc / last desc
+    *     exactly like [] does among arrays).
+    *
+    * Only keys whose every leading component is itself unprojectable
+    * (e.g. map-typed) fall back to the zipWithIndex rank. */
   def sortByColumn(key: Column => Column, ascending: Boolean = true): SemanticStream[E] = {
     val r = resolved
     val lead = key(col("value"))
     val k = if (ascending) lead.asc else lead.desc
-    val leadNum: Option[Column] =
-      r.ds.toDF().select(lead).schema.head.dataType match {
-        case _: org.apache.spark.sql.types.NumericType => Some(lead)
-        case org.apache.spark.sql.types.StringType =>
-          // first 7 bytes as a base-16 number: equal-length hex compares
-          // like the bytes, conv() makes it numeric, 56 bits fit a long
-          Some(conv(rpad(hex(substring(encode(lead, "UTF-8"), 1, 7)), 14, "0"),
-            16, 10).cast("long"))
-        case _ => None
-      }
-    val df = leadNum match {
+    val dt = r.ds.toDF().select(lead).schema.head.dataType
+    val df = SemanticStream.numericLeadOf(dt, lead) match {
       case Some(ln) =>
         IndexOps.rankNumericPrefix(r.ds.toDF(), ln, Seq(k, col("idx").asc),
           renumberIdx = true, ascending = ascending)
@@ -426,6 +429,33 @@ final class SemanticStream[E](
 
 object SemanticStream {
   import IndexState._
+
+  /** Order-coarsening numeric projection of a sort key, for
+    * [[IndexOps.rankNumericPrefix]] bucketing (see [[SemanticStream.sortByColumn]]).
+    * Guarantee: a < b under the key's Catalyst ordering ⇒
+    * proj(a) <= proj(b) (nulls land in the dedicated null bucket). */
+  private[graft] def numericLeadOf(
+      dt: org.apache.spark.sql.types.DataType, c: Column): Option[Column] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case _: NumericType => Some(c)
+      case StringType =>
+        // first 7 bytes as a base-16 number: equal-length hex compares
+        // like the bytes, conv() makes it numeric, 56 bits fit a long
+        Some(conv(rpad(hex(substring(encode(c, "UTF-8"), 1, 7)), 14, "0"),
+          16, 10).cast("long"))
+      case BooleanType | DateType | TimestampType | TimestampNTZType =>
+        Some(c.cast("long"))
+      case st: StructType if st.fields.nonEmpty =>
+        numericLeadOf(st.fields.head.dataType, c.getField(st.fields.head.name))
+      case ArrayType(et, _) =>
+        // get() is 0-based and null-safe out of bounds (element_at would
+        // raise under ANSI); [] → null → null bucket, matching []'s rank
+        // at either end of the array order
+        numericLeadOf(et, get(c, lit(0)))
+      case _ => None
+    }
+  }
 
   /** Bridge from a table to an indexed stream: assign contiguous indices in
     * the order of the given sort columns. Returns (ord, idx, value) df. */

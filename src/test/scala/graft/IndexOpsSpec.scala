@@ -136,6 +136,44 @@ class IndexOpsSpec extends AnyFunSuite {
     assert(!wrapped.toDF.queryExecution.executedPlan.toString.contains("ExistingRDD"))
   }
 
+  test("struct sort keys stay on the Catalyst bucket path (no RDD hop)") {
+    import graft.core.SemanticStream
+    val spark2 = spark; import spark2.implicits._
+    // (int, string) struct key: leading field numeric → buckets on it
+    val data = (0 until 500).map(i => ((i * 37) % 100, s"s${i % 7}"))
+    val sorted = SemanticStream.from(spark, data).sortByColumn(identity)
+    assert(!sorted.toDF.queryExecution.executedPlan.toString.contains("ExistingRDD"))
+    val got = sorted.toDF.orderBy(col("idx")).collect()
+      .map { r => val s = r.getStruct(2); (s.getInt(0), s.getString(1)) }.toSeq
+    assert(got == data.sorted)
+    // string-leading struct: buckets on the 7-byte prefix projection
+    val sdata = (0 until 300).map(i => (s"k${(i * 13) % 50}%03d", i))
+    val ssorted = SemanticStream.from(spark, sdata).sortByColumn(identity)
+    assert(!ssorted.toDF.queryExecution.executedPlan.toString.contains("ExistingRDD"))
+    val sgot = ssorted.toDF.orderBy(col("idx")).collect()
+      .map { r => val s = r.getStruct(2); (s.getString(0), s.getInt(1)) }.toSeq
+    assert(sgot == sdata.sorted)
+  }
+
+  test("array sort keys: lexicographic order, [] at the correct end, no RDD hop") {
+    import graft.core.SemanticStream
+    val data: Seq[Seq[Int]] =
+      Seq(Seq(2, 1), Seq(), Seq(1, 5), Seq(1), Seq(2), Seq(1, 5, 0), Seq())
+    val sorted = SemanticStream.from(spark, data).sortByColumn(identity)
+    assert(!sorted.toDF.queryExecution.executedPlan.toString.contains("ExistingRDD"))
+    val got = sorted.toDF.orderBy(col("idx")).collect()
+      .map(_.getSeq[Int](2).toSeq).toSeq
+    import scala.math.Ordering.Implicits.seqOrdering
+    assert(got == data.sorted)
+    assert(got.take(2) == Seq(Seq(), Seq())) // empty arrays first asc
+    // desc: empty arrays (null lead → null bucket) land LAST
+    val desc = SemanticStream.from(spark, data)
+      .sortByColumn(identity, ascending = false)
+    val dgot = desc.toDF.orderBy(col("idx")).collect()
+      .map(_.getSeq[Int](2).toSeq).toSeq
+    assert(dgot == data.sorted.reverse)
+  }
+
   test("renumberBy composite keys: stable across repeated runs") {
     val df = (0 until 2000).map(i => ((i * 37) % 100, i % 7, i))
       .toDF("a", "b", "value")

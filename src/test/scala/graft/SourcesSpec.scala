@@ -80,6 +80,35 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("ord probes push their range to the parquet scan (row-group pruning)") {
+    import graft.core.{Elem, IndexState, SemanticStream}
+    // ord-sorted parquet, range-partitioned so each file covers an ord
+    // slice — the layout takeWhileProbed's scaladoc promises to prune
+    val dir = java.nio.file.Files.createTempDirectory("graft-probe").toString
+    spark.range(100000).select(col("id").as("ord"), col("id").as("idx"),
+        col("id").as("value"))
+      .repartitionByRange(8, col("ord")).sortWithinPartitions(col("ord"))
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    // the probe's filter shape, exactly as takeWhileProbed issues it
+    val probePlan = df.filter(col("ord") >= 0L && col("ord") < 65536L)
+      .queryExecution.executedPlan.toString
+    assert(probePlan.contains("PushedFilters:"))
+    assert(probePlan.contains("GreaterThanOrEqual(ord,0)") &&
+      probePlan.contains("LessThan(ord,65536)"), probePlan)
+    // end-to-end: probed takeWhile over the parquet-backed stream stops
+    // at the boundary and its RESULT plan also scans under a pushed
+    // ord bound (the tail of the file set is never read)
+    val st = new SemanticStream[Long](df.as[Elem[Long]], IndexState.Contiguous)
+    val taken = st.takeWhileProbed(_ < 50L, initialWindow = 256)
+    val plan = taken.toDF.queryExecution.executedPlan.toString
+    assert(plan.contains("LessThan(ord,50)"), plan)
+    assert(taken.toDF.count() == 50L)
+    // findFirst's probe window is the same pushdown-visible shape
+    import graft.core.Terminals._
+    assert(st.terminals.findFirst(probeWindow = 256).contains(0L))
+  }
+
   test("driver contract: every oracle key has a query; queries are well-formed at smoke tier") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracles without queries: $missing")

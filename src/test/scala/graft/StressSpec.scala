@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.concurrent.TimeLimits.failAfter
+import org.scalatest.time.{Seconds, Span}
+import org.scalatest.Tag
+
+/** Tag for the adversarial-scale tier — heavier than the unit suites,
+  * still minutes not hours. Run alone via
+  * `sbt "testOnly graft.StressSpec"`. */
+object SlowStress extends Tag("graft.SlowStress")
+
+/** Adversarial-skew stress: the 100×-scale question the sf0.1 bench can't
+  * answer. Each fixture plants the classic scale-killer — one key owning
+  * half the rows, one document duplicated 10k× — and asserts the operator
+  * finishes inside a wall-clock bound that a quadratic (or
+  * single-partition) plan would blow through by orders of magnitude. */
+class StressSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("exact dedup: one text duplicated 10k× among 100k docs", SlowStress) {
+    failAfter(Span(120, Seconds)) {
+      // digest-keyed window: the hot group holds 10k rows of 32-byte
+      // digests — a shuffle-partition-sized skew, not a quadratic one
+      val docs = spark.range(100000).select(col("id").as("doc_id"),
+        when(col("id") < 10000, lit("the mass duplicated crawl page body"))
+          .otherwise(concat(lit("unique text "), col("id"))).as("text"))
+      val out = graft.operators.Dedup.exact(docs, "doc_id", "text")
+      val dupGroup = out.filter(col("group_size") === 10000L)
+      assert(dupGroup.count() == 10000L)
+      assert(dupGroup.agg(min(col("canonical_id"))).collect()(0).getLong(0) == 0L)
+      assert(out.count() == 100000L)
+    }
+  }
+
+  test("capped LSH banding: 10k-dup bomb inside a 50k corpus stays bounded", SlowStress) {
+    failAfter(Span(180, Seconds)) {
+      // every duplicate shares every band key → one 10k-id bucket per
+      // band. Uncapped that is 4 × C(10k,2) ≈ 2·10^8 join rows; capped
+      // at q32's 64 it is 4 × C(64,2) = 8064 — assert the OUTPUT stays
+      // in that regime (plus whatever the organic corpus contributes)
+      // organic docs share NO shingles doc-to-doc (every token embeds the
+      // id), so the only colliding bucket is the bomb's
+      val docs = spark.range(50000).select(col("id").as("doc_id"),
+        when(col("id") < 10000,
+          lit("alpha beta gamma delta epsilon zeta eta theta iota kappa"))
+          .otherwise(concat(
+            lit("a"), col("id"), lit(" b"), col("id"), lit(" c"), col("id"),
+            lit(" d"), col("id"), lit(" e"), col("id"))).as("text"))
+      val pairs = graft.operators.Dedup.minhashNearDups(docs, "doc_id", "text",
+        shingleWidth = 3, numHashes = 12, bands = 4, threshold = 0.2,
+        maxBucketSize = Some(64))
+      val n = pairs.count()
+      assert(n == 2016L, s"pair count $n != C(64,2)") // the cap's exact budget
+    }
+  }
+
+  test("salted aggregation: one key owns 50% of 1M rows", SlowStress) {
+    failAfter(Span(120, Seconds)) {
+      val rows = spark.range(1000000).select(
+        when(col("id") % 2 === 0, lit("HOT")).otherwise(concat(lit("k"), col("id") % 97))
+          .as("key"), (col("id") % 1000).cast("double").as("v"))
+      val salted = graft.operators.Joins.saltedAgg(rows, col("key"), saltBuckets = 8,
+        partials = Seq(sum(col("v")).as("psum"), count(lit(1)).as("pcnt")),
+        finals = Seq(round(sum(col("psum")), 2).as("sum_v"), sum(col("pcnt")).as("n")))
+      val direct = rows.groupBy(col("key"))
+        .agg(round(sum(col("v")), 2).as("sum_v"), count(lit(1)).as("n"))
+      val a = salted.orderBy(col("key")).collect().map(r =>
+        (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+      val b = direct.orderBy(col("key")).collect().map(r =>
+        (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+      assert(a == b)
+      assert(a.exists(r => r._1 == "HOT" && r._3 == 500000L))
+    }
+  }
+
+  test("deterministic epoch shuffle: 1M rows, no single-partition stage", SlowStress) {
+    failAfter(Span(120, Seconds)) {
+      val df = spark.range(1000000).select(col("id").as("doc_id"))
+      val out = graft.operators.Sampling.deterministicShuffle(df, "doc_id", seed = 9L)
+      assert(!out.queryExecution.executedPlan.toString.contains("ExistingRDD"))
+      val stats = out.agg(min(col("pos")), max(col("pos")),
+        count(lit(1)), countDistinct(col("pos"))).collect()(0)
+      assert(stats.getLong(0) == 0L && stats.getLong(1) == 999999L)
+      assert(stats.getLong(2) == 1000000L && stats.getLong(3) == 1000000L)
+    }
+  }
+}
