@@ -137,6 +137,41 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(batchPairs.nonEmpty && streamPairs.nonEmpty)
   }
 
+  test("parity: tumbleAgg ≡ batch time-bucket aggregation on events") {
+    implicit val sq = spark.sqlContext
+    val sizeUs = 6L * 3600L * 1000000L // 6-hour tumbling windows
+    val batch = events.select(expr("ts div 1000").as("ts_us"), col("value"))
+      .groupBy((floor(col("ts_us") / sizeUs) * sizeUs).as("w_start_us"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("s"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+    val mem = MemoryStream[(Long, Double)] // (ts_us, value)
+    val st = mem.toDF().toDF("ts_us", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val out = StreamOps.tumbleAgg(st, "ts", "value", "6 hours", "1 minute")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("parity_tumble").start()
+    val rows = events.select(expr("ts div 1000").as("ts_us"), col("value"))
+      .orderBy(col("ts_us")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    replay(mem, rows, chunk = 100, q)
+    mem.addData((rows.map(_._1).max + 100L * 86400L * 1000000L, 0.0)) // close all
+    q.processAllAvailable()
+    q.stop()
+    val stream = spark.table("parity_tumble")
+      .select(unix_micros(col("window.start")).as("w"), col("n"), col("sum_value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(_._1 <= rows.map(_._1).max) // drop the sentinel's window
+      .sortBy(_._1)
+    assert(stream.map(_._1).toSet == batch.keySet)
+    stream.foreach { case (w, n, s) =>
+      val (bn, bs) = batch(w)
+      assert(n == bn, s"window $w count")
+      assert(math.abs(s - bs) <= math.max(1e-9, math.abs(bs) * 1e-12), s"window $w sum")
+    }
+    assert(stream.size > 5) // the month of events spans many 6h windows
+  }
+
   test("parity: runningStatsTws final state ≡ batch summate/average") {
     implicit val sq = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
