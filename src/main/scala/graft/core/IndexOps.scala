@@ -97,12 +97,19 @@ object IndexOps {
     * consistent either way. NaN leads fall into the last bucket via
     * `least` (NaN compares greatest in Spark), again matching both sort
     * directions. */
-  private[graft] def bucketizeByLead(df: DataFrame, lead: Column): DataFrame = {
-    // A STRING lead would silently mis-rank: min/max would come from
+  private[graft] def bucketizeByLead(df: DataFrame, rawLead: Column): DataFrame = {
+    // A raw STRING lead would silently mis-rank: min/max would come from
     // lexicographic order cast to double ('9' > '10'), inverting the
-    // bucket width. Callers with string leads must project them to a
-    // monotone numeric first (sortByColumn's 7-byte prefix shows how).
-    requireNumericLead(df, lead)
+    // bucket width. Strings auto-project to the order-preserving 7-byte
+    // prefix number (sortByColumn's construction) — a COARSENING of
+    // string order is all a bucket needs, ties resolve inside it via the
+    // caller's full order. Every other non-numeric type is rejected.
+    val lead = df.select(rawLead).schema.head.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        conv(rpad(hex(substring(encode(rawLead, "UTF-8"), 1, 7)), 14, "0"),
+          16, 10).cast("long")
+      case _ => requireNumericLead(df, rawLead); rawLead
+    }
     val parts = math.max(1, df.sparkSession.sessionState.conf.numShufflePartitions)
     val stats = df.agg(min(lead).cast("double").as("__mn"),
       max(lead).cast("double").as("__mx"))
@@ -129,7 +136,8 @@ object IndexOps {
       .select(col("__b"), col("__off"))
   }
 
-  /** Catalyst-only rank for a TOTAL order whose leading column is numeric:
+  /** Catalyst-only rank for a TOTAL order whose leading column is numeric
+    * (or string — auto-projected, see [[bucketizeByLead]]):
     * [[bucketizeByLead]] → per-bucket `row_number` over the full order →
     * bucket-count [[prefixOffsets]] broadcast back. The same shape as
     * [[rankNumericUnique]], generalized: ties on the lead column are

@@ -10,18 +10,33 @@ class IndexOpsSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  test("bucket-rank paths REJECT string leads at plan-build time") {
-    // a numeric-parseable string lead would bucket on lexicographic
-    // min/max ('9' > '10') and silently mis-rank — must throw instead
-    val df = Seq("10", "11", "9").toDF("k").withColumn("x", lit(1))
-    val e = intercept[IllegalArgumentException] {
-      IndexOps.rankNumericPrefix(df, col("k"), Seq(col("k").asc),
+  test("string leads: rankNumericPrefix auto-projects; unique-key path rejects") {
+    // a numeric-parseable string lead used to bucket on lexicographic
+    // min/max cast to double ('9' > '10' → inverted width) and silently
+    // mis-rank; the prefix projection ranks it correctly in STRING order
+    val df = Seq("10", "11", "9", "090", "9a").toDF("k")
+    val got = IndexOps.rankNumericPrefix(df, col("k"), Seq(col("k").asc),
         renumberIdx = true)
-    }
-    assert(e.getMessage.contains("numeric lead"))
-    intercept[IllegalArgumentException] {
+      .orderBy(col("idx")).collect().map(_.getAs[String]("k")).toSeq
+    assert(got == Seq("090", "10", "11", "9", "9a")) // UTF8 binary order
+    // the unique-key path is a numeric-PK contract — still rejects
+    val e = intercept[IllegalArgumentException] {
       IndexOps.renumberByUniqueKey(df, col("k"))
     }
+    assert(e.getMessage.contains("numeric lead"))
+  }
+
+  test("runningTotal works over string-keyed rows (the forwarded-idCol path)") {
+    // Windows.runningTotal forwards an arbitrary caller idCol into the
+    // bucket rank; string ids must order/permute correctly (ADVICE r2)
+    val df = Seq(("b", 2L), ("a", 5L), ("c", 1L), ("aa", 3L))
+      .toDF("id", "v")
+    val got = graft.operators.Windows.runningTotal(df, col("id"),
+        Seq(col("id").asc), col("v"), "cum")
+      .orderBy(col("id")).collect()
+      .map(r => r.getAs[String]("id") -> r.getAs[Long]("cum")).toMap
+    // exclusive-or-inclusive aside: cum follows id order a, aa, b, c
+    assert(got("a") == 5L && got("aa") == 8L && got("b") == 10L && got("c") == 11L)
   }
 
   test("rankByOrd: sparse, skewed ords → contiguous idx in ord order") {
