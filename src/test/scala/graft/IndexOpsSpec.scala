@@ -189,6 +189,18 @@ class IndexOpsSpec extends AnyFunSuite {
     assert(dgot == data.sorted.reverse)
   }
 
+  test("string sort with NULLs: null bucket lands at the correct end, asc and desc") {
+    import graft.core.SemanticStream
+    val data = Seq("beta", null, "alpha", "gamma", null)
+    val asc = SemanticStream.from(spark, data).sortByColumn(identity)
+    assert(!asc.toDF.queryExecution.executedPlan.toString.contains("ExistingRDD"))
+    val ag = asc.toDF.orderBy(col("idx")).collect().map(_.getString(2)).toSeq
+    assert(ag == Seq(null, null, "alpha", "beta", "gamma")) // Spark asc = NULLS FIRST
+    val desc = SemanticStream.from(spark, data).sortByColumn(identity, ascending = false)
+    val dg = desc.toDF.orderBy(col("idx")).collect().map(_.getString(2)).toSeq
+    assert(dg == Seq("gamma", "beta", "alpha", null, null)) // desc = NULLS LAST
+  }
+
   test("renumberBy composite keys: stable across repeated runs") {
     val df = (0 until 2000).map(i => ((i * 37) % 100, i % 7, i))
       .toDF("a", "b", "value")
