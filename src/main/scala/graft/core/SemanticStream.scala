@@ -444,8 +444,14 @@ object SemanticStream {
         // like the bytes, conv() makes it numeric, 56 bits fit a long
         Some(conv(rpad(hex(substring(encode(c, "UTF-8"), 1, 7)), 14, "0"),
           16, 10).cast("long"))
-      case BooleanType | DateType | TimestampType | TimestampNTZType =>
-        Some(c.cast("long"))
+      case BooleanType | TimestampType => Some(c.cast("long"))
+      // date/ntz→bigint casts are illegal in Spark 4; unix_date is the
+      // sanctioned day number. For ntz, truncating to the DATE is tz-free
+      // and monotone — a day-granular coarsening is all bucketing needs
+      // (ntz→timestamp would pivot on the session zone and can invert
+      // order across a DST fall-back)
+      case DateType => Some(unix_date(c))
+      case TimestampNTZType => Some(unix_date(c.cast("date")))
       case st: StructType if st.fields.nonEmpty =>
         numericLeadOf(st.fields.head.dataType, c.getField(st.fields.head.name))
       case ArrayType(et, _) =>

@@ -189,6 +189,43 @@ class IndexOpsSpec extends AnyFunSuite {
     assert(dgot == data.sorted.reverse)
   }
 
+  test("date and timestamp_ntz sort keys: Catalyst-only, correct order") {
+    import graft.core.SemanticStream
+    import java.time.{LocalDate, LocalDateTime}
+    // date→bigint casts are illegal in Spark 4 — these keys must project
+    // via unix_date, not fail analysis, and must not hop to the RDD rank
+    val dates = (0 until 200).map(i => LocalDate.of(2020, 1, 1).plusDays(((i * 37) % 400) - 100L))
+    val dsorted = SemanticStream.from(spark, dates).sortByColumn(identity)
+    assert(!dsorted.toDF.queryExecution.executedPlan.toString.contains("ExistingRDD"))
+    val dgot = dsorted.toDF.orderBy(col("idx"))
+      .select(col("value").cast("string")).collect().map(_.getString(0)).toSeq
+    assert(dgot == dates.sorted.map(_.toString))
+    // ntz buckets day-granular (tz-free coarsening); full order still
+    // resolves within the day, including sub-day ties broken by arrival
+    val stamps = (0 until 300).map { i =>
+      LocalDateTime.of(2021, 3, 1, 0, 0, 0).plusMinutes(((i * 97) % 5000).toLong * 7)
+    }
+    val tsorted = SemanticStream.from(spark, stamps).sortByColumn(identity)
+    assert(!tsorted.toDF.queryExecution.executedPlan.toString.contains("ExistingRDD"))
+    val tgot = tsorted.toDF.orderBy(col("idx"))
+      .select(col("value").cast("string")).collect().map(_.getString(0)).toSeq
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+    assert(tgot == stamps.sorted.map(_.format(fmt)))
+  }
+
+  test("date-leading struct sort key: recursion projects the date field") {
+    import graft.core.SemanticStream
+    import java.time.LocalDate
+    val data = (0 until 150).map(i =>
+      (LocalDate.of(2022, 1, 1).plusDays((i * 13) % 40L), (i * 7) % 11))
+    val sorted = SemanticStream.from(spark, data).sortByColumn(identity)
+    assert(!sorted.toDF.queryExecution.executedPlan.toString.contains("ExistingRDD"))
+    val got = sorted.toDF.orderBy(col("idx"))
+      .select(col("value._1").cast("string"), col("value._2")).collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(got == data.sorted.map { case (d, v) => (d.toString, v) })
+  }
+
   test("string sort with NULLs: null bucket lands at the correct end, asc and desc") {
     import graft.core.SemanticStream
     val data = Seq("beta", null, "alpha", "gamma", null)
