@@ -48,15 +48,19 @@ object Sampling {
     * (60 uniform bits) — so no RDD hop and no single-partition sort.
     * Adds `pos` (0-based). */
   def deterministicShuffle(df: DataFrame, idCol: String, seed: Long): DataFrame = {
+    require(!df.columns.contains("pos"),
+      "deterministicShuffle adds a `pos` column; rename the existing `pos` first")
     // the rank writes ord/idx — shelter caller columns with those names
-    // behind reserved temps instead of silently dropping them
+    // behind reserved temps instead of silently dropping them; when idCol
+    // itself is one of them, keep hashing/sorting by its sheltered name
     val clashes = Seq("ord", "idx").filter(df.columns.contains)
     val sheltered = clashes.foldLeft(df)((d, c) => d.withColumnRenamed(c, s"__user_$c"))
-    val h = md5(concat(lit(s"$seed#"), col(idCol).cast("string")))
+    val workId = if (clashes.contains(idCol)) s"__user_$idCol" else idCol
+    val h = md5(concat(lit(s"$seed#"), col(workId).cast("string")))
     val lead = conv(substring(col("__h"), 1, 15), 16, 10).cast("long")
     val ranked = graft.core.IndexOps.rankNumericPrefix(
       sheltered.withColumn("__h", h), lead,
-      Seq(col("__h").asc, col(idCol).asc), renumberIdx = false)
+      Seq(col("__h").asc, col(workId).asc), renumberIdx = false)
       .withColumn("pos", col("ord"))
       .drop("__h", "ord", "idx")
     clashes.foldLeft(ranked)((d, c) => d.withColumnRenamed(s"__user_$c", c))

@@ -295,6 +295,18 @@ class OperatorSpec extends AnyFunSuite {
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("pos")).toMap
     val withCols = out.collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("pos")).toMap
     assert(plain == withCols)
+    // idCol may itself be named ord/idx — the shelter must keep resolving it
+    val idIsOrd = Sampling.deterministicShuffle(
+      df.withColumnRenamed("id", "x").withColumnRenamed("ord", "id")
+        .withColumnRenamed("x", "ord"), "ord", seed = 5L)
+    assert(idIsOrd.columns.sorted.toSeq == Seq("id", "idx", "ord", "pos"))
+    val byOrd = idIsOrd.collect().map(r => r.getAs[Long]("ord") -> r.getAs[Long]("pos")).toMap
+    assert(plain == byOrd) // same ids (now under "ord"), same permutation
+    // a pre-existing pos is ambiguous with the output — rejected loudly
+    val e = intercept[IllegalArgumentException] {
+      Sampling.deterministicShuffle(df.withColumn("pos", lit(1)), "id", seed = 5L)
+    }
+    assert(e.getMessage.contains("pos"))
   }
 
   test("rangeJoin: bin-spanning intervals match once; empty intervals drop") {
