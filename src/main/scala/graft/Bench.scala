@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -13,6 +14,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
     // warm the file-listing/footer caches so the first timed query is not
     // charged for one-time FS metadata work
     Seq("region", "nation", "customer", "supplier", "part", "orders",
@@ -20,11 +22,14 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").limit(1).count()
       catch { case _: Throwable => () }
     }
-    // per-query MEDIAN of `runs` timings: single runs on this VM swing
-    // ±25% run-to-run, which made round-1 builder and driver numbers
-    // incomparable. The median of 3 is stable enough to trend.
+    // per-query MEDIAN of `runs` timings, after one untimed warm-up run:
+    // single runs on this VM swing ±25% run-to-run, and the warm-up keeps
+    // one-time plan/codegen compilation (which a long-lived cluster session
+    // pays once, not per query) out of the steady-state medians.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // warm-up
+      System.gc() // keep collector pauses out of the timed window
       val times = (0 until runs).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -306,8 +306,8 @@ final class SemanticStream[E](
     * to be a coarsening, never a total order:
     *
     *   - numeric keys bucket on the key itself;
-    *   - STRING keys on an order-preserving projection of their first 7
-    *     UTF-8 bytes (Spark's string order IS UTF8 binary order);
+    *   - STRING/BINARY keys on an order-preserving projection of their
+    *     first 7 bytes (Spark's string order IS UTF8 binary order);
     *   - date/timestamp/boolean on their numeric cast;
     *   - STRUCT keys on the projection of their LEADING FIELD (struct
     *     order compares field by field, so any coarsening of the first
@@ -445,6 +445,10 @@ object SemanticStream {
         Some(conv(rpad(hex(substring(encode(c, "UTF-8"), 1, 7)), 14, "0"),
           16, 10).cast("long"))
       case BooleanType | TimestampType => Some(c.cast("long"))
+      case BinaryType =>
+        // binary order is unsigned byte-lexicographic — same construction
+        // as strings, minus the UTF-8 encode (already bytes)
+        Some(conv(rpad(hex(substring(c, 1, 7)), 14, "0"), 16, 10).cast("long"))
       // date/ntz→bigint casts are illegal in Spark 4; unix_date is the
       // sanctioned day number. For ntz, truncating to the DATE is tz-free
       // and monotone — a day-granular coarsening is all bucketing needs
