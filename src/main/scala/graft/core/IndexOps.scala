@@ -161,7 +161,71 @@ object IndexOps {
       .drop("__b", "__rn", "__off")
   }
 
+  /** Lead column + direction of the first order column, unwrapping an
+    * explicit `.asc`/`.desc` (a bare column means ascending; null
+    * ordering stays Spark's default for the direction, which is what
+    * [[bucketizeByLead]]'s null bucket placement assumes). */
+  private def leadOf(order: Seq[Column]): (Column, Boolean) =
+    org.apache.spark.sql.GraftColumnShim.unwrapSortOrder(order.head)
+
+  /** General rank: project the first order column to a monotone numeric
+    * lead ([[graft.core.SemanticStream.numericLeadOf]] — numeric, string,
+    * binary, date/timestamp, bool, struct, array) and take the
+    * Catalyst-only bucket path. Only leads Catalyst itself cannot order
+    * (map-typed) fall through to the legacy RDD rank — which Spark's own
+    * `orderBy` would reject too. */
+  /** Composite bucket id for a (small-domain group, numeric lead) order:
+    * group-major, equal-width lead sub-buckets within each group from
+    * per-group min/max (one cheap agg, broadcast). Monotone in
+    * (group asc, lead asc). `group` must be a non-negative, non-null
+    * integer of tiny domain (it multiplies the bucket stride). Null
+    * leads take the group's dedicated first sub-bucket (asc NULLS FIRST).
+    * Adds `__b`. */
+  private[graft] def bucketizeByGroupedLead(df: DataFrame, group: Column,
+                                            lead: Column): DataFrame = {
+    requireNumericLead(df, lead)
+    val parts = math.max(1, df.sparkSession.sessionState.conf.numShufflePartitions)
+    val stats = df.groupBy(group.as("__g"))
+      .agg(min(lead).cast("double").as("__mn"), max(lead).cast("double").as("__mx"))
+    val width = (col("__mx") - col("__mn")) / parts
+    df.join(broadcast(stats), group <=> col("__g"))
+      .withColumn("__b", group.cast("long") * (parts + 1L) +
+        when(lead.isNull, lit(0L))
+          .when(col("__mx") === col("__mn"), lit(1L))
+          .otherwise(lit(1L) + least(floor((lead.cast("double") - col("__mn")) / width),
+            lit(parts - 1L))).cast("long"))
+      .drop("__g", "__mn", "__mx")
+  }
+
+  /** [[rankNumericPrefix]] for a (group, lead) composite order whose
+    * FIRST column has tiny cardinality (e.g. concatenate's source
+    * ordinal): bucketing on the group alone would collapse to #groups
+    * single-threaded windows, so each group gets its own equal-width
+    * sub-range of the lead — #groups × #partitions effective buckets.
+    * Ascending only (its one caller linearizes an arrival order). */
+  def rankGroupedPrefix(df: DataFrame, group: Column, lead: Column,
+                        order: Seq[Column], renumberIdx: Boolean): DataFrame = {
+    val w = Window.partitionBy(col("__b")).orderBy(order: _*)
+    val rn = bucketizeByGroupedLead(df, group, lead)
+      .withColumn("__rn", row_number().over(w).cast("long"))
+    val offsets = prefixOffsets(
+      rn.groupBy(col("__b")).agg(count(lit(1)).as("__tot")), ascending = true)
+    val out = rn.join(broadcast(offsets), "__b")
+      .withColumn("ord", col("__off") + col("__rn") - 1L)
+    (if (renumberIdx) out.withColumn("idx", col("ord")) else out)
+      .drop("__b", "__rn", "__off")
+  }
+
   private def rank(df: DataFrame, order: Seq[Column], renumberIdx: Boolean): DataFrame = {
+    val (leadCol, asc) = leadOf(order)
+    val dt = df.select(leadCol).schema.head.dataType
+    SemanticStream.numericLeadOf(dt, leadCol) match {
+      case Some(lead) => rankNumericPrefix(df, lead, order, renumberIdx, ascending = asc)
+      case None => rddRank(df, order, renumberIdx)
+    }
+  }
+
+  private def rddRank(df: DataFrame, order: Seq[Column], renumberIdx: Boolean): DataFrame = {
     val spark = df.sparkSession
     val parts = math.max(1, spark.sessionState.conf.numShufflePartitions)
     val sorted = df.repartitionByRange(parts, order: _*).sortWithinPartitions(order: _*)

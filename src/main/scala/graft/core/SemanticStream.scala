@@ -178,7 +178,12 @@ final class SemanticStream[E](
         val key = when(col("__src") === 0, col("ord"))
           .otherwise(lit(ordBound) + col("ord"))
         IndexOps.renumberByUniqueKey(u, key)
-      } else IndexOps.renumberBy(u, Seq(col("__src"), col("ord")))
+      } else
+        // unknown bounds: no single linear key exists, but the grouped
+        // bucket rank (per-source equal-width ord sub-buckets) keeps the
+        // whole rank Catalyst-only — no RDD hop here either
+        IndexOps.rankGroupedPrefix(u, col("__src"), col("ord"),
+          Seq(col("__src").asc, col("ord").asc), renumberIdx = true)
     val newBound =
       if (boundsKnown) ordBound + other.ordBound else Long.MaxValue
     wrap(renum.drop("__src"), Contiguous, newBound)

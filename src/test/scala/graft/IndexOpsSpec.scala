@@ -238,6 +238,87 @@ class IndexOpsSpec extends AnyFunSuite {
     assert(dg == Seq("gamma", "beta", "alpha", null, null)) // desc = NULLS LAST
   }
 
+  test("general renumberBy and the multi-column indexed bridge stay Catalyst-only") {
+    // renumberBy used to back these with an RDD zipWithIndex (lineage
+    // freeze, AQE-opaque); the first order column now projects to a
+    // bucketing lead and the whole rank stays in Catalyst — desc leads
+    // included
+    val df = (0 until 2000).map(i => ((i * 37) % 100, i % 7, i))
+      .toDF("a", "b", "value")
+    val out = IndexOps.renumberBy(df,
+      Seq(col("a").desc, col("b").asc, col("value").asc))
+    assert(!out.queryExecution.executedPlan.toString.contains("ExistingRDD"))
+    val got = out.orderBy(col("idx")).collect().map(_.getAs[Int]("value")).toSeq
+    assert(got == (0 until 2000).sortBy(i => (-((i * 37) % 100), i % 7, i)))
+    // Readers.indexed with an arbitrary multi-column caller order
+    val t = (0 until 500).map(i => (s"k${i % 50}", (i * 13) % 97, s"v$i"))
+      .toDF("k", "n", "v")
+    val s = graft.sources.Readers.indexed[String](t, col("v"),
+      Seq(col("k").asc, col("n").desc, col("v").asc))
+    assert(!s.toDF.queryExecution.executedPlan.toString.contains("ExistingRDD"))
+    val sgot = s.toDF.orderBy(col("idx")).collect().map(_.getString(2)).toSeq
+    val expected = (0 until 500).map(i => (s"k${i % 50}", (i * 13) % 97, s"v$i"))
+      .sortBy { case (k, n, v) => (k, -n, v) }.map(_._3)
+    assert(sgot == expected)
+  }
+
+  test("unknown-bound concatenate stays Catalyst-only (grouped bucket rank)") {
+    import graft.core.SemanticStream
+    import graft.core.Terminals._
+    val a0 = SemanticStream.range(spark, 0, 1000)
+    val b0 = SemanticStream.range(spark, 100, 1500)
+    // strip the bounds: the ord invariant still holds, but concatenate
+    // can no longer linearize (src, ord) into one unique numeric key
+    val a = new SemanticStream(a0.ds, a0.state)
+    val b = new SemanticStream(b0.ds, b0.state)
+    val c = a.concatenate(b)
+    assert(c.ordBound == Long.MaxValue)
+    assert(!c.toDF.queryExecution.executedPlan.toString.contains("ExistingRDD"))
+    assert(c.terminals.toVector ==
+      ((0L until 1000L) ++ (100L until 1500L)).toVector)
+  }
+
+  test("rankGroupedPrefix == local sort over (group, lead), stable") {
+    val rows = (0 until 3000).map(i => (i % 3, (i * 7919) % 500, i))
+    val df = rows.toDF("g", "o", "value")
+    def run() = IndexOps.rankGroupedPrefix(df, col("g"), col("o"),
+      Seq(col("g").asc, col("o").asc, col("value").asc), renumberIdx = true)
+      .orderBy(col("idx")).collect().map(_.getAs[Int]("value")).toSeq
+    val expected = rows.sortBy { case (g, o, v) => (g, o, v) }.map(_._3)
+    val first = run()
+    assert(first == expected)
+    assert(run() == first)
+  }
+
+  test("binary sort keys: unsigned lexicographic order, no RDD hop") {
+    import graft.core.SemanticStream
+    val data: Seq[Array[Byte]] = Seq(
+      Array[Byte](2, 1), Array.empty[Byte], Array[Byte](1, 5),
+      Array(0xFF.toByte), Array[Byte](1), Array[Byte](2),
+      Array[Byte](1, 5, 0), Array[Byte](0x7F), Array(0x80.toByte))
+    def cmp(x: Array[Byte], y: Array[Byte]): Int = {
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n) {
+        val d = (x(i) & 0xFF) - (y(i) & 0xFF)
+        if (d != 0) return d
+        i += 1
+      }
+      x.length - y.length
+    }
+    val expected = data.sortWith((x, y) => cmp(x, y) < 0).map(_.toSeq)
+    val sorted = SemanticStream.from(spark, data).sortByColumn(identity)
+    assert(!sorted.toDF.queryExecution.executedPlan.toString.contains("ExistingRDD"))
+    val got = sorted.toDF.orderBy(col("idx")).collect()
+      .map(_.getAs[Array[Byte]](2).toSeq).toSeq
+    assert(got == expected)
+    val desc = SemanticStream.from(spark, data)
+      .sortByColumn(identity, ascending = false)
+    val dgot = desc.toDF.orderBy(col("idx")).collect()
+      .map(_.getAs[Array[Byte]](2).toSeq).toSeq
+    assert(dgot == expected.reverse)
+  }
+
   test("renumberBy composite keys: stable across repeated runs") {
     val df = (0 until 2000).map(i => ((i * 37) % 100, i % 7, i))
       .toDF("a", "b", "value")
