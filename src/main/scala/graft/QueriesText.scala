@@ -171,7 +171,19 @@ object QueriesText {
       Multimodal.extractMeta(
         tbl(s, dir, "documents").select(col("doc_id"), col("text").cast("binary").as("payload")),
         "doc_id", "payload")
-        .toDF().orderBy(col("id")))
+        .toDF().orderBy(col("id"))),
+
+    // REAL image decode: deterministic per-row PNG/JPEG bytes (dimensions
+    // a closed form of doc_id), then javax.imageio header decode recovers
+    // format/width/height FROM THE BYTES — the oracle predicts them from
+    // doc_id alone, so a green row proves the decoder actually parsed
+    // real image containers (no stub on this path)
+    "q59_image_decode" -> ((s, dir) =>
+      Multimodal.imageMeta(
+        Multimodal.syntheticImages(tbl(s, dir, "documents"), "doc_id"),
+        "id", "img")
+        .toDF().select(col("id"), col("format"), col("width"), col("height"))
+        .orderBy(col("id")))
   )
 
   // shared SQL fragments (DuckDB dialect)
@@ -485,6 +497,15 @@ object QueriesText {
         |    WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
         |  CAST(octet_length(CAST(text AS BLOB)) % 640 AS BIGINT) AS width,
         |  CAST(octet_length(CAST(text AS BLOB)) % 480 AS BIGINT) AS height
+        |FROM documents ORDER BY id""".stripMargin,
+
+    // the Spark side must recover these values by PARSING real PNG/JPEG
+    // bytes; the oracle only knows the closed form the fixture encoded
+    "q59_image_decode" ->
+      """SELECT doc_id AS id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
+        |  CAST(1 + doc_id % 64 AS BIGINT) AS width,
+        |  CAST(1 + doc_id % 48 AS BIGINT) AS height
         |FROM documents ORDER BY id""".stripMargin
   )
 }

@@ -17,9 +17,11 @@ object Multimodal {
   case class MediaMeta(id: Long, byte_len: Long, kind: String, width: Long, height: Long)
 
   object MediaCodec {
-    /** STUB: a real implementation would parse the container header.
+    /** STUB (video/audio only — no codec libraries in this environment):
+      * a real implementation would parse the container header.
       * Deterministic fake: dimensions derived from payload length, kind
-      * from a length mod — keeps tests and oracles reproducible. */
+      * from a length mod — keeps tests and oracles reproducible.
+      * IMAGES are decoded for real — see [[decodeImageHeader]]. */
     def decodeStub(payload: Array[Byte]): (String, Long, Long) = {
       val len = payload.length.toLong
       val kind = (len % 3) match {
@@ -29,6 +31,82 @@ object Multimodal {
       }
       (kind, len % 640, len % 480)
     }
+
+    /** REAL image decode (pure-JVM `javax.imageio`): format name and
+      * dimensions read from the container HEADER via an `ImageReader` —
+      * `getWidth/getHeight` never rasterize pixel data, which is the
+      * behavior a 100 TB scan needs (don't decode megapixels to learn a
+      * thumbnail's dimensions). PNG/JPEG/GIF/BMP ship with the JDK.
+      * Returns None for bytes no installed reader recognizes. */
+    def decodeImageHeader(payload: Array[Byte]): Option[(String, Int, Int)] = {
+      if (payload == null || payload.isEmpty) return None
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis, true, true)
+            Some((r.getFormatName.toLowerCase, r.getWidth(0), r.getHeight(0)))
+          } catch { case _: java.io.IOException => None }
+          finally r.dispose()
+        }
+      } finally iis.close()
+    }
+
+    /** Fixture generator for the real-decode path: a blank w×h image in
+      * the given format ("png"/"jpeg"). Deterministic bytes per (w,h,
+      * format) — the oracle predicts dimensions, not byte content. */
+    def encodeImage(w: Int, h: Int, format: String): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, format, bos)
+      bos.toByteArray
+    }
+  }
+
+  case class ImageMeta(id: Long, format: String, width: Long, height: Long,
+                       byte_len: Long)
+
+  /** REAL image-metadata extraction over a binary column: per-partition
+    * batch iteration (codec state amortized across the partition's rows),
+    * header-only decode — no full rasterization, no shuffle. Bytes no
+    * reader recognizes surface as format "unknown" with -1 dims rather
+    * than dropping rows (an audit scan must account for every input). */
+  def imageMeta(df: DataFrame, idCol: String, binCol: String): Dataset[ImageMeta] = {
+    val src = df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+    src.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+        MediaCodec.decodeImageHeader(payload) match {
+          case Some((fmt, w, h)) => ImageMeta(id, fmt, w.toLong, h.toLong, payload.length.toLong)
+          case None => ImageMeta(id, "unknown", -1L, -1L, payload.length.toLong)
+        }
+      }
+    }(Encoders.product[ImageMeta])
+  }
+
+  /** Deterministic image fixture over any id column: each row becomes a
+    * REAL encoded PNG (even ids) or JPEG (odd ids) whose dimensions are a
+    * closed form of the id — so a SQL oracle can predict what the real
+    * decoder must recover from the bytes. Encoding runs per-partition
+    * (map-side, no shuffle); this is the test-harness inverse of
+    * [[imageMeta]], not a production operator. */
+  def syntheticImages(df: DataFrame, idCol: String): DataFrame = {
+    val src = df.select(col(idCol).cast("long").as("id"))
+    src.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = 1 + (id % 64).toInt
+        val h = 1 + (id % 48).toInt
+        val fmt = if (id % 2 == 0) "png" else "jpeg"
+        (id, MediaCodec.encodeImage(w, h, fmt))
+      }
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)).toDF("id", "img")
   }
 
   /** Batch metadata extraction over a binary column via mapPartitions —

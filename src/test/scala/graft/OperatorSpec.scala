@@ -129,6 +129,39 @@ class OperatorSpec extends AnyFunSuite {
     assert(f3.map(_.getAs[Long]("frame_idx")).forall(_ % 2 == 0))
   }
 
+  test("real image decode: header-only imageio round trip, unknown and truncated bytes") {
+    import graft.operators.Multimodal.MediaCodec
+    // encode → decode round trip recovers format + dimensions from bytes
+    for ((fmt, w, h) <- Seq(("png", 17, 9), ("jpeg", 3, 31), ("png", 1, 1))) {
+      val bytes = MediaCodec.encodeImage(w, h, fmt)
+      assert(bytes.nonEmpty)
+      assert(MediaCodec.decodeImageHeader(bytes).contains((fmt, w, h)))
+    }
+    // non-image and truncated payloads are rejected, not crashed on
+    assert(MediaCodec.decodeImageHeader("not an image".getBytes).isEmpty)
+    assert(MediaCodec.decodeImageHeader(Array.empty[Byte]).isEmpty)
+    val png = MediaCodec.encodeImage(20, 20, "png")
+    val header = MediaCodec.decodeImageHeader(png.take(24)) // signature, no IHDR payload
+    assert(header.isEmpty || header.exists(_._1 == "png")) // never throws
+    // the distributed path: fixture images → real decode, every row present
+    val ids = Seq(0L, 1L, 63L, 64L, 95L, 130L).toDF("doc_id")
+    val metas = Multimodal.imageMeta(
+      Multimodal.syntheticImages(ids, "doc_id"), "id", "img")
+      .collect().map(m => m.id -> m).toMap
+    assert(metas.size == 6)
+    for ((id, m) <- metas) {
+      assert(m.format == (if (id % 2 == 0) "png" else "jpeg"))
+      assert(m.width == 1 + id % 64 && m.height == 1 + id % 48)
+      assert(m.byte_len > 0)
+    }
+    // unknown bytes surface as rows, not drops (audit-scan contract)
+    val mixed = Seq((1L, "junk".getBytes), (2L, MediaCodec.encodeImage(5, 4, "png")))
+      .toDF("id", "img")
+    val mm = Multimodal.imageMeta(mixed, "id", "img").collect().map(m => m.id -> m).toMap
+    assert(mm(1L).format == "unknown" && mm(1L).width == -1L)
+    assert(mm(2L).format == "png" && mm(2L).width == 5L && mm(2L).height == 4L)
+  }
+
   test("gap-fill terminals: maxBy/minBy, forEach count, collectWith, out/error, blob, concatenateAll") {
     val s = fromInts(3, 1, 4, 1, 5)
     assert(s.terminals.maxBy(identity).contains(5))
