@@ -172,6 +172,153 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(stream.size > 5) // the month of events spans many 6h windows
   }
 
+  test("parity under out-of-order arrival: shuffled replay ≡ batch sessions and tumbles") {
+    implicit val sq = spark.sqlContext
+    // real streams deliver late-but-within-watermark rows; jitter each
+    // row's ARRIVAL position by up to 1 day of event time (seeded, so
+    // deterministic) under a 3-day watermark delay — no row is droppable,
+    // every batch arrives internally unsorted and overlapping its
+    // neighbors, and the final output must still equal the batch truth
+    val rng = new scala.util.Random(0xBADCAFE)
+    val dayUs = 86400L * 1000000L
+    val base = events.select(col("event_id"), col("user_id"),
+        expr("ts div 1000").as("ts_us"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val jittered = base.map(r => (r, r._3 + (rng.nextDouble() * dayUs).toLong))
+      .sortBy(_._2).map(_._1).toSeq
+    val maxTs = base.map(_._3).max
+
+    // sessions: same batch truth as the in-order parity case (q38)
+    val batchSessions = QueriesSim.all("q38_sessions")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val memS = MemoryStream[(Long, Long, Long)]
+    val stS = memS.toDF().toDF("event_id", "user_id", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val outS = StreamOps.sessionAgg(stS, "ts", "user_id", "30 minutes", "3 days")
+    val qS = outS.writeStream.outputMode("append").format("memory")
+      .queryName("ooo_sessions").start()
+    replay(memS, jittered.map(r => (r._1, r._2, r._3)), chunk = 100, qS)
+    memS.addData((-1L, 999999L, maxTs + 100L * dayUs))
+    qS.processAllAvailable()
+    qS.stop()
+    val gotSessions = spark.table("ooo_sessions")
+      .filter(col("user_id") =!= 999999L)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"))
+      .orderBy(col("user_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(gotSessions == batchSessions)
+
+    // tumbling windows over the same shuffled feed
+    val sizeUs = 6L * 3600L * 1000000L
+    val batchTumble = base.groupBy(r => r._3 / sizeUs * sizeUs)
+      .map { case (w, rs) => w -> (rs.length.toLong, rs.map(_._4).sum) }
+    val memT = MemoryStream[(Long, Double)]
+    val stT = memT.toDF().toDF("ts_us", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val outT = StreamOps.tumbleAgg(stT, "ts", "value", "6 hours", "3 days")
+    val qT = outT.writeStream.outputMode("append").format("memory")
+      .queryName("ooo_tumble").start()
+    replay(memT, jittered.map(r => (r._3, r._4)), chunk = 100, qT)
+    memT.addData((maxTs + 100L * dayUs, 0.0))
+    qT.processAllAvailable()
+    qT.stop()
+    val gotTumble = spark.table("ooo_tumble")
+      .select(unix_micros(col("window.start")).as("w"), col("n"), col("sum_value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(_._1 <= maxTs).sortBy(_._1)
+    assert(gotTumble.map(_._1).toSet == batchTumble.keySet)
+    gotTumble.foreach { case (w, n, s) =>
+      val (bn, bs) = batchTumble(w)
+      assert(n == bn, s"window $w count under out-of-order replay")
+      assert(math.abs(s - bs) <= math.max(1e-9, math.abs(bs) * 1e-12))
+    }
+  }
+
+  test("parity across checkpoint restart: streamingDedup survivors unchanged") {
+    implicit val sq = spark.sqlContext
+    // same coarse key as the in-order dedup parity case
+    val keyed = docs.select(col("doc_id"),
+      array_join(slice(split(trim(col("text")), "\\s+"), 1, 4), " ").as("key"))
+    val batchSurvivors = graft.operators.Dedup.exact(keyed, "doc_id", "key")
+      .filter(col("id") === col("canonical_id"))
+      .select(col("id")).collect().map(_.getLong(0)).toSet
+    val rows = keyed.orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+
+    // the memory sink refuses checkpoint recovery (not fault-tolerant);
+    // the parquet file sink is the recovery-capable one — exactly the
+    // sink a production dedup would land in anyway
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sink_").toString
+    val mem = MemoryStream[(Long, String)]
+    val st = mem.toDF().toDF("doc_id", "key")
+      .withColumn("ts", timestamp_micros((col("doc_id") + 3600L) * 1000000L))
+    val out = StreamOps.streamingDedup(st, Seq("key"), "ts", "2 hours")
+
+    // first half, fully committed, then a hard stop
+    val q1 = out.writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt).start()
+    replay(mem, rows.take(250), chunk = 25, q1)
+    q1.stop()
+    val firstHalf = spark.read.parquet(outDir)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+
+    // restart FROM THE CHECKPOINT: the dedup state store must come back,
+    // so keys seen before the stop still suppress their later duplicates
+    val q2 = out.writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt).start()
+    replay(mem, rows.drop(250), chunk = 25, q2)
+    q2.stop()
+    val all = spark.read.parquet(outDir)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSeq
+
+    // no survivor emitted twice across the restart, and the final
+    // output is exactly the batch truth
+    assert(all.size == all.toSet.size)
+    assert(all.toSet == batchSurvivors)
+    assert(firstHalf.nonEmpty && (all.toSet -- firstHalf).nonEmpty)
+  }
+
+  test("parity: slideAgg ≡ batch sliding-window aggregation on events") {
+    implicit val sq = spark.sqlContext
+    // batch truth via the slide fan-out arithmetic (the time-domain face
+    // of WindowCollectable.slide: window w covers [w*slide, w*slide+size)),
+    // computed independently of streaming window() internals
+    val sizeUs = 6L * 3600L * 1000000L
+    val slideUs = 2L * 3600L * 1000000L
+    val base = events.select(expr("ts div 1000").as("ts_us"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val batchWindows = base.flatMap { case (ts, v) =>
+      val wMax = math.floorDiv(ts, slideUs)
+      val wMin = math.floorDiv(ts - sizeUs, slideUs) + 1
+      (wMin to wMax).map(w => (w * slideUs, v))
+    }.groupBy(_._1).map { case (w, vs) => w -> (vs.length.toLong, vs.map(_._2).sum) }
+
+    val mem = MemoryStream[(Long, Double)]
+    val st = mem.toDF().toDF("ts_us", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val out = StreamOps.slideAgg(st, "ts", "value", "6 hours", "2 hours", "1 minute")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("parity_slide").start()
+    val rows = base.sortBy(_._1).toSeq
+    replay(mem, rows, chunk = 100, q)
+    mem.addData((base.map(_._1).max + 100L * 86400L * 1000000L, 0.0))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("parity_slide")
+      .select(unix_micros(col("window.start")).as("w"), col("n"), col("sum_value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(_._1 <= base.map(_._1).max).sortBy(_._1)
+    assert(got.map(_._1).toSet == batchWindows.keySet)
+    got.foreach { case (w, n, s) =>
+      val (bn, bs) = batchWindows(w)
+      assert(n == bn, s"slide window $w count")
+      assert(math.abs(s - bs) <= math.max(1e-9, math.abs(bs) * 1e-12))
+    }
+    assert(got.size > batchWindows.size / 2 && got.size > 10)
+  }
+
   test("parity: runningStatsTws final state ≡ batch summate/average") {
     implicit val sq = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
