@@ -152,6 +152,25 @@ class ExpressionSpec extends AnyFunSuite {
     assert(dec(Array[Byte](0x00, 0xD8.toByte, 0x00, 0xD8.toByte)) == Seq(0xFFFD))
   }
 
+  test("utf16be decode parity with the reference (charsequence.h:265-495)") {
+    // the reference validates BOTH byte orders through the same state
+    // machine; mirror the utf16le malformed classes big-endian so the
+    // symmetry is pinned, not assumed
+    import graft.functions.CharSeq._
+    def dec(bytes: Array[Byte]): Seq[Int] =
+      Seq(bytes).toDF("b").select(decodeCharset(col("b"), "utf16be").as("s"))
+        .collect()(0).getString(0).codePoints().toArray.toSeq
+    assert(dec(Array[Byte](0xD8.toByte, 0x00)) == Seq(0xFFFD))        // lone high, at end
+    assert(dec(Array[Byte](0xDC.toByte, 0x00)) == Seq(0xFFFD))        // lone low
+    assert(dec(Array[Byte](0x00, 0x41, 0x42)) == Seq(0x41, 0xFFFD))   // odd trailing byte
+    assert(dec(Array[Byte](0xD8.toByte, 0x3C, 0xDF.toByte, 0x89.toByte)) ==
+      Seq(0x1F389)) // valid astral pair
+    // same documented divergence as utf16le (COVERAGE.md §2.6): the JVM
+    // decoder reports high+non-low as ONE malformed sequence
+    assert(dec(Array[Byte](0xD8.toByte, 0x00, 0x00, 0x41)) == Seq(0xFFFD))
+    assert(dec(Array[Byte](0xD8.toByte, 0x00, 0xD8.toByte, 0x00)) == Seq(0xFFFD))
+  }
+
   test("utf32 decode: invalid scalar values and truncated tails → U+FFFD") {
     GraftFunctions.register(spark)
     val bad = Seq(
