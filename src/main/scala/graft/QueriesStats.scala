@@ -196,6 +196,31 @@ object QueriesStats {
         .groupBy(col("n_name"))
         .agg(count(lit(1)).as("n_lonely"))
         .orderBy(col("n_name"))
+    }),
+
+    // gradient descent (useGradient, collector.h:2944-2994) under the
+    // oracle: θ₀ = nationkeys, quadratic cost Σ(θᵢ−bᵢ)² with targets
+    // bᵢ = length(n_name), lr=0.1, EXACTLY 20 iterations (eps=0 →
+    // never early-stops). The update θ ← θ − lr·2·(θ−b) is replayed
+    // op-for-op by a DuckDB recursive CTE, so pre-round doubles are
+    // bit-identical — the round(6) is belt and braces
+    "q60_gradient" -> ((s, dir) => {
+      val nation = tbl(s, dir, "nation")
+      val st = graft.core.SemanticStream.indexedFrom(
+        nation.select(col("n_nationkey"), col("n_name")),
+        col("n_nationkey").cast("double"), Seq(col("n_nationkey").asc))
+      val stats = new graft.core.Statistics(
+        st.select(col("ord"), col("idx"), col("value")))
+      val b = nation.orderBy(col("n_nationkey"))
+        .select(length(col("n_name")).cast("double")).collect().map(_.getDouble(0))
+      val theta = stats.gradient(
+        th => th.zip(b).map { case (t, bi) => 2.0 * (t - bi) },
+        lr = 0.1, maxIter = 20, eps = 0.0)
+      import s.implicits._
+      theta.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toSeq
+        .toDF("i", "theta")
+        .select(col("i"), round(col("theta"), 6).as("theta"))
+        .orderBy(col("i"))
     })
   )
 
@@ -222,6 +247,19 @@ object QueriesStats {
       |FROM c ORDER BY l_returnflag""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q60_gradient" ->
+      """WITH RECURSIVE it AS (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS i,
+        |    CAST(n_nationkey AS DOUBLE) AS theta,
+        |    CAST(length(n_name) AS DOUBLE) AS b, 0 AS k
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT i, theta - 0.1 * (2 * (theta - b)), b, k + 1
+        |  FROM it WHERE k < 20
+        |)
+        |SELECT i, round(theta, 6) AS theta FROM it WHERE k = 20
+        |ORDER BY i""".stripMargin,
+
     "q44_salted_agg" ->
       """SELECT l_returnflag, round(sum(l_quantity), 2) AS sum_qty,
         |  count(*) AS n
