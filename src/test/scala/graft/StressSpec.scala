@@ -57,6 +57,38 @@ class StressSpec extends AnyFunSuite {
     }
   }
 
+  test("jaccard verify: one hub doc in 5k candidate pairs stays bounded and exact", SlowStress) {
+    failAfter(Span(120, Seconds)) {
+      // even with capped banding, the candidate→shingle join can skew on
+      // a hot doc id: here doc 0 sits in EVERY candidate pair, so the
+      // a-side join fans its 198-shingle set out 5000× (~1M rows under
+      // one join key). The plan must stay a hash/sort-merge join + one
+      // (a,b) aggregation — a quadratic or single-partition-collapse
+      // plan blows the bound — and every pair's Jaccard must come out
+      // exact, hot key or not.
+      import graft.operators.Dedup
+      val nSpokes = 5000
+      val hubTokens = (0 until 200).map(i => s"w$i")
+      val docs = Seq((0L, hubTokens.mkString(" "))) ++ (1 to nSpokes).map { i =>
+        (i.toLong,
+          (hubTokens.take(100) ++ (100 until 200).map(j => s"u${i}_$j")).mkString(" "))
+      }
+      val df = docs.toDF("id", "text").repartition(32)
+      val shingles = df.select(col("id"),
+        explode(Dedup.shingleArray(col("text"), 3)).as("shingle")).distinct()
+      val cands = (1 to nSpokes).map(i => (0L, i.toLong)).toDF("a", "b")
+      val out = Dedup.jaccard(cands, shingles).collect()
+      assert(out.length == nSpokes)
+      // 200 tokens → 198 shingles per doc; shared 100-token prefix →
+      // windows 0..97 shared → |∩| = 98, so J = 98 / (198+198-98)
+      val expected = 98.0 / 298.0
+      out.foreach { r =>
+        assert(math.abs(r.getDouble(2) - expected) < 1e-12,
+          s"pair (${r.getLong(0)},${r.getLong(1)}) jaccard ${r.getDouble(2)}")
+      }
+    }
+  }
+
   test("salted aggregation: one key owns 50% of 1M rows", SlowStress) {
     failAfter(Span(120, Seconds)) {
       val rows = spark.range(1000000).select(
