@@ -100,16 +100,17 @@ object IndexOps {
   private[graft] def bucketizeByLead(df: DataFrame, rawLead: Column): DataFrame = {
     // A raw STRING lead would silently mis-rank: min/max would come from
     // lexicographic order cast to double ('9' > '10'), inverting the
-    // bucket width. Strings auto-project to the order-preserving 7-byte
-    // prefix number (sortByColumn's construction) — a COARSENING of
-    // string order is all a bucket needs, ties resolve inside it via the
-    // caller's full order. Every other non-numeric type is rejected.
-    val lead = df.select(rawLead).schema.head.dataType match {
-      case org.apache.spark.sql.types.StringType =>
-        conv(rpad(hex(substring(encode(rawLead, "UTF-8"), 1, 7)), 14, "0"),
-          16, 10).cast("long")
-      case _ => requireNumericLead(df, rawLead); rawLead
-    }
+    // bucket width. Any orderable non-numeric lead (string, binary,
+    // date/timestamp, bool, struct, array) auto-projects through
+    // numericLeadOf to an order-preserving number — a COARSENING of the
+    // lead's order is all a bucket needs, ties resolve inside it via the
+    // caller's full order. Unprojectable types (map) are rejected.
+    val dt = df.select(rawLead).schema.head.dataType
+    val lead =
+      if (dt.isInstanceOf[org.apache.spark.sql.types.NumericType]) rawLead
+      else SemanticStream.numericLeadOf(dt, rawLead).getOrElse {
+        requireNumericLead(df, rawLead); rawLead
+      }
     val parts = math.max(1, df.sparkSession.sessionState.conf.numShufflePartitions)
     val stats = df.agg(min(lead).cast("double").as("__mn"),
       max(lead).cast("double").as("__mx"))
