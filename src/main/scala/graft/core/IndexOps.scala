@@ -162,19 +162,6 @@ object IndexOps {
       .drop("__b", "__rn", "__off")
   }
 
-  /** Lead column + direction of the first order column, unwrapping an
-    * explicit `.asc`/`.desc` (a bare column means ascending; null
-    * ordering stays Spark's default for the direction, which is what
-    * [[bucketizeByLead]]'s null bucket placement assumes). */
-  private def leadOf(order: Seq[Column]): (Column, Boolean) =
-    org.apache.spark.sql.GraftColumnShim.unwrapSortOrder(order.head)
-
-  /** General rank: project the first order column to a monotone numeric
-    * lead ([[graft.core.SemanticStream.numericLeadOf]] — numeric, string,
-    * binary, date/timestamp, bool, struct, array) and take the
-    * Catalyst-only bucket path. Only leads Catalyst itself cannot order
-    * (map-typed) fall through to the legacy RDD rank — which Spark's own
-    * `orderBy` would reject too. */
   /** Composite bucket id for a (small-domain group, numeric lead) order:
     * group-major, equal-width lead sub-buckets within each group from
     * per-group min/max (one cheap agg, broadcast). Monotone in
@@ -217,12 +204,24 @@ object IndexOps {
       .drop("__b", "__rn", "__off")
   }
 
+  /** General rank: project the first order column to a monotone numeric
+    * lead ([[graft.core.SemanticStream.numericLeadOf]] — numeric, string,
+    * binary, date/timestamp, bool, struct, array) and take the
+    * Catalyst-only bucket path. Two cases keep the legacy RDD rank:
+    * leads Catalyst itself cannot order (map-typed — which Spark's own
+    * `orderBy` rejects too), and an explicit NON-default null ordering
+    * on the lead (`asc_nulls_last`/`desc_nulls_first`): the bucket
+    * rank's dedicated null bucket reproduces only Spark's default
+    * placement, and the RDD path follows the caller's ordering
+    * faithfully. */
   private def rank(df: DataFrame, order: Seq[Column], renumberIdx: Boolean): DataFrame = {
-    val (leadCol, asc) = leadOf(order)
+    val (leadCol, asc, defaultNulls) =
+      org.apache.spark.sql.GraftColumnShim.unwrapSortOrder(order.head)
     val dt = df.select(leadCol).schema.head.dataType
     SemanticStream.numericLeadOf(dt, leadCol) match {
-      case Some(lead) => rankNumericPrefix(df, lead, order, renumberIdx, ascending = asc)
-      case None => rddRank(df, order, renumberIdx)
+      case Some(lead) if defaultNulls =>
+        rankNumericPrefix(df, lead, order, renumberIdx, ascending = asc)
+      case _ => rddRank(df, order, renumberIdx)
     }
   }
 

@@ -6,11 +6,21 @@ import org.apache.spark.sql.internal.{SortOrder => SortOrderNode}
   * Spark 4): unwraps an explicit `.asc`/`.desc` into its child column +
   * direction, so graft's rank machinery can derive a numeric bucketing
   * lead from the FIRST order column of a caller-supplied sort. Columns
-  * that are not sort orders pass through as ascending. */
+  * that are not sort orders pass through as ascending.
+  *
+  * The third element flags Spark's DEFAULT null placement (asc ⇒ NULLS
+  * FIRST, desc ⇒ NULLS LAST) — the only placements the bucket rank's
+  * dedicated null bucket reproduces. An explicit `asc_nulls_last` /
+  * `desc_nulls_first` returns false so the caller can take a
+  * null-ordering-faithful path instead of silently mis-ranking nulls. */
 object GraftColumnShim {
-  def unwrapSortOrder(c: Column): (Column, Boolean) = c.node match {
+  def unwrapSortOrder(c: Column): (Column, Boolean, Boolean) = c.node match {
     case so: SortOrderNode =>
-      (Column(so.child), so.sortDirection == SortOrderNode.Ascending)
-    case _ => (c, true)
+      val asc = so.sortDirection == SortOrderNode.Ascending
+      val defaultNulls =
+        if (asc) so.nullOrdering == SortOrderNode.NullsFirst
+        else so.nullOrdering == SortOrderNode.NullsLast
+      (Column(so.child), asc, defaultNulls)
+    case _ => (c, true, true)
   }
 }

@@ -319,6 +319,22 @@ class IndexOpsSpec extends AnyFunSuite {
     assert(dgot == expected.reverse)
   }
 
+  test("renumberBy honors an explicit non-default null ordering (asc_nulls_last)") {
+    // the bucket rank's null bucket reproduces only Spark's DEFAULT null
+    // placement; an explicit asc_nulls_last must take the faithful path
+    // and still rank correctly — nulls at the END under asc
+    val df = Seq[(java.lang.Long, Int)]((3L, 0), (null, 1), (1L, 2), (null, 3), (2L, 4))
+      .toDF("k", "v")
+    val got = IndexOps.renumberBy(df, Seq(col("k").asc_nulls_last, col("v").asc))
+      .orderBy(col("idx")).collect().map(_.getAs[Int]("v")).toSeq
+    assert(got == Seq(2, 4, 0, 1, 3)) // k=1,2,3 then the two nulls by v
+    // default asc (nulls first) stays on the Catalyst bucket path
+    val asc = IndexOps.renumberBy(df, Seq(col("k").asc, col("v").asc))
+    assert(!asc.queryExecution.executedPlan.toString.contains("ExistingRDD"))
+    val agot = asc.orderBy(col("idx")).collect().map(_.getAs[Int]("v")).toSeq
+    assert(agot == Seq(1, 3, 2, 4, 0))
+  }
+
   test("renumberBy composite keys: stable across repeated runs") {
     val df = (0 until 2000).map(i => ((i * 37) % 100, i % 7, i))
       .toDF("a", "b", "value")
