@@ -43,6 +43,17 @@ object QueriesSim {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // multi-table LSH ANN: 4 independent 4-plane tables, candidates =
+    // bucket-mates in ANY table — the recall knob (measured on real
+    // embeddings: 0.12 single-table → 0.66 at 8 tables, OperatorSpec)
+    "q61_ann_multitable" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.annTopKMultiTable(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, planes = 4, tables = 4)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // IVF coarse cells: argmax projection onto md5-derived centroids
     "q48_ivf_cells" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
@@ -225,6 +236,49 @@ object QueriesSim {
         |         * sqrt(list_sum(list_apply(v.e, x -> x * x)))), 4) AS cosine
         |  FROM v JOIN buckets b ON v.vec_id = b.vec_id
         |  JOIN q ON b.bucket = q.bucket AND v.vec_id <> q.qid),
+        |ranked AS (
+        |  SELECT qid, nid, cosine, CAST(row_number() OVER (
+        |    PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT qid, rank, nid, cosine FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+
+    // plane family for table t is planeSign(t*4 + p, ·) — the Spark
+    // side's planeOffset construction, mirrored
+    "q61_ann_multitable" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |comps AS (
+        |  SELECT vec_id, unnest(embedding) AS comp,
+        |    generate_subscripts(embedding, 1) - 1 AS dim
+        |  FROM embeddings),
+        |projs AS (
+        |  SELECT vec_id, t.t AS tbl, p.p AS plane,
+        |    sum(CAST(comp AS DOUBLE) *
+        |      (CASE WHEN substr(md5((t.t * 4 + p.p)::VARCHAR || '-' || dim::VARCHAR), 1, 1)
+        |        BETWEEN '8' AND 'f' THEN 1.0 ELSE -1.0 END)) AS proj
+        |  FROM comps, generate_series(0, 3) AS t(t), generate_series(0, 3) AS p(p)
+        |  GROUP BY vec_id, t.t, p.p),
+        |buckets AS (
+        |  SELECT vec_id, tbl,
+        |    sum(CASE WHEN proj > 0 THEN CAST(pow(2, plane) AS BIGINT)
+        |      ELSE 0 END) AS bucket
+        |  FROM projs GROUP BY vec_id, tbl),
+        |qb AS (SELECT vec_id AS qid, tbl, bucket FROM buckets WHERE vec_id < 10),
+        |cand AS (
+        |  SELECT DISTINCT qb.qid, b.vec_id AS nid
+        |  FROM buckets b
+        |  JOIN qb ON b.tbl = qb.tbl AND b.bucket = qb.bucket AND b.vec_id <> qb.qid),
+        |scored AS (
+        |  SELECT c.qid, c.nid,
+        |    round(list_sum(list_apply(range(1, len(vq.e) + 1),
+        |            i -> vq.e[i] * vn.e[i]))
+        |      / (sqrt(list_sum(list_apply(vq.e, x -> x * x)))
+        |         * sqrt(list_sum(list_apply(vn.e, x -> x * x)))), 4) AS cosine
+        |  FROM cand c
+        |  JOIN v vq ON vq.vec_id = c.qid
+        |  JOIN v vn ON vn.vec_id = c.nid),
         |ranked AS (
         |  SELECT qid, nid, cosine, CAST(row_number() OVER (
         |    PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS BIGINT) AS rank

@@ -58,10 +58,11 @@ object Similarity {
     * array<double> vector column: bit p is the sign of Σ_j v_j·s(p,j),
     * sign matrix inlined as literals. Being an expression (not a
     * DataFrame), consumers attach it to their own scan — no join back by
-    * id, no second read of the corpus. */
-  def bucketExpr(vec: Column, planes: Int, dims: Int): Column =
+    * id, no second read of the corpus. `planeOffset` selects a disjoint
+    * plane family (for multi-table LSH); 0 is the q36-oracle family. */
+  def bucketExpr(vec: Column, planes: Int, dims: Int, planeOffset: Int = 0): Column =
     (0 until planes).map { p =>
-      val signs = array((0 until dims).map(j => lit(planeSign(p, j))): _*)
+      val signs = array((0 until dims).map(j => lit(planeSign(planeOffset + p, j))): _*)
       when(dot(vec, signs) > 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
@@ -134,6 +135,42 @@ object Similarity {
       .withColumn("cell", cellExpr(col("qvec"), nlist, dims))
     val scored = c.join(q, "cell")
       .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        round(dot(col("qvec"), col("nvec")) / (col("qnorm") * col("nnorm")), 4)
+          .as("cosine"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cosine"))
+  }
+
+  /** Multi-table LSH ANN top-k: `tables` independent hyperplane tables
+    * (disjoint md5 plane families via `planeOffset = t·planes`);
+    * candidates are bucket-mates in ANY table, so recall compounds as
+    * 1−(1−p)^L while each table remains a bucket-equality join — the
+    * standard recall knob that costs candidate volume, never a wider
+    * scan. Shape: both sides explode to (table, bucket) pairs carrying
+    * ONLY ids (L× a 3-column shuffle, not L× the vectors), the distinct
+    * candidate pairs join back to the corpus by id (touching candidate
+    * rows only) with the query side broadcast, and each surviving pair
+    * costs one dot product. */
+  def annTopKMultiTable(corpus: DataFrame, queries: DataFrame, idCol: String,
+                        vecCol: String, k: Int, planes: Int, tables: Int): DataFrame = {
+    val dims = vecDims(corpus, vecCol)
+    def tableBuckets(df: DataFrame, out: String) =
+      df.select(col(idCol).as(out),
+        posexplode(array((0 until tables).map(t =>
+          bucketExpr(col(vecCol), planes, dims, planeOffset = t * planes)): _*))
+          .as(Seq("t", "bucket")))
+    val cand = tableBuckets(corpus, "nid")
+      .join(tableBuckets(queries, "qid"), Seq("t", "bucket"))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid")).distinct()
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+      .withColumn("nnorm", norm(col("nvec")))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+      .withColumn("qnorm", norm(col("qvec")))
+    val scored = cand.join(c, "nid").join(broadcast(q), "qid")
       .select(col("qid"), col("nid"),
         round(dot(col("qvec"), col("nvec")) / (col("qnorm") * col("nnorm")), 4)
           .as("cosine"))

@@ -425,4 +425,40 @@ class OperatorSpec extends AnyFunSuite {
       assert(r.getAs[Long]("rank") >= 1 && r.getAs[Long]("rank") <= 3)
     }
   }
+
+  test("ANN recall@10 on the real embeddings table beats the random baseline") {
+    // the quality question the plan-shape asserts can't answer: how much
+    // of the true top-10 do the bucketed paths recover on REAL clustered
+    // vectors (sf0.001 embeddings, 64-dim, labeled clusters)? Everything
+    // is md5-deterministic, so recall is a fixed number — pin a floor
+    // well below the measured value, far above the random baseline
+    // (10/(n-1) ≈ 2%).
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") % 5 === 0) // a fifth of the corpus
+    val truth = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", k = 10)
+      .collect().map(r => r.getAs[Long]("qid") -> r.getAs[Long]("nid"))
+      .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+    def recallOf(ann: Array[org.apache.spark.sql.Row]): Double = {
+      val got = ann.map(r => r.getAs[Long]("qid") -> r.getAs[Long]("nid"))
+        .groupBy(_._1).map { case (q, ns) => q -> ns.map(_._2).toSet }
+      truth.map { case (q, t) =>
+        got.get(q).fold(0.0)(g => (g & t).size.toDouble / t.size)
+      }.sum / truth.size
+    }
+    val lsh = recallOf(Similarity.annTopKBucketed(emb, queries, "vec_id",
+      "embedding", k = 10, planes = 4).collect())
+    val ivf = recallOf(Similarity.ivfTopK(emb, queries, "vec_id",
+      "embedding", k = 10, nlist = 8).collect())
+    val multi = recallOf(Similarity.annTopKMultiTable(emb, queries, "vec_id",
+      "embedding", k = 10, planes = 4, tables = 8).collect())
+    info(f"recall@10: lsh(planes=4)=$lsh%.3f ivf(nlist=8)=$ivf%.3f " +
+      f"multi(4×8)=$multi%.3f")
+    // single-table paths: modest but well above the ~2% random baseline
+    assert(lsh >= 0.08, s"LSH recall@10 $lsh under the pinned floor")
+    assert(ivf >= 0.08, s"IVF recall@10 $ivf under the pinned floor")
+    // the multi-table knob must actually compound recall
+    assert(multi >= lsh * 2, s"multi-table recall $multi did not compound over $lsh")
+    assert(multi >= 0.4, s"multi-table recall@10 $multi under the pinned floor")
+  }
 }

@@ -319,6 +319,58 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(got.size > batchWindows.size / 2 && got.size > 10)
   }
 
+  test("parity across checkpoint restart: runningStatsTws state resumes (RocksDB)") {
+    implicit val sq = spark.sqlContext
+    // transformWithState's ValueState must come back from the checkpoint:
+    // counts continue from where the stopped query left off, never reset.
+    // Update-mode needs a recovery-capable sink → foreachBatch into a
+    // driver-side buffer (collecting tiny per-key aggregates is the
+    // sink's job here, not an operator collapse).
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_tws_ckpt_").toString
+      val mem = MemoryStream[(String, Double)]
+      val out = StreamOps.runningStatsTws(mem.toDS())
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long, Double)]()
+      def start() = out.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamOps.RunningAgg], _: Long) =>
+          df.collect().foreach(r => buf.add((r.key, r.n, r.sum)))
+        }.start()
+      val rows = events.select(col("event_type"), col("value"))
+        .orderBy(col("event_id")).collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+
+      val q1 = start()
+      replay(mem, rows.take(1000), chunk = 200, q1)
+      q1.stop()
+      val atStop = buf.toArray(Array.empty[(String, Long, Double)])
+        .groupBy(_._1).map { case (k, us) => k -> us.maxBy(_._2) }
+      assert(atStop.values.map(_._2).sum == 1000L) // every pre-stop row counted once
+
+      val q2 = start()
+      replay(mem, rows.drop(1000), chunk = 200, q2)
+      q2.stop()
+      val lastPerKey = buf.toArray(Array.empty[(String, Long, Double)])
+        .groupBy(_._1).map { case (k, us) => k -> us.maxBy(_._2) }
+
+      val batch = events.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("s")).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(lastPerKey.keySet == batch.keySet)
+      lastPerKey.foreach { case (k, (_, n, s)) =>
+        val (bn, bs) = batch(k)
+        assert(n == bn, s"key $k count across restart")
+        assert(math.abs(s - bs) <= math.max(1e-9, math.abs(bs) * 1e-12), s"key $k sum")
+      }
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("parity: runningStatsTws final state ≡ batch summate/average") {
     implicit val sq = spark.sqlContext
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
