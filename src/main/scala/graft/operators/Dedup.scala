@@ -106,8 +106,11 @@ object Dedup {
   def minhashSignature(df: DataFrame, idCol: String, textCol: String,
                        shingleWidth: Int, numHashes: Int): DataFrame = {
     val numDigests = (numHashes + 3) / 4
+    // min over the shingle SET == min over the occurrence multiset, and
+    // the md5s are the dominant cost — dedup in-row before exploding so
+    // repeated shingles (natural text repeats plenty) hash once
     val sh = df.select(col(idCol).as("id"),
-      explode(shingleArray(col(textCol), shingleWidth)).as("shingle"))
+      explode(array_distinct(shingleArray(col(textCol), shingleWidth))).as("shingle"))
     val withDigests = sh.select(col("id") +: (0 until numDigests).map(j =>
       md5(concat(lit(s"$j#"), col("shingle"))).as(s"d$j")): _*)
     val aggs = (0 until numHashes).map(i =>

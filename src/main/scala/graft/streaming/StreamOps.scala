@@ -133,7 +133,9 @@ object StreamOps {
       // them to a sentinel would make every blank doc collide
       if (toks.length < shingleWidth) Seq.empty[(String, Long)]
       else {
-        val shingles = toks.sliding(shingleWidth).map(_.mkString(" ")).toSeq
+        // distinct for the same reason as the batch signature: the mins
+        // are set-functions and md5 is the dominant per-shingle cost
+        val shingles = toks.sliding(shingleWidth).map(_.mkString(" ")).toSeq.distinct
         val numDigests = (numHashes + 3) / 4
         val digests = shingles.map(s =>
           (0 until numDigests).map(j => md5hex(s"$j#$s")))
