@@ -83,7 +83,11 @@ object QueriesCore {
     // boundary-aggregate form.
     "q08_takewhile" -> ((s, dir) => {
       import s.implicits._
-      val st = SemanticStream.fromUniqueKey[(Long, Double)](
+      // event_id is a DENSE 0-based PK → ord is the scan column itself:
+      // each probe window is a PushedFilters range scan, and no per-probe
+      // rank re-computation happens (fromUniqueKey's computed ord cannot
+      // push below the rank)
+      val st = SemanticStream.fromDenseKey[(Long, Double)](
         tbl(s, dir, "events").select(col("event_id"), col("value")),
         struct(col("event_id").as("_1"), col("value").as("_2")),
         col("event_id"))

@@ -496,6 +496,22 @@ object SemanticStream {
     new SemanticStream(renum.as[Elem[E]], Contiguous, math.max(n, 0L))
   }
 
+  /** Bridge for a DENSE 0-based unique key (values are exactly 0..n-1):
+    * the rank IS the key, so ord = idx = key with no rank computation at
+    * all — and because ord is then a plain scan column, arrival-window
+    * probes (takeWhileProbed, findFirst, collectWithInterrupt) reach the
+    * source as PushedFilters and prune row groups, which the
+    * rank-computed ord of [[fromUniqueKey]] can never do. The CALLER
+    * asserts density; use [[fromUniqueKey]] when only uniqueness holds. */
+  def fromDenseKey[E](df: DataFrame, valueCol: Column, key: Column,
+                      boundHint: Option[Long] = None)
+                     (implicit enc: Encoder[Elem[E]]): SemanticStream[E] = {
+    val n = boundHint.getOrElse(df.count())
+    val out = df.withColumn("value", valueCol)
+      .select(key.cast("long").as("ord"), key.cast("long").as("idx"), col("value"))
+    new SemanticStream(out.as[Elem[E]], Contiguous, math.max(n, 0L))
+  }
+
   /** Half-open numeric range with step (useRange, semantic.h:1654-1706).
     * step=0 → empty; negative steps count down. */
   def range(spark: SparkSession, start: Long, end: Long, step: Long = 1L): SemanticStream[Long] = {

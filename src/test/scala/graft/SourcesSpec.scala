@@ -109,6 +109,29 @@ class SourcesSpec extends AnyFunSuite {
     assert(st.terminals.findFirst(probeWindow = 256).contains(0L))
   }
 
+  test("fromDenseKey: ord is the scan column — probes push down, no rank stages") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-dense").toString
+    spark.range(10000).select(col("id").as("k"),
+        (col("id") * 2).cast("double").as("v"))
+      .repartitionByRange(4, col("k")).sortWithinPartitions(col("k"))
+      .write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val st = graft.core.SemanticStream.fromDenseKey[Double](df, col("v"), col("k"))
+    assert(st.ordBound == 10000L)
+    // no shuffle, no window — the stream is a pure projection of the scan
+    val plan = st.toDF.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange") && !plan.contains("Window"), plan)
+    // the probe's window filter reaches the parquet scan
+    val probed = st.takeWhileProbed(_ < 100.0, initialWindow = 256)
+    val ppln = probed.toDF.queryExecution.executedPlan.toString
+    assert(ppln.contains("PushedFilters:") && ppln.contains("LessThan(k,50)"), ppln)
+    assert(probed.toDF.count() == 50L)
+    // values and indices line up with the key
+    val rows = st.toDF.orderBy(col("idx")).limit(3).collect()
+    assert(rows.map(_.getAs[Long]("idx")).toSeq == Seq(0L, 1L, 2L))
+    assert(rows.map(_.getAs[Double]("value")).toSeq == Seq(0.0, 2.0, 4.0))
+  }
+
   test("driver contract: every oracle key has a query; queries are well-formed at smoke tier") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracles without queries: $missing")
