@@ -15,15 +15,21 @@ object QueriesCore {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** event_id is a DENSE 0-based PK (verified at every SF), so the rank
+    * of event_id IS event_id: ord/idx are the scan column itself — no
+    * rank stages, and ord-window probes (q21's findFirst, q08) push to
+    * the parquet scan as PushedFilters. */
   private def indexedEvents(s: SparkSession, dir: String): DataFrame =
-    IndexOps.renumberByUniqueKey(tbl(s, dir, "events"), col("event_id"))
+    tbl(s, dir, "events")
+      .withColumn("ord", col("event_id")).withColumn("idx", col("event_id"))
 
-  /** Indexed events as a typed SemanticStream[Long] over event_id —
-    * unique-key bridge, so the rank AND any downstream ordered-wrap stay
-    * on the Catalyst-only bucket path (no RDD zipWithIndex hops). */
+  /** Indexed events as a typed SemanticStream[Long] over event_id — the
+    * dense-key bridge (see [[indexedEvents]]): zero rank computation,
+    * scan-column ord, known ordBound so downstream ordered/concatenate
+    * linearize and stay Catalyst-only. */
   private def eventStream(s: SparkSession, dir: String): SemanticStream[Long] = {
     import s.implicits._
-    SemanticStream.fromUniqueKey[Long](
+    SemanticStream.fromDenseKey[Long](
       tbl(s, dir, "events").select(col("event_id")),
       col("event_id"), col("event_id"))
   }
