@@ -108,6 +108,37 @@ class StressSpec extends AnyFunSuite {
     }
   }
 
+  test("skewed shuffle join: one key owns 50% of 1M fact rows (AQE skew split)", SlowStress) {
+    failAfter(Span(120, Seconds)) {
+      // the join-shaped twin of the salted-agg case: a hot fact key under
+      // a SORT-MERGE join (broadcast disabled — at 100 TB the dim side
+      // does not broadcast either). AQE's skew-join split must keep the
+      // hot partition from serializing the stage; correctness must hold
+      // regardless.
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val fact = spark.range(1000000).select(
+          when(col("id") % 2 === 0, lit(7L)).otherwise(col("id") % 5000)
+            .as("k"), (col("id") % 100).cast("double").as("v"))
+        val dim = spark.range(5000).select(col("id").as("k"),
+          concat(lit("d"), col("id")).as("name"))
+        val joined = fact.join(dim, "k")
+          .groupBy(col("name")).agg(count(lit(1)).as("n"),
+            round(sum(col("v")), 2).as("sv"))
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+        val rows = joined.collect()
+        // odd ids produce odd residues only → 2500 distinct fact keys
+        // (7 is odd, already among them)
+        assert(rows.length == 2500, s"dim keys hit: ${rows.length}")
+        val hot = rows.find(_.getString(0) == "d7").get
+        // k=7: 500k even-id rows + ids ≡ 7 (mod 5000), all odd → 200
+        assert(hot.getLong(1) == 500200L, s"hot key count ${hot.getLong(1)}")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("deterministic epoch shuffle: 1M rows, no single-partition stage", SlowStress) {
     failAfter(Span(120, Seconds)) {
       val df = spark.range(1000000).select(col("id").as("doc_id"))
