@@ -183,6 +183,18 @@ object QueriesText {
         Multimodal.syntheticImages(tbl(s, dir, "documents"), "doc_id"),
         "id", "img")
         .toDF().select(col("id"), col("format"), col("width"), col("height"))
+        .orderBy(col("id"))),
+
+    // REAL audio decode: deterministic per-row WAV bytes (rate/channels/
+    // frames a closed form of doc_id), then javax.sound header decode
+    // recovers them FROM THE BYTES — header-only, the PCM payload is
+    // never decoded
+    "q62_audio_decode" -> ((s, dir) =>
+      Multimodal.audioMeta(
+        Multimodal.syntheticAudio(tbl(s, dir, "documents"), "doc_id"),
+        "id", "wav")
+        .toDF().select(col("id"), col("format"), col("sample_rate"),
+          col("channels"), col("frames"))
         .orderBy(col("id")))
   )
 
@@ -506,6 +518,15 @@ object QueriesText {
         |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'jpeg' END AS format,
         |  CAST(1 + doc_id % 64 AS BIGINT) AS width,
         |  CAST(1 + doc_id % 48 AS BIGINT) AS height
+        |FROM documents ORDER BY id""".stripMargin,
+
+    // the Spark side must recover these values by PARSING real WAV
+    // headers; the oracle only knows the closed form the fixture encoded
+    "q62_audio_decode" ->
+      """SELECT doc_id AS id, 'wav' AS format,
+        |  CAST(8000 * (1 + doc_id % 5) AS BIGINT) AS sample_rate,
+        |  CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+        |  CAST(50 + doc_id % 200 AS BIGINT) AS frames
         |FROM documents ORDER BY id""".stripMargin
   )
 }

@@ -6,8 +6,10 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video travel as opaque `binary`
   * columns with typed metadata alongside. The Spark-side machinery —
   * schema, partition-friendly batch iteration, deterministic output shape —
-  * is real and tested; the actual codec call is STUBBED (no image/audio
-  * libraries in this environment) behind [[MediaCodec.decodeStub]], which
+  * is real and tested; images and audio are decoded for REAL (pure-JVM
+  * `javax.imageio` / `javax.sound.sampled` header parsing); only the
+  * VIDEO codec call is STUBBED (no video libraries in this environment)
+  * behind [[MediaCodec.decodeStub]], which
   * derives deterministic fake dimensions from the payload. Swap
   * `decodeStub` for a real codec (JavaCPP/FFmpeg etc.) without touching
   * the pipeline shape.
@@ -17,11 +19,12 @@ object Multimodal {
   case class MediaMeta(id: Long, byte_len: Long, kind: String, width: Long, height: Long)
 
   object MediaCodec {
-    /** STUB (video/audio only — no codec libraries in this environment):
+    /** STUB (video only — no video codec libraries in this environment):
       * a real implementation would parse the container header.
       * Deterministic fake: dimensions derived from payload length, kind
       * from a length mod — keeps tests and oracles reproducible.
-      * IMAGES are decoded for real — see [[decodeImageHeader]]. */
+      * IMAGES and AUDIO are decoded for real — see [[decodeImageHeader]]
+      * and [[decodeAudioHeader]]. */
     def decodeStub(payload: Array[Byte]): (String, Long, Long) = {
       val len = payload.length.toLong
       val kind = (len % 3) match {
@@ -54,6 +57,42 @@ object Multimodal {
           finally r.dispose()
         }
       } finally iis.close()
+    }
+
+    /** REAL audio header decode (pure-JVM `javax.sound.sampled`): container
+      * type, sample rate, channel count and frame count read from the WAV/
+      * AIFF/AU header via `AudioSystem.getAudioFileFormat` — header-only,
+      * the PCM payload is never decoded (the 100 TB-scan shape: learn a
+      * clip's duration without streaming its samples). Returns None for
+      * bytes no installed provider recognizes. */
+    def decodeAudioHeader(payload: Array[Byte]): Option[(String, Int, Int, Long)] = {
+      if (payload == null || payload.isEmpty) return None
+      try {
+        val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+          new java.io.ByteArrayInputStream(payload))
+        val fmt = aff.getFormat
+        Some((aff.getType.getExtension.toLowerCase, fmt.getSampleRate.round,
+          fmt.getChannels, aff.getFrameLength.toLong))
+      } catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => None
+        case _: java.io.IOException => None
+      }
+    }
+
+    /** Fixture generator for the real audio-decode path: a PCM-16 WAV with
+      * the given rate/channels/frames (deterministic ramp samples — the
+      * oracle predicts header fields, not byte content). */
+    def encodeWav(sampleRate: Int, channels: Int, frames: Int): Array[Byte] = {
+      val af = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, channels, true, false)
+      val data = new Array[Byte](frames * channels * 2)
+      var i = 0
+      while (i < data.length) { data(i) = (i % 251).toByte; i += 1 }
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), af, frames.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
     }
 
     /** Fixture generator for the real-decode path: a blank w×h image in
@@ -107,6 +146,46 @@ object Multimodal {
         (id, MediaCodec.encodeImage(w, h, fmt))
       }
     }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)).toDF("id", "img")
+  }
+
+  case class AudioMeta(id: Long, format: String, sample_rate: Long,
+                       channels: Long, frames: Long, byte_len: Long)
+
+  /** REAL audio-metadata extraction over a binary column: per-partition
+    * batch iteration, header-only decode (no PCM materialization, no
+    * shuffle). Unrecognized bytes surface as format "unknown" with -1
+    * fields rather than dropping rows. */
+  def audioMeta(df: DataFrame, idCol: String, binCol: String): Dataset[AudioMeta] = {
+    val src = df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+    src.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+        MediaCodec.decodeAudioHeader(payload) match {
+          case Some((fmt, sr, ch, fr)) =>
+            AudioMeta(id, fmt, sr.toLong, ch.toLong, fr, payload.length.toLong)
+          case None => AudioMeta(id, "unknown", -1L, -1L, -1L, payload.length.toLong)
+        }
+      }
+    }(Encoders.product[AudioMeta])
+  }
+
+  /** Deterministic audio fixture over any id column: each row becomes a
+    * REAL PCM-16 WAV whose rate/channels/frames are a closed form of the
+    * id — the SQL oracle predicts what the real header parser must
+    * recover from the bytes. Map-side only; the test-harness inverse of
+    * [[audioMeta]]. */
+  def syntheticAudio(df: DataFrame, idCol: String): DataFrame = {
+    val src = df.select(col(idCol).cast("long").as("id"))
+    src.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val rate = 8000 * (1 + (id % 5).toInt)
+        val ch = 1 + (id % 2).toInt
+        val frames = 50 + (id % 200).toInt
+        (id, MediaCodec.encodeWav(rate, ch, frames))
+      }
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)).toDF("id", "wav")
   }
 
   /** Batch metadata extraction over a binary column via mapPartitions —

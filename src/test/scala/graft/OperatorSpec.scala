@@ -162,6 +162,41 @@ class OperatorSpec extends AnyFunSuite {
     assert(mm(2L).format == "png" && mm(2L).width == 5L && mm(2L).height == 4L)
   }
 
+  test("real audio decode: header-only javax.sound round trip, unknown and truncated bytes") {
+    import graft.operators.Multimodal.MediaCodec
+    // encode → decode round trip recovers rate/channels/frames from bytes
+    for ((rate, ch, frames) <- Seq((8000, 1, 50), (44100, 2, 249), (16000, 1, 1))) {
+      val bytes = MediaCodec.encodeWav(rate, ch, frames)
+      assert(bytes.nonEmpty)
+      assert(MediaCodec.decodeAudioHeader(bytes)
+        .contains(("wav", rate, ch, frames.toLong)))
+    }
+    // non-audio and truncated payloads are rejected, not crashed on
+    assert(MediaCodec.decodeAudioHeader("not audio bytes".getBytes).isEmpty)
+    assert(MediaCodec.decodeAudioHeader(Array.empty[Byte]).isEmpty)
+    val wav = MediaCodec.encodeWav(22050, 2, 100)
+    assert(MediaCodec.decodeAudioHeader(wav.take(20)).isEmpty) // RIFF tag, no fmt chunk
+    // the distributed path: fixture WAVs → real decode, every row present
+    val ids = Seq(0L, 1L, 4L, 5L, 199L, 200L).toDF("doc_id")
+    val metas = Multimodal.audioMeta(
+      Multimodal.syntheticAudio(ids, "doc_id"), "id", "wav")
+      .collect().map(m => m.id -> m).toMap
+    assert(metas.size == 6)
+    for ((id, m) <- metas) {
+      assert(m.format == "wav")
+      assert(m.sample_rate == 8000 * (1 + id % 5))
+      assert(m.channels == 1 + id % 2)
+      assert(m.frames == 50 + id % 200)
+      assert(m.byte_len > m.frames * m.channels * 2) // header + PCM payload
+    }
+    // unknown bytes surface as rows, not drops (audit-scan contract)
+    val mixed = Seq((1L, "junk".getBytes), (2L, MediaCodec.encodeWav(8000, 1, 10)))
+      .toDF("id", "wav")
+    val mm = Multimodal.audioMeta(mixed, "id", "wav").collect().map(m => m.id -> m).toMap
+    assert(mm(1L).format == "unknown" && mm(1L).frames == -1L)
+    assert(mm(2L).format == "wav" && mm(2L).sample_rate == 8000L && mm(2L).frames == 10L)
+  }
+
   test("gap-fill terminals: maxBy/minBy, forEach count, collectWith, out/error, blob, concatenateAll") {
     val s = fromInts(3, 1, 4, 1, 5)
     assert(s.terminals.maxBy(identity).contains(5))
