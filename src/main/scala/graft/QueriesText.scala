@@ -195,6 +195,18 @@ object QueriesText {
         "id", "wav")
         .toDF().select(col("id"), col("format"), col("sample_rate"),
           col("channels"), col("frames"))
+        .orderBy(col("id"))),
+
+    // REAL video decode: deterministic per-row minimal MP4 bytes
+    // (brand/duration/dimensions a closed form of doc_id), then the
+    // ISO-BMFF box walker recovers them FROM THE BYTES — header-only,
+    // mdat never read
+    "q63_video_decode" -> ((s, dir) =>
+      Multimodal.videoMeta(
+        Multimodal.syntheticVideos(tbl(s, dir, "documents"), "doc_id"),
+        "id", "mp4")
+        .toDF().select(col("id"), col("brand"), col("duration_ms"),
+          col("width"), col("height"))
         .orderBy(col("id")))
   )
 
@@ -527,6 +539,17 @@ object QueriesText {
         |  CAST(8000 * (1 + doc_id % 5) AS BIGINT) AS sample_rate,
         |  CAST(1 + doc_id % 2 AS BIGINT) AS channels,
         |  CAST(50 + doc_id % 200 AS BIGINT) AS frames
+        |FROM documents ORDER BY id""".stripMargin,
+
+    // the Spark side must recover these values by PARSING real ISO-BMFF
+    // boxes; the oracle only knows the closed form the fixture encoded
+    // (timescale 600, duration_ms = floor(ticks * 1000 / 600))
+    "q63_video_decode" ->
+      """SELECT doc_id AS id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'isom' ELSE 'mp42' END AS brand,
+        |  CAST((600 + doc_id % 9000) * 1000 // 600 AS BIGINT) AS duration_ms,
+        |  CAST(160 + (doc_id % 8) * 80 AS BIGINT) AS width,
+        |  CAST(90 + (doc_id % 8) * 45 AS BIGINT) AS height
         |FROM documents ORDER BY id""".stripMargin
   )
 }

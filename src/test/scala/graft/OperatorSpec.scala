@@ -197,6 +197,44 @@ class OperatorSpec extends AnyFunSuite {
     assert(mm(2L).format == "wav" && mm(2L).sample_rate == 8000L && mm(2L).frames == 10L)
   }
 
+  test("real video decode: ISO-BMFF box walk round trip, unknown and truncated bytes") {
+    import graft.operators.Multimodal.MediaCodec
+    // encode → decode round trip recovers brand/timescale/duration/dims
+    for ((brand, ts, dur, w, h) <- Seq(("isom", 600, 601L, 160, 90),
+                                       ("mp42", 1000, 5432L, 1920, 1080),
+                                       ("isom", 90000, 0L, 1, 1))) {
+      val bytes = MediaCodec.encodeMp4(brand, ts, dur, w, h)
+      assert(bytes.nonEmpty)
+      assert(MediaCodec.decodeVideoHeader(bytes).contains((brand, ts, dur, w, h)))
+    }
+    // non-video, truncated, and box-size-overrun payloads are rejected
+    assert(MediaCodec.decodeVideoHeader("not an mp4 file!".getBytes).isEmpty)
+    assert(MediaCodec.decodeVideoHeader(Array.empty[Byte]).isEmpty)
+    val mp4 = MediaCodec.encodeMp4("isom", 600, 1200L, 640, 360)
+    assert(MediaCodec.decodeVideoHeader(mp4.take(12)).isEmpty) // ftyp cut short
+    val corrupt = mp4.clone()
+    corrupt(0) = 0x7f.toByte // ftyp size overruns the file
+    assert(MediaCodec.decodeVideoHeader(corrupt).isEmpty)
+    // the distributed path: fixture MP4s → real decode, every row present
+    val ids = Seq(0L, 1L, 7L, 8L, 8999L, 9000L).toDF("doc_id")
+    val metas = Multimodal.videoMeta(
+      Multimodal.syntheticVideos(ids, "doc_id"), "id", "mp4")
+      .collect().map(m => m.id -> m).toMap
+    assert(metas.size == 6)
+    for ((id, m) <- metas) {
+      assert(m.brand == (if (id % 2 == 0) "isom" else "mp42"))
+      assert(m.duration_ms == (600 + id % 9000) * 1000 / 600)
+      assert(m.width == 160 + (id % 8) * 80 && m.height == 90 + (id % 8) * 45)
+      assert(m.byte_len > 0)
+    }
+    // unknown bytes surface as rows, not drops (audit-scan contract)
+    val mixed = Seq((1L, "junk".getBytes), (2L, MediaCodec.encodeMp4("mp42", 600, 60L, 320, 240)))
+      .toDF("id", "mp4")
+    val mm = Multimodal.videoMeta(mixed, "id", "mp4").collect().map(m => m.id -> m).toMap
+    assert(mm(1L).brand == "unknown" && mm(1L).duration_ms == -1L)
+    assert(mm(2L).brand == "mp42" && mm(2L).duration_ms == 100L && mm(2L).width == 320L)
+  }
+
   test("gap-fill terminals: maxBy/minBy, forEach count, collectWith, out/error, blob, concatenateAll") {
     val s = fromInts(3, 1, 4, 1, 5)
     assert(s.terminals.maxBy(identity).contains(5))
