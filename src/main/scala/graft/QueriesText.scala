@@ -207,7 +207,30 @@ object QueriesText {
         "id", "mp4")
         .toDF().select(col("id"), col("brand"), col("duration_ms"),
           col("width"), col("height"))
-        .orderBy(col("id")))
+        .orderBy(col("id"))),
+
+    // PII redaction: inject a known email/IP/phone per doc (closed form
+    // of doc_id), then the scrub must find and replace them — counts,
+    // the redacted text's md5 and the length delta prove the regexes
+    // fired identically in both engines
+    "q64_pii_redaction" -> ((s, dir) => {
+      val aug = concat(col("text"),
+        lit(" contact u"), col("doc_id").cast("string"),
+        lit("@example.com or 10.20."),
+        (col("doc_id") % 256).cast("string"), lit("."),
+        (col("doc_id") % 100).cast("string"),
+        lit(" tel 555-867-5309"))
+      val red = TA.redactPii(aug)
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        TA.piiCounts(aug).as("pii"),
+        md5(red).as("redacted_md5"),
+        (length(aug) - length(red)).cast("long").as("len_delta"))
+        .select(col("doc_id"), col("pii.n_emails").as("n_emails"),
+          col("pii.n_phones").as("n_phones"), col("pii.n_ips").as("n_ips"),
+          col("redacted_md5"), col("len_delta"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   // shared SQL fragments (DuckDB dialect)
@@ -550,6 +573,33 @@ object QueriesText {
         |  CAST((600 + doc_id % 9000) * 1000 // 600 AS BIGINT) AS duration_ms,
         |  CAST(160 + (doc_id % 8) * 80 AS BIGINT) AS width,
         |  CAST(90 + (doc_id % 8) * 45 AS BIGINT) AS height
-        |FROM documents ORDER BY id""".stripMargin
+        |FROM documents ORDER BY id""".stripMargin,
+
+    // patterns restricted to the Java/RE2-shared regex subset so both
+    // engines scrub identically; email→phone→IP order mirrors redactPii
+    "q64_pii_redaction" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' contact u' || CAST(doc_id AS VARCHAR)
+        |      || '@example.com or 10.20.' || CAST(doc_id % 256 AS VARCHAR)
+        |      || '.' || CAST(doc_id % 100 AS VARCHAR)
+        |      || ' tel 555-867-5309' AS t
+        |  FROM documents),
+        |red AS (
+        |  SELECT doc_id, t,
+        |    regexp_replace(regexp_replace(regexp_replace(t,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      '\d{3}[-. ]\d{3}[-. ]\d{4}', '[PHONE]', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS r
+        |  FROM aug)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(t, '\d{3}[-. ]\d{3}[-. ]\d{4}')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(t,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  md5(r) AS redacted_md5,
+        |  CAST(length(t) - length(r) AS BIGINT) AS len_delta
+        |FROM red ORDER BY doc_id""".stripMargin
   )
 }

@@ -106,6 +106,33 @@ object TextAnalysis {
         size(array_distinct(sh)).cast("double") / size(sh).cast("double"))
   }
 
+  /** PII patterns, deliberately restricted to the regex subset where
+    * Java (Spark codegen) and RE2 (DuckDB, Go, many scrubbing services)
+    * agree byte-for-byte: ASCII classes, bounded repetition, \b/\d in
+    * their shared ASCII meaning — no backrefs, no lookaround. Order
+    * matters when redacting: emails first (their local parts contain
+    * digits), then phones, then IPs. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phonePattern = "\\d{3}[-. ]\\d{3}[-. ]\\d{4}"
+  val ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII redaction — the standard pre-training scrub (emails, phone
+    * numbers, IPv4 addresses → typed placeholder tokens). Three chained
+    * codegen'd `regexp_replace`s: map-side, no shuffle, linear in text
+    * size — the shape that survives a 100 TB corpus scan. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, emailPattern, "[EMAIL]"),
+        phonePattern, "[PHONE]"),
+      ipv4Pattern, "[IP]")
+
+  /** Per-document PII hit counts (audit signal: how much was scrubbed). */
+  def piiCounts(c: Column): Column = struct(
+    size(regexp_extract_all(c, lit(emailPattern), lit(0))).cast("long").as("n_emails"),
+    size(regexp_extract_all(c, lit(phonePattern), lit(0))).cast("long").as("n_phones"),
+    size(regexp_extract_all(c, lit(ipv4Pattern), lit(0))).cast("long").as("n_ips"))
+
   /** Split each document into consecutive ≤`size`-token chunks — the
     * pre-tokenization sharding step before sequence packing. One output
     * row per (doc, chunk) with the chunk's text and token count;

