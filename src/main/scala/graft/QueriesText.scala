@@ -69,6 +69,18 @@ object QueriesText {
         .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
         .orderBy(col("a"), col("b"))),
 
+    // near-dup CLUSTERS: q32's verified pairs consolidated into connected
+    // components (hash-min label propagation) — each doc labeled with the
+    // min id reachable from it, the canonical-survivor choice
+    "q65_neardup_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(
+        Dedup.minhashNearDups(tbl(s, dir, "documents"), "doc_id", "text",
+          shingleWidth = 3, numHashes = 12, bands = 4, threshold = 0.2,
+          maxBucketSize = Some(64)),
+        "a", "b")
+        .select(col("id").as("doc_id"), col("label").as("cluster"))
+        .orderBy(col("doc_id"))),
+
     // 16-bit SimHash fingerprint per doc
     "q33_simhash" -> ((s, dir) =>
       Dedup.simhash16(tbl(s, dir, "documents"), "doc_id", "text")
@@ -240,6 +252,49 @@ object QueriesText {
       |    generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
       |  FROM documents)""".stripMargin
 
+  /** q32's full MinHash-LSH pipeline as a CTE chain ending in `pairs`
+    * (a, b, jaccard ≥ 0.2) — shared by q32 (the pair list) and q65 (the
+    * transitive closure over it). */
+  private val minhashPairCtes =
+    s"""$wordsCte,
+       |shingled AS (
+       |  SELECT doc_id, tok || ' ' ||
+       |    lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) || ' ' ||
+       |    lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS shingle
+       |  FROM words),
+       |shingles AS (
+       |  SELECT DISTINCT doc_id AS id, shingle FROM shingled
+       |  WHERE shingle IS NOT NULL),
+       |sig AS (
+       |  SELECT id, i.i,
+       |    min(substr(md5(CAST(i.i // 4 AS VARCHAR) || '#' || shingle),
+       |      (i.i % 4) * 8 + 1, 8)) AS h
+       |  FROM shingles, generate_series(0, 11) AS i(i)
+       |  GROUP BY id, i.i),
+       |bands AS (
+       |  SELECT id, CAST(floor(i / 3) AS INT) AS band,
+       |    string_agg(h, '|' ORDER BY i) AS key
+       |  FROM sig GROUP BY id, CAST(floor(i / 3) AS INT)),
+       |cand AS (
+       |  SELECT DISTINCT l.id AS a, r.id AS b
+       |  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key
+       |    AND l.id < r.id),
+       |sizes AS (SELECT id, count(*) AS sz FROM shingles GROUP BY id),
+       |inter AS (
+       |  SELECT c.a, c.b, count(*) AS inter
+       |  FROM cand c
+       |  JOIN shingles sa ON sa.id = c.a
+       |  JOIN shingles sb ON sb.id = c.b AND sb.shingle = sa.shingle
+       |  GROUP BY c.a, c.b),
+       |pairs AS (
+       |  SELECT i.a, i.b,
+       |    round(CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter), 4)
+       |      AS jaccard
+       |  FROM inter i
+       |  JOIN sizes za ON za.id = i.a
+       |  JOIN sizes zb ON zb.id = i.b
+       |  WHERE CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter) >= 0.2)""".stripMargin
+
   private def occ(expr: String, target: String): String =
     s"CAST((length($expr) - length(replace($expr, '$target', ''))) / ${target.length} AS BIGINT)"
 
@@ -313,44 +368,22 @@ object QueriesText {
         |ORDER BY id""".stripMargin,
 
     "q32_minhash_pairs" ->
-      s"""WITH $wordsCte,
-         |shingled AS (
-         |  SELECT doc_id, tok || ' ' ||
-         |    lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) || ' ' ||
-         |    lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS shingle
-         |  FROM words),
-         |shingles AS (
-         |  SELECT DISTINCT doc_id AS id, shingle FROM shingled
-         |  WHERE shingle IS NOT NULL),
-         |sig AS (
-         |  SELECT id, i.i,
-         |    min(substr(md5(CAST(i.i // 4 AS VARCHAR) || '#' || shingle),
-         |      (i.i % 4) * 8 + 1, 8)) AS h
-         |  FROM shingles, generate_series(0, 11) AS i(i)
-         |  GROUP BY id, i.i),
-         |bands AS (
-         |  SELECT id, CAST(floor(i / 3) AS INT) AS band,
-         |    string_agg(h, '|' ORDER BY i) AS key
-         |  FROM sig GROUP BY id, CAST(floor(i / 3) AS INT)),
-         |cand AS (
-         |  SELECT DISTINCT l.id AS a, r.id AS b
-         |  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key
-         |    AND l.id < r.id),
-         |sizes AS (SELECT id, count(*) AS sz FROM shingles GROUP BY id),
-         |inter AS (
-         |  SELECT c.a, c.b, count(*) AS inter
-         |  FROM cand c
-         |  JOIN shingles sa ON sa.id = c.a
-         |  JOIN shingles sb ON sb.id = c.b AND sb.shingle = sa.shingle
-         |  GROUP BY c.a, c.b)
-         |SELECT i.a, i.b,
-         |  round(CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter), 4)
-         |    AS jaccard
-         |FROM inter i
-         |JOIN sizes za ON za.id = i.a
-         |JOIN sizes zb ON zb.id = i.b
-         |WHERE CAST(i.inter AS DOUBLE) / (za.sz + zb.sz - i.inter) >= 0.2
-         |ORDER BY a, b""".stripMargin,
+      s"""WITH $minhashPairCtes
+         |SELECT a, b, jaccard FROM pairs ORDER BY a, b""".stripMargin,
+
+    // transitive closure over the SAME pair set q32 verifies: cluster =
+    // min reachable id (mirrors Dedup.connectedComponents' hash-min)
+    "q65_neardup_clusters" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM pairs
+         |  UNION SELECT b, a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, rr.r FROM edges e JOIN reach rr ON rr.id = e.dst)
+         |SELECT id AS doc_id, min(r) AS cluster
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
 
     "q33_simhash" ->
       s"""WITH toks AS (

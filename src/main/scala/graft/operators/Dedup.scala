@@ -196,6 +196,41 @@ object Dedup {
     jaccard(cand, sh).filter(col("jaccard") >= threshold)
   }
 
+  /** Connected components over an undirected edge list — the consolidation
+    * step that turns near-dup PAIRS into dedup CLUSTERS (each node gets
+    * the minimum id reachable from it; keep one doc per label). Hash-min
+    * label propagation: each round propagates labels across edges (one
+    * shuffle join) and keeps the per-node min (one partial-aggregated
+    * groupBy); rounds = cluster diameter, which for near-dup graphs is
+    * small (dups of one doc pair with each other, so components are
+    * near-cliques). Each round is localCheckpoint-ed: lineage stays
+    * bounded — the plan never grows with iteration count — and each
+    * round's join is re-planned by AQE on the REAL propagated sizes.
+    * Only nodes that appear in some edge are returned. */
+  def connectedComponents(edges: DataFrame, aCol: String = "a",
+                          bCol: String = "b", maxRounds: Int = 25): DataFrame = {
+    val sym = edges.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .union(edges.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+    var labels = sym.groupBy(col("src")).agg(min(col("dst")).as("nmin"))
+      .select(col("src").as("id"), least(col("src"), col("nmin")).as("label"))
+      .localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val prop = sym.join(labels.select(col("id").as("dst"), col("label")), "dst")
+        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      val next = labels.join(prop.select(col("src").as("id"), col("nlabel")), Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          col("label").as("prev"))
+        .localCheckpoint()
+      converged = next.filter(col("label") < col("prev")).isEmpty
+      labels = next.select(col("id"), col("label"))
+      round += 1
+    }
+    labels
+  }
+
   /** Benchmark-contamination check: for each EVAL document, the fraction
     * of its distinct word w-shingles that appear anywhere in the TRAIN
     * corpus. The eval set (benchmarks are small by definition) is

@@ -235,6 +235,25 @@ class OperatorSpec extends AnyFunSuite {
     assert(mm(2L).brand == "mp42" && mm(2L).duration_ms == 100L && mm(2L).width == 320L)
   }
 
+  test("connected components: chains need multi-round propagation, cycles terminate") {
+    import graft.operators.Dedup
+    // path 10-2-7-4 (min in the middle of arrival order), cycle 20-21-22-20,
+    // pair 30-31: labels = min reachable id, regardless of shape
+    val edges = Seq((10L, 2L), (2L, 7L), (7L, 4L),
+      (20L, 21L), (21L, 22L), (22L, 20L), (30L, 31L)).toDF("a", "b")
+    val got = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 2L, 2L -> 2L, 7L -> 2L, 4L -> 2L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 30L -> 30L, 31L -> 30L))
+    // a long chain converges within maxRounds (diameter 9 > 1 round)
+    val chain = (0 until 9).map(i => (100L + i, 101L + i)).toDF("a", "b")
+    val chainLabels = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getLong(1)).distinct
+    assert(chainLabels.sameElements(Array(100L)))
+    // empty edge list → empty result, no crash
+    assert(Dedup.connectedComponents(Seq.empty[(Long, Long)].toDF("a", "b")).isEmpty)
+  }
+
   test("PII redaction: emails, phones, IPv4; order, boundaries, clean text untouched") {
     import graft.operators.TextAnalysis
     val rows = Seq(
