@@ -201,12 +201,14 @@ object Dedup {
     * the minimum id reachable from it; keep one doc per label). Hash-min
     * label propagation: each round propagates labels across edges (one
     * shuffle join) and keeps the per-node min (one partial-aggregated
-    * groupBy); rounds = cluster diameter, which for near-dup graphs is
-    * small (dups of one doc pair with each other, so components are
-    * near-cliques). Each round is localCheckpoint-ed: lineage stays
-    * bounded — the plan never grows with iteration count — and each
-    * round's join is re-planned by AQE on the REAL propagated sizes.
-    * Only nodes that appear in some edge are returned. */
+    * groupBy), then POINTER-JUMPS — every node also adopts its label's
+    * own label, composing the label map with itself, so chains collapse
+    * at 2^round speed: O(log diameter) rounds even for pathological
+    * long-chain components (version-drift dup runs), not O(diameter).
+    * Each round is localCheckpoint-ed: lineage stays bounded — the plan
+    * never grows with iteration count — and each round's join is
+    * re-planned by AQE on the REAL propagated sizes. Only nodes that
+    * appear in some edge are returned. */
   def connectedComponents(edges: DataFrame, aCol: String = "a",
                           bCol: String = "b", maxRounds: Int = 25): DataFrame = {
     val sym = edges.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
@@ -219,10 +221,16 @@ object Dedup {
     while (!converged && round < maxRounds) {
       val prop = sym.join(labels.select(col("id").as("dst"), col("label")), "dst")
         .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
-      val next = labels.join(prop.select(col("src").as("id"), col("nlabel")), Seq("id"), "left")
+      val neigh = labels.join(prop.select(col("src").as("id"), col("nlabel")), Seq("id"), "left")
         .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("nl"),
           col("label").as("prev"))
+      val next = neigh.join(
+          labels.select(col("id").as("jid"), col("label").as("jlabel")),
+          neigh("nl") === col("jid"), "left")
+        .select(neigh("id"),
+          least(col("nl"), coalesce(col("jlabel"), col("nl"))).as("label"),
+          col("prev"))
         .localCheckpoint()
       converged = next.filter(col("label") < col("prev")).isEmpty
       labels = next.select(col("id"), col("label"))

@@ -89,6 +89,34 @@ class StressSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components: 200k-node chain + 20k-star + 100k pairs in log rounds", SlowStress) {
+    failAfter(Span(180, Seconds)) {
+      // the adversarial shapes for label propagation: a 200k-node CHAIN
+      // (diameter 200k — naive hash-min needs 200k rounds; pointer
+      // jumping must collapse it in ~log2(200k) ≈ 18), one 20k-spoke
+      // STAR (the capped-bucket mass-dup shape: a hot label key), and
+      // 100k disjoint 2-node components (the common case, must not be
+      // slowed by the giants). Exact labels asserted for all three.
+      import graft.operators.Dedup
+      val spark2 = spark
+      val chain = spark2.range(0, 200000 - 1)
+        .select(col("id").as("a"), (col("id") + 1).as("b"))
+      val star = spark2.range(1, 20001)
+        .select(lit(1000000L).as("a"), (col("id") + 1000000L).as("b"))
+      val pairs = spark2.range(0, 100000)
+        .select((col("id") * 2 + 2000000L).as("a"), (col("id") * 2 + 2000001L).as("b"))
+      val labels = Dedup.connectedComponents(
+        chain.union(star).union(pairs).repartition(32), "a", "b")
+      val byCluster = labels.groupBy(col("label")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(byCluster(0L) == 200000L)          // whole chain → min id 0
+      assert(byCluster(1000000L) == 20001L)     // star + hub
+      val pairClusters = byCluster.keys.filter(_ >= 2000000L)
+      assert(pairClusters.size == 100000 && pairClusters.forall(_ % 2 == 0))
+      assert(byCluster.filter(_._1 >= 2000000L).values.forall(_ == 2L))
+    }
+  }
+
   test("salted aggregation: one key owns 50% of 1M rows", SlowStress) {
     failAfter(Span(120, Seconds)) {
       val rows = spark.range(1000000).select(
