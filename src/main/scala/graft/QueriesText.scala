@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, TextAnalysis => TA}
+import graft.operators.{Dedup, Multimodal, Windows, TextAnalysis => TA}
 
 /** Text-analysis / dedup / multimodal queries over `documents`, with
   * DuckDB oracles that mirror the exact same deterministic (md5-seeded)
@@ -80,6 +80,24 @@ object QueriesText {
         "a", "b")
         .select(col("id").as("doc_id"), col("label").as("cluster"))
         .orderBy(col("doc_id"))),
+
+    // domain-mixing under a token budget: per-language deterministic
+    // (md5-keyed) shuffle order, keep docs while the language's running
+    // token total is under budget — the mixture-construction step of
+    // training-data prep, via the distributed GROUPED prefix sum (no
+    // per-language single-task window)
+    "q66_token_budget_mix" -> ((s, dir) => {
+      val withTok = tbl(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        TA.tokenCount(col("text")).as("n_tokens"),
+        md5(col("doc_id").cast("string")).as("k"))
+      Windows.groupedRunningTotal(withTok, col("lang"), col("k"),
+        Seq(col("k"), col("doc_id")), col("n_tokens"), "cum_incl")
+        .withColumn("cum_before", col("cum_incl") - col("n_tokens"))
+        .filter(col("cum_before") < 3000)
+        .select(col("doc_id"), col("lang"), col("n_tokens"), col("cum_before"))
+        .orderBy(col("lang"), col("doc_id"))
+    }),
 
     // 16-bit SimHash fingerprint per doc
     "q33_simhash" -> ((s, dir) =>
@@ -587,6 +605,26 @@ object QueriesText {
         |  CAST(1 + doc_id % 64 AS BIGINT) AS width,
         |  CAST(1 + doc_id % 48 AS BIGINT) AS height
         |FROM documents ORDER BY id""".stripMargin,
+
+    // same deterministic md5 order and exclusive per-lang prefix sum;
+    // DuckDB's partitioned window is the small-scale mirror of the
+    // distributed grouped prefix sum
+    "q66_token_budget_mix" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+        |      AS n_tokens,
+        |    md5(CAST(doc_id AS VARCHAR)) AS k
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY k, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM t)
+        |SELECT doc_id, lang, n_tokens, cum_before
+        |FROM c WHERE cum_before < 3000
+        |ORDER BY lang, doc_id""".stripMargin,
 
     // the Spark side must recover these values by PARSING real WAV
     // headers; the oracle only knows the closed form the fixture encoded

@@ -41,6 +41,45 @@ object Windows {
     * over ≤ shuffle-partitions rows and broadcast back. The order must
     * be total (include a unique tiebreak); lead values non-null/non-NaN.
     * Adds `cumCol` (long) to the input columns. */
+  /** Distributed per-GROUP inclusive running total along a total order
+    * WITHIN each group — the grouped twin of [[runningTotal]], without
+    * the `Window.partitionBy(group)` trap (a low-cardinality group —
+    * five languages over 100 TB — collapses each group onto one task).
+    * Same shape as the grouped rank (IndexOps.rankGroupedPrefix):
+    * dense numeric group ids (tiny distinct frame, broadcast) →
+    * group-major sub-buckets from each group's own lead range →
+    * per-bucket windowed running sum → per-(group, bucket) totals
+    * prefix-summed per group over ≤ groups×partitions rows and
+    * broadcast back. The lead is auto-projected through the
+    * numericLeadOf chokepoint (strings → 7-byte prefix number), and the
+    * order must be total within each group. Adds `cumCol` (long). */
+  def groupedRunningTotal(df: DataFrame, group: Column, lead: Column,
+                          order: Seq[Column], value: Column,
+                          cumCol: String): DataFrame = {
+    val leadDt = df.select(lead).schema.head.dataType
+    val numLead = graft.core.SemanticStream.numericLeadOf(leadDt, lead)
+      .getOrElse(throw new IllegalArgumentException(
+        s"groupedRunningTotal: lead type $leadDt has no monotone numeric projection"))
+    val gids = df.select(group.as("__gv")).distinct()
+      .withColumn("__gid",
+        row_number().over(Window.orderBy(col("__gv"))).cast("long"))
+    // ≤ #groups rows — the unpartitioned window is bounded by group count
+    val withG = df.join(broadcast(gids), group <=> col("__gv"))
+    val w = Window.partitionBy(col("__b")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = graft.core.IndexOps.bucketizeByGroupedLead(withG, col("__gid"), numLead)
+      .withColumn("__cum", sum(value.cast("long")).over(w))
+    val totals = cum.groupBy(col("__b"), col("__gid"))
+      .agg(sum(value.cast("long")).as("__tot"))
+    val offsets = totals.withColumn("__off", coalesce(
+        sum(col("__tot")).over(Window.partitionBy(col("__gid")).orderBy(col("__b"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__b"), col("__off"))
+    cum.join(broadcast(offsets), "__b")
+      .withColumn(cumCol, col("__off") + col("__cum"))
+      .drop("__b", "__gid", "__gv", "__cum", "__off")
+  }
+
   def runningTotal(df: DataFrame, lead: Column, order: Seq[Column],
                    value: Column, cumCol: String): DataFrame = {
     val w = Window.partitionBy(col("__b")).orderBy(order: _*)

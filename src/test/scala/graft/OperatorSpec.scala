@@ -235,6 +235,30 @@ class OperatorSpec extends AnyFunSuite {
     assert(mm(2L).brand == "mp42" && mm(2L).duration_ms == 100L && mm(2L).width == 320L)
   }
 
+  test("grouped running total: per-group cumsum matches the naive window, string lead") {
+    import graft.operators.Windows
+    import org.apache.spark.sql.expressions.{Window => W}
+    val df = (0L until 400L).map { i =>
+      (i, s"g${i % 3}", 1L + i % 7, f"k${(i * 37) % 400}%03d")
+    }.toDF("id", "grp", "v", "k").repartition(8)
+    val got = Windows.groupedRunningTotal(df, col("grp"), col("k"),
+        Seq(col("k"), col("id")), col("v"), "cum")
+      .select(col("id"), col("cum")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val naive = df.withColumn("cum",
+        sum(col("v")).over(W.partitionBy(col("grp")).orderBy(col("k"), col("id"))
+          .rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .select(col("id"), col("cum")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == naive)
+    // a map-typed lead has no monotone projection → loud failure
+    intercept[IllegalArgumentException] {
+      Windows.groupedRunningTotal(
+        df.withColumn("m", map(col("k"), col("v"))),
+        col("grp"), col("m"), Seq(col("id")), col("v"), "cum")
+    }
+  }
+
   test("connected components: chains need multi-round propagation, cycles terminate") {
     import graft.operators.Dedup
     // path 10-2-7-4 (min in the middle of arrival order), cycle 20-21-22-20,
