@@ -16,6 +16,17 @@ object QueriesSim {
     s.read.parquet(s"$dir/$name.parquet")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // one Lloyd iteration: broadcast-literal centroids (first 8 by id),
+    // map-side argmin assignment, one (cluster, dim) mean shuffle
+    "q67_kmeans_step" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s) // native graft_dot
+      Similarity.kmeansStep(tbl(s, dir, "embeddings"), "vec_id", "embedding", 8)
+        .select(col("cluster"), col("dim").cast("long").as("dim"),
+          col("n_members"),
+          (round(col("mean") + lit(1e-9), 4) + lit(0.0)).as("mean"))
+        .orderBy(col("cluster"), col("dim"))
+    }),
+
     // brute-force cosine top-k (queries broadcast against corpus scan)
     "q35_cosine_topk" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s) // native graft_dot
@@ -169,6 +180,33 @@ object QueriesSim {
   )
 
   val oracles: Map[String, String] = Map(
+    // same reduced-form distance (−2·x·c + c·c) and the established
+    // ordered list-dot, so the argmin ranks identically; means rounded
+    // with the tie and signed-zero guards on both sides
+    "q67_kmeans_step" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |cent AS (
+        |  SELECT vec_id AS cid, e AS ce FROM v ORDER BY vec_id LIMIT 8),
+        |assigned AS (
+        |  SELECT v.vec_id, c.cid,
+        |    -2.0 * list_sum(list_apply(range(1, len(c.ce) + 1),
+        |        i -> v.e[i] * c.ce[i]))
+        |      + list_sum(list_apply(c.ce, x -> x * x)) AS d
+        |  FROM v CROSS JOIN cent c),
+        |best AS (
+        |  SELECT vec_id, cid FROM assigned
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) = 1),
+        |comps AS (
+        |  SELECT b.cid AS cluster, generate_subscripts(v.e, 1) - 1 AS dim,
+        |    unnest(v.e) AS val
+        |  FROM best b JOIN v ON v.vec_id = b.vec_id)
+        |SELECT cluster, CAST(dim AS BIGINT) AS dim, count(*) AS n_members,
+        |  round(avg(val) + 1e-9, 4) + 0.0 AS mean
+        |FROM comps GROUP BY cluster, dim
+        |ORDER BY cluster, dim""".stripMargin,
+
     "q35_cosine_topk" ->
       """WITH v AS (
         |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e

@@ -77,6 +77,41 @@ object Similarity {
       bucketExpr(col(vecCol), planes, dims).as("bucket"))
   }
 
+  /** One Lloyd iteration of k-means over an embedding column: assign every
+    * vector to its nearest of k centroids, then recompute per-cluster
+    * per-dimension means. Centroids are the first k vectors by id
+    * (deterministic seed); they are collected once (k rows, bounded) and
+    * inlined as LITERALS, so assignment is a pure map-side projection —
+    * k codegen'd `graft_dot` products per row, argmin via `least` over
+    * (distance, cid) structs, NO crossJoin and NO assignment shuffle.
+    * The only shuffle is the partial-aggregated (cluster, dim) mean.
+    * Distance uses the reduced form −2·x·c + c·c (the x·x term is
+    * constant across candidates), sequential double accumulation — the
+    * same arithmetic an SQL engine's ordered list-dot replays, so ties
+    * and near-ties rank identically. Iterating = calling this again with
+    * the returned means as centroids. */
+  def kmeansStep(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    require(k > 0)
+    val cents = emb.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).cast("long"), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val vec = col(vecCol)
+    val candidates = cents.map { case (cid, cv) =>
+      val c = typedLit(cv)
+      struct(
+        (lit(-2.0) * dot(vec, c) + dot(c, c)).as("d"),
+        lit(cid).as("cid"))
+    }
+    val best =
+      (if (candidates.length == 1) candidates.head else least(candidates: _*))
+        .getField("cid")
+    emb.select(best.as("cluster"), posexplode(vec).as(Seq("dim", "v")))
+      .groupBy(col("cluster"), col("dim"))
+      .agg(count(lit(1)).as("n_members"),
+        avg(col("v").cast("double")).as("mean"))
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding itself). Ranking key is (rounded cosine desc, id
     * asc) — rounded so FP summation order can never flip a rank. */

@@ -235,6 +235,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(mm(2L).brand == "mp42" && mm(2L).duration_ms == 100L && mm(2L).width == 320L)
   }
 
+  test("kmeans step: literal-centroid argmin assignment, per-dim means") {
+    import graft.operators.Similarity
+    // seeds = first 2 ids: (0,0) and (10,10); the rest sit clearly nearer
+    // one pole each, so the assignment is unambiguous
+    val df = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(10f, 10f)),
+      (2L, Array(1f, 0f)), (3L, Array(0f, 1f)),
+      (4L, Array(9f, 10f)), (5L, Array(10f, 9f))).toDF("vec_id", "embedding")
+    val out = Similarity.kmeansStep(df, "vec_id", "embedding", 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out.size == 4) // 2 clusters × 2 dims
+    assert(out((0L, 0))._1 == 3L && out((1L, 0))._1 == 3L)
+    assert(math.abs(out((0L, 0))._2 - 1.0 / 3) < 1e-12)
+    assert(math.abs(out((0L, 1))._2 - 1.0 / 3) < 1e-12)
+    assert(math.abs(out((1L, 0))._2 - 29.0 / 3) < 1e-12)
+    assert(math.abs(out((1L, 1))._2 - 29.0 / 3) < 1e-12)
+    // k = 1: degenerate but legal — everything in one cluster
+    val one = Similarity.kmeansStep(df, "vec_id", "embedding", 1).collect()
+    assert(one.length == 2 && one.forall(_.getLong(2) == 6L))
+  }
+
   test("grouped running total: per-group cumsum matches the naive window, string lead") {
     import graft.operators.Windows
     import org.apache.spark.sql.expressions.{Window => W}
