@@ -16,6 +16,16 @@ object QueriesSim {
     s.read.parquet(s"$dir/$name.parquet")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // int8 scalar quantization: per-dim stats broadcast as literals,
+    // map-side codes + reconstruction error; code sums are
+    // integer-exact, error metrics rounded with both FP guards
+    "q68_quantize_int8" -> ((s, dir) =>
+      Similarity.scalarQuantizeInt8(tbl(s, dir, "embeddings"), "vec_id", "embedding")
+        .select(col("id").as("vec_id"), col("q_sum"),
+          (round(col("max_abs_err") + lit(1e-9), 4) + lit(0.0)).as("max_abs_err"),
+          (round(col("mean_abs_err") + lit(1e-9), 4) + lit(0.0)).as("mean_abs_err"))
+        .orderBy(col("vec_id"))),
+
     // one Lloyd iteration: broadcast-literal centroids (first 8 by id),
     // map-side argmin assignment, one (cluster, dim) mean shuffle
     "q67_kmeans_step" -> ((s, dir) => {
@@ -180,6 +190,37 @@ object QueriesSim {
   )
 
   val oracles: Map[String, String] = Map(
+    // floor-based code assignment (identical doubles floor identically;
+    // round-half algorithms differ between engines), ordered list folds
+    "q68_quantize_int8" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |comps AS (
+        |  SELECT generate_subscripts(e, 1) AS dim, unnest(e) AS val FROM v),
+        |stats AS (
+        |  SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs
+        |  FROM (SELECT dim, min(val) AS mn, max(val) AS mx
+        |        FROM comps GROUP BY dim)),
+        |coded AS (
+        |  SELECT v.vec_id,
+        |    list_apply(range(1, len(v.e) + 1), i ->
+        |      CASE WHEN s.mxs[i] = s.mns[i] THEN 0.0
+        |        ELSE floor((v.e[i] - s.mns[i]) / (s.mxs[i] - s.mns[i])
+        |          * 255.0 + 0.5) END) AS codes,
+        |    v.e AS e, s.mns AS mns, s.mxs AS mxs
+        |  FROM v CROSS JOIN stats s),
+        |errs AS (
+        |  SELECT vec_id,
+        |    CAST(list_sum(codes) AS BIGINT) AS q_sum,
+        |    list_apply(range(1, len(e) + 1), i ->
+        |      abs(mns[i] + codes[i] * (mxs[i] - mns[i]) / 255.0 - e[i])) AS err
+        |  FROM coded)
+        |SELECT vec_id, q_sum,
+        |  round(list_max(err) + 1e-9, 4) + 0.0 AS max_abs_err,
+        |  round(list_sum(err) / len(err) + 1e-9, 4) + 0.0 AS mean_abs_err
+        |FROM errs ORDER BY vec_id""".stripMargin,
+
     // same reduced-form distance (−2·x·c + c·c) and the established
     // ordered list-dot, so the argmin ranks identically; means rounded
     // with the tie and signed-zero guards on both sides

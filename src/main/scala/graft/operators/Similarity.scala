@@ -77,6 +77,42 @@ object Similarity {
       bucketExpr(col(vecCol), planes, dims).as("bucket"))
   }
 
+  /** Int8 scalar quantization of an embedding column — the standard ANN
+    * index-compression step (4× smaller vectors, table scans stay
+    * bandwidth-bound). Two phases, both scale-shaped: per-dimension
+    * min/max stats via one partial-aggregated shuffle of #dims keys,
+    * collected (bounded by dims) and inlined as literals; then
+    * quantization is a PURE MAP-SIDE projection — code_i =
+    * floor((x_i−mn_i)/(mx_i−mn_i)·255 + 0.5), constant dims → 0.
+    * `floor` (not `round`): identical double inputs floor identically
+    * in every engine, while round-half algorithms differ. Returns per
+    * vector: the code sum (integer-exact audit), max and mean absolute
+    * reconstruction error (sequential left-fold sum, matching an SQL
+    * engine's ordered list_sum). */
+  def scalarQuantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val stats = emb.select(posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy(col("dim"))
+      .agg(min(col("v").cast("double")).as("mn"), max(col("v").cast("double")).as("mx"))
+      .orderBy(col("dim")).collect()
+    val mins = typedLit(stats.map(_.getDouble(1)))
+    val maxs = typedLit(stats.map(_.getDouble(2)))
+    val xd = transform(col(vecCol), x => x.cast("double"))
+    val codes = transform(xd, (x, i) => {
+      val mn = get(mins, i); val mx = get(maxs, i)
+      when(mx === mn, lit(0.0))
+        .otherwise(floor((x - mn) / (mx - mn) * lit(255.0) + lit(0.5)))
+    })
+    val recon = transform(codes, (q, i) => {
+      val mn = get(mins, i); val mx = get(maxs, i)
+      mn + q * (mx - mn) / lit(255.0)
+    })
+    val errs = zip_with(xd, recon, (x, r) => abs(r - x))
+    emb.select(col(idCol).as("id"),
+      aggregate(codes, lit(0L), (acc, q) => acc + q.cast("long")).as("q_sum"),
+      array_max(errs).as("max_abs_err"),
+      (aggregate(errs, lit(0.0), (acc, e) => acc + e) / size(xd)).as("mean_abs_err"))
+  }
+
   /** One Lloyd iteration of k-means over an embedding column: assign every
     * vector to its nearest of k centroids, then recompute per-cluster
     * per-dimension means. Centroids are the first k vectors by id

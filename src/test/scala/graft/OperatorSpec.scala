@@ -235,6 +235,20 @@ class OperatorSpec extends AnyFunSuite {
     assert(mm(2L).brand == "mp42" && mm(2L).duration_ms == 100L && mm(2L).width == 320L)
   }
 
+  test("int8 quantization: codes, constant dims, reconstruction error") {
+    import graft.operators.Similarity
+    // dim0 spans [0,10] → codes 0/128/255; dim1 is constant → code 0, err 0
+    val df = Seq((1L, Array(0f, 7f)), (2L, Array(10f, 7f)), (3L, Array(5f, 7f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.scalarQuantizeInt8(df, "vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(1L)._1 == 0L && out(2L)._1 == 255L && out(3L)._1 == 128L)
+    assert(out(1L)._2 == 0.0 && out(2L)._2 == 0.0) // endpoints reconstruct exactly
+    val e3 = math.abs(128.0 * 10 / 255 - 5.0)
+    assert(math.abs(out(3L)._2 - e3) < 1e-12)      // max err = dim0 err
+    assert(math.abs(out(3L)._3 - e3 / 2) < 1e-12)  // mean over 2 dims
+  }
+
   test("kmeans step: literal-centroid argmin assignment, per-dim means") {
     import graft.operators.Similarity
     // seeds = first 2 ids: (0,0) and (10,10); the rest sit clearly nearer
