@@ -117,6 +117,29 @@ class StressSpec extends AnyFunSuite {
     }
   }
 
+  test("grouped running total: 1M rows, 3 groups — no single-task window", SlowStress) {
+    failAfter(Span(120, Seconds)) {
+      // 3 groups over 1M rows is the Window.partitionBy(group) trap
+      // shape: a naive plan puts ~333k rows on one task per group. The
+      // grouped bucket path must stay inside the bound and be EXACT:
+      // an inclusive cumsum of positive values ends at the group total.
+      import graft.operators.Windows
+      val df = spark.range(1000000).select(
+        col("id"),
+        concat(lit("g"), col("id") % 3).as("grp"),
+        (col("id") % 11 + 1).as("v"),
+        md5(col("id").cast("string")).as("k")).repartition(32)
+      val out = Windows.groupedRunningTotal(df, col("grp"), col("k"),
+        Seq(col("k"), col("id")), col("v"), "cum")
+      assert(out.count() == 1000000L)
+      val got = out.groupBy(col("grp"))
+        .agg(max(col("cum")).as("mx"), sum(col("v")).as("s"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      assert(got.length == 3)
+      got.foreach { case (g, mx, s) => assert(mx == s, s"group $g: $mx != $s") }
+    }
+  }
+
   test("salted aggregation: one key owns 50% of 1M rows", SlowStress) {
     failAfter(Span(120, Seconds)) {
       val rows = spark.range(1000000).select(
