@@ -235,6 +235,24 @@ class OperatorSpec extends AnyFunSuite {
     assert(mm(2L).brand == "mp42" && mm(2L).duration_ms == 100L && mm(2L).width == 320L)
   }
 
+  test("plan shapes: redaction is map-side; quantize and kmeans shuffle exactly once") {
+    import graft.operators.{Similarity, TextAnalysis}
+    def shuffles(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).length
+    val docs = Seq((1L, "a@b.io and 10.0.0.1")).toDF("doc_id", "text")
+    // scrub + counts: pure projection, zero exchanges
+    assert(shuffles(docs.select(TextAnalysis.redactPii(col("text")),
+      TextAnalysis.piiCounts(col("text")))) == 0)
+    val emb = Seq((1L, Array(1f, 2f)), (2L, Array(3f, 4f)), (3L, Array(5f, 6f)))
+      .toDF("vec_id", "embedding")
+    // quantize: stats are collected before the plan is built; the
+    // returned frame itself is one map-side projection, zero exchanges
+    assert(shuffles(Similarity.scalarQuantizeInt8(emb, "vec_id", "embedding")) == 0)
+    // kmeans step: literal centroids → the ONLY exchange is the
+    // (cluster, dim) partial-aggregated mean
+    assert(shuffles(Similarity.kmeansStep(emb, "vec_id", "embedding", 2)) == 1)
+  }
+
   test("int8 quantization: codes, constant dims, reconstruction error") {
     import graft.operators.Similarity
     // dim0 spans [0,10] → codes 0/128/255; dim1 is constant → code 0, err 0
