@@ -103,16 +103,29 @@ object Multimodal {
       new String(b, o, 4, java.nio.charset.StandardCharsets.ISO_8859_1)
 
     /** Walk ISO-BMFF boxes in b[start,end): f(type, payloadStart,
-      * payloadEnd) per box. Returns false on any malformed size
-      * (undersized or overrunning the enclosing box). */
+      * payloadEnd) per box. Handles all three size forms of ISO
+      * 14496-12 §4.2 — plain 32-bit, size=1 (64-bit largesize follows
+      * the type), size=0 (box extends to the end of the container).
+      * Returns false on any malformed size (undersized or overrunning
+      * the enclosing box); all arithmetic is done in Long so an
+      * adversarial 0x7fffffff-ish size cannot wrap the bounds check. */
     private def walkBoxes(b: Array[Byte], start: Int, end: Int)
                          (f: (String, Int, Int) => Unit): Boolean = {
       var off = start
       while (off + 8 <= end) {
-        val size = be32(b, off)
-        if (size < 8 || off + size > end) return false
-        f(boxType(b, off + 4), off + 8, off + size)
-        off += size
+        val size32 = be32(b, off)
+        var payloadStart = off + 8
+        val size: Long =
+          if (size32 == 0) (end - off).toLong
+          else if (size32 == 1) {
+            if (off + 16 > end) return false
+            payloadStart = off + 16
+            (be32(b, off + 8).toLong << 32) | (be32(b, off + 12).toLong & 0xffffffffL)
+          } else size32.toLong // negative (= unsigned ≥ 2^31) fails below
+        if (size < (payloadStart - off).toLong || size > (end - off).toLong)
+          return false
+        f(boxType(b, off + 4), payloadStart, off + size.toInt)
+        off += size.toInt
       }
       true
     }
@@ -131,25 +144,30 @@ object Multimodal {
       if (be32(payload, 0) < 16 || boxType(payload, 4) != "ftyp") return None
       var brand: String = null
       var timescale = -1; var duration = -1L; var w = -1; var h = -1
+      var nestedOk = true
       val ok = walkBoxes(payload, 0, payload.length) { (t, ps, pe) =>
         if (t == "ftyp") { if (pe - ps >= 4) brand = boxType(payload, ps) }
-        else if (t == "moov") walkBoxes(payload, ps, pe) { (mt, mps, mpe) =>
+        else if (t == "moov") nestedOk &= walkBoxes(payload, ps, pe) { (mt, mps, mpe) =>
           if (mt == "mvhd") {
             // version-0 payload: ver/flags(4) times(8) timescale(4) duration(4)
             if (mpe - mps >= 20 && payload(mps) == 0) {
               timescale = be32(payload, mps + 12)
-              duration = be32(payload, mps + 16).toLong
+              duration = be32(payload, mps + 16).toLong & 0xffffffffL // unsigned
             }
-          } else if (mt == "trak") walkBoxes(payload, mps, mpe) { (tt, tps, tpe) =>
-            // version-0 tkhd payload: width/height at 76/80, 16.16 fixed
+          } else if (mt == "trak") nestedOk &= walkBoxes(payload, mps, mpe) { (tt, tps, tpe) =>
+            // version-0 tkhd payload: width/height at 76/80, 16.16 fixed.
+            // Real files carry several traks (video + audio, the audio
+            // one 0×0) — keep the first POSITIVE-dimension track, falling
+            // back to the first track seen
             if (tt == "tkhd" && tpe - tps >= 84 && payload(tps) == 0) {
-              w = be32(payload, tps + 76) >>> 16
-              h = be32(payload, tps + 80) >>> 16
+              val nw = be32(payload, tps + 76) >>> 16
+              val nh = be32(payload, tps + 80) >>> 16
+              if (w < 0 || (nw > 0 && nh > 0 && (w == 0 || h == 0))) { w = nw; h = nh }
             }
           }
         }
       }
-      if (ok && brand != null && timescale > 0 && duration >= 0 && w >= 0 && h >= 0)
+      if (ok && nestedOk && brand != null && timescale > 0 && duration >= 0 && w >= 0 && h >= 0)
         Some((brand, timescale, duration, w, h))
       else None
     }
@@ -167,7 +185,14 @@ object Multimodal {
       * `mdat` — with the given brand, timescale/duration and track
       * dimensions (the oracle predicts header fields, not byte content). */
     def encodeMp4(brand: String, timescale: Int, durationTicks: Long,
-                  w: Int, h: Int): Array[Byte] = {
+                  w: Int, h: Int): Array[Byte] =
+      encodeMp4Multi(brand, timescale, durationTicks, Seq((w, h)))
+
+    /** [[encodeMp4]] with several traks — real files carry video + audio
+      * traks, the audio one with 0×0 tkhd dimensions. */
+    private[graft] def encodeMp4Multi(brand: String, timescale: Int,
+                                      durationTicks: Long,
+                                      trakDims: Seq[(Int, Int)]): Array[Byte] = {
       val matrix = Array(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
       val mvhd = java.nio.ByteBuffer.allocate(100)
       mvhd.putInt(0).putInt(0).putInt(0) // version/flags, creation, modification
@@ -176,19 +201,26 @@ object Multimodal {
       mvhd.position(mvhd.position() + 10) // reserved
       matrix.foreach(mvhd.putInt); (0 until 6).foreach(_ => mvhd.putInt(0))
       mvhd.putInt(2) // next track id
-      val tkhd = java.nio.ByteBuffer.allocate(84)
-      tkhd.putInt(0x00000007).putInt(0).putInt(0) // flags: enabled|in-movie|in-preview
-      tkhd.putInt(1).putInt(0).putInt(0).putInt(0).putInt(0) // track id, reserved, duration, reserved
-      tkhd.putShort(0).putShort(0).putShort(0).putShort(0) // layer, alt group, volume, reserved
-      matrix.foreach(tkhd.putInt)
-      tkhd.putInt(w << 16).putInt(h << 16)
+      def tkhdFor(trackId: Int, w: Int, h: Int): Array[Byte] = {
+        val tkhd = java.nio.ByteBuffer.allocate(84)
+        tkhd.putInt(0x00000007).putInt(0).putInt(0) // flags: enabled|in-movie|in-preview
+        tkhd.putInt(trackId).putInt(0).putInt(0).putInt(0).putInt(0) // track id, reserved, duration, reserved
+        tkhd.putShort(0).putShort(0).putShort(0).putShort(0) // layer, alt group, volume, reserved
+        matrix.foreach(tkhd.putInt)
+        tkhd.putInt(w << 16).putInt(h << 16)
+        tkhd.array()
+      }
       val bb = java.nio.charset.StandardCharsets.ISO_8859_1
       val ftyp = new java.io.ByteArrayOutputStream()
       ftyp.write(brand.getBytes(bb)); ftyp.write(Array[Byte](0, 0, 2, 0))
       ftyp.write(brand.getBytes(bb))
-      val trak = new java.io.ByteArrayOutputStream(); box(trak, "tkhd", tkhd.array())
       val moov = new java.io.ByteArrayOutputStream()
-      box(moov, "mvhd", mvhd.array()); box(moov, "trak", trak.toByteArray)
+      box(moov, "mvhd", mvhd.array())
+      trakDims.zipWithIndex.foreach { case ((w, h), i) =>
+        val trak = new java.io.ByteArrayOutputStream()
+        box(trak, "tkhd", tkhdFor(i + 1, w, h))
+        box(moov, "trak", trak.toByteArray)
+      }
       val out = new java.io.ByteArrayOutputStream()
       box(out, "ftyp", ftyp.toByteArray); box(out, "moov", moov.toByteArray)
       box(out, "mdat", new Array[Byte](16))

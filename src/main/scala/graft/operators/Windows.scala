@@ -41,6 +41,22 @@ object Windows {
     * over ≤ shuffle-partitions rows and broadcast back. The order must
     * be total (include a unique tiebreak); lead values non-null/non-NaN.
     * Adds `cumCol` (long) to the input columns. */
+  def runningTotal(df: DataFrame, lead: Column, order: Seq[Column],
+                   value: Column, cumCol: String): DataFrame = {
+    val w = Window.partitionBy(col("__b")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = graft.core.IndexOps.bucketizeByLead(df, lead)
+      .withColumn("__cum", sum(value.cast("long")).over(w))
+    // bucket totals are sum(value), NOT max(__cum) — with negative values
+    // a bucket's running sum can peak above its final total
+    val offsets = graft.core.IndexOps.prefixOffsets(
+      cum.groupBy(col("__b")).agg(sum(value.cast("long")).as("__tot")),
+      ascending = true)
+    cum.join(broadcast(offsets), "__b")
+      .withColumn(cumCol, col("__off") + col("__cum"))
+      .drop("__b", "__cum", "__off")
+  }
+
   /** Distributed per-GROUP inclusive running total along a total order
     * WITHIN each group — the grouped twin of [[runningTotal]], without
     * the `Window.partitionBy(group)` trap (a low-cardinality group —
@@ -78,21 +94,5 @@ object Windows {
     cum.join(broadcast(offsets), "__b")
       .withColumn(cumCol, col("__off") + col("__cum"))
       .drop("__b", "__gid", "__gv", "__cum", "__off")
-  }
-
-  def runningTotal(df: DataFrame, lead: Column, order: Seq[Column],
-                   value: Column, cumCol: String): DataFrame = {
-    val w = Window.partitionBy(col("__b")).orderBy(order: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = graft.core.IndexOps.bucketizeByLead(df, lead)
-      .withColumn("__cum", sum(value.cast("long")).over(w))
-    // bucket totals are sum(value), NOT max(__cum) — with negative values
-    // a bucket's running sum can peak above its final total
-    val offsets = graft.core.IndexOps.prefixOffsets(
-      cum.groupBy(col("__b")).agg(sum(value.cast("long")).as("__tot")),
-      ascending = true)
-    cum.join(broadcast(offsets), "__b")
-      .withColumn(cumCol, col("__off") + col("__cum"))
-      .drop("__b", "__cum", "__off")
   }
 }
