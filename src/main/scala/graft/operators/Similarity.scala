@@ -126,12 +126,20 @@ object Similarity {
     * same arithmetic an SQL engine's ordered list-dot replays, so ties
     * and near-ties rank identically. Iterating = calling this again with
     * the returned means as centroids. */
-  def kmeansStep(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+  def kmeansStep(emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame =
+    stepFrom(emb, vecCol, seedCentroids(emb, idCol, vecCol, k))
+
+  private def seedCentroids(emb: DataFrame, idCol: String, vecCol: String,
+                            k: Int): Array[(Long, Array[Float])] = {
     require(k > 0)
-    val cents = emb.orderBy(col(idCol)).limit(k)
+    emb.orderBy(col(idCol)).limit(k)
       .select(col(idCol).cast("long"), col(vecCol))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+  }
+
+  private def stepFrom(emb: DataFrame, vecCol: String,
+                       cents: Array[(Long, Array[Float])]): DataFrame = {
     val vec = col(vecCol)
     val candidates = cents.map { case (cid, cv) =>
       val c = typedLit(cv)
@@ -146,6 +154,44 @@ object Similarity {
       .groupBy(col("cluster"), col("dim"))
       .agg(count(lit(1)).as("n_members"),
         avg(col("v").cast("double")).as("mean"))
+  }
+
+  /** Full Lloyd loop: seed from the first k vectors, repeat assignment +
+    * means until the (float-quantized) centroids stop moving or maxIter.
+    * Each round is ONE shuffle (the (cluster, dim) mean) plus a bounded
+    * k×dims collect to rebuild the literal centroids — the classic
+    * driver-coordinated iterate, with no growing lineage because each
+    * round's plan is rebuilt from literals. Clusters that lose every
+    * member keep their previous centroid (the standard empty-cluster
+    * rule). Returns the final (cluster, dim, n_members, mean) frame. */
+  def kmeansIterate(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+                    maxIter: Int = 10): DataFrame = {
+    require(maxIter > 0)
+    var cents = seedCentroids(emb, idCol, vecCol, k)
+    var out = stepFrom(emb, vecCol, cents)
+    var it = 1
+    var converged = false
+    while (!converged && it < maxIter) {
+      val byCluster = out.collect()
+        .groupBy(_.getLong(0))
+        .map { case (cid, rows) =>
+          val arr = new Array[Float](rows.length)
+          rows.foreach(r => arr(r.getInt(1)) = r.getDouble(3).toFloat)
+          cid -> arr
+        }
+      val nextCents = cents.map { case (cid, old) =>
+        (cid, byCluster.getOrElse(cid, old))
+      }
+      converged = nextCents.zip(cents).forall {
+        case ((_, a), (_, b)) => a.sameElements(b)
+      }
+      if (!converged) {
+        cents = nextCents
+        out = stepFrom(emb, vecCol, cents)
+      }
+      it += 1
+    }
+    out
   }
 
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus

@@ -316,6 +316,20 @@ class OperatorSpec extends AnyFunSuite {
     assert(one.length == 2 && one.forall(_.getLong(2) == 6L))
   }
 
+  test("kmeans iterate: migrates a bad seed pair to the true cluster means") {
+    import graft.operators.Similarity
+    // both seeds start inside pole A; Lloyd must walk centroid 1 out to
+    // pole B over several rounds and stop at the exact fixpoint
+    val df = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(1f, 1f)),
+      (2L, Array(0f, 1f)), (3L, Array(1f, 0f)),
+      (4L, Array(10f, 10f)), (5L, Array(11f, 11f))).toDF("vec_id", "embedding")
+    val out = Similarity.kmeansIterate(df, "vec_id", "embedding", 2, maxIter = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out((0L, 0)) == ((4L, 0.5)) && out((0L, 1)) == ((4L, 0.5)))
+    assert(out((1L, 0)) == ((2L, 10.5)) && out((1L, 1)) == ((2L, 10.5)))
+  }
+
   test("grouped running total: per-group cumsum matches the naive window, string lead") {
     import graft.operators.Windows
     import org.apache.spark.sql.expressions.{Window => W}
