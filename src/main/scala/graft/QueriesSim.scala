@@ -26,6 +26,16 @@ object QueriesSim {
           (round(col("mean_abs_err") + lit(1e-9), 4) + lit(0.0)).as("mean_abs_err"))
         .orderBy(col("vec_id"))),
 
+    // PQ-style two-stage ANN: approximate top-20 on the int8
+    // reconstruction, exact float rerank to top-5
+    "q69_quantized_rerank" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s) // native graft_dot
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.quantizedRerankTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, rerank = 20)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // one Lloyd iteration: broadcast-literal centroids (first 8 by id),
     // map-side argmin assignment, one (cluster, dim) mean shuffle
     "q67_kmeans_step" -> ((s, dir) => {
@@ -189,37 +199,79 @@ object QueriesSim {
     })
   )
 
+  /** q68's int8 quantization as a CTE chain ending in `recon`
+    * (vec_id, codes, e, mns, mxs, r) — shared by q68 (reconstruction
+    * error) and q69 (quantized search + exact rerank). */
+  private val quantCtes =
+    """v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |comps AS (
+      |  SELECT generate_subscripts(e, 1) AS dim, unnest(e) AS val FROM v),
+      |stats AS (
+      |  SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs
+      |  FROM (SELECT dim, min(val) AS mn, max(val) AS mx
+      |        FROM comps GROUP BY dim)),
+      |coded AS (
+      |  SELECT v.vec_id,
+      |    list_apply(range(1, len(v.e) + 1), i ->
+      |      CASE WHEN s.mxs[i] = s.mns[i] THEN 0.0
+      |        ELSE floor((v.e[i] - s.mns[i]) / (s.mxs[i] - s.mns[i])
+      |          * 255.0 + 0.5) END) AS codes,
+      |    v.e AS e, s.mns AS mns, s.mxs AS mxs
+      |  FROM v CROSS JOIN stats s),
+      |recon AS (
+      |  SELECT vec_id, codes, e, mns, mxs,
+      |    list_apply(range(1, len(e) + 1), i ->
+      |      mns[i] + codes[i] * (mxs[i] - mns[i]) / 255.0) AS r
+      |  FROM coded)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     // floor-based code assignment (identical doubles floor identically;
     // round-half algorithms differ between engines), ordered list folds
     "q68_quantize_int8" ->
-      """WITH v AS (
-        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-        |  FROM embeddings),
-        |comps AS (
-        |  SELECT generate_subscripts(e, 1) AS dim, unnest(e) AS val FROM v),
-        |stats AS (
-        |  SELECT list(mn ORDER BY dim) AS mns, list(mx ORDER BY dim) AS mxs
-        |  FROM (SELECT dim, min(val) AS mn, max(val) AS mx
-        |        FROM comps GROUP BY dim)),
-        |coded AS (
-        |  SELECT v.vec_id,
-        |    list_apply(range(1, len(v.e) + 1), i ->
-        |      CASE WHEN s.mxs[i] = s.mns[i] THEN 0.0
-        |        ELSE floor((v.e[i] - s.mns[i]) / (s.mxs[i] - s.mns[i])
-        |          * 255.0 + 0.5) END) AS codes,
-        |    v.e AS e, s.mns AS mns, s.mxs AS mxs
-        |  FROM v CROSS JOIN stats s),
-        |errs AS (
-        |  SELECT vec_id,
-        |    CAST(list_sum(codes) AS BIGINT) AS q_sum,
-        |    list_apply(range(1, len(e) + 1), i ->
-        |      abs(mns[i] + codes[i] * (mxs[i] - mns[i]) / 255.0 - e[i])) AS err
-        |  FROM coded)
-        |SELECT vec_id, q_sum,
-        |  round(list_max(err) + 1e-9, 4) + 0.0 AS max_abs_err,
-        |  round(list_sum(err) / len(err) + 1e-9, 4) + 0.0 AS mean_abs_err
-        |FROM errs ORDER BY vec_id""".stripMargin,
+      s"""WITH $quantCtes,
+         |errs AS (
+         |  SELECT vec_id,
+         |    CAST(list_sum(codes) AS BIGINT) AS q_sum,
+         |    list_apply(range(1, len(e) + 1), i -> abs(r[i] - e[i])) AS err
+         |  FROM recon)
+         |SELECT vec_id, q_sum,
+         |  round(list_max(err) + 1e-9, 4) + 0.0 AS max_abs_err,
+         |  round(list_sum(err) / len(err) + 1e-9, 4) + 0.0 AS mean_abs_err
+         |FROM errs ORDER BY vec_id""".stripMargin,
+
+    // approximate scores on the reconstruction (rounded, id tiebreak),
+    // exact q35-style cosine on the 20 survivors
+    "q69_quantized_rerank" ->
+      s"""WITH $quantCtes,
+         |qv AS (SELECT vec_id AS qid, e AS qe, r AS qr FROM recon
+         |       WHERE vec_id < 10),
+         |approx AS (
+         |  SELECT q.qid, c.vec_id AS nid, c.e AS ne, q.qe AS qe,
+         |    round(list_sum(list_apply(range(1, len(c.r) + 1),
+         |        i -> q.qr[i] * c.r[i]))
+         |      / (sqrt(list_sum(list_apply(q.qr, x -> x * x)))
+         |         * sqrt(list_sum(list_apply(c.r, x -> x * x)))) + 1e-9, 4)
+         |      AS approx
+         |  FROM recon c CROSS JOIN qv q WHERE c.vec_id <> q.qid),
+         |cut AS (
+         |  SELECT * FROM approx
+         |  QUALIFY row_number() OVER (PARTITION BY qid
+         |    ORDER BY approx DESC, nid ASC) <= 20),
+         |exact AS (
+         |  SELECT qid, nid,
+         |    round(list_sum(list_apply(range(1, len(qe) + 1),
+         |        i -> qe[i] * ne[i]))
+         |      / (sqrt(list_sum(list_apply(qe, x -> x * x)))
+         |         * sqrt(list_sum(list_apply(ne, x -> x * x)))), 4) AS cosine
+         |  FROM cut)
+         |SELECT qid, CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY cosine DESC, nid ASC) AS BIGINT) AS rank,
+         |  nid, cosine
+         |FROM exact
+         |QUALIFY rank <= 5
+         |ORDER BY qid, rank""".stripMargin,
 
     // same reduced-form distance (−2·x·c + c·c) and the established
     // ordered list-dot, so the argmin ranks identically; means rounded

@@ -89,28 +89,91 @@ object Similarity {
     * vector: the code sum (integer-exact audit), max and mean absolute
     * reconstruction error (sequential left-fold sum, matching an SQL
     * engine's ordered list_sum). */
-  def scalarQuantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+  /** Per-dimension (min, max) corpus stats — one partial-aggregated
+    * #dims-key shuffle, collected (bounded by dims). */
+  private def dimStats(emb: DataFrame, vecCol: String): (Array[Double], Array[Double]) = {
     val stats = emb.select(posexplode(col(vecCol)).as(Seq("dim", "v")))
       .groupBy(col("dim"))
       .agg(min(col("v").cast("double")).as("mn"), max(col("v").cast("double")).as("mx"))
       .orderBy(col("dim")).collect()
-    val mins = typedLit(stats.map(_.getDouble(1)))
-    val maxs = typedLit(stats.map(_.getDouble(2)))
-    val xd = transform(col(vecCol), x => x.cast("double"))
-    val codes = transform(xd, (x, i) => {
+    (stats.map(_.getDouble(1)), stats.map(_.getDouble(2)))
+  }
+
+  /** Codes for one vector column against literal per-dim stats. */
+  private def codesExpr(vec: Column, mins: Column, maxs: Column): Column =
+    transform(transform(vec, x => x.cast("double")), (x, i) => {
       val mn = get(mins, i); val mx = get(maxs, i)
       when(mx === mn, lit(0.0))
         .otherwise(floor((x - mn) / (mx - mn) * lit(255.0) + lit(0.5)))
     })
-    val recon = transform(codes, (q, i) => {
+
+  /** De-quantized (reconstructed) vector from codes. */
+  private def reconExpr(codes: Column, mins: Column, maxs: Column): Column =
+    transform(codes, (q, i) => {
       val mn = get(mins, i); val mx = get(maxs, i)
       mn + q * (mx - mn) / lit(255.0)
     })
+
+  def scalarQuantizeInt8(emb: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val (mnArr, mxArr) = dimStats(emb, vecCol)
+    val mins = typedLit(mnArr)
+    val maxs = typedLit(mxArr)
+    val xd = transform(col(vecCol), x => x.cast("double"))
+    val codes = codesExpr(col(vecCol), mins, maxs)
+    val recon = reconExpr(codes, mins, maxs)
     val errs = zip_with(xd, recon, (x, r) => abs(r - x))
     emb.select(col(idCol).as("id"),
       aggregate(codes, lit(0L), (acc, q) => acc + q.cast("long")).as("q_sum"),
       array_max(errs).as("max_abs_err"),
       (aggregate(errs, lit(0.0), (acc, e) => acc + e) / size(xd)).as("mean_abs_err"))
+  }
+
+  /** Quantized search + exact rerank — the PQ-style two-stage ANN pattern:
+    * score every candidate on the 4×-compressed int8 RECONSTRUCTION
+    * (approximate cosine, cheap and bandwidth-friendly at corpus scale),
+    * keep the top `rerank` per query, then rerank only those survivors
+    * with the exact float cosine and return the top `k`. Per-dim stats
+    * ride [[dimStats]] (one #dims-key shuffle, inlined as literals);
+    * both stages broadcast the query side; approximate and exact scores
+    * are rounded before ranking with an id tiebreak, so FP summation
+    * order can never flip a rank. The approximate fold is a sequential
+    * left fold over doubles — the same arithmetic an SQL engine's
+    * ordered list_sum replays. */
+  def quantizedRerankTopK(corpus: DataFrame, queries: DataFrame,
+                          idCol: String, vecCol: String, k: Int,
+                          rerank: Int): DataFrame = {
+    require(k > 0 && rerank >= k)
+    val (mnArr, mxArr) = dimStats(corpus, vecCol)
+    val mins = typedLit(mnArr); val maxs = typedLit(mxArr)
+    def recon(vec: Column) = reconExpr(codesExpr(vec, mins, maxs), mins, maxs)
+    def foldDot(a: Column, b: Column) =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, t) => acc + t)
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
+        recon(col(vecCol)).as("nr"))
+      .withColumn("nrnorm", sqrt(foldDot(col("nr"), col("nr"))))
+      .withColumn("nnorm", norm(col("nvec")))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
+        recon(col(vecCol)).as("qr"))
+      .withColumn("qrnorm", sqrt(foldDot(col("qr"), col("qr"))))
+      .withColumn("qnorm", norm(col("qvec")))
+    val approx = c.crossJoin(broadcast(q))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"), col("qvec"), col("nvec"),
+        col("qnorm"), col("nnorm"),
+        round(foldDot(col("qr"), col("nr")) / (col("qrnorm") * col("nrnorm"))
+          + lit(1e-9), 4).as("approx"))
+    val wCut = Window.partitionBy(col("qid"))
+      .orderBy(col("approx").desc, col("nid").asc)
+    val survivors = approx.withColumn("arank", row_number().over(wCut))
+      .filter(col("arank") <= rerank)
+    val wFin = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("nid").asc)
+    survivors.select(col("qid"), col("nid"),
+        round(dot(col("qvec"), col("nvec")) / (col("qnorm") * col("nnorm")), 4)
+          .as("cosine"))
+      .withColumn("rank", row_number().over(wFin).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("cosine"))
   }
 
   /** One Lloyd iteration of k-means over an embedding column: assign every

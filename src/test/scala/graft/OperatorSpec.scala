@@ -316,6 +316,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(one.length == 2 && one.forall(_.getLong(2) == 6L))
   }
 
+  test("quantized rerank: near-total recall of the exact top-5 on real embeddings") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter(col("vec_id") < 10)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("qid"), col("nid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.cosineTopK(emb, q, "vec_id", "embedding", 5))
+    val quant = pairs(Similarity.quantizedRerankTopK(emb, q, "vec_id", "embedding", 5, 20))
+    assert(exact.size == 50 && quant.size == 50)
+    // int8 reconstruction error is small, so the 20-deep cut should
+    // almost never evict a true top-5 neighbor
+    val recall = (exact intersect quant).size / 50.0
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
   test("kmeans iterate: migrates a bad seed pair to the true cluster means") {
     import graft.operators.Similarity
     // both seeds start inside pole A; Lloyd must walk centroid 1 out to
