@@ -138,12 +138,15 @@ object Multimodal {
       * duration and resolution without reading its frames; FRAME decode
       * would need a codec library this environment lacks). Returns None
       * unless the bytes open with a well-formed `ftyp` and every box size
-      * is consistent. */
-    def decodeVideoHeader(payload: Array[Byte]): Option[(String, Int, Long, Int, Int)] = {
+      * is consistent. Timescale and duration are u32 per the spec, so
+      * both are returned as Long. */
+    def decodeVideoHeader(payload: Array[Byte]): Option[(String, Long, Long, Int, Int)] = {
       if (payload == null || payload.length < 16) return None
-      if (be32(payload, 0) < 16 || boxType(payload, 4) != "ftyp") return None
+      // type check only — walkBoxes validates the size, whichever of the
+      // three size forms the leading box uses
+      if (boxType(payload, 4) != "ftyp") return None
       var brand: String = null
-      var timescale = -1; var duration = -1L; var w = -1; var h = -1
+      var timescale = -1L; var duration = -1L; var w = -1; var h = -1
       var nestedOk = true
       val ok = walkBoxes(payload, 0, payload.length) { (t, ps, pe) =>
         if (t == "ftyp") { if (pe - ps >= 4) brand = boxType(payload, ps) }
@@ -151,7 +154,7 @@ object Multimodal {
           if (mt == "mvhd") {
             // version-0 payload: ver/flags(4) times(8) timescale(4) duration(4)
             if (mpe - mps >= 20 && payload(mps) == 0) {
-              timescale = be32(payload, mps + 12)
+              timescale = be32(payload, mps + 12).toLong & 0xffffffffL // unsigned
               duration = be32(payload, mps + 16).toLong & 0xffffffffL // unsigned
             }
           } else if (mt == "trak") nestedOk &= walkBoxes(payload, mps, mpe) { (tt, tps, tpe) =>
@@ -200,7 +203,7 @@ object Multimodal {
       mvhd.putInt(0x00010000).putShort(0x0100.toShort) // rate 1.0, volume 1.0
       mvhd.position(mvhd.position() + 10) // reserved
       matrix.foreach(mvhd.putInt); (0 until 6).foreach(_ => mvhd.putInt(0))
-      mvhd.putInt(2) // next track id
+      mvhd.putInt(trakDims.length + 1) // next track id: exceeds every trak's id
       def tkhdFor(trackId: Int, w: Int, h: Int): Array[Byte] = {
         val tkhd = java.nio.ByteBuffer.allocate(84)
         tkhd.putInt(0x00000007).putInt(0).putInt(0) // flags: enabled|in-movie|in-preview
@@ -335,7 +338,7 @@ object Multimodal {
         val payload = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
         MediaCodec.decodeVideoHeader(payload) match {
           case Some((brand, ts, dur, w, h)) =>
-            VideoMeta(id, brand, Math.floorDiv(dur * 1000L, ts.toLong),
+            VideoMeta(id, brand, Math.floorDiv(dur * 1000L, ts),
               w.toLong, h.toLong, payload.length.toLong)
           case None => VideoMeta(id, "unknown", -1L, -1L, -1L, payload.length.toLong)
         }

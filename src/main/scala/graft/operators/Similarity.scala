@@ -146,21 +146,22 @@ object Similarity {
     val (mnArr, mxArr) = dimStats(corpus, vecCol)
     val mins = typedLit(mnArr); val maxs = typedLit(mxArr)
     def recon(vec: Column) = reconExpr(codesExpr(vec, mins, maxs), mins, maxs)
-    def foldDot(a: Column, b: Column) =
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, t) => acc + t)
+    // dotHof, not graft_dot: the reconstruction is array<double> (the
+    // native expression is float-only) and the HOF's sequential left
+    // fold is the parity-bearing arithmetic here
     val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"),
         recon(col(vecCol)).as("nr"))
-      .withColumn("nrnorm", sqrt(foldDot(col("nr"), col("nr"))))
+      .withColumn("nrnorm", sqrt(dotHof(col("nr"), col("nr"))))
       .withColumn("nnorm", norm(col("nvec")))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"),
         recon(col(vecCol)).as("qr"))
-      .withColumn("qrnorm", sqrt(foldDot(col("qr"), col("qr"))))
+      .withColumn("qrnorm", sqrt(dotHof(col("qr"), col("qr"))))
       .withColumn("qnorm", norm(col("qvec")))
     val approx = c.crossJoin(broadcast(q))
       .filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"), col("qvec"), col("nvec"),
         col("qnorm"), col("nnorm"),
-        round(foldDot(col("qr"), col("nr")) / (col("qrnorm") * col("nrnorm"))
+        round(dotHof(col("qr"), col("nr")) / (col("qrnorm") * col("nrnorm"))
           + lit(1e-9), 4).as("approx"))
     val wCut = Window.partitionBy(col("qid"))
       .orderBy(col("approx").desc, col("nid").asc)

@@ -205,7 +205,7 @@ class OperatorSpec extends AnyFunSuite {
                                        ("isom", 90000, 0L, 1, 1))) {
       val bytes = MediaCodec.encodeMp4(brand, ts, dur, w, h)
       assert(bytes.nonEmpty)
-      assert(MediaCodec.decodeVideoHeader(bytes).contains((brand, ts, dur, w, h)))
+      assert(MediaCodec.decodeVideoHeader(bytes).contains((brand, ts.toLong, dur, w, h)))
     }
     // non-video, truncated, and box-size-overrun payloads are rejected
     assert(MediaCodec.decodeVideoHeader("not an mp4 file!".getBytes).isEmpty)
@@ -216,33 +216,36 @@ class OperatorSpec extends AnyFunSuite {
     corrupt(0) = 0x7f.toByte // ftyp size overruns the file
     assert(MediaCodec.decodeVideoHeader(corrupt).isEmpty)
     // adversarial 0x7ffffff0 size must fail cleanly, not wrap the bounds
-    // check into a negative offset and crash
+    // check into a negative offset and crash. The ftyp box is 20 bytes
+    // (8 hdr + brand + minor + compat brand), so moov's SIZE is at 20
     val hugeBox = mp4.clone()
-    val moovOff = 24 // after the 24-byte ftyp
+    assert(new String(hugeBox, 24, 4, "ISO-8859-1") == "moov") // offset sanity
+    val moovOff = 20
     hugeBox(moovOff) = 0x7f.toByte; hugeBox(moovOff + 1) = 0xff.toByte
     hugeBox(moovOff + 2) = 0xff.toByte; hugeBox(moovOff + 3) = 0xf0.toByte
     assert(MediaCodec.decodeVideoHeader(hugeBox).isEmpty)
     // real-world trak layout: video trak + 0×0 audio trak, either order
     assert(MediaCodec.decodeVideoHeader(
       MediaCodec.encodeMp4Multi("isom", 600, 60L, Seq((1920, 1080), (0, 0))))
-      .contains(("isom", 600, 60L, 1920, 1080)))
+      .contains(("isom", 600L, 60L, 1920, 1080)))
     assert(MediaCodec.decodeVideoHeader(
       MediaCodec.encodeMp4Multi("isom", 600, 60L, Seq((0, 0), (640, 360))))
-      .contains(("isom", 600, 60L, 640, 360)))
+      .contains(("isom", 600L, 60L, 640, 360)))
     // mvhd duration is unsigned: > 2^31 ticks must decode, not go "unknown"
     assert(MediaCodec.decodeVideoHeader(
       MediaCodec.encodeMp4("mp42", 90000, 3000000000L, 64, 64))
-      .contains(("mp42", 90000, 3000000000L, 64, 64)))
+      .contains(("mp42", 90000L, 3000000000L, 64, 64)))
     // size=0 ("extends to end of file", legal for a trailing mdat)
     val size0 = mp4.clone()
     val mdatOff = mp4.length - 24
+    assert(new String(size0, mdatOff + 4, 4, "ISO-8859-1") == "mdat") // offset sanity
     size0(mdatOff) = 0; size0(mdatOff + 1) = 0; size0(mdatOff + 2) = 0; size0(mdatOff + 3) = 0
-    assert(MediaCodec.decodeVideoHeader(size0).contains(("isom", 600, 1200L, 640, 360)))
+    assert(MediaCodec.decodeVideoHeader(size0).contains(("isom", 600L, 1200L, 640, 360)))
     // size=1 + 64-bit largesize form on an interleaved free box
     val free = java.nio.ByteBuffer.allocate(24)
     free.putInt(1).put("free".getBytes("ISO-8859-1")).putLong(24L).putLong(0L)
     val spliced = mp4.dropRight(24) ++ free.array() ++ mp4.takeRight(24)
-    assert(MediaCodec.decodeVideoHeader(spliced).contains(("isom", 600, 1200L, 640, 360)))
+    assert(MediaCodec.decodeVideoHeader(spliced).contains(("isom", 600L, 1200L, 640, 360)))
     // the distributed path: fixture MP4s → real decode, every row present
     val ids = Seq(0L, 1L, 7L, 8L, 8999L, 9000L).toDF("doc_id")
     val metas = Multimodal.videoMeta(
