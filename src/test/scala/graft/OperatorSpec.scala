@@ -171,6 +171,18 @@ class OperatorSpec extends AnyFunSuite {
       assert(MediaCodec.decodeAudioHeader(bytes)
         .contains(("wav", rate, ch, frames.toLong)))
     }
+    // the decoder is container-generic, not WAV-hardcoded: an AIFF file
+    // (big-endian PCM, JDK-bundled writer) round-trips the same way
+    {
+      import javax.sound.sampled._
+      val af = new AudioFormat(8000f, 16, 1, true, true) // AIFF is big-endian
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(new Array[Byte](42 * 2)), af, 42L)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.AIFF, bos)
+      assert(MediaCodec.decodeAudioHeader(bos.toByteArray)
+        .contains(("aif", 8000, 1, 42L)))
+    }
     // non-audio and truncated payloads are rejected, not crashed on
     assert(MediaCodec.decodeAudioHeader("not audio bytes".getBytes).isEmpty)
     assert(MediaCodec.decodeAudioHeader(Array.empty[Byte]).isEmpty)
