@@ -402,6 +402,11 @@ class OperatorSpec extends AnyFunSuite {
     assert(chainLabels.sameElements(Array(100L)))
     // empty edge list → empty result, no crash
     assert(Dedup.connectedComponents(Seq.empty[(Long, Long)].toDF("a", "b")).isEmpty)
+    // self-loops and duplicate edges don't distort labels or multiply rows
+    val messy = Seq((5L, 5L), (5L, 6L), (5L, 6L), (6L, 5L), (7L, 7L)).toDF("a", "b")
+    val m = Dedup.connectedComponents(messy).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(5L -> 5L, 6L -> 5L, 7L -> 7L))
   }
 
   test("PII redaction: emails, phones, IPv4; order, boundaries, clean text untouched") {
