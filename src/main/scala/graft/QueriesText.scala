@@ -157,7 +157,7 @@ object QueriesText {
       val docs = tbl(s, dir, "documents")
       val eval = docs.filter(col("doc_id") % 25 === 0)
         .select(col("doc_id"),
-          array_join(slice(split(trim(col("text")), "\\s+"), 1, 12), " ").as("text"))
+          array_join(slice(TA.tokens(col("text")), 1, 12), " ").as("text"))
       Dedup.contamination(docs, eval, "doc_id", "text", w = 3)
         .select(col("id"), col("matched"), col("total"),
           round(col("contamination") + lit(1e-9), 4).as("contamination"))
@@ -264,11 +264,22 @@ object QueriesText {
   )
 
   // shared SQL fragments (DuckDB dialect)
+
+  /** The oracle-side twin of [[graft.operators.TextAnalysis.tokenPattern]]:
+    * tokens are maximal NON-whitespace runs over an explicit ASCII class.
+    * Java's `\s` and RE2's disagree on `\x0b`, and Java `split` drops
+    * trailing empty fields while `regexp_split_to_array` keeps them —
+    * extracting runs with the same spelled-out class on both engines is
+    * symmetric by construction. Keep in lockstep with TextAnalysis. */
+  private val tokPatSql = """[^ \t\n\r\x0b\f]+"""
+  private def toksSql(expr: String) = s"regexp_extract_all($expr, '$tokPatSql')"
+  private def nTokensSql(expr: String) = s"CAST(len(${toksSql(expr)}) AS BIGINT)"
+
   private val wordsCte =
-    """words AS (
-      |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok,
-      |    generate_subscripts(regexp_split_to_array(trim(text), '\s+'), 1) AS pos
-      |  FROM documents)""".stripMargin
+    s"""words AS (
+       |  SELECT doc_id, unnest(${toksSql("text")}) AS tok,
+       |    generate_subscripts(${toksSql("text")}, 1) AS pos
+       |  FROM documents)""".stripMargin
 
   /** q32's full MinHash-LSH pipeline as a CTE chain ending in `pairs`
     * (a, b, jaccard ≥ 0.2) — shared by q32 (the pair list) and q65 (the
@@ -330,14 +341,13 @@ object QueriesText {
          |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q28_tokens" ->
-      """SELECT doc_id,
-        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-        |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
-        |    AS n_tokens,
-        |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]'))
-        |    AS BIGINT) AS n_bpeish,
-        |  CAST(length(text) AS BIGINT) AS n_chars_len
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id,
+         |  ${nTokensSql("text")} AS n_tokens,
+         |  CAST(len(regexp_extract_all(text,
+         |    '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 \\t\\n\\r\\x0b\\f]'))
+         |    AS BIGINT) AS n_bpeish,
+         |  CAST(length(text) AS BIGINT) AS n_chars_len
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q29_langid_quality" -> {
       val en = langHits(Seq("the", "a", "and"))
@@ -346,8 +356,7 @@ object QueriesText {
       val es = langHits(Seq("el", "los", "y"))
       val stopHits = Seq("the", "a", "and", "of", "to", "in", "is")
         .map(m => occ("' ' || text || ' '", s" $m ")).mkString(" + ")
-      val nTokens = "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
-        "len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)"
+      val nTokens = nTokensSql("text")
       s"""WITH scored AS (
          |  SELECT doc_id, lang, text,
          |    $en AS s_en, $de AS s_de, $fr AS s_fr, $es AS s_es,
@@ -370,11 +379,11 @@ object QueriesText {
     },
 
     "q30_fingerprints" ->
-      """SELECT doc_id, md5(text) AS fp,
-        |  md5(array_to_string(
-        |    list_slice(regexp_split_to_array(trim(text), '\s+'), 1, 8), ' '))
-        |    AS prefix_fp
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""SELECT doc_id, md5(text) AS fp,
+         |  md5(array_to_string(
+         |    list_slice(${toksSql("text")}, 1, 8), ' '))
+         |    AS prefix_fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q31_dedup_exact" ->
       """WITH g AS (
@@ -406,7 +415,7 @@ object QueriesText {
     "q33_simhash" ->
       s"""WITH toks AS (
          |  SELECT doc_id AS id,
-         |    unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+         |    unnest(${toksSql("text")}) AS tok
          |  FROM documents),
          |bits AS (
          |  SELECT id, i.i,
@@ -420,10 +429,10 @@ object QueriesText {
          |FROM bits GROUP BY id ORDER BY id""".stripMargin,
 
     "q46_vocab" ->
-      """WITH toks AS (
-        |  SELECT doc_id AS id,
-        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS token
-        |  FROM documents),
+      s"""WITH toks AS (
+         |  SELECT doc_id AS id,
+         |    unnest(${toksSql("text")}) AS token
+         |  FROM documents),
         |n AS (SELECT count(*) AS n FROM documents)
         |SELECT token, count(*) AS occurrences,
         |  count(DISTINCT id) AS doc_freq,
@@ -434,8 +443,7 @@ object QueriesText {
     "q45_pipeline" -> {
       val stopHits = Seq("the", "a", "and", "of", "to", "in", "is")
         .map(m => occ("' ' || text || ' '", s" $m ")).mkString(" + ")
-      val nTokens = "CAST(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE " +
-        "len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT)"
+      val nTokens = nTokensSql("text")
       s"""WITH scored AS (
          |  SELECT doc_id, lang, text, $nTokens AS n_tokens,
          |    round(((CASE WHEN length(text) BETWEEN 200 AND 5000 THEN 1.0
@@ -466,11 +474,10 @@ object QueriesText {
         |FROM documents ORDER BY pos""".stripMargin,
 
     "q56_packing" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t,
-        |    CASE WHEN length(trim(text)) = 0 THEN 0
-        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
-        |  FROM documents),
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${toksSql("text")} AS t,
+         |    len(${toksSql("text")}) AS n
+         |  FROM documents),
         |ids AS (
         |  SELECT doc_id AS id, n,
         |    unnest(range(0, CAST(ceil(n / 64.0) AS BIGINT))) AS chunk
@@ -498,12 +505,12 @@ object QueriesText {
          |  SELECT DISTINCT shingle FROM shingled WHERE shingle IS NOT NULL),
          |eval_docs AS (
          |  SELECT doc_id, array_to_string(
-         |    list_slice(regexp_split_to_array(trim(text), '\\s+'), 1, 12), ' ')
+         |    list_slice(${toksSql("text")}, 1, 12), ' ')
          |    AS etext
          |  FROM documents WHERE doc_id % 25 = 0),
          |etoks AS (
-         |  SELECT doc_id, unnest(regexp_split_to_array(trim(etext), '\\s+')) AS tok,
-         |    generate_subscripts(regexp_split_to_array(trim(etext), '\\s+'), 1) AS pos
+         |  SELECT doc_id, unnest(${toksSql("etext")}) AS tok,
+         |    generate_subscripts(${toksSql("etext")}, 1) AS pos
          |  FROM eval_docs),
          |eshingled AS (
          |  SELECT doc_id, tok || ' ' ||
@@ -529,11 +536,10 @@ object QueriesText {
          |ORDER BY id""".stripMargin,
 
     "q54_chunking" ->
-      """WITH toks AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t,
-        |    CASE WHEN length(trim(text)) = 0 THEN 0
-        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n
-        |  FROM documents),
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${toksSql("text")} AS t,
+         |    len(${toksSql("text")}) AS n
+         |  FROM documents),
         |ids AS (
         |  SELECT doc_id AS id, t, n,
         |    unnest(range(0, CAST(ceil(n / 64.0) AS BIGINT))) AS chunk
@@ -610,13 +616,11 @@ object QueriesText {
     // DuckDB's partitioned window is the small-scale mirror of the
     // distributed grouped prefix sum
     "q66_token_budget_mix" ->
-      """WITH t AS (
-        |  SELECT doc_id, lang,
-        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
-        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
-        |      AS n_tokens,
-        |    md5(CAST(doc_id AS VARCHAR)) AS k
-        |  FROM documents),
+      s"""WITH t AS (
+         |  SELECT doc_id, lang,
+         |    ${nTokensSql("text")} AS n_tokens,
+         |    md5(CAST(doc_id AS VARCHAR)) AS k
+         |  FROM documents),
         |c AS (
         |  SELECT doc_id, lang, n_tokens,
         |    coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY k, doc_id

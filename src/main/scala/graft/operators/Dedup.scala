@@ -59,7 +59,7 @@ object Dedup {
   def wordShingles(df: DataFrame, idCol: String, textCol: String, w: Int): DataFrame = {
     val toks = df.select(
       col(idCol).as("id"),
-      posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "tok")))
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
     val win = Window.partitionBy(col("id")).orderBy(col("pos"))
     val shingled = (1 until w).foldLeft(toks) { (d, i) =>
       d.withColumn(s"tok$i", lead(col("tok"), i).over(win))
@@ -77,7 +77,10 @@ object Dedup {
     * shuffle — and unlike a `transform` lambda it runs codegen'd.
     * Duplicates are kept (harmless for min-hash). */
   def shingleArray(textCol: Column, w: Int): Column = {
-    val norm = regexp_replace(trim(textCol), "\\s+", " ")
+    // explicit ASCII whitespace class (TextAnalysis.asciiWs): Java's \s
+    // and RE2's \s disagree on \x0B — spelling the set out keeps this
+    // tokenization identical to the oracle's [^ \t\n\r\x0b\f]+ runs
+    val norm = regexp_replace(trim(textCol), s"[${TextAnalysis.asciiWs}]+", " ")
     val unit = Seq.fill(w)("\\S+").mkString(" ")
     // (?:^| ) anchors each match to a token boundary (a bare lookahead
     // would restart at every CHARACTER and emit mid-token shingles)
@@ -276,7 +279,7 @@ object Dedup {
     * near-dup candidates. Linear scan + one groupBy. */
   def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
-        explode(split(trim(col(textCol)), "\\s+")).as("tok"))
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
       .withColumn("h", md5(col("tok")))
     val bitSums = (0 until 16).map { i =>
       sum(when(substring(col("h"), i + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)

@@ -23,21 +23,38 @@ object TextAnalysis {
     ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(target), "")))
       / target.length).cast("long")
 
+  /** The ASCII whitespace set, written out explicitly because the
+    * engines' `\s` classes disagree: Java's includes `\x0B`, RE2's
+    * (DuckDB, Go) does not — and Java's `split` DROPS trailing empty
+    * fields while DuckDB's `regexp_split_to_array` KEEPS them, so any
+    * text ending in `\t`/`\n` diverges by one token under a split-based
+    * count. Tokenizing as maximal NON-whitespace runs over this explicit
+    * class is symmetric by construction: no `\s`, no split, no trim
+    * dependency. Keep [[tokenPattern]] and the oracle-side
+    * `[^ \t\n\r\x0b\f]+` in lockstep. */
+  val asciiWs = " \\t\\n\\r\\x0B\\f"
+
+  /** Canonical token pattern: maximal runs of non-whitespace. */
+  val tokenPattern: String = s"[^$asciiWs]+"
+
+  /** Canonical token array (codegen'd, map-side). Blank → empty array. */
+  def tokens(c: Column): Column =
+    regexp_extract_all(c, lit(tokenPattern), lit(0))
+
   /** Whitespace token count. Empty/blank → 0. */
-  def tokenCount(c: Column): Column =
-    when(length(trim(c)) === 0, lit(0L))
-      .otherwise(size(split(trim(c), "\\s+")).cast("long"))
+  def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
 
   /** BPE-ish token count: alpha runs, digit runs, single punctuation. */
   def tokenCountBpeish(c: Column): Column =
-    size(regexp_extract_all(c, lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"), lit(0))).cast("long")
+    size(regexp_extract_all(c,
+      lit(s"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9$asciiWs]"), lit(0))).cast("long")
 
   def alphaRatio(c: Column): Column =
     length(regexp_replace(c, "[^a-zA-Z]", "")).cast("double") /
       greatest(length(c), lit(1)).cast("double")
 
   def spaceRatio(c: Column): Column =
-    (length(c) - length(regexp_replace(c, "\\s", ""))).cast("double") /
+    (length(c) - length(regexp_replace(c, s"[$asciiWs]", ""))).cast("double") /
       greatest(length(c), lit(1)).cast("double")
 
   def stopwordRatio(c: Column): Column = {
@@ -82,7 +99,7 @@ object TextAnalysis {
   def vocabulary(df: org.apache.spark.sql.DataFrame, idCol: String,
                  textCol: String): org.apache.spark.sql.DataFrame = {
     val toks = df.select(col(idCol).as("id"),
-      explode(split(trim(col(textCol)), "\\s+")).as("token"))
+      explode(tokens(col(textCol))).as("token"))
     val n = df.select(count(lit(1)).as("__n"))
     toks.groupBy(col("token"))
       .agg(count(lit(1)).as("occurrences"),
@@ -141,7 +158,7 @@ object TextAnalysis {
   def chunkByTokens(df: org.apache.spark.sql.DataFrame, idCol: String,
                     textCol: String, size: Int): org.apache.spark.sql.DataFrame = {
     require(size > 0)
-    val toks = split(trim(col(textCol)), "\\s+")
+    val toks = tokens(col(textCol))
     val n = tokenCount(col(textCol))
     val chunkIds = when(n === 0, array().cast("array<long>"))
       .otherwise(sequence(lit(0L), ceil(n.cast("double") / size).cast("long") - 1))
@@ -188,5 +205,5 @@ object TextAnalysis {
     * cheap stand-in for rolling-hash sketches; md5 matches every engine). */
   def fingerprint(c: Column): Column = md5(c)
   def prefixShingleFingerprint(c: Column, nTokens: Int = 8): Column =
-    md5(array_join(slice(split(trim(c), "\\s+"), 1, nTokens), " "))
+    md5(array_join(slice(tokens(c), 1, nTokens), " "))
 }

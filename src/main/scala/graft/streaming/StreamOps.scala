@@ -127,7 +127,10 @@ object StreamOps {
     require(numHashes % bands == 0)
     val rows = numHashes / bands
     val banded: Dataset[(String, Long)] = docs.flatMap { case (id, text) =>
-      val toks = text.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      // explicit ASCII whitespace class — lockstep with the batch
+      // tokenizer (TextAnalysis.tokens / Dedup.shingleArray): Java \s
+      // and RE2 \s disagree on \x0B, so the set is spelled out
+      val toks = "[^ \t\n\u000B\f\r]+".r.findAllIn(text).toSeq
       // docs shorter than one full shingle produce NO band keys — the
       // batch operator's shingleArray is empty for them, and mapping
       // them to a sentinel would make every blank doc collide

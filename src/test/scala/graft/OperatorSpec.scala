@@ -278,6 +278,50 @@ class OperatorSpec extends AnyFunSuite {
     assert(mm(2L).brand == "mp42" && mm(2L).duration_ms == 100L && mm(2L).width == 320L)
   }
 
+  test("token count is symmetric across engines on adversarial whitespace") {
+    import graft.operators.TextAnalysis
+    // the probe corpus: every class of text that makes split-based token
+    // counts diverge between Java (drops trailing empty fields; \s
+    // includes \x0B) and RE2/DuckDB (keeps trailing empties; \s excludes
+    // \x0B) — the exact divergence that turned q66 red on foreign data
+    val probes = Seq(
+      "plain two tokens", "trailing tab\t", "trailing newline\n",
+      "both trailing \t\n", "embedded\u000Bvtab", "\u000B", "  ", "",
+      "\t\n\r\f", " leading and trailing ", "a", "a  b\t\tc\n\nd",
+      "mixed \t ws \u000B run \r\n end\f")
+    // the oracle formula, reimplemented verbatim: maximal runs of the
+    // explicit ASCII non-whitespace class (identical in Java and RE2,
+    // so this in-test Java evaluation IS what DuckDB computes)
+    val runCount = "[^ \t\n\r\u000B\f]+".r
+    def oracleCount(s: String): Long = runCount.findAllIn(s).length.toLong
+    val got = probes.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "t")
+      .select(col("id"), TextAnalysis.tokenCount(col("t")).as("n"),
+        size(TextAnalysis.tokens(col("t"))).cast("long").as("na"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    probes.zipWithIndex.foreach { case (t, i) =>
+      val exp = oracleCount(t)
+      assert(got(i.toLong)._1 == exp,
+        s"tokenCount(${t.replace("\n", "\\n").replace("\t", "\\t")}) = " +
+          s"${got(i.toLong)._1}, oracle run-count = $exp")
+      assert(got(i.toLong)._2 == exp, "tokens() array length must equal tokenCount")
+    }
+    // and the motivation: the OLD split-based formulas genuinely disagree
+    // with each other on these probes, so symmetry is not vacuous here
+    def javaSplitCount(s: String): Long = {
+      val t = s.trim
+      if (t.isEmpty) 0L else t.split("\\s+").length.toLong
+    }
+    def duckSplitCount(s: String): Long = {
+      // regexp_split_to_array keeps leading/trailing empty fields; DuckDB
+      // trim() strips SPACES only
+      val t = s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      if (t.isEmpty) 0L else t.split("[ \t\n\f\r]+", -1).length.toLong
+    }
+    assert(probes.exists(p => javaSplitCount(p) != duckSplitCount(p)),
+      "probe corpus must contain at least one split-divergent text")
+  }
+
   test("plan shapes: redaction is map-side; quantize and kmeans shuffle exactly once") {
     import graft.operators.{Similarity, TextAnalysis}
     def shuffles(df: org.apache.spark.sql.DataFrame): Int =
