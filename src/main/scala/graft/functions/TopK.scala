@@ -1,0 +1,65 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** One scored candidate: `score` is the (already rounded) ranking value,
+  * `id` the deterministic tiebreak. */
+case class ScoredId(score: Double, id: Long)
+
+/** Bounded top-k buffer — a plain product so the buffer rides the
+  * product encoder (no kryo). */
+case class TopKBuf(items: Seq[ScoredId])
+
+/** Bounded top-k aggregate over (score, id), ordered by (score DESC,
+  * id ASC) — the max-by family of collector.h:953-1007 generalized to
+  * k survivors.
+  *
+  * This is the scale-correct replacement for
+  * `Window.partitionBy(qid).orderBy(score)` + `row_number <= k`, whose
+  * window partition holds EVERY candidate of a query in one task — fine
+  * at test scale, a single-task OOM against a 100 TB corpus. As a typed
+  * Aggregator it runs in ObjectHashAggregate with map-side partial
+  * aggregation: each task reduces its slice to ≤ capacity entries before
+  * the exchange, so the shuffle carries O(k) rows per (group × task),
+  * never the corpus, and no single task ever materializes a full group.
+  *
+  * Determinism: top-k selection commutes with partitioning (the global
+  * top-k is a subset of every partition's top-k union), and the final
+  * sort is over the total order (score desc, id asc) — distinct ids make
+  * it total — so results are bit-identical to the single-window form
+  * regardless of merge order. `-0.0` is normalized to `+0.0` in the
+  * comparator only (stored scores pass through untouched) to match SQL
+  * engines' `-0.0 == 0.0` comparison semantics; NaN sorts first like
+  * SQL's NaN-greatest.
+  */
+class TopKByScore(k: Int) extends Aggregator[ScoredId, TopKBuf, TopKBuf] {
+  require(k > 0)
+  // compact lazily at 4k, not every row: amortized O(log k) per row
+  private val cap = math.max(4 * k, 64)
+
+  private def rankLt(a: ScoredId, b: ScoredId): Boolean = {
+    val as = if (a.score == 0.0) 0.0 else a.score // folds -0.0 into +0.0
+    val bs = if (b.score == 0.0) 0.0 else b.score
+    val c = java.lang.Double.compare(bs, as) // desc; NaN greatest → first
+    if (c != 0) c < 0 else a.id < b.id
+  }
+
+  private def compact(items: Seq[ScoredId]): Seq[ScoredId] =
+    items.sortWith(rankLt).take(k)
+
+  override def zero: TopKBuf = TopKBuf(Nil)
+
+  override def reduce(b: TopKBuf, a: ScoredId): TopKBuf = {
+    val grown = a +: b.items
+    if (grown.length > cap) TopKBuf(compact(grown)) else TopKBuf(grown)
+  }
+
+  override def merge(x: TopKBuf, y: TopKBuf): TopKBuf =
+    TopKBuf(compact(x.items ++ y.items))
+
+  override def finish(b: TopKBuf): TopKBuf = TopKBuf(compact(b.items))
+
+  override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+  override def outputEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+}

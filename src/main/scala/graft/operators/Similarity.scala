@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.functions.TopKByScore
 
 /** Similarity search over embedding columns (`array<float>`).
   *
@@ -75,6 +76,28 @@ object Similarity {
     val dims = vecDims(emb, vecCol)
     emb.select(col(idCol).as("id"),
       bucketExpr(col(vecCol), planes, dims).as("bucket"))
+  }
+
+  /** Distributed per-query top-k over a scored candidate frame
+    * (qid, nid, scoreCol): the bounded [[TopKByScore]] aggregate ranks by
+    * (score desc, nid asc) with MAP-SIDE partial top-ks, so the exchange
+    * carries at most k entries per (query × task) and no task ever holds
+    * a query's full candidate set — unlike `Window.partitionBy(qid)`,
+    * which materializes every candidate of a query in ONE task (the
+    * 100 TB single-task bottleneck this replaces). Rank comes from the
+    * position in the sorted top-k array: no window anywhere in the plan.
+    * Bit-identical to the single-window form — top-k selection commutes
+    * with partitioning and the (rounded score desc, id asc) order is
+    * total. */
+  private def topKByQuery(scored: DataFrame, k: Int, scoreCol: String,
+                          outScore: String): DataFrame = {
+    val tk = udaf(new TopKByScore(k))
+    scored.select(col("qid"), col(scoreCol), col("nid"))
+      .groupBy(col("qid"))
+      .agg(tk(col(scoreCol), col("nid")).as("tk"))
+      .select(col("qid"), posexplode(col("tk.items")).as(Seq("r", "item")))
+      .select(col("qid"), (col("r") + 1).cast("long").as("rank"),
+        col("item.id").as("nid"), col("item.score").as(outScore))
   }
 
   /** Int8 scalar quantization of an embedding column — the standard ANN
@@ -159,21 +182,25 @@ object Similarity {
       .withColumn("qnorm", norm(col("qvec")))
     val approx = c.crossJoin(broadcast(q))
       .filter(col("nid") =!= col("qid"))
-      .select(col("qid"), col("nid"), col("qvec"), col("nvec"),
-        col("qnorm"), col("nnorm"),
+      .select(col("qid"), col("nid"),
         round(dotHof(col("qr"), col("nr")) / (col("qrnorm") * col("nrnorm"))
           + lit(1e-9), 4).as("approx"))
-    val wCut = Window.partitionBy(col("qid"))
-      .orderBy(col("approx").desc, col("nid").asc)
-    val survivors = approx.withColumn("arank", row_number().over(wCut))
-      .filter(col("arank") <= rerank)
-    val wFin = Window.partitionBy(col("qid"))
-      .orderBy(col("cosine").desc, col("nid").asc)
-    survivors.select(col("qid"), col("nid"),
+    // stage 1 keeps only (qid, nid) survivors via the bounded top-k
+    // aggregate — no corpus-sized window partition. Stage 2 then FETCHES
+    // the survivors' original float vectors by id (broadcast of the
+    // bounded rerank×|Q| survivor list against the corpus scan — the
+    // PQ-index shape: codes rank, originals are re-read only for the
+    // shortlist) and reranks exactly. Both stages stay window-free.
+    val survivors = topKByQuery(approx, rerank, "approx", "approx")
+      .select(col("qid"), col("nid"))
+    val exact = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+      .join(broadcast(survivors), "nid")
+      .join(broadcast(q.select(col("qid"), col("qvec"), col("qnorm"))), "qid")
+      .withColumn("nnorm", norm(col("nvec")))
+      .select(col("qid"), col("nid"),
         round(dot(col("qvec"), col("nvec")) / (col("qnorm") * col("nnorm")), 4)
           .as("cosine"))
-      .withColumn("rank", row_number().over(wFin).cast("long"))
-      .filter(col("rank") <= k)
+    topKByQuery(exact, k, "cosine", "cosine")
       .select(col("qid"), col("rank"), col("nid"), col("cosine"))
   }
 
@@ -274,10 +301,10 @@ object Similarity {
       .select(col("qid"), col("nid"),
         round(dot(col("qvec"), col("nvec")) / (col("qnorm") * col("nnorm")), 4)
           .as("cosine"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cosine"))
+    // bounded top-k aggregate, not Window.partitionBy(qid): a window
+    // partition here would hold the ENTIRE corpus per query in one task
+    topKByQuery(scored, k, "cosine", "cosine")
+      .select(col("qid"), col("rank"), col("nid"), col("cosine"))
   }
 
   /** The IVF cell id as a pure column expression: argmax projection onto

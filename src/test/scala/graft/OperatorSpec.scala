@@ -322,6 +322,56 @@ class OperatorSpec extends AnyFunSuite {
       "probe corpus must contain at least one split-divergent text")
   }
 
+  test("brute-force top-k is window-free and matches the single-window reference") {
+    import graft.operators.Similarity
+    import org.apache.spark.sql.expressions.Window
+    // deterministic synthetic corpus with plenty of rounded-cosine TIES
+    // (sin lattice) across many input partitions, so the map-side partial
+    // top-k merge and the (score desc, id asc) tiebreak both get exercised
+    val dims = 8
+    val data = (0 until 1200).map { i =>
+      (i.toLong, Array.tabulate(dims)(j => math.sin((i + 1) * (j + 1)).toFloat))
+    }
+    val emb = data.toDF("vec_id", "embedding").repartition(13)
+    val queries = emb.filter(col("vec_id") % 80 === 0)
+    val got = Similarity.cosineTopK(emb, queries, "vec_id", "embedding", k = 7)
+    // the scale claim: NO window operator anywhere — a Window.partitionBy
+    // (qid) would hold the whole corpus for one query in a single task
+    assert(!got.queryExecution.executedPlan.toString.contains("Window"),
+      "cosineTopK must not contain a window operator")
+    // reference: the same scored frame ranked by one global window —
+    // correct by construction, just not scalable
+    val c = emb.select(col("vec_id").as("nid"), col("embedding").as("nvec"))
+      .withColumn("nnorm", Similarity.norm(col("nvec")))
+    val q = queries.select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      .withColumn("qnorm", Similarity.norm(col("qvec")))
+    val scored = c.crossJoin(broadcast(q)).filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        round(Similarity.dot(col("qvec"), col("nvec")) /
+          (col("qnorm") * col("nnorm")), 4).as("cosine"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cosine").desc, col("nid").asc)
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("qid"), r.getAs[Long]("rank"))
+    val ref = scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 7)
+      .collect().map(r => key(r) -> (r.getAs[Long]("nid"), r.getAs[Double]("cosine"))).toMap
+    val gotRows = got.collect()
+    assert(gotRows.length == ref.size)
+    gotRows.foreach { r =>
+      val (nid, cos) = ref(key(r))
+      assert(r.getAs[Long]("nid") == nid && r.getAs[Double]("cosine") == cos,
+        s"mismatch at ${key(r)}: got (${r.getAs[Long]("nid")}, " +
+          s"${r.getAs[Double]("cosine")}), window reference ($nid, $cos)")
+    }
+    // the PQ-style rerank path must be window-free too (both stages)
+    val reranked = Similarity.quantizedRerankTopK(emb, queries, "vec_id",
+      "embedding", k = 5, rerank = 20)
+    assert(!reranked.queryExecution.executedPlan.toString.contains("Window"),
+      "quantizedRerankTopK must not contain a window operator")
+    assert(reranked.count() == queries.count() * 5)
+  }
+
   test("plan shapes: redaction is map-side; quantize and kmeans shuffle exactly once") {
     import graft.operators.{Similarity, TextAnalysis}
     def shuffles(df: org.apache.spark.sql.DataFrame): Int =
