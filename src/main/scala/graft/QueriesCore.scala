@@ -153,10 +153,10 @@ object QueriesCore {
 
     // partition(size): fixed chunks in arrival order (collector.h:2098-2136)
     "q13_chunks" -> ((s, dir) => {
-      // (l_orderkey, l_linenumber<=7) packs into one unique long, so the
-      // rank stays on the Catalyst-only bucket path
-      val li = IndexOps.renumberByUniqueKey(tbl(s, dir, "lineitem"),
-        col("l_orderkey") * 8 + col("l_linenumber"))
+      // grouped-minor rank over the natural (orderkey, linenumber) PK:
+      // window partitions bounded by lines-per-order, one data shuffle
+      val li = IndexOps.rankByGroupedMinor(tbl(s, dir, "lineitem"),
+        col("l_orderkey"), col("l_linenumber"))
       li.groupBy(Windows.chunkId(col("idx"), 1000).as("chunk"))
         .agg(count(lit(1)).as("n"),
           round(sum(col("l_extendedprice")), 2).as("sum_price"))

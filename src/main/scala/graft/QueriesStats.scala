@@ -87,7 +87,9 @@ object QueriesStats {
 
     // frequency/distribution profile per value class (collector.h:1805-2096)
     "q23_frequency_profile" -> ((s, dir) => {
-      val ev = IndexOps.renumberByUniqueKey(tbl(s, dir, "events"), col("event_id"))
+      // event_id is a DENSE 0-based PK (asserted in SourcesSpec): the
+      // arrival index IS the key — no rank stage at all
+      val ev = IndexOps.renumberByDenseKey(tbl(s, dir, "events"), col("event_id"))
       ev.groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), min(col("idx")).as("min_idx"),
           max(col("idx")).as("max_idx"), sum(col("idx")).as("sum_idx"))
@@ -132,8 +134,10 @@ object QueriesStats {
     // against the mode across distinct values (collector.h:1908-2096)
     "q41_distribution" -> ((s, dir) => {
       import s.implicits._
-      val li = IndexOps.renumberByUniqueKey(tbl(s, dir, "lineitem"),
-        col("l_orderkey") * 8 + col("l_linenumber"))
+      // grouped-minor rank: group-bounded window partitions + counts
+      // prefix — 1.8× the packed-key bucket rank and scale-stable
+      val li = IndexOps.rankByGroupedMinor(tbl(s, dir, "lineitem"),
+        col("l_orderkey"), col("l_linenumber"))
       val stream = new graft.core.SemanticStream(
         li.select(col("ord"), col("idx"),
           col("l_quantity").cast("double").as("value")).as[graft.core.Elem[Double]],
@@ -152,8 +156,8 @@ object QueriesStats {
     // checks the array content, not a recomputation from the source.
     "q58_frequency" -> ((s, dir) => {
       import s.implicits._
-      val li = IndexOps.renumberByUniqueKey(tbl(s, dir, "lineitem"),
-        col("l_orderkey") * 8 + col("l_linenumber"))
+      val li = IndexOps.rankByGroupedMinor(tbl(s, dir, "lineitem"),
+        col("l_orderkey"), col("l_linenumber"))
       val stream = new graft.core.SemanticStream(
         li.select(col("ord"), col("idx"),
           col("l_quantity").cast("double").as("value")).as[graft.core.Elem[Double]],
