@@ -182,11 +182,18 @@ object Dedup {
   /** Full MinHash-LSH near-dup pipeline → (a, b, jaccard) pairs above
     * threshold, verified exactly. Signatures and bands are map-side; the
     * only shuffles are the band-bucket join (short keys) and the exact
-    * Jaccard verify, which touches CANDIDATE docs only (semi-joined). */
+    * Jaccard verify, which touches CANDIDATE docs only (semi-joined).
+    *
+    * `materialize = true` localCheckpoints the (small — pairs, not
+    * corpus) result so several consumers — the pair report, connected
+    * components, canonical-survivor selection — share ONE run of the
+    * expensive minhash spine instead of re-deriving it each. Any
+    * pipeline that both lists near-dups and clusters them wants this. */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       shingleWidth: Int = 3, numHashes: Int = 12,
                       bands: Int = 4, threshold: Double = 0.7,
-                      maxBucketSize: Option[Int] = None): DataFrame = {
+                      maxBucketSize: Option[Int] = None,
+                      materialize: Boolean = false): DataFrame = {
     val sig = minhashSignature(df, idCol, textCol, shingleWidth, numHashes)
     val cand = lshCandidates(lshBands(sig, bands, numHashes / bands), maxBucketSize)
     val candIds = cand.select(col("a").as("id"))
@@ -196,7 +203,8 @@ object Dedup {
     val sh = candDocs.select(col(idCol).as("id"),
       explode(shingleArray(col(textCol), shingleWidth)).as("shingle"))
       .distinct()
-    jaccard(cand, sh).filter(col("jaccard") >= threshold)
+    val pairs = jaccard(cand, sh).filter(col("jaccard") >= threshold)
+    if (materialize) pairs.localCheckpoint() else pairs
   }
 
   /** Connected components over an undirected edge list — the consolidation
@@ -233,14 +241,18 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("nl"),
           col("label").as("prev"))
+      // LAZY checkpoint + convergence count in ONE job: the count action
+      // below is what materializes the checkpoint blocks, so each round
+      // costs a single job (an eager checkpoint followed by a separate
+      // isEmpty scan was two)
       val next = neigh.join(
           labels.select(col("id").as("jid"), col("label").as("jlabel")),
           neigh("nl") === col("jid"), "left")
         .select(neigh("id"),
           least(col("nl"), coalesce(col("jlabel"), col("nl"))).as("label"),
           col("prev"))
-        .localCheckpoint()
-      converged = next.filter(col("label") < col("prev")).isEmpty
+        .localCheckpoint(false)
+      converged = next.filter(col("label") < col("prev")).count() == 0
       labels = next.select(col("id"), col("label"))
       round += 1
     }
