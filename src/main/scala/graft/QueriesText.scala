@@ -255,6 +255,35 @@ object QueriesText {
           col("width"), col("height"))
         .orderBy(col("id"))),
 
+    // PII depth: per doc an SSN (closed form of doc_id) and a 16-digit
+    // card whose LUHN VALIDITY depends on doc_id parity (check digit
+    // computed in-fixture, broken by +1 for odd ids), plus the classic
+    // separated test number 4111-1111-1111-1111. The scrub must redact
+    // the SSN and ONLY the Luhn-valid cards — candidate counts, valid
+    // counts, the redacted md5 and the length delta prove the checksum
+    // gate fired identically in both engines.
+    "q70_pii_deep" -> ((s, dir) => {
+      val ssn = concat(
+        (lit(100) + col("doc_id") % 900).cast("string"), lit("-"),
+        (lit(10) + col("doc_id") % 90).cast("string"), lit("-"),
+        (lit(1000) + col("doc_id") % 9000).cast("string"))
+      val card15 = concat(lit("4"), lpad(col("doc_id").cast("string"), 14, "7"))
+      val check = (lit(10) - TA.luhnSum(card15, 1) % 10) % 10
+      val last = when(col("doc_id") % 2 === 0, check).otherwise((check + 1) % 10)
+      val aug = concat(col("text"), lit(" ssn "), ssn, lit(" card "),
+        card15, last.cast("string"), lit(" ref 4111-1111-1111-1111 end"))
+      val cands = regexp_extract_all(aug, lit(TA.cardPattern), lit(0))
+      val red = TA.redactPiiDeep(aug)
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        size(regexp_extract_all(aug, lit(TA.ssnPattern), lit(0))).cast("long").as("n_ssn"),
+        size(cands).cast("long").as("n_cards"),
+        size(filter(cands, m => TA.luhnValid(m))).cast("long").as("n_valid"),
+        md5(red).as("redacted_md5"),
+        (length(aug) - length(red)).cast("long").as("len_delta"))
+        .orderBy(col("doc_id"))
+    }),
+
     // PII redaction: inject a known email/IP/phone per doc (closed form
     // of doc_id), then the scrub must find and replace them — counts,
     // the redacted text's md5 and the length delta prove the regexes
@@ -665,6 +694,75 @@ object QueriesText {
         |  CAST(160 + (doc_id % 8) * 80 AS BIGINT) AS width,
         |  CAST(90 + (doc_id % 8) * 45 AS BIGINT) AS height
         |FROM documents ORDER BY id""".stripMargin,
+
+    // Luhn fixture + detector both replayed in SQL: the card's check
+    // digit is computed from the same parity-1 sum the Spark fixture
+    // uses, and the detector's parity-0 sum gates which candidates the
+    // list_reduce literal-replace chain actually redacts
+    "q70_pii_deep" ->
+      """WITH base AS (
+         |  SELECT doc_id, text,
+         |    CAST(100 + doc_id % 900 AS VARCHAR) || '-' ||
+         |      CAST(10 + doc_id % 90 AS VARCHAR) || '-' ||
+         |      CAST(1000 + doc_id % 9000 AS VARCHAR) AS ssn,
+         |    '4' || lpad(CAST(doc_id AS VARCHAR), 14, '7') AS card15
+         |  FROM documents),
+         |withsum AS (
+         |  SELECT *, list_sum(list_transform(range(1, 16), j ->
+         |    CASE WHEN j % 2 = 1 THEN
+         |      CASE WHEN CAST(substr(card15, 16 - j, 1) AS INT) > 4
+         |        THEN CAST(substr(card15, 16 - j, 1) AS INT) * 2 - 9
+         |        ELSE CAST(substr(card15, 16 - j, 1) AS INT) * 2 END
+         |      ELSE CAST(substr(card15, 16 - j, 1) AS INT) END)) AS s15
+         |  FROM base),
+         |aug AS (
+         |  SELECT doc_id,
+         |    text || ' ssn ' || ssn || ' card ' || card15 ||
+         |      CAST(CASE WHEN doc_id % 2 = 0 THEN (10 - s15 % 10) % 10
+         |        ELSE ((10 - s15 % 10) % 10 + 1) % 10 END AS VARCHAR) ||
+         |      ' ref 4111-1111-1111-1111 end' AS t
+         |  FROM withsum),
+         |det AS (
+         |  SELECT doc_id, t,
+         |    regexp_extract_all(t, '\b\d{4}[- ]?\d{4}[- ]?\d{4}[- ]?\d{1,4}\b')
+         |      AS cands,
+         |    list_filter(
+         |      regexp_extract_all(t, '\b\d{4}[- ]?\d{4}[- ]?\d{4}[- ]?\d{1,4}\b'),
+         |      m -> len(regexp_replace(m, '[^0-9]', '', 'g')) BETWEEN 13 AND 16
+         |        AND list_sum(list_transform(
+         |          range(1, len(regexp_replace(m, '[^0-9]', '', 'g')) + 1), j ->
+         |          CASE WHEN j % 2 = 0 THEN
+         |            CASE WHEN CAST(substr(regexp_replace(m, '[^0-9]', '', 'g'),
+         |                len(regexp_replace(m, '[^0-9]', '', 'g')) - j + 1, 1)
+         |                AS INT) > 4
+         |              THEN CAST(substr(regexp_replace(m, '[^0-9]', '', 'g'),
+         |                len(regexp_replace(m, '[^0-9]', '', 'g')) - j + 1, 1)
+         |                AS INT) * 2 - 9
+         |              ELSE CAST(substr(regexp_replace(m, '[^0-9]', '', 'g'),
+         |                len(regexp_replace(m, '[^0-9]', '', 'g')) - j + 1, 1)
+         |                AS INT) * 2 END
+         |            ELSE CAST(substr(regexp_replace(m, '[^0-9]', '', 'g'),
+         |              len(regexp_replace(m, '[^0-9]', '', 'g')) - j + 1, 1)
+         |              AS INT) END)) % 10 = 0) AS valid
+         |  FROM aug),
+         |red AS (
+         |  SELECT doc_id, t, cands, valid,
+         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |      list_reduce(list_prepend(t, valid),
+         |        (acc, m) -> replace(acc, m, '[CARD]')),
+         |      '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+         |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+         |      '\d{3}[-. ]\d{3}[-. ]\d{4}', '[PHONE]', 'g'),
+         |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS r
+         |  FROM det)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(t, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT)
+         |    AS n_ssn,
+         |  CAST(len(cands) AS BIGINT) AS n_cards,
+         |  CAST(len(valid) AS BIGINT) AS n_valid,
+         |  md5(r) AS redacted_md5,
+         |  CAST(length(t) - length(r) AS BIGINT) AS len_delta
+         |FROM red ORDER BY doc_id""".stripMargin,
 
     // patterns restricted to the Java/RE2-shared regex subset so both
     // engines scrub identically; email→phone→IP order mirrors redactPii

@@ -150,6 +150,52 @@ object TextAnalysis {
     size(regexp_extract_all(c, lit(phonePattern), lit(0))).cast("long").as("n_phones"),
     size(regexp_extract_all(c, lit(ipv4Pattern), lit(0))).cast("long").as("n_ips"))
 
+  /** SSN-like (ddd-dd-dddd) and payment-card-like (4×4 digit groups with
+    * optional `-`/space separators, 13-16 digits) patterns — still the
+    * Java/RE2-shared subset (ASCII classes, bounded reps, \b, \d). */
+  val ssnPattern = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+  val cardPattern = "\\b\\d{4}[- ]?\\d{4}[- ]?\\d{4}[- ]?\\d{1,4}\\b"
+
+  /** Luhn checksum term sum over the candidate's digits, `j` counted
+    * 1-based from the RIGHT; a digit is doubled (with digit-sum
+    * correction 2d−9 when 2d>9) iff `j % 2 == doubledParity`. Detection
+    * uses parity 0 (check digit at j=1 undoubled); fixture construction
+    * over a 15-digit prefix uses parity 1 (those digits sit one position
+    * left of the final card). Pure column arithmetic — mirrors
+    * identically in any SQL engine. */
+  def luhnSum(digits: Column, doubledParity: Int): Column =
+    aggregate(sequence(lit(1), length(digits)), lit(0), (acc, j) => {
+      val d = digits.substr(length(digits) - j + 1, lit(1)).cast("int")
+      acc + when(j % 2 === doubledParity, d * 2 - when(d > 4, 9).otherwise(0))
+        .otherwise(d)
+    })
+
+  /** True iff the candidate's digits (separators stripped) are 13-16
+    * long and Luhn-check out — the standard false-positive gate real
+    * scrubbing pipelines apply before redacting card-like numbers. */
+  def luhnValid(candidate: Column): Column = {
+    val digits = regexp_replace(candidate, "[^0-9]", "")
+    length(digits).between(13, 16) && luhnSum(digits, 0) % 10 === 0
+  }
+
+  /** Replace only the LUHN-VALID card-like matches with `[CARD]`: the
+    * candidates come from one regex pass, the validity gate is computed
+    * per candidate, and the surviving literals fold over the text with
+    * exact-string `replace` — random 16-digit ids that fail the checksum
+    * are left untouched (the behavior that separates a PII scrub from a
+    * digit shredder). */
+  def redactValidCards(c: Column): Column = {
+    val valid = filter(regexp_extract_all(c, lit(cardPattern), lit(0)),
+      m => luhnValid(m))
+    aggregate(valid, c, (acc, m) => replace(acc, m, lit("[CARD]")))
+  }
+
+  /** Full-depth PII scrub: Luhn-gated cards first (so later digit
+    * patterns can never eat half a card number), then SSNs, then the
+    * email → phone → IP chain of [[redactPii]]. */
+  def redactPiiDeep(c: Column): Column =
+    redactPii(regexp_replace(redactValidCards(c), ssnPattern, "[SSN]"))
+
   /** Split each document into consecutive ≤`size`-token chunks — the
     * pre-tokenization sharding step before sequence packing. One output
     * row per (doc, chunk) with the chunk's text and token count;

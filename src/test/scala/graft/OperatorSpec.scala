@@ -278,6 +278,26 @@ class OperatorSpec extends AnyFunSuite {
     assert(mm(2L).brand == "mp42" && mm(2L).duration_ms == 100L && mm(2L).width == 320L)
   }
 
+  test("luhn-gated card redaction: valid redacts, checksum-fail passes through") {
+    import graft.operators.TextAnalysis
+    val rows = Seq(
+      (1L, "pay 4111-1111-1111-1111 now"), // classic valid test number
+      (2L, "id 4111111111111112 x"), // last digit off by one → NOT a card
+      (3L, "visa13 4222222222222 ok"), // 13-digit valid card
+      (4L, "ssn 123-45-6789 here"),
+      (5L, "order 1234 5678 9012 3456 ref") // space-separated, invalid sum
+    ).toDF("id", "t")
+    val out = rows.select(col("id"),
+        TextAnalysis.redactPiiDeep(col("t")).as("r"),
+        TextAnalysis.luhnValid(col("t")).as("lv"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "pay [CARD] now")
+    assert(out(2L) == "id 4111111111111112 x") // untouched: the gate held
+    assert(out(3L) == "visa13 [CARD] ok")
+    assert(out(4L) == "ssn [SSN] here")
+    assert(out(5L) == "order 1234 5678 9012 3456 ref")
+  }
+
   test("token count is symmetric across engines on adversarial whitespace") {
     import graft.operators.TextAnalysis
     // the probe corpus: every class of text that makes split-based token
