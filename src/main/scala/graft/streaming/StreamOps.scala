@@ -169,6 +169,44 @@ object StreamOps {
         OutputMode.Update)
   }
 
+  /** First-seen exact dedup on `transformWithState`: one boolean
+    * ValueState per key; the first arrival (min id within its batch, so
+    * the emitted survivor is deterministic under any within-batch row
+    * order) passes, every later duplicate is suppressed. State survives
+    * checkpoint restart — the deployment-shape dedup for a file-source →
+    * parquet-sink pipeline. Unbounded keys keep state forever; bound it
+    * with a TTLConfig when the duplication horizon allows (the
+    * watermark-bounded twin is [[streamingDedup]]). */
+  class FirstSeenDedupProcessor
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, (Long, String), (Long, String)] {
+    import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var seen: ValueState[Boolean] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      seen = getHandle.getValueState[Boolean]("seen", Encoders.scalaBoolean, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[(Long, String)],
+                                 timerValues: TimerValues): Iterator[(Long, String)] = {
+      if (seen.exists()) Iterator.empty
+      else {
+        seen.update(true)
+        Iterator.single(rows.minBy(_._1))
+      }
+    }
+  }
+
+  /** [[FirstSeenDedupProcessor]] wired over (id, key) rows. */
+  def firstSeenDedupTws(docs: Dataset[(Long, String)]): Dataset[(Long, String)] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_._2)
+      .transformWithState(new FirstSeenDedupProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append)
+  }
+
   /** Per-key running summate/average as a stateful collector: the state is
     * the Accumulator, every trigger emits the Finished view — a faithful
     * streaming rendering of Collector.collect (collector.h:186-204). */
