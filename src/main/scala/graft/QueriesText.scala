@@ -668,8 +668,9 @@ object QueriesText {
          |  FROM documents),
         |c AS (
         |  SELECT doc_id, lang, n_tokens,
-        |    coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY k, doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |    -- CAST: DuckDB window sum(BIGINT) is HUGEINT; Spark writes int64
+        |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY lang ORDER BY k, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
         |  FROM t)
         |SELECT doc_id, lang, n_tokens, cum_before
         |FROM c WHERE cum_before < 3000

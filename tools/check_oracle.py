@@ -11,6 +11,43 @@ shipped Scala library never touches DuckDB.
 """
 import json, sys, glob, os
 import duckdb
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+def _norm_type(t):
+    """Normalize an arrow type to what a type-faithful hash would see.
+
+    Only representation-level wrappers are collapsed (dictionary
+    encoding, large_* offsets); VALUE types are kept exact — int64 vs
+    decimal128 or float32 vs float64 must FAIL, that is the point.
+    """
+    if pa.types.is_dictionary(t):
+        return _norm_type(t.value_type)
+    if pa.types.is_large_string(t):
+        return pa.string()
+    if pa.types.is_large_binary(t):
+        return pa.binary()
+    if pa.types.is_large_list(t) or pa.types.is_list(t):
+        return pa.list_(_norm_type(t.value_type))
+    return t
+
+def _dtype_mismatches(qdir, duck_rel):
+    """Compare Spark-written parquet arrow types vs DuckDB result arrow
+    types per column. Returns list of (col, spark_type, duck_type)."""
+    parts = sorted(glob.glob(os.path.join(qdir, "part-*.parquet"))) or \
+        sorted(glob.glob(os.path.join(qdir, "*.parquet")))
+    spark_schema = pq.ParquetFile(parts[0]).schema_arrow
+    duck_schema = duck_rel.schema
+    duck_types = {f.name: f.type for f in duck_schema}
+    bad = []
+    for f in spark_schema:
+        dt = duck_types.get(f.name)
+        if dt is None:
+            continue  # column-name mismatch is reported separately
+        st_n, dt_n = _norm_type(f.type), _norm_type(dt)
+        if st_n != dt_n:
+            bad.append((f.name, str(f.type), str(dt)))
+    return bad
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -35,9 +72,20 @@ def main():
             n_skip += 1
             continue
         try:
-            duck_df = con.execute(oracle[q]).fetchdf()
+            duck_rel = con.execute(oracle[q]).arrow()
+            duck_df = duck_rel.to_pandas()
         except Exception as e:
             print(f"FAIL {q}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        # type-faithful gate: the driver hashes typed values, so an
+        # int64-vs-decimal128 (uncast DuckDB sum) or float32-vs-float64
+        # divergence fails there even when every value matches after
+        # pandas coercion. Catch it here, before the value compare.
+        bad_types = _dtype_mismatches(qdir, duck_rel)
+        if bad_types:
+            for c, st, dt in bad_types:
+                print(f"FAIL {q}: dtype '{c}' spark={st} duck={dt}")
             n_fail += 1
             continue
         s = spark_df.reindex(sorted(spark_df.columns), axis=1)
