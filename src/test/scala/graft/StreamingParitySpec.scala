@@ -416,4 +416,70 @@ class StreamingParitySpec extends AnyFunSuite {
       case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("parity across checkpoint restart: file source → firstSeenDedupTws → parquet sink") {
+    // the DEPLOYMENT shape of streaming dedup: parquet files landing in a
+    // directory, transformWithState first-seen dedup, parquet sink — the
+    // query is killed between file arrivals and restarted from the
+    // checkpoint, so the ValueState must come back or already-seen keys
+    // re-emit. Batch twin: Dedup.exact survivors on the same rows.
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val inDir = java.nio.file.Files.createTempDirectory("graft_fsrc_in_").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_fsrc_ckpt_").toString
+      val outDir = java.nio.file.Files.createTempDirectory("graft_fsrc_out_").toString
+      // same coarse key as the streamingDedup case: first 4 tokens, 476
+      // distinct over 500 docs, so collisions are real
+      val keyed = docs.select(col("doc_id"),
+        array_join(slice(split(trim(col("text")), "\\s+"), 1, 4), " ").as("key"))
+      val rows = keyed.orderBy(col("doc_id")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSeq
+      // split INSIDE the widest duplicate group so at least one key
+      // straddles the restart — the case that catches lost state
+      val dupGroups = rows.groupBy(_._2).filter(_._2.size > 1)
+      assert(dupGroups.nonEmpty, "fixture must carry key collisions")
+      val ids = dupGroups.maxBy { case (_, rs) => rs.map(_._1).max - rs.map(_._1).min }._2.map(_._1)
+      val splitId = (ids.min + ids.max) / 2
+      val (h1, h2) = rows.partition(_._1 <= splitId)
+      val straddlers = h1.map(_._2).toSet intersect h2.map(_._2).toSet
+      assert(straddlers.nonEmpty)
+
+      h1.toDF("doc_id", "key").coalesce(1).write.mode("append").parquet(inDir)
+      val src = spark.readStream.schema("doc_id LONG, key STRING").parquet(inDir)
+        .as[(Long, String)]
+      val out = StreamOps.firstSeenDedupTws(src).toDF("id", "key")
+      def start() = out.writeStream.outputMode("append").format("parquet")
+        .option("path", outDir).option("checkpointLocation", ckpt).start()
+
+      val q1 = start()
+      q1.processAllAvailable()
+      q1.stop()
+      val phase1 = spark.read.parquet(outDir).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val h1MinByKey = h1.groupBy(_._2).map { case (k, rs) => k -> rs.map(_._1).min }
+      assert(phase1.length == h1MinByKey.size)
+      phase1.foreach { case (id, k) => assert(id == h1MinByKey(k), s"phase-1 survivor for '$k'") }
+
+      // second file lands while the query is DOWN; restart from checkpoint
+      h2.toDF("doc_id", "key").coalesce(1).write.mode("append").parquet(inDir)
+      val q2 = start()
+      q2.processAllAvailable()
+      q2.stop()
+
+      val got = spark.read.parquet(outDir).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      // state survived: straddling keys emitted exactly once, from phase 1
+      assert(got.length == got.map(_._2).distinct.length, "a key emitted twice across restart")
+      val batchSurvivors = graft.operators.Dedup
+        .exactCanonical(keyed, "doc_id", "key", Seq("key"))
+        .select(col("id"), col("key")).collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(got.toSet == batchSurvivors)
+    } finally prev match {
+      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
