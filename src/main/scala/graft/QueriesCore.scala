@@ -153,10 +153,13 @@ object QueriesCore {
 
     // partition(size): fixed chunks in arrival order (collector.h:2098-2136)
     "q13_chunks" -> ((s, dir) => {
-      // grouped-minor rank over the natural (orderkey, linenumber) PK:
-      // window partitions bounded by lines-per-order, one data shuffle
-      val li = IndexOps.rankByGroupedMinor(tbl(s, dir, "lineitem"),
-        col("l_orderkey"), col("l_linenumber"))
+      // packed-key bucket rank over the natural (orderkey, linenumber)
+      // PK: l_linenumber is 1..7 by TPC-H construction, so orderkey*8 +
+      // linenumber is collision-free and order-preserving. A/B vs the
+      // grouped-minor rank (BENCH_NOTES.md Round 7): consistently ~1.2×
+      // faster here; both shapes are scale-safe
+      val li = IndexOps.renumberByUniqueKey(tbl(s, dir, "lineitem"),
+        col("l_orderkey") * lit(8L) + col("l_linenumber"))
       li.groupBy(Windows.chunkId(col("idx"), 1000).as("chunk"))
         .agg(count(lit(1)).as("n"),
           round(sum(col("l_extendedprice")), 2).as("sum_price"))

@@ -134,8 +134,10 @@ object QueriesStats {
     // against the mode across distinct values (collector.h:1908-2096)
     "q41_distribution" -> ((s, dir) => {
       import s.implicits._
-      // grouped-minor rank: group-bounded window partitions + counts
-      // prefix — 1.8× the packed-key bucket rank and scale-stable
+      // grouped-minor rank: window partitions bounded by lines-per-order,
+      // one data shuffle. A/B vs the packed-key rank (BENCH_NOTES.md
+      // Round 7): statistical tie here — the distribution aggregate
+      // dominates, not the rank — kept for the stronger partition bound
       val li = IndexOps.rankByGroupedMinor(tbl(s, dir, "lineitem"),
         col("l_orderkey"), col("l_linenumber"))
       val stream = new graft.core.SemanticStream(
@@ -156,8 +158,11 @@ object QueriesStats {
     // checks the array content, not a recomputation from the source.
     "q58_frequency" -> ((s, dir) => {
       import s.implicits._
-      val li = IndexOps.rankByGroupedMinor(tbl(s, dir, "lineitem"),
-        col("l_orderkey"), col("l_linenumber"))
+      // packed-key bucket rank (linenumber 1..7 → stride 8): ~1.6×
+      // faster than the grouped-minor rank here, every session
+      // (BENCH_NOTES.md Round 7 A/B)
+      val li = IndexOps.renumberByUniqueKey(tbl(s, dir, "lineitem"),
+        col("l_orderkey") * lit(8L) + col("l_linenumber"))
       val stream = new graft.core.SemanticStream(
         li.select(col("ord"), col("idx"),
           col("l_quantity").cast("double").as("value")).as[graft.core.Elem[Double]],

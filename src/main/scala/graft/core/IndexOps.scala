@@ -52,10 +52,15 @@ object IndexOps {
     * offset join reuse the group window's hash exchange, so the data
     * shuffles ONCE. Compared to [[renumberByUniqueKey]] on a packed
     * `group·stride + minor` key: no min/max stats branch, no
-    * equal-width-bucket skew sensitivity, parallelism follows group
-    * cardinality — measured 1.8× faster on lineitem at sf0.1 and the
-    * partition bound holds at any scale. The caller asserts that
-    * (group, minor) pairs are unique and minor is numeric. */
+    * equal-width-bucket skew sensitivity, and the window-partition bound
+    * (max rows per group) holds at any scale regardless of key
+    * distribution. Measured cost at sf0.1 local[32] (interleaved A/B,
+    * medians of 5-9, BENCH_NOTES.md Round 7): parity to ~1.6× SLOWER
+    * than the packed-key rank — the plan is one node deeper — so prefer
+    * the packed key when a collision-free stride exists and group-minor
+    * rank when it doesn't or when key skew would starve equal-width
+    * buckets. The caller asserts that (group, minor) pairs are unique
+    * and minor is numeric. */
   def rankByGroupedMinor(df: DataFrame, group: Column, minor: Column,
                          renumberIdx: Boolean = true): DataFrame = {
     requireNumericLead(df, group)

@@ -44,14 +44,10 @@ final class ByteBuilder(val encoding: String = "utf8") {
   private val storage = new scala.collection.mutable.ArrayDeque[Byte]()
   private val cs = Encodings(encoding)
 
-  // a JVM String is already decoded text, so "converting" it means
+  // a JVM String is already decoded text, so ingesting it just means
   // encoding with the storage charset; the reference's byte-level
-  // (source bytes, source encoding) path is convertBytes below
-  private def encoded(s: String, sourceEncoding: String): Array[Byte] = {
-    require(Encodings.byName.contains(sourceEncoding),
-      s"unknown encoding: $sourceEncoding")
-    s.getBytes(cs)
-  }
+  // (source bytes, source encoding) conversion path is appendEncoded
+  private def encoded(s: String): Array[Byte] = s.getBytes(cs)
 
   /** The reference's conversion ingest (`Charsequence temp(source,
     * sourceEncoding, storageEncoding)`): raw bytes in `sourceEncoding`,
@@ -81,8 +77,7 @@ final class ByteBuilder(val encoding: String = "utf8") {
 
   def append(b: Byte): this.type = { storage.append(b); this }
   def append(bytes: Array[Byte]): this.type = { storage.appendAll(bytes); this }
-  def append(s: String, sourceEncoding: String = "utf8"): this.type =
-    append(encoded(s, sourceEncoding))
+  def append(s: String): this.type = append(encoded(s))
   def appendPoint(codePoint: Int): this.type =
     append(new String(Character.toChars(codePoint)).getBytes(cs))
   def append(v: Boolean): this.type = append(if (v) "true" else "false")
@@ -92,8 +87,7 @@ final class ByteBuilder(val encoding: String = "utf8") {
 
   def prepend(b: Byte): this.type = { storage.prepend(b); this }
   def prepend(bytes: Array[Byte]): this.type = { storage.prependAll(bytes); this }
-  def prepend(s: String, sourceEncoding: String = "utf8"): this.type =
-    prepend(encoded(s, sourceEncoding))
+  def prepend(s: String): this.type = prepend(encoded(s))
   def prependPoint(codePoint: Int): this.type =
     prepend(new String(Character.toChars(codePoint)).getBytes(cs))
 
@@ -103,8 +97,8 @@ final class ByteBuilder(val encoding: String = "utf8") {
     this
   }
   def insert(position: Int, b: Byte): this.type = insert(position, Array(b))
-  def insert(position: Int, s: String, sourceEncoding: String = "utf8"): this.type =
-    insert(position, encoded(s, sourceEncoding))
+  def insert(position: Int, s: String): this.type =
+    insert(position, encoded(s))
   def insertPoint(position: Int, codePoint: Int): this.type =
     insert(position, new String(Character.toChars(codePoint)).getBytes(cs))
   def insert(position: Int, v: Boolean): this.type =
@@ -117,7 +111,7 @@ final class ByteBuilder(val encoding: String = "utf8") {
     * encodings differ, like `append(other.toCharsequence())`). */
   def ++=(other: ByteBuilder): this.type =
     if (other.encoding == encoding) append(other.getBytes)
-    else append(other.result(), other.encoding)
+    else append(other.result())
 
   def size: Int = storage.size
   def isEmpty: Boolean = storage.isEmpty
@@ -152,12 +146,9 @@ final class ByteRingBuffer(initialCapacity: Int = ByteRingBuffer.DefaultCapacity
     write(source.getBytes("UTF-8"))
   }
 
-  private def ensureCapacity(required: Int): Unit = {
+  private def ensureCapacity(required: Long): Unit = {
     if (required <= storage.length) return
-    val doubled = storage.length.toLong * 2
-    val newCap = math.max(doubled, required.toLong)
-    require(newCap <= Int.MaxValue, "buffer capacity overflow")
-    val next = new Array[Byte](newCap.toInt)
+    val next = new Array[Byte](ByteRingBuffer.grownCapacity(storage.length, required))
     var remaining = count; var pos = readPos; var off = 0
     while (remaining > 0) {
       val chunk = math.min(remaining, storage.length - pos)
@@ -172,7 +163,7 @@ final class ByteRingBuffer(initialCapacity: Int = ByteRingBuffer.DefaultCapacity
 
   def write(input: Array[Byte]): Int = synchronized {
     if (input.isEmpty) return 0
-    if (input.length > storage.length - count) ensureCapacity(count + input.length)
+    if (input.length > storage.length - count) ensureCapacity(count.toLong + input.length)
     var written = 0
     while (written < input.length) {
       val chunk = math.min(input.length - written, storage.length - writePos)
@@ -194,7 +185,7 @@ final class ByteRingBuffer(initialCapacity: Int = ByteRingBuffer.DefaultCapacity
     * first (charsequence.h:2000-2045). */
   def prepend(input: Array[Byte]): Int = synchronized {
     if (input.isEmpty) return 0
-    if (input.length > storage.length - count) ensureCapacity(count + input.length)
+    if (input.length > storage.length - count) ensureCapacity(count.toLong + input.length)
     var remaining = input.length
     while (remaining > 0) {
       readPos = (readPos - 1 + storage.length) % storage.length
@@ -257,6 +248,60 @@ final class ByteRingBuffer(initialCapacity: Int = ByteRingBuffer.DefaultCapacity
   def atomic[T](f: ByteRingBuffer => T): T = synchronized { f(this) }
 }
 
+/** Charsequence stream I/O (charsequence.h:1337-1350) — the last §2.6
+  * row. In the reference, `ostream << cs` writes the sequence's
+  * STORAGE-ENCODED bytes raw to the stream, and `istream >> cs` getlines
+  * one '\n'-terminated line and decodes it as UTF-8 (the target keeps its
+  * storage encoding; re-emitting re-encodes). Our charsequence model is
+  * (JVM String, charset name) — the same pair every [[CharSeq]] column
+  * function and [[ByteBuilder]] uses — so the parity is a `writeTo` that
+  * encodes-and-writes and a `readLine` factory with std::getline
+  * semantics. Local-only by design, like Builder/Buffer: the distributed
+  * twins are `encodeCharset`/`decodeCharset` columns and
+  * `sources.Readers.lines`. */
+object CharSeqIO {
+
+  /** `ostream << charsequence` (charsequence.h:1337-1343): encode the
+    * text in its storage charset and write the bytes raw — no newline
+    * appended, no transcoding of the stream. */
+  def writeTo(out: java.io.OutputStream, text: String,
+              storageEncoding: String = "utf8"): Unit =
+    out.write(text.getBytes(Encodings(storageEncoding)))
+
+  /** `istream >> charsequence` (charsequence.h:1345-1351), which
+    * std::getlines: consume bytes up to and including the next '\n' (the
+    * delimiter is dropped, a '\r' before it is KEPT — getline splits on
+    * '\n' alone), decode them as UTF-8 (invalid sequences → U+FFFD, the
+    * reference's decode policy), and yield the line. A final unterminated
+    * line is returned; end-of-stream with zero bytes read is the
+    * reference's failbit → None. */
+  def readLine(in: java.io.InputStream): Option[String] = {
+    val buf = new java.io.ByteArrayOutputStream()
+    var b = in.read()
+    if (b < 0) return None
+    while (b >= 0 && b != '\n') { buf.write(b); b = in.read() }
+    Some(new String(buf.toByteArray, Encodings("utf8")))
+  }
+
+  /** Drain a whole stream through [[readLine]] — the `while (is >> cs)`
+    * loop shape. */
+  def readLines(in: java.io.InputStream): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var line = readLine(in)
+    while (line.isDefined) { out += line.get; line = readLine(in) }
+    out.result()
+  }
+}
+
 object ByteRingBuffer {
   val DefaultCapacity = 4096
+
+  /** Growth policy (charsequence.h:2507-2538): double, or straight to the
+    * requirement if doubling is short — clamped with Long math so only
+    * `required > Int.MaxValue` rejects. Doubling from a capacity past
+    * Int.MaxValue/2 must NOT fail while the requirement itself fits. */
+  private[graft] def grownCapacity(current: Int, required: Long): Int = {
+    require(required <= Int.MaxValue, "buffer capacity overflow")
+    math.min(math.max(current.toLong * 2, required), Int.MaxValue.toLong).toInt
+  }
 }

@@ -323,6 +323,86 @@ object Multimodal {
     }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)).toDF("id", "wav")
   }
 
+  case class AudioPcmStats(id: Long, frames: Long, mean_abs: Double,
+                           peak: Long, clip_ratio: Double)
+
+  /** REAL audio CONTENT decode (pure-JVM `javax.sound.sampled`): streams
+    * the PCM payload of each WAV/AIFF/AU clip and reduces it to signal
+    * statistics — frame count, mean |amplitude|, peak |amplitude|, and
+    * the fraction of samples at or above `clipThreshold` (near-full-scale
+    * "clipping"). Per-partition batch iteration, map-side only, and the
+    * reduction is streaming (fixed-size accumulators per row, never a
+    * samples array) — the 100 TB shape: a clip reduces to 4 numbers in
+    * one pass, no shuffle, no buffering of decoded PCM. 16-bit signed
+    * PCM in either endianness is decoded; anything else surfaces as
+    * frames -1 rather than dropping the row. This retires the
+    * content-decode stub for audio: [[MediaCodec.decodeStub]] remains
+    * only for formats needing codec libraries this environment lacks. */
+  def audioPcmStats(df: DataFrame, idCol: String, binCol: String,
+                    clipThreshold: Int = 32000): Dataset[AudioPcmStats] = {
+    val src = df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+    src.mapPartitions { rows =>
+      val buf = new Array[Byte](8192) // reused across the partition's rows
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+        decodePcm16Stats(payload, buf, clipThreshold) match {
+          case Some((frames, meanAbs, peak, clip)) =>
+            AudioPcmStats(id, frames, meanAbs, peak, clip)
+          case None => AudioPcmStats(id, -1L, -1.0, -1L, -1.0)
+        }
+      }
+    }(Encoders.product[AudioPcmStats])
+  }
+
+  /** One-pass PCM-16 reduction behind [[audioPcmStats]]: decode via
+    * `AudioSystem.getAudioInputStream`, consume frames through a reused
+    * transfer buffer, accumulate sum/peak/clip counters in Longs. */
+  private def decodePcm16Stats(payload: Array[Byte], buf: Array[Byte],
+                               clipThreshold: Int): Option[(Long, Double, Long, Double)] = {
+    if (payload == null || payload.isEmpty) return None
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = ais.getFormat
+        if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getSampleSizeInBits != 16) return None
+        val big = fmt.isBigEndian
+        var absSum = 0L; var peak = 0L; var clipped = 0L; var nSamples = 0L
+        var carry = -1 // odd trailing byte of the previous read, else -1
+        var n = ais.read(buf)
+        while (n > 0) {
+          var i = 0
+          if (carry >= 0 && n >= 1) {
+            val s = if (big) (carry << 8) | (buf(0) & 0xff)
+                    else (buf(0) << 8) | carry
+            val a = math.abs(s.toShort.toLong)
+            absSum += a; if (a > peak) peak = a
+            if (a >= clipThreshold) clipped += 1
+            nSamples += 1; i = 1; carry = -1
+          }
+          while (i + 1 < n) {
+            val s = if (big) (buf(i) << 8) | (buf(i + 1) & 0xff)
+                    else (buf(i + 1) << 8) | (buf(i) & 0xff)
+            val a = math.abs(s.toShort.toLong)
+            absSum += a; if (a > peak) peak = a
+            if (a >= clipThreshold) clipped += 1
+            nSamples += 1; i += 2
+          }
+          if (i < n) carry = buf(i) & 0xff
+          n = ais.read(buf)
+        }
+        if (nSamples == 0) Some((0L, 0.0, 0L, 0.0))
+        else Some((nSamples / fmt.getChannels, absSum.toDouble / nSamples,
+          peak, clipped.toDouble / nSamples))
+      } finally ais.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+  }
+
   case class VideoMeta(id: Long, brand: String, duration_ms: Long,
                        width: Long, height: Long, byte_len: Long)
 

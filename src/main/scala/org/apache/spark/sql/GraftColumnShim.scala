@@ -23,4 +23,16 @@ object GraftColumnShim {
       (Column(so.child), asc, defaultNulls)
     case _ => (c, true, true)
   }
+
+  /** Release the cached blocks behind a `localCheckpoint()`ed Dataset:
+    * its analyzed plan is a `LogicalRDD` over the checkpointed
+    * (persisted) RDD, so unpersist that RDD directly —
+    * `Dataset.unpersist` only touches `CacheManager` entries and would
+    * leave localCheckpoint blocks orphaned. No-op for other plans;
+    * non-blocking. */
+  def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case _ => ()
+    }
 }

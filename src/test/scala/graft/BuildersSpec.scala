@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.functions.{ByteBuilder, ByteRingBuffer}
+import graft.functions.{ByteBuilder, ByteRingBuffer, CharSeqIO, Encodings}
 
 /** Driver-local Builder/Buffer utilities (charsequence.h:1371-1780,
   * 1782-2520) — the reference's documented edge cases: positional insert
@@ -130,5 +130,50 @@ class BuildersSpec extends AnyFunSuite {
     val survivors = buf.read(100)
     assert(survivors.length == 10)
     assert(survivors.sorted.toSeq == "0123456789".getBytes("UTF-8").toSeq)
+  }
+
+  test("buffer: growth policy clamps with Long math — only required > Int.MaxValue rejects") {
+    // doubling from a capacity past Int.MaxValue/2 must not fail while
+    // the requirement itself fits (the pure policy is tested — allocating
+    // 2 GiB arrays is not the point)
+    val big = Int.MaxValue / 2 + 10
+    assert(ByteRingBuffer.grownCapacity(big, big.toLong + 20) == Int.MaxValue)
+    assert(ByteRingBuffer.grownCapacity(100, 300L) == 300)
+    assert(ByteRingBuffer.grownCapacity(100, 150L) == 200) // doubling wins
+    intercept[IllegalArgumentException] {
+      ByteRingBuffer.grownCapacity(100, Int.MaxValue.toLong + 1)
+    }
+  }
+
+  test("charsequence stream <</>>: writeTo emits storage-encoded bytes, readLine getlines") {
+    // << writes the ENCODED bytes raw (charsequence.h:1337-1343): byte
+    // output equals getBytes() in every reference charset
+    val text = "héllo 世界 😀" // Latin-1, CJK, emoji
+    for (cs <- Seq("ascii", "latin1", "utf8", "utf16le", "utf16be",
+                   "utf32le", "utf32be")) {
+      val bos = new java.io.ByteArrayOutputStream()
+      CharSeqIO.writeTo(bos, text, cs)
+      assert(bos.toByteArray.toSeq == text.getBytes(Encodings(cs)).toSeq,
+        s"charset $cs")
+    }
+    // utf8 write → readLine round-trips text exactly, line by line;
+    // '\r' is kept (getline splits on '\n' alone); empty lines survive;
+    // a final unterminated line is returned; EOF → None
+    val bos = new java.io.ByteArrayOutputStream()
+    CharSeqIO.writeTo(bos, "first\nsecond\r\n\n世界 tail")
+    val in = new java.io.ByteArrayInputStream(bos.toByteArray)
+    assert(CharSeqIO.readLine(in).contains("first"))
+    assert(CharSeqIO.readLine(in).contains("second\r"))
+    assert(CharSeqIO.readLine(in).contains(""))
+    assert(CharSeqIO.readLine(in).contains("世界 tail"))
+    assert(CharSeqIO.readLine(in).isEmpty)
+    // >> decodes as UTF-8 with the U+FFFD policy for invalid sequences
+    val bad = new java.io.ByteArrayInputStream(
+      Array[Byte]('a', 0xff.toByte, 'b', '\n'))
+    assert(CharSeqIO.readLine(bad).contains("a�b"))
+    // drain loop: an empty stream yields no lines, not an empty line
+    assert(CharSeqIO.readLines(new java.io.ByteArrayInputStream(Array.empty)) == Vector())
+    assert(CharSeqIO.readLines(new java.io.ByteArrayInputStream("a\nb".getBytes))
+      == Vector("a", "b"))
   }
 }

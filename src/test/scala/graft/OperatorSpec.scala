@@ -209,6 +209,88 @@ class OperatorSpec extends AnyFunSuite {
     assert(mm(2L).format == "wav" && mm(2L).sample_rate == 8000L && mm(2L).frames == 10L)
   }
 
+  test("pair-spine cache: regenerating the fixture in-session evicts the stale spine") {
+    // q65 rides a per-(session, dir, data-version) cached pair spine;
+    // rewriting documents.parquet under the same dir must change the
+    // answer (footer fingerprint eviction), not serve stale clusters
+    val dir = java.nio.file.Files.createTempDirectory("graft-pairs").toFile
+    try {
+      def writeDocs(texts: Seq[String]): Unit =
+        texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text").coalesce(1)
+          .write.mode("overwrite").parquet(s"${dir.getAbsolutePath}/documents.parquet")
+      val near = "the quick brown fox jumps over the lazy dog again and again"
+      writeDocs(Seq(near, near + " x", "entirely different content here", "unrelated words"))
+      val q65 = QueriesText.all("q65_neardup_clusters")
+      val first = q65(spark, dir.getAbsolutePath).collect()
+      assert(first.exists(r => r.getLong(1) != r.getLong(0))) // a real cluster
+      // second call with UNCHANGED data hits the cache (same result)
+      assert(q65(spark, dir.getAbsolutePath).collect().toSeq == first.toSeq)
+      Thread.sleep(5) // mtime tick — fingerprints must differ
+      writeDocs(Seq("alpha one", "beta two", "gamma three"))
+      // no near-dups in the new corpus → no clustered docs at all; any
+      // surviving row means the stale spine was served
+      val second = q65(spark, dir.getAbsolutePath).collect()
+      assert(second.isEmpty, "stale spine served after fixture regeneration")
+      QueriesText.resetPairsCache()
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
+  test("real audio CONTENT decode: PCM stats match the closed-form waveform") {
+    import graft.operators.Multimodal.MediaCodec
+    // the fixture ramp (data byte i = i % 251) decoded little-endian:
+    // sample k = (2k % 251) + 256·((2k+1) % 251), sign-extended 16-bit.
+    // frames=4 mono → samples 256, 770, 1284, 1798
+    val stats = Multimodal.audioPcmStats(
+      Seq((0L, MediaCodec.encodeWav(8000, 1, 4))).toDF("id", "wav"), "id", "wav")
+      .collect().head
+    assert(stats.frames == 4L)
+    assert(stats.mean_abs == (256 + 770 + 1284 + 1798) / 4.0)
+    assert(stats.peak == 1798L)
+    assert(stats.clip_ratio == 0.0)
+    // big-endian PCM (AIFF) decodes through the same one-pass reducer:
+    // sample k = 256·(2k % 251) + ((2k+1) % 251) → 1, 515
+    locally {
+      import javax.sound.sampled._
+      val af = new AudioFormat(8000f, 16, 1, true, true)
+      val data = Array.tabulate[Byte](4)(i => (i % 251).toByte)
+      val ais = new AudioInputStream(new java.io.ByteArrayInputStream(data), af, 2L)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.AIFF, bos)
+      val s = Multimodal.audioPcmStats(
+        Seq((0L, bos.toByteArray)).toDF("id", "wav"), "id", "wav").collect().head
+      assert(s.frames == 2L && s.mean_abs == 258.0 && s.peak == 515L)
+    }
+    // clipping counter: one full-scale sample out of two → ratio 0.5,
+    // and |-32768| is counted without Int overflow
+    locally {
+      import javax.sound.sampled._
+      val af = new AudioFormat(8000f, 16, 1, true, false)
+      val data = Array[Byte](0xff.toByte, 0x7f, 0x00, 0x80.toByte) // 32767, -32768
+      val ais = new AudioInputStream(new java.io.ByteArrayInputStream(data), af, 2L)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      val s = Multimodal.audioPcmStats(
+        Seq((0L, bos.toByteArray)).toDF("id", "wav"), "id", "wav").collect().head
+      assert(s.peak == 32768L && s.clip_ratio == 1.0)
+      assert(s.mean_abs == (32767 + 32768) / 2.0)
+    }
+    // stereo: frames reported per frame, stats over ALL channel samples
+    val st = Multimodal.audioPcmStats(
+      Seq((1L, MediaCodec.encodeWav(16000, 2, 3))).toDF("id", "wav"), "id", "wav")
+      .collect().head
+    assert(st.frames == 3L) // 6 samples / 2 channels
+    // undecodable bytes surface as a row with -1 sentinels, not a drop
+    val bad = Multimodal.audioPcmStats(
+      Seq((9L, "junk".getBytes)).toDF("id", "wav"), "id", "wav").collect().head
+    assert(bad.frames == -1L && bad.peak == -1L)
+  }
+
   test("real video decode: ISO-BMFF box walk round trip, unknown and truncated bytes") {
     import graft.operators.Multimodal.MediaCodec
     // encode → decode round trip recovers brand/timescale/duration/dims

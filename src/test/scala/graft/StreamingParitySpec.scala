@@ -426,10 +426,10 @@ class StreamingParitySpec extends AnyFunSuite {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val inDir = java.nio.file.Files.createTempDirectory("graft_fsrc_in_").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_fsrc_ckpt_").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_fsrc_out_").toString
     try {
-      val inDir = java.nio.file.Files.createTempDirectory("graft_fsrc_in_").toString
-      val ckpt = java.nio.file.Files.createTempDirectory("graft_fsrc_ckpt_").toString
-      val outDir = java.nio.file.Files.createTempDirectory("graft_fsrc_out_").toString
       // same coarse key as the streamingDedup case: first 4 tokens, 476
       // distinct over 500 docs, so collisions are real
       val keyed = docs.select(col("doc_id"),
@@ -477,9 +477,19 @@ class StreamingParitySpec extends AnyFunSuite {
         .select(col("id"), col("key")).collect()
         .map(r => (r.getLong(0), r.getString(1))).toSet
       assert(got.toSet == batchSurvivors)
-    } finally prev match {
-      case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      // the three temp trees (input, checkpoint, output) would otherwise
+      // leak disk across test runs
+      Seq(inDir, ckpt, outDir).foreach { d =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(d))
+      }
     }
   }
 }

@@ -140,6 +140,47 @@ class StressSpec extends AnyFunSuite {
     }
   }
 
+  test("grouped running total: 90%-hot lang + hot-key ties, exact at 1M rows", SlowStress) {
+    failAfter(Span(180, Seconds)) {
+      // the q66-engine shape at scale: one language owns 90% of the
+      // corpus AND a hot key ties 10% of that language's rows on the
+      // same lead value (equal-width bucketing can't split ties — they
+      // land in ONE window partition, the worst legal case). The grouped
+      // prefix sum must stay exact row-for-row against the naive
+      // Window.partitionBy(lang) replay, and must window on the
+      // sub-bucket column, never on the raw group.
+      import graft.operators.Windows
+      val df = spark.range(1000000).select(
+        col("id"),
+        when(col("id") % 10 < 9, lit("en"))
+          .when(col("id") % 20 === 9, lit("fr"))
+          .otherwise(lit("de")).as("lang"),
+        (col("id") % 7 + 1).as("v"),
+        // hot key: every 10th "en" row shares one lead value
+        when(col("id") % 10 === 0, md5(lit("hot")))
+          .otherwise(md5(col("id").cast("string"))).as("k"))
+        .repartition(32)
+      val out = Windows.groupedRunningTotal(df, col("lang"), col("k"),
+        Seq(col("k"), col("id")), col("v"), "cum")
+      // the running-sum window partitions on the derived sub-bucket —
+      // a raw-group window would collapse 900k rows onto one task
+      val planStr = out.queryExecution.analyzed.toString
+      assert(planStr.contains("windowspecdefinition(__b"),
+        "running-sum window must partition on the sub-bucket column")
+      // exact prefix sums, every row: compare against the naive
+      // single-task-per-group replay (affordable in-test, fatal at scale)
+      val naive = df.withColumn("cum_naive",
+        sum(col("v")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("k"), col("id"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+        .select(col("id").as("nid"), col("cum_naive"))
+      val mismatches = out.join(naive, col("id") === col("nid"))
+        .filter(col("cum") =!= col("cum_naive")).count()
+      assert(mismatches == 0L, s"$mismatches rows diverge from the naive replay")
+    }
+  }
+
   test("salted aggregation: one key owns 50% of 1M rows", SlowStress) {
     failAfter(Span(120, Seconds)) {
       val rows = spark.range(1000000).select(

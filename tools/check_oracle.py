@@ -29,6 +29,11 @@ def _norm_type(t):
         return pa.binary()
     if pa.types.is_large_list(t) or pa.types.is_list(t):
         return pa.list_(_norm_type(t.value_type))
+    if pa.types.is_struct(t):
+        return pa.struct([pa.field(t.field(i).name, _norm_type(t.field(i).type))
+                          for i in range(t.num_fields)])
+    if pa.types.is_map(t):
+        return pa.map_(_norm_type(t.key_type), _norm_type(t.item_type))
     return t
 
 def _dtype_mismatches(qdir, duck_rel):
@@ -36,7 +41,12 @@ def _dtype_mismatches(qdir, duck_rel):
     types per column. Returns list of (col, spark_type, duck_type)."""
     parts = sorted(glob.glob(os.path.join(qdir, "part-*.parquet"))) or \
         sorted(glob.glob(os.path.join(qdir, "*.parquet")))
-    spark_schema = pq.ParquetFile(parts[0]).schema_arrow
+    if not parts:
+        return [("<no parquet parts found>", "-", "-")]
+    schemas = [pq.ParquetFile(p).schema_arrow for p in parts]
+    if any(sch != schemas[0] for sch in schemas[1:]):
+        return [("<part files disagree on schema>", "-", "-")]
+    spark_schema = schemas[0]
     duck_schema = duck_rel.schema
     duck_types = {f.name: f.type for f in duck_schema}
     bad = []
@@ -100,7 +110,10 @@ def main():
             print(f"FAIL {q}: rows {len(s)} != {len(d)}")
             n_fail += 1
             continue
-        # value compare with dtype tolerance (int32 vs int64 etc.)
+        # value compare. Schema-level dtype differences were already
+        # rejected by the strict gate above; the float branch here only
+        # absorbs pandas-coercion artifacts (nullable-int -> float etc.),
+        # not engine type divergence.
         ok = True
         for c in s.columns:
             sv, dv = s[c], d[c]
