@@ -316,6 +316,22 @@ object QueriesText {
           round(col("clip_ratio"), 6).as("clip_ratio"))
         .orderBy(col("id"))),
 
+    // REAL image CONTENT decode: deterministic per-row patterned PNGs
+    // (every pixel a closed form of (doc_id, x, y)), rasterized and
+    // reduced to per-channel mean/max. The oracle replays the pattern
+    // pixel-by-pixel, so a green row proves the decoder consumed the
+    // actual raster (header parsing alone cannot produce these numbers).
+    "q72_image_pixels" -> ((s, dir) =>
+      Multimodal.imagePixelStats(
+        Multimodal.syntheticPatternImages(tbl(s, dir, "documents"), "doc_id"),
+        "id", "img")
+        .toDF().select(col("id"), col("width"), col("height"),
+          round(col("mean_r"), 4).as("mean_r"),
+          round(col("mean_g"), 4).as("mean_g"),
+          round(col("mean_b"), 4).as("mean_b"),
+          col("max_r"), col("max_g"), col("max_b"))
+        .orderBy(col("id"))),
+
     // PII depth: per doc an SSN (closed form of doc_id) and a 16-digit
     // card whose LUHN VALIDITY depends on doc_id parity (check digit
     // computed in-fixture, broken by +1 for odd ids), plus the classic
@@ -745,6 +761,31 @@ object QueriesText {
         |  CAST(1 + doc_id % 2 AS BIGINT) AS channels,
         |  CAST(50 + doc_id % 200 AS BIGINT) AS frames
         |FROM documents ORDER BY id""".stripMargin,
+
+    // the Spark side must recover these statistics by RASTERIZING the
+    // real PNG payload; the oracle replays the fixture's closed-form
+    // pixel pattern (r=(id+3x+5y)%256, g=(2id+7x+y)%256, b=(5id+x+11y)%256)
+    "q72_image_pixels" ->
+      """WITH p AS (
+        |  SELECT doc_id, 1 + doc_id % 16 AS w, 1 + doc_id % 12 AS h
+        |  FROM documents),
+        |xs AS (
+        |  SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM p),
+        |px AS (
+        |  SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+        |c AS (
+        |  SELECT doc_id, w, h,
+        |    (doc_id + 3*x + 5*y) % 256 AS r,
+        |    (2*doc_id + 7*x + y) % 256 AS g,
+        |    (5*doc_id + x + 11*y) % 256 AS b
+        |  FROM px)
+        |SELECT doc_id AS id,
+        |  CAST(max(w) AS BIGINT) AS width, CAST(max(h) AS BIGINT) AS height,
+        |  round(avg(r), 4) AS mean_r, round(avg(g), 4) AS mean_g,
+        |  round(avg(b), 4) AS mean_b,
+        |  CAST(max(r) AS BIGINT) AS max_r, CAST(max(g) AS BIGINT) AS max_g,
+        |  CAST(max(b) AS BIGINT) AS max_b
+        |FROM c GROUP BY doc_id ORDER BY id""".stripMargin,
 
     // the Spark side must recover these statistics by DECODING the real
     // WAV PCM payload; the oracle replays the fixture's deterministic

@@ -323,6 +323,92 @@ object Multimodal {
     }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)).toDF("id", "wav")
   }
 
+  case class ImagePixelStats(id: Long, width: Long, height: Long,
+                             mean_r: Double, mean_g: Double, mean_b: Double,
+                             max_r: Long, max_g: Long, max_b: Long)
+
+  /** REAL image CONTENT decode (pure-JVM `javax.imageio`): rasterizes
+    * each image and reduces the pixels to per-channel statistics — mean
+    * and max of R/G/B — in one pass with fixed-size accumulators (the
+    * 100 TB shape: an image reduces to 8 numbers map-side, no shuffle,
+    * no pixel buffer retained past the row). PNG/GIF/BMP are lossless,
+    * so a deterministic fixture's pixel values survive the round trip
+    * exactly. Undecodable bytes surface as -1 sentinels rather than
+    * dropping rows. Together with [[audioPcmStats]] this retires the
+    * content-decode stub for images; [[MediaCodec.decodeStub]] remains
+    * only for codec-library formats (video frames). */
+  def imagePixelStats(df: DataFrame, idCol: String, binCol: String): Dataset[ImagePixelStats] = {
+    val src = df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+    src.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+        val img =
+          if (payload.isEmpty) null
+          else
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            catch { case _: java.io.IOException => null }
+        if (img == null)
+          ImagePixelStats(id, -1L, -1L, -1.0, -1.0, -1.0, -1L, -1L, -1L)
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var mr = 0L; var mg = 0L; var mb = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val cr = (rgb >> 16) & 0xff; val cg = (rgb >> 8) & 0xff; val cb = rgb & 0xff
+              sr += cr; sg += cg; sb += cb
+              if (cr > mr) mr = cr; if (cg > mg) mg = cg; if (cb > mb) mb = cb
+              x += 1
+            }
+            y += 1
+          }
+          val n = w.toLong * h
+          ImagePixelStats(id, w.toLong, h.toLong,
+            sr.toDouble / n, sg.toDouble / n, sb.toDouble / n, mr, mg, mb)
+        }
+      }
+    }(Encoders.product[ImagePixelStats])
+  }
+
+  /** Deterministic patterned-image fixture over any id column: each row
+    * becomes a REAL encoded PNG of w×h = (1 + id%16)×(1 + id%12) whose
+    * pixel (x,y) is the closed form r=(id+3x+5y)%256, g=(2id+7x+y)%256,
+    * b=(5id+x+11y)%256 — so a SQL oracle can replay every pixel the
+    * real decoder must recover from the bytes. PNG is lossless; the
+    * round trip is exact. Map-side only; the test-harness inverse of
+    * [[imagePixelStats]]. */
+  def syntheticPatternImages(df: DataFrame, idCol: String): DataFrame = {
+    val src = df.select(col(idCol).cast("long").as("id"))
+    src.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val w = 1 + (id % 16).toInt
+        val h = 1 + (id % 12).toInt
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val cr = ((id + 3 * x + 5 * y) % 256).toInt
+            val cg = ((2 * id + 7 * x + y) % 256).toInt
+            val cb = ((5 * id + x + 11 * y) % 256).toInt
+            img.setRGB(x, y, (cr << 16) | (cg << 8) | cb)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "png", bos)
+        (id, bos.toByteArray)
+      }
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)).toDF("id", "img")
+  }
+
   case class AudioPcmStats(id: Long, frames: Long, mean_abs: Double,
                            peak: Long, clip_ratio: Double)
 

@@ -291,6 +291,33 @@ class OperatorSpec extends AnyFunSuite {
     assert(bad.frames == -1L && bad.peak == -1L)
   }
 
+  test("real image CONTENT decode: pixel stats match the closed-form pattern") {
+    // patterned PNG round trip: every pixel of the fixture is a closed
+    // form of (id, x, y); the rasterizing reducer must recover exact
+    // per-channel means and maxima from the encoded bytes
+    val ids = Seq(0L, 5L, 130L)
+    val stats = Multimodal.imagePixelStats(
+      Multimodal.syntheticPatternImages(ids.toDF("doc_id"), "doc_id"),
+      "id", "img").collect().map(s => s.id -> s).toMap
+    for (id <- ids) {
+      val w = 1 + (id % 16).toInt; val h = 1 + (id % 12).toInt
+      val px = for (y <- 0 until h; x <- 0 until w)
+        yield ((id + 3 * x + 5 * y) % 256, (2 * id + 7 * x + y) % 256,
+               (5 * id + x + 11 * y) % 256)
+      val s = stats(id)
+      assert(s.width == w && s.height == h)
+      assert(s.mean_r == px.map(_._1).sum.toDouble / px.size)
+      assert(s.mean_g == px.map(_._2).sum.toDouble / px.size)
+      assert(s.mean_b == px.map(_._3).sum.toDouble / px.size)
+      assert(s.max_r == px.map(_._1).max && s.max_g == px.map(_._2).max &&
+             s.max_b == px.map(_._3).max)
+    }
+    // undecodable bytes surface as a row with -1 sentinels, not a drop
+    val bad = Multimodal.imagePixelStats(
+      Seq((9L, "junk".getBytes)).toDF("id", "img"), "id", "img").collect().head
+    assert(bad.width == -1L && bad.max_r == -1L)
+  }
+
   test("real video decode: ISO-BMFF box walk round trip, unknown and truncated bytes") {
     import graft.operators.Multimodal.MediaCodec
     // encode → decode round trip recovers brand/timescale/duration/dims
