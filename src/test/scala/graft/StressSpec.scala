@@ -90,7 +90,13 @@ class StressSpec extends AnyFunSuite {
   }
 
   test("connected components: 200k-node chain + 20k-star + 100k pairs in log rounds", SlowStress) {
-    failAfter(Span(180, Seconds)) {
+    // 360 s, not 180: the run itself takes ~35 s on a quiet VM, but this
+    // is the longest case in the suite and a contended VM has pushed the
+    // whole tier past 180 (round 7: full-suite run timed out here while
+    // the isolated rerun passed in ~35 s). The bound still catches the
+    // quadratic/single-partition regressions it exists for — those blow
+    // through any constant by orders of magnitude.
+    failAfter(Span(360, Seconds)) {
       // the adversarial shapes for label propagation: a 200k-node CHAIN
       // (diameter 200k — naive hash-min needs 200k rounds; pointer
       // jumping must collapse it in ~log2(200k) ≈ 18), one 20k-spoke
