@@ -316,6 +316,28 @@ object QueriesText {
           round(col("clip_ratio"), 6).as("clip_ratio"))
         .orderBy(col("id"))),
 
+    // Unicode NFC canonicalization before digest-keyed dedup: every doc
+    // gets a combining-mark spelling ("cafe" + U+0301) and an Angstrom
+    // sign (U+212B, which NFC maps to U+00C5) appended — the byte-level
+    // before/after and the post-NFC digest must agree with DuckDB's
+    // nfc_normalize, proving the two engines canonicalize identically
+    "q73_nfc_normalize" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s) // native graft_nfc
+      // DECOMPOSED on purpose, written as escapes so no editor/tool can
+      // silently normalize the source: 'e' + combining acute (U+0301)
+      // composes to U+00E9, and the Angstrom sign (U+212B) maps to
+      // U+00C5 — NFC demonstrably changes bytes in every row
+      val aug = concat(col("text"), lit(" cafe\u0301 \u212B"))
+      val norm = TA.normalizeUnicode(aug, "NFC")
+      tbl(s, dir, "documents").select(
+        col("doc_id"),
+        md5(norm).as("norm_md5"),
+        octet_length(aug).cast("long").as("pre_bytes"),
+        octet_length(norm).cast("long").as("post_bytes"),
+        (aug =!= norm).as("changed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // REAL image CONTENT decode: deterministic per-row patterned PNGs
     // (every pixel a closed form of (doc_id, x, y)), rasterized and
     // reduced to per-channel mean/max. The oracle replays the pattern
@@ -761,6 +783,22 @@ object QueriesText {
         |  CAST(1 + doc_id % 2 AS BIGINT) AS channels,
         |  CAST(50 + doc_id % 200 AS BIGINT) AS frames
         |FROM documents ORDER BY id""".stripMargin,
+
+    // both engines canonicalize the same decomposed input: DuckDB's
+    // nfc_normalize vs the native graft_nfc expression — digests match
+    // only if the normalized BYTES match
+    "q73_nfc_normalize" ->
+      """WITH a AS (
+        |  SELECT doc_id,
+        |    text || ' cafe' || chr(769) || ' ' || chr(8491) AS aug
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id, aug, nfc_normalize(aug) AS norm FROM a)
+        |SELECT doc_id, md5(norm) AS norm_md5,
+        |  CAST(strlen(aug) AS BIGINT) AS pre_bytes,
+        |  CAST(strlen(norm) AS BIGINT) AS post_bytes,
+        |  aug <> norm AS changed
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     // the Spark side must recover these statistics by RASTERIZING the
     // real PNG payload; the oracle replays the fixture's closed-form

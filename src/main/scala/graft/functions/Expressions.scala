@@ -194,11 +194,50 @@ case class Utf32Decode(child: Expression, bigEndian: Boolean)
     copy(child = newChild)
 }
 
+/** Unicode normalization (NFC/NFD/NFKC/NFKD) as a native codegen'd
+  * expression — the canonicalization step a dedup pipeline needs before
+  * hashing text (visually identical strings with different code-point
+  * sequences — combining marks vs precomposed, compatibility forms —
+  * must digest identically or exact dedup silently under-merges). Spark
+  * has no built-in for this; a Scala UDF would run interpreted with
+  * per-row boxing. `java.text.Normalizer` is pure-JVM ICU-equivalent
+  * for the four standard forms. */
+case class UnicodeNormalize(child: Expression, form: java.text.Normalizer.Form)
+  extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = s"graft_${form.name().toLowerCase}"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(java.text.Normalizer.normalize(
+      input.asInstanceOf[UTF8String].toString, form))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"""${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+         |  java.text.Normalizer.normalize($c.toString(),
+         |    java.text.Normalizer.Form.${form.name()}));""".stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): UnicodeNormalize =
+    copy(child = newChild)
+}
+
 /** Session registration for the native expressions, so they are usable
   * from SQL and via `call_function`. */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    java.text.Normalizer.Form.values().foreach { form =>
+      reg.createOrReplaceTempFunction(s"graft_${form.name().toLowerCase}",
+        exprs => UnicodeNormalize(exprs.head, form), "built-in")
+    }
     reg.createOrReplaceTempFunction("graft_code_points",
       exprs => CodePointsExpr(exprs.head), "built-in")
     reg.createOrReplaceTempFunction("graft_dot",

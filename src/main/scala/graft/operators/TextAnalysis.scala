@@ -18,6 +18,18 @@ object TextAnalysis {
   def asciiUpper(c: Column): Column = translate(c, lower, upper)
   def asciiLower(c: Column): Column = translate(c, upper, lower)
 
+  /** Unicode normalization (NFC/NFD/NFKC/NFKD) via the native codegen'd
+    * [[graft.functions.UnicodeNormalize]] expression — the text
+    * canonicalization step before digest-keyed dedup (combining-mark vs
+    * precomposed spellings of the same text must hash identically or
+    * exact dedup under-merges). Requires `GraftFunctions.register` (or
+    * the GraftExtensions SQL extension) on the session. */
+  def normalizeUnicode(c: Column, form: String = "NFC"): Column = {
+    require(Set("NFC", "NFD", "NFKC", "NFKD")(form.toUpperCase),
+      s"unknown normalization form: $form")
+    call_function(s"graft_${form.toLowerCase}", c)
+  }
+
   /** Non-overlapping occurrence count (charsequence.h:1078-1103). */
   def countOccurrences(c: Column, target: String): Column =
     ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(target), "")))

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CodePointsExpr, DotProductExpr, Utf32Decode, Utf32Encode}
+import graft.functions.{CodePointsExpr, DotProductExpr, UnicodeNormalize, Utf32Decode, Utf32Encode}
 
 /** Session extensions: registers the native graft expressions at session
   * build time, so a cluster deployment enables them with
@@ -26,6 +26,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "4.0.0", "", "scala_udf")
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    java.text.Normalizer.Form.values().foreach { form =>
+      val name = s"graft_${form.name().toLowerCase}"
+      e.injectFunction((FunctionIdentifier(name),
+        info(name, s"string -> ${form.name()}-normalized string"),
+        (exprs: Seq[Expression]) => UnicodeNormalize(exprs.head, form)))
+    }
     e.injectFunction((FunctionIdentifier("graft_code_points"),
       info("graft_code_points", "string -> array<int> of Unicode code points"),
       (exprs: Seq[Expression]) => CodePointsExpr(exprs.head)))

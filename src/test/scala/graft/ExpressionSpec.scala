@@ -184,4 +184,44 @@ class ExpressionSpec extends AnyFunSuite {
     assert(out(1) == "�")
     assert(out(2) == "A�")
   }
+
+  test("graft_nfc/nfd/nfkc/nfkd: composition, compatibility, dedup canonicalization") {
+    GraftFunctions.register(spark)
+    import graft.operators.TextAnalysis
+    val decomposed = "cafe\u0301 \u212B" // e + combining acute, Angstrom sign
+    val composed = "caf\u00E9 \u00C5"     // precomposed \u00E9, \u00C5
+    val compat = "\uFB01ne \u2460"        // fi ligature, circled one
+    val df = Seq(decomposed, composed, compat).toDF("s")
+    // NFC composes the combining mark and maps U+212B -> U+00C5: both
+    // spellings of the same text become bit-identical (the dedup
+    // canonicalization property) while compatibility chars are KEPT
+    val nfc = df.select(TextAnalysis.normalizeUnicode(col("s"), "NFC").as("n"))
+      .collect().map(_.getString(0))
+    assert(nfc(0) == composed && nfc(1) == composed)
+    assert(nfc(2) == compat)
+    // after NFC the two spellings digest identically; before, they do not
+    val digests = df.select(md5(col("s")).as("raw"),
+      md5(TextAnalysis.normalizeUnicode(col("s"), "NFC")).as("norm")).collect()
+    assert(digests(0).getString(0) != digests(1).getString(0))
+    assert(digests(0).getString(1) == digests(1).getString(1))
+    // NFKC additionally folds compatibility forms
+    val nfkc = df.select(TextAnalysis.normalizeUnicode(col("s"), "NFKC").as("n"))
+      .collect().map(_.getString(0))
+    assert(nfkc(2) == "fine 1")
+    // NFD decomposes the precomposed spelling back out; NFKD also folds
+    val nfd = df.select(TextAnalysis.normalizeUnicode(col("s"), "NFD").as("n"))
+      .collect().map(_.getString(0))
+    assert(nfd(1) == "cafe\u0301 A\u030A") // A + combining ring
+    val nfkd = df.select(TextAnalysis.normalizeUnicode(col("s"), "NFKD").as("n"))
+      .collect().map(_.getString(0))
+    assert(nfkd(2) == "fine 1")
+    // null and empty pass through
+    val ne = Seq[Option[String]](None, Some("")).toDF("s")
+      .select(TextAnalysis.normalizeUnicode(col("s")).as("n")).collect()
+    assert(ne(0).isNullAt(0) && ne(1).getString(0) == "")
+    // unknown form rejected at column-build time
+    intercept[IllegalArgumentException] {
+      TextAnalysis.normalizeUnicode(col("s"), "NFX")
+    }
+  }
 }
