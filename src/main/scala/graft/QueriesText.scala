@@ -316,6 +316,18 @@ object QueriesText {
           round(col("clip_ratio"), 6).as("clip_ratio"))
         .orderBy(col("id"))),
 
+    // per-group top-k WITHOUT a window: top-3 docs by quality per
+    // language via the bounded TopKByScore aggregate — map-side partial
+    // top-ks, O(k) rows per (group × task) across the exchange. The
+    // oracle is the classic row_number window — proving the window-free
+    // plan is bit-identical to the form it replaces at scale.
+    "q74_topk_per_group" -> ((s, dir) => {
+      val scored = tbl(s, dir, "documents").select(col("lang"), col("doc_id"),
+        TA.qualityScore(col("text")).as("quality"))
+      graft.operators.Similarity.topKPerGroup(scored, "lang", "quality", "doc_id", 3)
+        .orderBy(col("lang"), col("rank"))
+    }),
+
     // Unicode NFC canonicalization before digest-keyed dedup: every doc
     // gets a combining-mark spelling ("cafe" + U+0301) and an Angstrom
     // sign (U+212B, which NFC maps to U+00C5) appended — the byte-level
@@ -783,6 +795,31 @@ object QueriesText {
         |  CAST(1 + doc_id % 2 AS BIGINT) AS channels,
         |  CAST(50 + doc_id % 200 AS BIGINT) AS frames
         |FROM documents ORDER BY id""".stripMargin,
+
+    // the oracle replays the quality formula and takes the classic
+    // row_number window — the Spark side must reproduce it exactly with
+    // its window-free bounded aggregate
+    "q74_topk_per_group" -> {
+      val stopHits = Seq("the", "a", "and", "of", "to", "in", "is")
+        .map(m => occ("' ' || text || ' '", s" $m ")).mkString(" + ")
+      val nTokens = nTokensSql("text")
+      s"""WITH scored AS (
+         |  SELECT doc_id, lang,
+         |    round((CASE WHEN length(text) BETWEEN 200 AND 5000 THEN 1.0
+         |        WHEN length(text) >= 50 THEN 0.5 ELSE 0.0 END
+         |      + CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)
+         |        / greatest(length(text), 1)
+         |      + least((($stopHits) * 1.0 / greatest($nTokens, 1)) * 5.0, 1.0))
+         |      / 3.0 + 1e-9, 4) AS quality
+         |  FROM documents),
+         |r AS (
+         |  SELECT lang, doc_id, quality,
+         |    row_number() OVER (PARTITION BY lang
+         |      ORDER BY quality DESC, doc_id) AS rank
+         |  FROM scored)
+         |SELECT lang, CAST(rank AS BIGINT) AS rank, doc_id, quality
+         |FROM r WHERE rank <= 3 ORDER BY lang, rank""".stripMargin
+    },
 
     // both engines canonicalize the same decomposed input: DuckDB's
     // nfc_normalize vs the native graft_nfc expression — digests match

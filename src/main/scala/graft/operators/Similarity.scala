@@ -90,14 +90,29 @@ object Similarity {
     * with partitioning and the (rounded score desc, id asc) order is
     * total. */
   private def topKByQuery(scored: DataFrame, k: Int, scoreCol: String,
-                          outScore: String): DataFrame = {
+                          outScore: String): DataFrame =
+    topKPerGroup(scored.select(col("qid"), col(scoreCol).as(outScore), col("nid")),
+      "qid", outScore, "nid", k)
+
+  /** Per-GROUP bounded top-k over ANY scored frame — the public generic
+    * form of the per-query ranking above (same aggregate, caller's
+    * column names): top-k docs by quality per language, top-k products
+    * by revenue per brand, etc. Emits (group, rank, id, score) with
+    * rank 1..k following (score desc, id asc). `idCol` must be a long
+    * id (the deterministic tiebreak); ties on score are resolved by it,
+    * so results are total-ordered and engine-reproducible. No window
+    * anywhere in the plan — the classic `Window.partitionBy(group)` +
+    * `row_number <= k` holds every row of a group in one task, this
+    * shape never does. */
+  def topKPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
+                   idCol: String, k: Int): DataFrame = {
     val tk = udaf(new TopKByScore(k))
-    scored.select(col("qid"), col(scoreCol), col("nid"))
-      .groupBy(col("qid"))
-      .agg(tk(col(scoreCol), col("nid")).as("tk"))
-      .select(col("qid"), posexplode(col("tk.items")).as(Seq("r", "item")))
-      .select(col("qid"), (col("r") + 1).cast("long").as("rank"),
-        col("item.id").as("nid"), col("item.score").as(outScore))
+    df.select(col(groupCol), col(scoreCol), col(idCol))
+      .groupBy(col(groupCol))
+      .agg(tk(col(scoreCol), col(idCol)).as("__tk"))
+      .select(col(groupCol), posexplode(col("__tk.items")).as(Seq("__r", "__item")))
+      .select(col(groupCol), (col("__r") + 1).cast("long").as("rank"),
+        col("__item.id").as(idCol), col("__item.score").as(scoreCol))
   }
 
   /** Int8 scalar quantization of an embedding column — the standard ANN

@@ -291,6 +291,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(bad.frames == -1L && bad.peak == -1L)
   }
 
+  test("topKPerGroup: window-free plan, bit-identical to the row_number window") {
+    // mixed group sizes, score ties resolved by id, k larger than one group
+    val rows = Seq(
+      ("a", 1L, 0.9), ("a", 2L, 0.9), ("a", 3L, 0.5), ("a", 4L, 0.95),
+      ("b", 5L, 0.1), ("b", 6L, 0.2),
+      ("c", 7L, 0.7))
+    val df = rows.toDF("g", "id", "score").repartition(8)
+    val got = Similarity.topKPerGroup(df, "g", "score", "id", 3)
+    // no window anywhere — the single-task-per-group shape is the point
+    assert(!got.queryExecution.executedPlan.toString.contains("Window"),
+      "topKPerGroup must not plan a window")
+    val naive = df.withColumn("rank",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("g")).orderBy(col("score").desc, col("id"))))
+      .filter(col("rank") <= 3).select(col("g"), col("rank").cast("long"),
+        col("id"), col("score"))
+    assert(got.collect().toSet == naive.collect().toSet)
+    // k exceeding a group's size returns the whole group, ranked
+    assert(got.filter(col("g") === "c").count() == 1L)
+  }
+
   test("real image CONTENT decode: pixel stats match the closed-form pattern") {
     // patterned PNG round trip: every pixel of the fixture is a closed
     // form of (id, x, y); the rasterizing reducer must recover exact
