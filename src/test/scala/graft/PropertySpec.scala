@@ -65,4 +65,31 @@ class PropertySpec extends AnyFunSuite {
     assert(Moments.of(Seq(1.0, 2.0, 3.0)).kurtosis == 0.0)  // n<4 → 0
     assert(Moments.of(Seq(5.0, 5.0, 5.0, 5.0)).skewness == 0.0) // σ=0 → 0
   }
+
+  test("TopKByScore partition invariance: any chunking + merge order == global sort-take") {
+    // the law that makes the distributed form correct: top-k selection
+    // commutes with partitioning, so fold-chunks-then-merge must equal
+    // the single-pass sort-take whatever the split and merge order
+    import graft.functions.{ScoredId, TopKByScore}
+    val entries: Gen[List[ScoredId]] = for {
+      n <- Gen.choose(0, 120)
+      scores <- Gen.listOfN(n, Gen.oneOf(
+        Gen.choose(-1e6, 1e6), Gen.oneOf(0.0, -0.0, 1.5, -1.5)))
+    } yield scores.zipWithIndex.map { case (s, i) => ScoredId(s, i.toLong) }
+    check("topk-partition", Prop.forAll(entries, Gen.choose(1, 12),
+      Gen.choose(1, 7), Gen.long) { (xs, k, chunks, seed) =>
+      val agg = new TopKByScore(k)
+      val rnd = new scala.util.Random(seed)
+      val parts = rnd.shuffle(xs).grouped(math.max(1, xs.length / chunks + 1)).toList
+      val bufs = parts.map(p => p.foldLeft(agg.zero)(agg.reduce))
+      val merged = rnd.shuffle(bufs).foldLeft(agg.zero)(agg.merge)
+      val got = agg.finish(merged).items
+      def key(s: ScoredId) = (if (s.score == 0.0) 0.0 else s.score, s.id)
+      val want = xs.sortWith { (a, b) =>
+        val c = java.lang.Double.compare(key(b)._1, key(a)._1)
+        if (c != 0) c < 0 else a.id < b.id
+      }.take(k)
+      got.map(s => (key(s), s.id)) == want.map(s => (key(s), s.id))
+    })
+  }
 }
