@@ -316,6 +316,16 @@ object QueriesText {
           round(col("clip_ratio"), 6).as("clip_ratio"))
         .orderBy(col("id"))),
 
+    // per-group CAP without a window: at most 5 docs per source, chosen
+    // uniformly by seeded md5 order — the "cap every domain at N"
+    // curation step, via the same bounded aggregate as q74. Oracle =
+    // row_number over the hex order (identical to the 52-bit double
+    // order by construction).
+    "q75_cap_per_group" -> ((s, dir) =>
+      graft.operators.Sampling.capPerGroup(
+        tbl(s, dir, "documents"), "source", "doc_id", n = 5, seed = 7L)
+        .orderBy(col("source"), col("pick"))),
+
     // per-group top-k WITHOUT a window: top-3 docs by quality per
     // language via the bounded TopKByScore aggregate — map-side partial
     // top-ks, O(k) rows per (group × task) across the exchange. The
@@ -795,6 +805,22 @@ object QueriesText {
         |  CAST(1 + doc_id % 2 AS BIGINT) AS channels,
         |  CAST(50 + doc_id % 200 AS BIGINT) AS frames
         |FROM documents ORDER BY id""".stripMargin,
+
+    // the hex-string order of the 13-char digest prefix IS the operator's
+    // 52-bit double order (fixed-length lowercase hex), so the window
+    // replay is exact
+    "q75_cap_per_group" ->
+      """WITH h AS (
+        |  SELECT source, doc_id,
+        |    substr(md5('7#' || CAST(doc_id AS VARCHAR)), 1, 13) AS hx
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY hx, doc_id)
+        |      AS pick
+        |  FROM h)
+        |SELECT source, CAST(pick AS BIGINT) AS pick, doc_id
+        |FROM r WHERE pick <= 5 ORDER BY source, pick""".stripMargin,
 
     // the oracle replays the quality formula and takes the classic
     // row_number window — the Spark side must reproduce it exactly with

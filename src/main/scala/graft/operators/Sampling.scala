@@ -66,6 +66,31 @@ object Sampling {
     clashes.foldLeft(ranked)((d, c) => d.withColumnRenamed(s"__user_$c", c))
   }
 
+  /** Deterministic per-group CAP: keep at most `n` rows per group,
+    * chosen uniformly by md5 order (seed-keyed, reproducible, engine-
+    * portable) — the "cap every domain at N documents" step of corpus
+    * curation, where a handful of mega-domains would otherwise dominate
+    * the training mix. Selection = [[Similarity.topKPerGroup]] on a
+    * NEGATED digest prefix (top-k of -hash ≡ bottom-k of hash ≡ a
+    * uniform n-subset), so the plan is the bounded aggregate — map-side
+    * partial top-ks, O(n) rows per (group × task), no window, and the
+    * hot mega-domain never sits in one task. The prefix is 13 hex chars
+    * = 52 bits, EXACT in the aggregate's double score — a longer prefix
+    * would round in the 53-bit mantissa and could swap ranks against an
+    * exact-arithmetic oracle; at 52 bits the double order equals the
+    * fixed-length lowercase-hex string order an engine compares.
+    * Returns (group, id) plus `pick` (1..n in hash order — a stable
+    * epoch-independent sub-order). */
+  def capPerGroup(df: DataFrame, groupCol: String, idCol: String,
+                  n: Int, seed: Long): DataFrame = {
+    val lead = conv(substring(md5(concat(lit(s"$seed#"),
+      col(idCol).cast("string"))), 1, 13), 16, 10).cast("double")
+    val scored = df.select(col(groupCol), col(idCol),
+      negate(lead).as("__neg"))
+    graft.operators.Similarity.topKPerGroup(scored, groupCol, "__neg", idCol, n)
+      .select(col(groupCol), col("rank").as("pick"), col(idCol))
+  }
+
   /** Stratified sample: per-stratum fractions (the training-mix
     * reweighting step — e.g. upweight low-resource languages). The
     * stratum→threshold table rides a map literal (`element_at`, pure

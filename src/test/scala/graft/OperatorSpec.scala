@@ -291,6 +291,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(bad.frames == -1L && bad.peak == -1L)
   }
 
+  test("capPerGroup: deterministic n-subset per group, window-free, seed-independent groups") {
+    import graft.operators.Sampling
+    // one mega-group (the domain-cap motivation) + small groups under n
+    val df = spark.range(1000).select(
+      when(col("id") < 900, lit("mega")).otherwise(concat(lit("s"), col("id") % 20))
+        .as("src"), col("id"))
+    val capped = Sampling.capPerGroup(df, "src", "id", n = 5, seed = 42L)
+    assert(!capped.queryExecution.executedPlan.toString.contains("Window"))
+    val rows = capped.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val byGroup = rows.groupBy(_._1)
+    assert(byGroup("mega").length == 5) // capped
+    assert(byGroup.forall(_._2.length <= 5))
+    assert(byGroup("mega").map(_._2).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    // deterministic: same seed → same picks; different seed → (almost
+    // surely) different mega-group subset
+    val again = Sampling.capPerGroup(df, "src", "id", 5, 42L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.sortBy(r => (r._1, r._2)).toSeq == again.sortBy(r => (r._1, r._2)).toSeq)
+    val other = Sampling.capPerGroup(df, "src", "id", 5, 43L).collect()
+      .filter(_.getString(0) == "mega").map(_.getLong(2)).toSet
+    assert(other != byGroup("mega").map(_._3).toSet)
+  }
+
   test("topKPerGroup: window-free plan, bit-identical to the row_number window") {
     // mixed group sizes, score ties resolved by id, k larger than one group
     val rows = Seq(
