@@ -198,6 +198,55 @@ object StreamOps {
     }
   }
 
+  case class TopKEntry(group: String, rank: Long, id: Long, score: Double)
+
+  /** Streaming per-group bounded top-k on `transformWithState` — the
+    * unbounded twin of [[graft.operators.Similarity.topKPerGroup]].
+    * State per group is the SAME compacted ≤k-entry buffer the batch
+    * aggregate carries (its partition-invariance law — any chunking and
+    * merge order equals the global sort-take, property-tested in
+    * PropertySpec — is exactly what makes incremental arrival
+    * equivalent to the batch run), so state is O(k) per group no matter
+    * how many rows stream through. Each trigger emits a group's
+    * refreshed top-k snapshot (Update semantics downstream: the latest
+    * snapshot per group is the answer). */
+  class TopKProcessor(k: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, (String, Long, Double), TopKEntry] {
+    import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var state: ValueState[graft.functions.TopKBuf] = _
+    @transient private lazy val agg = new graft.functions.TopKByScore(k)
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[graft.functions.TopKBuf]("topk",
+        Encoders.product[graft.functions.TopKBuf], TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[(String, Long, Double)],
+                                 timerValues: TimerValues): Iterator[TopKEntry] = {
+      var buf = Option(state.get()).getOrElse(agg.zero)
+      rows.foreach { case (_, id, score) =>
+        buf = agg.reduce(buf, graft.functions.ScoredId(score, id))
+      }
+      val fin = agg.finish(buf)
+      state.update(fin) // compacted: ≤ k entries persist, never the stream
+      fin.items.iterator.zipWithIndex.map { case (s, i) =>
+        TopKEntry(key, i + 1L, s.id, s.score)
+      }
+    }
+  }
+
+  /** [[TopKProcessor]] wired over (group, id, score) rows. */
+  def streamingTopKPerGroup(rows: Dataset[(String, Long, Double)],
+                            k: Int): Dataset[TopKEntry] = {
+    import rows.sparkSession.implicits._
+    rows.groupByKey(_._1)
+      .transformWithState(new TopKProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update)
+  }
+
   /** [[FirstSeenDedupProcessor]] wired over (id, key) rows. */
   def firstSeenDedupTws(docs: Dataset[(Long, String)]): Dataset[(Long, String)] = {
     import docs.sparkSession.implicits._

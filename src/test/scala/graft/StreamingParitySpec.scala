@@ -492,4 +492,63 @@ class StreamingParitySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("parity across checkpoint restart: streamingTopKPerGroup ≡ batch topKPerGroup (RocksDB)") {
+    implicit val sq = spark.sqlContext
+    // the streaming twin of q74: docs' quality scores stream in per
+    // lang, state is the compacted ≤k top-k buffer, the query is killed
+    // mid-stream and resumed from the checkpoint — the final snapshot
+    // per group must equal the oracle-gated batch operator on the same
+    // rows, bit for bit (rank, id AND score).
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_topk_ckpt_").toString
+    try {
+      val scored = docs.select(col("lang"), col("doc_id"),
+        graft.operators.TextAnalysis.qualityScore(col("text")).as("q"))
+      val rows = scored.orderBy(col("doc_id")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      val mem = MemoryStream[(String, Long, Double)]
+      val out = StreamOps.streamingTopKPerGroup(mem.toDS(), k = 3)
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, StreamOps.TopKEntry)]()
+      val seq = new java.util.concurrent.atomic.AtomicLong()
+      def start() = out.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamOps.TopKEntry], _: Long) =>
+          val stamp = seq.incrementAndGet()
+          df.collect().foreach(e => buf.add((stamp, e)))
+        }.start()
+
+      val q1 = start()
+      replay(mem, rows.take(250), chunk = 100, q1)
+      q1.stop()
+      val q2 = start() // state resumes from RocksDB checkpoint
+      replay(mem, rows.drop(250), chunk = 100, q2)
+      q2.stop()
+
+      // latest snapshot per group = rows from the highest stamp that
+      // touched the group
+      val latest = buf.toArray(Array.empty[(Long, StreamOps.TopKEntry)])
+        .groupBy(_._2.group)
+        .flatMap { case (_, es) =>
+          val top = es.map(_._1).max
+          es.filter(_._1 == top).map(_._2).toSeq
+        }
+        .map(e => (e.group, e.rank, e.id, e.score)).toSet
+      val batch = graft.operators.Similarity.topKPerGroup(
+        scored, "lang", "q", "doc_id", 3).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(latest == batch)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(ckpt))
+    }
+  }
 }
