@@ -33,6 +33,36 @@ object Readers {
   def lines(spark: SparkSession, path: String): SemanticStream[String] =
     SemanticStream.fromTextFile(spark, path)
 
+  /** Corrupt-tolerant JSON-lines ingestion — the shape real crawl/export
+    * feeds need: PERMISSIVE mode routes unparseable lines into a
+    * `_corrupt_record` column instead of failing the job (FAILFAST) or
+    * silently dropping them (DROPMALFORMED), so an audit can account for
+    * every input line. Returns (good rows WITHOUT the corrupt column,
+    * corrupt raw lines) from ONE read; at 100 TB both sides prune to the
+    * columns they touch. The corrupt column must be part of the pinned
+    * schema per Spark's contract — callers pass only the DATA schema and
+    * the column is added here. */
+  def jsonLinesAudited(spark: SparkSession, path: String, schemaDdl: String,
+                       corruptCol: String = "_corrupt_record"): (DataFrame, DataFrame) = {
+    // text scan + from_json, NOT spark.read.json with a corrupt column:
+    // Spark refuses file-source queries whose required schema is ONLY
+    // the corrupt column (the bad-side projection here would be exactly
+    // that), and the documented cache() workaround is a non-starter at
+    // corpus scale. JsonToStructs has no such restriction, captures the
+    // raw line into the schema-embedded corrupt column, and stays a
+    // codegen'd map-side projection over the text scan either way
+    // (the JSON reader has no field pushdown to lose).
+    val schema = org.apache.spark.sql.types.StructType
+      .fromDDL(schemaDdl).add(corruptCol, "string")
+    val parsed = spark.read.text(path)
+      .select(from_json(col("value"), schema,
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> corruptCol)).as("j"))
+      .select(col("j.*"))
+    (parsed.filter(col(corruptCol).isNull).drop(corruptCol),
+      parsed.filter(col(corruptCol).isNotNull).select(col(corruptCol).as("raw")))
+  }
+
   /** Bridge: any DataFrame → SemanticStream over one value column, indexed
     * by the given total order (distributed rank, no global window). */
   def indexed[E](df: DataFrame, valueCol: Column, order: Seq[Column])

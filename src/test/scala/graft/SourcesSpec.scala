@@ -132,6 +132,38 @@ class SourcesSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Double]("value")).toSeq == Seq(0.0, 2.0, 4.0))
   }
 
+  test("jsonLinesAudited: corrupt lines are accounted for, never dropped or fatal") {
+    import graft.sources.Readers
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_").toFile
+    try {
+      val f = new java.io.File(dir, "data.jsonl")
+      java.nio.file.Files.writeString(f.toPath,
+        """{"id": 1, "text": "good one"}
+          |{"id": 2, "text": "also good"}
+          |{"id": 3, "text": "truncated
+          |not json at all
+          |{"id": 4, "text": "recovers after corruption"}
+          |""".stripMargin)
+      val (good, bad) = Readers.jsonLinesAudited(
+        spark, f.getAbsolutePath, "id BIGINT, text STRING")
+      val g = good.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+      assert(g.toSeq == Seq((1L, "good one"), (2L, "also good"),
+        (4L, "recovers after corruption")))
+      // both corrupt lines surface with their raw bytes — the audit can
+      // count and sample them; good + bad == input lines
+      val b = bad.collect().map(_.getString(0))
+      assert(b.length == 2)
+      assert(b.exists(_.contains("truncated")) && b.contains("not json at all"))
+      // the good side does not expose the corrupt column
+      assert(!good.columns.contains("_corrupt_record"))
+    } finally {
+      def rm(x: java.io.File): Unit = {
+        Option(x.listFiles()).foreach(_.foreach(rm)); x.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
   test("driver contract: every oracle key has a query; queries are well-formed at smoke tier") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracles without queries: $missing")
