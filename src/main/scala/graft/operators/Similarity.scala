@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TopKByScore
 
@@ -361,10 +360,10 @@ object Similarity {
       .select(col("qid"), col("nid"),
         round(dot(col("qvec"), col("nvec")) / (col("qnorm") * col("nnorm")), 4)
           .as("cosine"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cosine"))
+    // bounded aggregate, not Window.partitionBy(qid): a hot IVF cell puts a
+    // query's whole candidate list in one bucket, and a window would pin it
+    // to one task — the aggregate's map-side partial top-ks never do
+    topKByQuery(scored, k, "cosine", "cosine")
   }
 
   /** Multi-table LSH ANN top-k: `tables` independent hyperplane tables
@@ -397,10 +396,9 @@ object Similarity {
       .select(col("qid"), col("nid"),
         round(dot(col("qvec"), col("nvec")) / (col("qnorm") * col("nnorm")), 4)
           .as("cosine"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cosine"))
+    // same bounded-aggregate ranking as ivfTopK — multi-table candidates
+    // compound across tables, making hot queries even likelier
+    topKByQuery(scored, k, "cosine", "cosine")
   }
 
   /** LSH-bucketed ANN top-k: exact cosine, but only within the query's
@@ -420,9 +418,9 @@ object Similarity {
       .select(col("qid"), col("nid"),
         round(dot(col("qvec"), col("nvec")) / (col("qnorm") * col("nnorm")), 4)
           .as("cosine"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("nid").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("rank").cast("long").as("rank"), col("nid"), col("cosine"))
+    // a skewed hyperplane bucket (embedding clusters make them common)
+    // would pin a query's candidates to one window task — rank with the
+    // bounded aggregate instead
+    topKByQuery(scored, k, "cosine", "cosine")
   }
 }

@@ -779,8 +779,12 @@ class OperatorSpec extends AnyFunSuite {
     assert(cells.size == 60)
     assert(cells.values.forall(c => c >= 0 && c < 4))
     assert(cells.values.toSet.size > 1) // corpus actually spreads over cells
-    val topk = Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") < 3),
-      "vec_id", "embedding", k = 3, nlist = 4).collect()
+    val topkDf = Similarity.ivfTopK(vecs, vecs.filter(col("vec_id") < 3),
+      "vec_id", "embedding", k = 3, nlist = 4)
+    // a hot IVF cell must never pin a query's candidates to one window task
+    assert(!topkDf.queryExecution.executedPlan.toString.contains("Window"),
+      "ivfTopK must not plan a window")
+    val topk = topkDf.collect()
     assert(topk.nonEmpty)
     topk.foreach { r =>
       assert(cells(r.getAs[Long]("qid")) == cells(r.getAs[Long]("nid")))
@@ -954,8 +958,12 @@ class OperatorSpec extends AnyFunSuite {
       (i.toLong, Array.tabulate(8)(j => math.sin(i * 0.7 + j).toFloat))
     }.toDF("vec_id", "embedding")
     val queries = vecs.filter(col("vec_id") < 3)
-    val ann = Similarity.annTopKBucketed(vecs, queries, "vec_id", "embedding",
-      k = 3, planes = 2).collect()
+    val annDf = Similarity.annTopKBucketed(vecs, queries, "vec_id", "embedding",
+      k = 3, planes = 2)
+    // a skewed hyperplane bucket must never pin a query to one window task
+    assert(!annDf.queryExecution.executedPlan.toString.contains("Window"),
+      "annTopKBucketed must not plan a window")
+    val ann = annDf.collect()
     assert(ann.nonEmpty)
     val buckets = Similarity.hyperplaneBuckets(vecs, "vec_id", "embedding", 2)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -990,8 +998,11 @@ class OperatorSpec extends AnyFunSuite {
       "embedding", k = 10, planes = 4).collect())
     val ivf = recallOf(Similarity.ivfTopK(emb, queries, "vec_id",
       "embedding", k = 10, nlist = 8).collect())
-    val multi = recallOf(Similarity.annTopKMultiTable(emb, queries, "vec_id",
-      "embedding", k = 10, planes = 4, tables = 8).collect())
+    val multiDf = Similarity.annTopKMultiTable(emb, queries, "vec_id",
+      "embedding", k = 10, planes = 4, tables = 8)
+    assert(!multiDf.queryExecution.executedPlan.toString.contains("Window"),
+      "annTopKMultiTable must not plan a window")
+    val multi = recallOf(multiDf.collect())
     info(f"recall@10: lsh(planes=4)=$lsh%.3f ivf(nlist=8)=$ivf%.3f " +
       f"multi(4×8)=$multi%.3f")
     // single-table paths: modest but well above the ~2% random baseline
