@@ -17,6 +17,24 @@ object Queries {
   private[graft] def tbl(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** events with `ts` normalized to epoch NANOSECONDS (long), whichever
+    * physical type the generator wrote: TIMESTAMP(NANOS) arrives as long
+    * under `nanosAsLong` (pass-through); TIMESTAMP_MICROS arrives as a
+    * timestamp — isAdjustedToUTC=false infers TIMESTAMP_NTZ, which under
+    * the UTC session timezone every entrypoint pins reinterprets exactly
+    * to the oracle's naive epoch_ns(). Scaled ×1000 (exact integer, no
+    * precision to lose, no overflow until 2262) so downstream gap/as-of/
+    * range arithmetic stays exact-integer either way. */
+  private[graft] def eventsTsNanos(spark: SparkSession, dir: String): DataFrame = {
+    val ev = tbl(spark, dir, "events")
+    ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.TimestampType | org.apache.spark.sql.types.TimestampNTZType =>
+        ev.withColumn("ts",
+          unix_micros(col("ts").cast(org.apache.spark.sql.types.TimestampType)) * 1000L)
+      case _ => ev
+    }
+  }
+
   /** TPC-H Q1-shaped pricing summary: groupBy + sums/avgs over lineitem —
     * the reference's group/summate/average collectors (collector.h:488-544,
     * 1065-1130) as one partial-aggregated Spark plan. */

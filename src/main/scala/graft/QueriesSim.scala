@@ -141,14 +141,14 @@ object QueriesSim {
     // AS-OF join: latest order at or before each event's timestamp for the
     // event's implied customer — union + running-last, one shuffle
     "q43_asof_join" -> ((s, dir) => {
-      val ev = tbl(s, dir, "events")
+      val ev = Queries.eventsTsNanos(s, dir)
         .select(col("event_id"), col("user_id"), col("ts"))
       val ord = tbl(s, dir, "orders")
         .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("o_totalprice"))
       graft.operators.Joins.asof(
         left = ev, right = ord,
         leftKey = col("user_id") + 1, rightKey = col("o_custkey"),
-        leftTime = col("ts"), // long nanos (nanosAsLong)
+        leftTime = col("ts"), // long nanos (eventsTsNanos)
         rightTime = unix_micros(col("o_orderdate").cast("timestamp")) * 1000L,
         rightPayload = Seq("o_orderkey", "o_totalprice"),
         rightTieBreak = col("o_orderkey"))
@@ -161,10 +161,10 @@ object QueriesSim {
     // trigger event — binned interval join (equi-join on (key, bin) +
     // residual filter), never a theta join
     "q51_range_join" -> ((s, dir) => {
-      // MICRO granularity on both engines: ts is long nanos here, but
-      // DuckDB reads TIMESTAMP(NANOS) at micro precision — truncate to
-      // micros (integer div, exact) so window membership and gaps agree
-      val ev = tbl(s, dir, "events")
+      // MICRO granularity on both engines: ts is long nanos here, and
+      // DuckDB's epoch_us() is micro precision — truncate to micros
+      // (integer div, exact) so window membership and gaps agree
+      val ev = Queries.eventsTsNanos(s, dir)
         .select(col("event_id"), col("user_id"),
           expr("ts div 1000L").as("ts_us"))
       val win = 600L * 1000000L // 10 min in micros
@@ -186,10 +186,10 @@ object QueriesSim {
     // streaming session_window
     "q38_sessions" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      // ts arrives as long nanos (nanosAsLong); the 30-min gap test is an
+      // ts arrives as long nanos (eventsTsNanos); the 30-min gap test is an
       // exact integer compare — no FP, so it can never disagree with the
       // oracle's epoch_ns() arithmetic
-      tbl(s, dir, "events")
+      Queries.eventsTsNanos(s, dir)
         .withColumn("gap", col("ts") - lag(col("ts"), 1).over(w))
         .withColumn("new_session",
           when(col("gap").isNull || col("gap") > 1800L * 1000000000L, 1L).otherwise(0L))

@@ -21,16 +21,19 @@ object QueriesText {
     * re-deriving the spine per consumer. The cache holds the
     * materialized (tiny) pair frame, never the corpus.
     *
-    * Keying: the session is held WEAKLY (a stopped, collected session
-    * drops its entries instead of aliasing a later session through a
-    * recycled identityHashCode), and the data version is a footer-level
-    * fingerprint of the documents parquet (file names, lengths, mtimes) —
-    * regenerating the table in-session changes the fingerprint, which
-    * evicts AND unpersists the stale spine rather than silently serving
-    * it. [[resetPairsCache]] force-drops everything (test/ops hook). */
+    * Keying: entry lifecycle is EXPLICIT — a [[org.apache.spark.scheduler.SparkListener]]
+    * registered at a session's first insert drops that session's entries
+    * when its application ends (a WeakHashMap could never collect them:
+    * the cached DataFrame strongly references its SparkSession through
+    * its query plan, which would pin the weak key forever). The data
+    * version is a footer-level fingerprint of the documents parquet
+    * (file names, lengths, mtimes) — regenerating the table in-session
+    * changes the fingerprint, which evicts AND unpersists the stale
+    * spine rather than silently serving it. [[resetPairsCache]]
+    * force-drops everything (test/ops hook). */
   private case class PairsEntry(fingerprint: String, pairs: DataFrame)
   private val pairsCache =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, PairsEntry]]()
+    new java.util.HashMap[SparkSession, scala.collection.mutable.Map[String, PairsEntry]]()
 
   private def docsFingerprint(s: SparkSession, dir: String): String = {
     val path = new org.apache.hadoop.fs.Path(s"$dir/documents.parquet")
@@ -50,29 +53,56 @@ object QueriesText {
     pairsCache.clear()
   }
 
-  private def verifiedPairs(s: SparkSession, dir: String): DataFrame =
+  /** Per-session sub-map, created on first touch; creation also registers
+    * the cleanup listener that removes this session's entries at
+    * application end (the checkpoint blocks die with the executors, so no
+    * unpersist is needed — or possible — at that point). */
+  private def perSessionMap(
+      s: SparkSession): scala.collection.mutable.Map[String, PairsEntry] =
     pairsCache.synchronized {
-      val perSession = {
-        val existing = pairsCache.get(s)
-        if (existing != null) existing
-        else {
-          val fresh = scala.collection.mutable.Map.empty[String, PairsEntry]
-          pairsCache.put(s, fresh); fresh
-        }
-      }
-      val fp = docsFingerprint(s, dir)
-      perSession.get(dir) match {
-        case Some(e) if e.fingerprint == fp => e.pairs
-        case stale =>
-          stale.foreach(e =>
-            org.apache.spark.sql.GraftColumnShim.unpersistCheckpoint(e.pairs))
-          val pairs = Dedup.minhashNearDups(tbl(s, dir, "documents"), "doc_id", "text",
-            shingleWidth = 3, numHashes = 12, bands = 4, threshold = 0.2,
-            maxBucketSize = Some(64), materialize = true)
-          perSession(dir) = PairsEntry(fp, pairs)
-          pairs
+      val existing = pairsCache.get(s)
+      if (existing != null) existing
+      else {
+        val fresh = scala.collection.mutable.Map.empty[String, PairsEntry]
+        pairsCache.put(s, fresh)
+        s.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+            pairsCache.synchronized { pairsCache.remove(s) }
+        })
+        fresh
       }
     }
+
+  private def verifiedPairs(s: SparkSession, dir: String): DataFrame = {
+    val perSession = perSessionMap(s)
+    val fp = docsFingerprint(s, dir) // FS metadata only — cheap, lock-free
+    val hit = pairsCache.synchronized {
+      perSession.get(dir).collect { case e if e.fingerprint == fp => e.pairs }
+    }
+    hit.getOrElse {
+      // Compute the spine OUTSIDE the lock: it is a multi-stage Spark job,
+      // and holding the global lock through it would serialize unrelated
+      // sessions/directories behind one miss. The double-checked insert
+      // below accepts a rare duplicate computation instead.
+      val pairs = Dedup.minhashNearDups(tbl(s, dir, "documents"), "doc_id", "text",
+        shingleWidth = 3, numHashes = 12, bands = 4, threshold = 0.2,
+        maxBucketSize = Some(64), materialize = true)
+      pairsCache.synchronized {
+        perSession.get(dir) match {
+          case Some(e) if e.fingerprint == fp =>
+            // Lost the race: drop our copy's blocks, serve the winner's.
+            org.apache.spark.sql.GraftColumnShim.unpersistCheckpoint(pairs)
+            e.pairs
+          case stale =>
+            stale.foreach(e =>
+              org.apache.spark.sql.GraftColumnShim.unpersistCheckpoint(e.pairs))
+            perSession(dir) = PairsEntry(fp, pairs)
+            pairs
+        }
+      }
+    }
+  }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // charsequence scalar surface: ASCII-only case map, occurrence count,

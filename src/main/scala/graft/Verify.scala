@@ -13,8 +13,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet carries TIMESTAMP(NANOS) which Spark's vectorized
-      // reader rejects; read as long nanos (queries handle the unit)
+      // older testdata generations wrote events.ts as TIMESTAMP(NANOS),
+      // which Spark's vectorized reader rejects — read those as long
+      // nanos; current generations write TIMESTAMP_MICROS, unaffected by
+      // this flag (Queries.eventsTsNanos normalizes either to long nanos)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.legacy.codingErrorAction", "true")
       .config("spark.ui.enabled", "false")

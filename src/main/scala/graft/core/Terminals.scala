@@ -367,19 +367,22 @@ final class Statistics(val df: DataFrame) extends Serializable {
     * (value, pos_score, cnt_score) — distributed; distinct-value
     * cardinality sized. */
   def distribution: DataFrame = {
-    // localCheckpoint: perValue feeds FOUR consumers (two mode branches,
-    // the deviation aggregate, the final projection) — un-materialized,
-    // each branch would re-run the full upstream (rank + data shuffle)
-    // past whatever exchange reuse salvages. The frame is distinct-value
-    // sized, so materializing it is as cheap as the mode scalars it
-    // feeds; measured ~2× on q41 at sf0.1 — same-VM interleaved medians
-    // 3.0 → 1.6 s (BENCH_NOTES.md Round 7). The checkpointed blocks are
-    // distinct-value sized and live until session cleanup — the same
-    // lifetime any terminal materialization has, not a corpus-sized leak.
+    // localCheckpoint(eager = false): perValue feeds FOUR consumers (two
+    // mode branches, the deviation aggregate, the final projection) —
+    // un-materialized, each branch would re-run the full upstream (rank +
+    // data shuffle) past whatever exchange reuse salvages. The frame is
+    // distinct-value sized, so materializing it is as cheap as the mode
+    // scalars it feeds; measured ~2× on q41 at sf0.1 — same-VM
+    // interleaved medians 3.0 → 1.6 s (BENCH_NOTES.md Round 7). Lazy, so
+    // no Spark job runs unless the result is actually consumed. The
+    // blocks are distinct-value sized and live until the caller drops
+    // them (GraftColumnShim.unpersistCheckpoint) or session cleanup —
+    // repeated calls in a long-lived session should unpersist consumed
+    // frames.
     val perValue = df.groupBy(v.as("val"))
       .agg(sum(col("idx")).cast("double").as("pos_sum"),
         count(lit(1)).cast("double").as("cnt"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     def modeOf(c: String): DataFrame =
       perValue.groupBy(col(c).as("x")).agg(count(lit(1)).as("f"))
         .orderBy(col("f").desc, col("x").asc).limit(1)

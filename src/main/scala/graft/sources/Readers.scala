@@ -52,15 +52,24 @@ object Readers {
     // raw line into the schema-embedded corrupt column, and stays a
     // codegen'd map-side projection over the text scan either way
     // (the JSON reader has no field pushdown to lose).
+    // Blank / whitespace-only lines parse to a NULL struct (not a corrupt
+    // record): `j.*` on those would yield an all-null row with a null
+    // corrupt column — misclassified as a good row of nulls, breaking
+    // good + bad == input lines. Classify `j IS NULL` as bad alongside
+    // corrupt records; this catches every empty-input shape Jackson
+    // treats as "no content" without second-guessing its whitespace
+    // definition.
     val schema = org.apache.spark.sql.types.StructType
       .fromDDL(schemaDdl).add(corruptCol, "string")
     val parsed = spark.read.text(path)
-      .select(from_json(col("value"), schema,
-        Map("mode" -> "PERMISSIVE",
-          "columnNameOfCorruptRecord" -> corruptCol)).as("j"))
-      .select(col("j.*"))
-    (parsed.filter(col(corruptCol).isNull).drop(corruptCol),
-      parsed.filter(col(corruptCol).isNotNull).select(col(corruptCol).as("raw")))
+      .select(col("value"),
+        from_json(col("value"), schema,
+          Map("mode" -> "PERMISSIVE",
+            "columnNameOfCorruptRecord" -> corruptCol)).as("j"))
+    (parsed.filter(col("j").isNotNull && col(s"j.$corruptCol").isNull)
+      .select(col("j.*")).drop(corruptCol),
+      parsed.filter(col("j").isNull || col(s"j.$corruptCol").isNotNull)
+        .select(col("value").as("raw")))
   }
 
   /** Bridge: any DataFrame → SemanticStream over one value column, indexed

@@ -137,23 +137,29 @@ class SourcesSpec extends AnyFunSuite {
     val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_").toFile
     try {
       val f = new java.io.File(dir, "data.jsonl")
-      java.nio.file.Files.writeString(f.toPath,
-        """{"id": 1, "text": "good one"}
-          |{"id": 2, "text": "also good"}
-          |{"id": 3, "text": "truncated
-          |not json at all
-          |{"id": 4, "text": "recovers after corruption"}
-          |""".stripMargin)
+      java.nio.file.Files.writeString(f.toPath, Seq(
+        """{"id": 1, "text": "good one"}""",
+        """{"id": 2, "text": "also good"}""",
+        """{"id": 3, "text": "truncated""",
+        "",
+        "not json at all",
+        " \t ", // whitespace-only — must land on the bad side, not as nulls
+        """{"id": 4, "text": "recovers after corruption"}""").mkString("", "\n", "\n"))
       val (good, bad) = Readers.jsonLinesAudited(
         spark, f.getAbsolutePath, "id BIGINT, text STRING")
       val g = good.collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
       assert(g.toSeq == Seq((1L, "good one"), (2L, "also good"),
         (4L, "recovers after corruption")))
-      // both corrupt lines surface with their raw bytes — the audit can
-      // count and sample them; good + bad == input lines
+      // corrupt AND blank lines surface on the bad side — from_json
+      // returns a NULL struct (not a corrupt record) for empty input, so
+      // blanks must not leak into good as all-null rows; good + bad ==
+      // input lines holds exactly
       val b = bad.collect().map(_.getString(0))
-      assert(b.length == 2)
+      assert(b.length == 4, b.toSeq)
       assert(b.exists(_.contains("truncated")) && b.contains("not json at all"))
+      assert(b.count(_.trim.isEmpty) == 2)
+      val totalLines = spark.read.text(f.getAbsolutePath).count()
+      assert(good.count() + b.length == totalLines)
       // the good side does not expose the corrupt column
       assert(!good.columns.contains("_corrupt_record"))
     } finally {

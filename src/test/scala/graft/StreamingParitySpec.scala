@@ -19,7 +19,8 @@ class StreamingParitySpec extends AnyFunSuite {
 
   private val sfDir = "/root/testdata/sf0.001"
   private def docs: DataFrame = spark.read.parquet(s"$sfDir/documents.parquet")
-  private def events: DataFrame = spark.read.parquet(s"$sfDir/events.parquet")
+  // ts normalized to long nanos regardless of the generator's physical type
+  private def events: DataFrame = Queries.eventsTsNanos(spark, sfDir)
 
   /** Feed rows through a MemoryStream in ordered chunks, one micro-batch
     * per chunk, fully processed before the next is added. */
