@@ -221,7 +221,18 @@ object Dedup {
     * re-planned by AQE on the REAL propagated sizes. Only nodes that
     * appear in some edge are returned. */
   def connectedComponents(edges: DataFrame, aCol: String = "a",
-                          bCol: String = "b", maxRounds: Int = 25): DataFrame = {
+                          bCol: String = "b", maxRounds: Int = 25): DataFrame =
+    connectedComponentsWithStats(edges, aCol, bCol, maxRounds)._1
+
+  /** [[connectedComponents]] plus its convergence record: (labels, rounds
+    * actually run, converged). The round count is the load-independent
+    * scale invariant: pointer jumping collapses any component in
+    * O(log diameter) rounds, so a regression to plain hash-min surfaces
+    * as maxRounds-without-convergence — a structural signal no
+    * wall-clock bound can give on a contended host. */
+  def connectedComponentsWithStats(edges: DataFrame, aCol: String = "a",
+                                   bCol: String = "b",
+                                   maxRounds: Int = 25): (DataFrame, Int, Boolean) = {
     // materialize the symmetrized edge list ONCE: it re-enters every
     // round's join, and without the checkpoint each round would re-run
     // the whole upstream pipeline that produced the pairs (measured 3×
@@ -256,7 +267,7 @@ object Dedup {
       labels = next.select(col("id"), col("label"))
       round += 1
     }
-    labels
+    (labels, round, converged)
   }
 
   /** Benchmark-contamination check: for each EVAL document, the fraction

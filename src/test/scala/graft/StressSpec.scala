@@ -17,18 +17,38 @@ object SlowStress extends Tag("graft.SlowStress")
   * finishes inside a wall-clock bound that a quadratic (or
   * single-partition) plan would blow through by orders of magnitude.
   *
-  * The failAfter bounds are REGRESSION catches, not performance targets:
-  * the honest plans run in seconds-to-a-minute on a quiet VM, while the
-  * plans they guard against overshoot by orders of magnitude (the
-  * 200k-diameter chain under naive hash-min needs 200k rounds — hours).
-  * They are sized at a uniform 900 s — ~15-25× the quiet-VM cost of
-  * each case — because this box's effective speed varies >10× within a
-  * session (BENCH_NOTES.md Round 7 saw the 35 s connected-components
-  * case take ~8 minutes under host contention with unchanged code) and
-  * a capacity timeout must not masquerade as a plan regression. */
+  * The PRIMARY regression catches are STRUCTURAL, load-independent
+  * invariants — convergence round counts (pointer jumping ⇒ O(log
+  * diameter); plain hash-min ⇒ O(diameter)), max window-partition
+  * sizes, capped-banding pair budgets — because this box's effective
+  * speed varies >10× within a session (BENCH_NOTES.md Round 7 saw the
+  * 35 s connected-components case take ~8 minutes under host contention
+  * with unchanged code), so no wall-clock bound can both pass reliably
+  * under load and catch a 10× plan regression on a quiet VM. The
+  * uniform failAfter(900 s) stays as a generous OUTER guard only: a
+  * backstop against hangs, not the detection mechanism. */
 class StressSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
+
+  /** Max rows in any window partition the grouped-prefix machinery would
+    * create for (group, lead) — the structural twin of the wall-clock
+    * bound: a plan that windows on the raw group shows up as one bucket
+    * holding an entire group, load or no load. Replays the operator's
+    * own bucketization (same gid join, same numericLeadOf projection). */
+  private def maxBucketRows(df: org.apache.spark.sql.DataFrame,
+                            group: org.apache.spark.sql.Column,
+                            lead: org.apache.spark.sql.Column): Long = {
+    val leadDt = df.select(lead).schema.head.dataType
+    val numLead = graft.core.SemanticStream.numericLeadOf(leadDt, lead).get
+    val gids = df.select(group.as("__gv")).distinct()
+      .withColumn("__gid", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("__gv"))).cast("long"))
+    val withG = df.join(broadcast(gids), group <=> col("__gv"))
+    graft.core.IndexOps.bucketizeByGroupedLead(withG, col("__gid"), numLead)
+      .groupBy(col("__b")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).collect()(0).getLong(0)
+  }
 
   test("exact dedup: one text duplicated 10k× among 100k docs", SlowStress) {
     failAfter(Span(900, Seconds)) {
@@ -118,8 +138,18 @@ class StressSpec extends AnyFunSuite {
         .select(lit(1000000L).as("a"), (col("id") + 1000000L).as("b"))
       val pairs = spark2.range(0, 100000)
         .select((col("id") * 2 + 2000000L).as("a"), (col("id") * 2 + 2000001L).as("b"))
-      val labels = Dedup.connectedComponents(
+      val (labels, rounds, converged) = Dedup.connectedComponentsWithStats(
         chain.union(star).union(pairs).repartition(32), "a", "b")
+      // the STRUCTURAL regression catch, load-independent where the
+      // wall-clock bound is not: pointer jumping must CONVERGE within
+      // 2·⌈log₂(diameter)⌉ + 2 rounds (here ⌈log₂(200k)⌉ = 18 → 38;
+      // maxRounds = 25 is already inside that). Plain hash-min needs
+      // O(diameter) = 200k rounds on the chain — it exits unconverged
+      // and fails HERE, immediately, not after hours of wall-clock.
+      val diameter = 200000.0
+      val roundBound = 2 * math.ceil(math.log(diameter) / math.log(2)).toInt + 2
+      assert(converged, s"did not converge in $rounds rounds — O(diameter) regression")
+      assert(rounds <= roundBound, s"$rounds rounds > structural bound $roundBound")
       val byCluster = labels.groupBy(col("label")).agg(count(lit(1)).as("n"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       assert(byCluster(0L) == 200000L)          // whole chain → min id 0
@@ -142,14 +172,33 @@ class StressSpec extends AnyFunSuite {
         concat(lit("g"), col("id") % 3).as("grp"),
         (col("id") % 11 + 1).as("v"),
         md5(col("id").cast("string")).as("k")).repartition(32)
-      val out = Windows.groupedRunningTotal(df, col("grp"), col("k"),
-        Seq(col("k"), col("id")), col("v"), "cum")
-      assert(out.count() == 1000000L)
-      val got = out.groupBy(col("grp"))
-        .agg(max(col("cum")).as("mx"), sum(col("v")).as("s"))
-        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-      assert(got.length == 3)
-      got.foreach { case (g, mx, s) => assert(mx == s, s"group $g: $mx != $s") }
+      // 32 shuffle partitions (the production sizing, not the unit-test
+      // default of 4): the sub-bucket count tracks numShufflePartitions,
+      // and the structural bound below needs production granularity
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      try {
+        val out = Windows.groupedRunningTotal(df, col("grp"), col("k"),
+          Seq(col("k"), col("id")), col("v"), "cum")
+        // structural: md5-hex leads are uniform per SYMBOL but fractal in
+        // byte space (each byte re-concentrates on 0x30-0x39/0x61-0x66),
+        // so an equal-width bucket of width w symbol-units holds at most
+        // (⌊w⌋+2)/16 of a group — full units plus two boundary fragments
+        // that can each capture a unit's whole populated sub-span. At 32
+        // buckets over the 54/16-unit-per-bucket span that is ≈ 6.5× the
+        // uniform share — and 10× below the raw-group collapse (333k).
+        val parts = spark.sessionState.conf.numShufflePartitions
+        val w = 54.0 / parts
+        val bucketBound = ((w.floor + 2) / 16.0 * (1000000.0 / 3)).toLong + 1
+        val mx = maxBucketRows(df, col("grp"), col("k"))
+        assert(mx <= bucketBound, s"max window partition $mx > $bucketBound")
+        assert(out.count() == 1000000L)
+        val got = out.groupBy(col("grp"))
+          .agg(max(col("cum")).as("mx"), sum(col("v")).as("s"))
+          .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        assert(got.length == 3)
+        got.foreach { case (g, mx, s) => assert(mx == s, s"group $g: $mx != $s") }
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
   }
 
@@ -173,24 +222,38 @@ class StressSpec extends AnyFunSuite {
         when(col("id") % 10 === 0, md5(lit("hot")))
           .otherwise(md5(col("id").cast("string"))).as("k"))
         .repartition(32)
-      val out = Windows.groupedRunningTotal(df, col("lang"), col("k"),
-        Seq(col("k"), col("id")), col("v"), "cum")
-      // the running-sum window partitions on the derived sub-bucket —
-      // a raw-group window would collapse 900k rows onto one task
-      val planStr = out.queryExecution.analyzed.toString
-      assert(planStr.contains("windowspecdefinition(__b"),
-        "running-sum window must partition on the sub-bucket column")
-      // exact prefix sums, every row: compare against the naive
-      // single-task-per-group replay (affordable in-test, fatal at scale)
-      val naive = df.withColumn("cum_naive",
-        sum(col("v")).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("lang")).orderBy(col("k"), col("id"))
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-            org.apache.spark.sql.expressions.Window.currentRow)))
-        .select(col("id").as("nid"), col("cum_naive"))
-      val mismatches = out.join(naive, col("id") === col("nid"))
-        .filter(col("cum") =!= col("cum_naive")).count()
-      assert(mismatches == 0L, s"$mismatches rows diverge from the naive replay")
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "32") // production sizing
+      try {
+        val out = Windows.groupedRunningTotal(df, col("lang"), col("k"),
+          Seq(col("k"), col("id")), col("v"), "cum")
+        // the running-sum window partitions on the derived sub-bucket —
+        // a raw-group window would collapse 900k rows onto one task
+        val planStr = out.queryExecution.analyzed.toString
+        assert(planStr.contains("windowspecdefinition(__b"),
+          "running-sum window must partition on the sub-bucket column")
+        // structural: worst legal partition = the hot-key tie mass (100k
+        // rows share one lead value — unsplittable by equal-width
+        // buckets) plus the organic share of the hot group under the
+        // hex-fractal density bound ((⌊w⌋+2)/16 of the group; see the
+        // 3-group case). ≈250k — a raw-group collapse shows as 900k.
+        val parts = spark.sessionState.conf.numShufflePartitions
+        val w = 54.0 / parts
+        val mxBound = 100000L + ((w.floor + 2) / 16.0 * 800000.0).toLong + 1
+        val mx = maxBucketRows(df, col("lang"), col("k"))
+        assert(mx <= mxBound, s"max window partition $mx > $mxBound")
+        // exact prefix sums, every row: compare against the naive
+        // single-task-per-group replay (affordable in-test, fatal at scale)
+        val naive = df.withColumn("cum_naive",
+          sum(col("v")).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("lang")).orderBy(col("k"), col("id"))
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.currentRow)))
+          .select(col("id").as("nid"), col("cum_naive"))
+        val mismatches = out.join(naive, col("id") === col("nid"))
+          .filter(col("cum") =!= col("cum_naive")).count()
+        assert(mismatches == 0L, s"$mismatches rows diverge from the naive replay")
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
   }
 
