@@ -406,6 +406,23 @@ object QueriesText {
           col("max_r"), col("max_g"), col("max_b"))
         .orderBy(col("id"))),
 
+    // REAL video FRAME content decode: deterministic MPNG-in-AVI
+    // containers (1 + id%3 PNG frames, every pixel a closed form of
+    // (4·id + frame, x, y)), RIFF-walked to the movi chunks and each
+    // frame rasterized and reduced per channel. The oracle replays the
+    // per-frame pattern, so a green row proves the engine walked the
+    // real container AND decoded the real frame bytes.
+    "q76_video_frames" -> ((s, dir) =>
+      Multimodal.videoFrameStats(
+        Multimodal.syntheticPatternAvis(tbl(s, dir, "documents"), "doc_id"),
+        "id", "avi")
+        .toDF().select(col("id"), col("frame"), col("width"), col("height"),
+          round(col("mean_r"), 4).as("mean_r"),
+          round(col("mean_g"), 4).as("mean_g"),
+          round(col("mean_b"), 4).as("mean_b"),
+          col("max_r"), col("max_g"), col("max_b"))
+        .orderBy(col("id"), col("frame"))),
+
     // PII depth: per doc an SSN (closed form of doc_id) and a 16-digit
     // card whose LUHN VALIDITY depends on doc_id parity (check digit
     // computed in-fixture, broken by +1 for odd ids), plus the classic
@@ -917,6 +934,36 @@ object QueriesText {
         |  CAST(max(r) AS BIGINT) AS max_r, CAST(max(g) AS BIGINT) AS max_g,
         |  CAST(max(b) AS BIGINT) AS max_b
         |FROM c GROUP BY doc_id ORDER BY id""".stripMargin,
+
+    // the Spark side must recover these statistics by WALKING a real
+    // RIFF/AVI container and RASTERIZING each PNG frame payload; the
+    // oracle replays the fixture's per-frame closed-form pattern
+    // (pid = 4·doc_id + frame; same pixel forms as q72)
+    "q76_video_frames" ->
+      """WITH fr AS (
+        |  SELECT doc_id, unnest(range(0, 1 + doc_id % 3)) AS f
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, f, 4*doc_id + f AS pid,
+        |    1 + (4*doc_id + f) % 16 AS w, 1 + (4*doc_id + f) % 12 AS h
+        |  FROM fr),
+        |xs AS (
+        |  SELECT doc_id, f, pid, w, h, unnest(range(0, w)) AS x FROM p),
+        |px AS (
+        |  SELECT doc_id, f, pid, w, h, x, unnest(range(0, h)) AS y FROM xs),
+        |c AS (
+        |  SELECT doc_id, f, w, h,
+        |    (pid + 3*x + 5*y) % 256 AS r,
+        |    (2*pid + 7*x + y) % 256 AS g,
+        |    (5*pid + x + 11*y) % 256 AS b
+        |  FROM px)
+        |SELECT doc_id AS id, CAST(f AS BIGINT) AS frame,
+        |  CAST(max(w) AS BIGINT) AS width, CAST(max(h) AS BIGINT) AS height,
+        |  round(avg(r), 4) AS mean_r, round(avg(g), 4) AS mean_g,
+        |  round(avg(b), 4) AS mean_b,
+        |  CAST(max(r) AS BIGINT) AS max_r, CAST(max(g) AS BIGINT) AS max_g,
+        |  CAST(max(b) AS BIGINT) AS max_b
+        |FROM c GROUP BY doc_id, f ORDER BY id, frame""".stripMargin,
 
     // the Spark side must recover these statistics by DECODING the real
     // WAV PCM payload; the oracle replays the fixture's deterministic

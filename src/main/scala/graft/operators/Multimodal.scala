@@ -6,26 +6,34 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing: image/audio/video travel as opaque `binary`
   * columns with typed metadata alongside. The Spark-side machinery —
   * schema, partition-friendly batch iteration, deterministic output shape —
-  * is real and tested, and so is every HEADER decode: images via
-  * `javax.imageio`, audio via `javax.sound.sampled`, video via a
-  * hand-rolled ISO-BMFF box parser — all pure-JVM, all header-only
-  * (metadata without materializing pixels/PCM/frames). What this
-  * environment genuinely lacks is media CONTENT decode (rasterization,
-  * frame extraction), represented by [[MediaCodec.decodeStub]] — a
-  * deterministic fake kept for the q34 plumbing demo; swap it for a real
-  * codec (JavaCPP/FFmpeg etc.) without touching the pipeline shape.
+  * is real and tested, and so are the decodes: HEADERS for images
+  * (`javax.imageio`), audio (`javax.sound.sampled`) and video (a
+  * hand-rolled ISO-BMFF box parser), plus CONTENT for image rasters
+  * ([[Multimodal.imagePixelStats]]), audio PCM
+  * ([[Multimodal.audioPcmStats]]) and MJPEG-class AVI video frames
+  * ([[Multimodal.videoFrameStats]] via a RIFF walker + per-frame
+  * ImageIO) — all pure-JVM. What this environment genuinely lacks is a
+  * compressed-video codec (H.264/VP9/AV1 frame decode), represented by
+  * [[MediaCodec.decodeStub]] — a deterministic fake kept for the q34
+  * plumbing demo; swap it for a real codec (JavaCPP/FFmpeg etc.)
+  * without touching the pipeline shape.
   */
 object Multimodal {
 
   case class MediaMeta(id: Long, byte_len: Long, kind: String, width: Long, height: Long)
 
   object MediaCodec {
-    /** STUB standing in for media CONTENT decode (rasterization / frame
-      * extraction — no codec libraries in this environment). Deterministic
-      * fake: dimensions derived from payload length, kind from a length
-      * mod — keeps tests and oracles reproducible. HEADER decodes are all
-      * real — see [[decodeImageHeader]], [[decodeAudioHeader]],
-      * [[decodeVideoHeader]]. */
+    /** STUB standing in for codec-library media decode — by round 8 its
+      * scope is ONLY video frames in compressed-codec formats (H.264/
+      * VP9/AV1 etc.), which genuinely need a codec library this
+      * environment lacks. Deterministic fake: dimensions derived from
+      * payload length, kind from a length mod — keeps tests and oracles
+      * reproducible. Everything else is decoded for REAL: image headers
+      * ([[decodeImageHeader]]) and rasters ([[Multimodal.imagePixelStats]]),
+      * audio headers ([[decodeAudioHeader]]) and PCM
+      * ([[Multimodal.audioPcmStats]]), video headers
+      * ([[decodeVideoHeader]]) and MJPEG-class AVI frames
+      * ([[Multimodal.videoFrameStats]]). */
     def decodeStub(payload: Array[Byte]): (String, Long, Long) = {
       val len = payload.length.toLong
       val kind = (len % 3) match {
@@ -239,6 +247,114 @@ object Multimodal {
       val bos = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, format, bos)
       bos.toByteArray
+    }
+
+    // ---- RIFF/AVI (MJPEG-class video): pure-JVM container codec ----
+
+    private def le32(v: Long): Array[Byte] =
+      Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    private def le32At(b: Array[Byte], o: Int): Long =
+      (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+        ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+
+    /** Minimal MJPEG-class AVI writer (RIFF per the VfW layout):
+      * RIFF('AVI '){ LIST hdrl { avih, LIST strl { strh('vids'), strf } },
+      * LIST movi { '00dc' frame ... } }. `codec` is the fourcc recorded
+      * in strh/strf — 'MJPG' (JPEG frames) and 'MPNG' (PNG frames) are
+      * both real VfW registrations; the frame payloads are whatever the
+      * caller encoded. Chunks pad to even length per RIFF. */
+    def encodeAvi(codec: String, w: Int, h: Int, fps: Int,
+                  frames: Seq[Array[Byte]]): Array[Byte] = {
+      val ISO = java.nio.charset.StandardCharsets.ISO_8859_1
+      def fcc(s: String): Array[Byte] = s.getBytes(ISO)
+      def le16(v: Int): Array[Byte] = Array[Byte](v.toByte, (v >> 8).toByte)
+      def chunk(tpe: String, body: Array[Byte]): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream()
+        bos.write(fcc(tpe)); bos.write(le32(body.length.toLong))
+        bos.write(body); if ((body.length & 1) == 1) bos.write(0)
+        bos.toByteArray
+      }
+      def list(tpe: String, bodies: Array[Byte]*): Array[Byte] = {
+        val inner = new java.io.ByteArrayOutputStream()
+        inner.write(fcc(tpe)); bodies.foreach(inner.write)
+        chunk("LIST", inner.toByteArray)
+      }
+      val maxFrame = if (frames.isEmpty) 0 else frames.map(_.length).max
+      val avih = {
+        val b = new java.io.ByteArrayOutputStream()
+        b.write(le32(1000000L / math.max(1, fps))) // dwMicroSecPerFrame
+        b.write(le32(0)); b.write(le32(0)); b.write(le32(0)) // bps/pad/flags
+        b.write(le32(frames.size.toLong)) // dwTotalFrames
+        b.write(le32(0)); b.write(le32(1)) // initial frames, streams
+        b.write(le32(maxFrame.toLong)) // suggested buffer
+        b.write(le32(w.toLong)); b.write(le32(h.toLong))
+        b.write(new Array[Byte](16)) // dwReserved[4]
+        b.toByteArray
+      }
+      val strh = {
+        val b = new java.io.ByteArrayOutputStream()
+        b.write(fcc("vids")); b.write(fcc(codec))
+        b.write(le32(0)); b.write(le16(0)); b.write(le16(0)) // flags, prio, lang
+        b.write(le32(0)) // initial frames
+        b.write(le32(1)); b.write(le32(fps.toLong)) // scale, rate
+        b.write(le32(0)); b.write(le32(frames.size.toLong)) // start, length
+        b.write(le32(maxFrame.toLong)); b.write(le32(0xffffffffL)) // sugbuf, quality
+        b.write(le32(0)) // sample size
+        b.write(le16(0)); b.write(le16(0)); b.write(le16(w)); b.write(le16(h)) // rcFrame
+        b.toByteArray
+      }
+      val strf = {
+        val b = new java.io.ByteArrayOutputStream()
+        b.write(le32(40)); b.write(le32(w.toLong)); b.write(le32(h.toLong))
+        b.write(le16(1)); b.write(le16(24)) // planes, bit count
+        b.write(fcc(codec)) // biCompression
+        b.write(le32(w.toLong * h * 3))
+        b.write(le32(0)); b.write(le32(0)); b.write(le32(0)); b.write(le32(0))
+        b.toByteArray
+      }
+      val hdrl = list("hdrl", chunk("avih", avih),
+        list("strl", chunk("strh", strh), chunk("strf", strf)))
+      val movi = list("movi", frames.map(f => chunk("00dc", f)): _*)
+      val inner = new java.io.ByteArrayOutputStream()
+      inner.write(fcc("AVI ")); inner.write(hdrl); inner.write(movi)
+      chunk("RIFF", inner.toByteArray)
+    }
+
+    /** REAL video-frame payload extraction for RIFF/AVI containers: walks
+      * the RIFF chunk tree to LIST 'movi' and returns each video frame
+      * chunk ('##dc'/'##db') payload in stream order. Pure container
+      * parsing — decoding the payloads is the caller's concern (ImageIO
+      * handles the MJPG/MPNG cases with no codec library). Returns None
+      * unless the bytes open with a well-formed RIFF/AVI header; chunk
+      * bounds are checked in Long so an adversarial size cannot wrap. */
+    def decodeAviFrames(payload: Array[Byte]): Option[Vector[Array[Byte]]] = {
+      if (payload == null || payload.length < 12) return None
+      if (boxType(payload, 0) != "RIFF" || boxType(payload, 8) != "AVI ") return None
+      val riffEnd = math.min(payload.length.toLong, 8L + le32At(payload, 4))
+      val frames = Vector.newBuilder[Array[Byte]]
+      def walk(start: Long, end: Long): Boolean = {
+        var off = start
+        while (off + 8 <= end) {
+          val tpe = boxType(payload, off.toInt)
+          val size = le32At(payload, off.toInt + 4)
+          val dataStart = off + 8
+          val dataEnd = dataStart + size
+          if (dataEnd > end) return false
+          if (tpe == "LIST") {
+            if (size < 4) return false
+            val listType = boxType(payload, dataStart.toInt)
+            if (listType == "movi" || listType == "rec ")
+              { if (!walk(dataStart + 4, dataEnd)) return false }
+          } else if (tpe.length == 4 && tpe.take(2).forall(_.isDigit) &&
+                     (tpe.endsWith("dc") || tpe.endsWith("db"))) {
+            frames += java.util.Arrays.copyOfRange(
+              payload, dataStart.toInt, dataEnd.toInt)
+          }
+          off = dataEnd + (size & 1L) // RIFF pads chunks to even offsets
+        }
+        true
+      }
+      if (!walk(12L, riffEnd)) None else Some(frames.result())
     }
   }
 
@@ -565,6 +681,107 @@ object Multimodal {
     meta.select(col("id"), col("kind"), col("width"), col("height"),
       floor(w * scale).cast("long").as("target_w"),
       floor(h * scale).cast("long").as("target_h"))
+  }
+
+  case class VideoFrameStats(id: Long, frame: Long, width: Long, height: Long,
+                             mean_r: Double, mean_g: Double, mean_b: Double,
+                             max_r: Long, max_g: Long, max_b: Long)
+
+  /** REAL video FRAME content decode for MJPEG-class AVIs (pure JVM):
+    * walks the RIFF/AVI container to the 'movi' frame chunks
+    * ([[MediaCodec.decodeAviFrames]]) and decodes each frame with
+    * ImageIO — JPEG ('MJPG') and PNG ('MPNG') frame payloads need no
+    * codec library — reducing every frame to per-channel raster
+    * statistics in one pass. Streaming shape: one frame raster in memory
+    * at a time, fixed-size accumulators, map-side only — a video reduces
+    * to #frames × 10 numbers with no shuffle. Malformed containers (or
+    * frame payloads ImageIO rejects) surface as a frame = -1 sentinel
+    * row rather than dropping the id. This narrows
+    * [[MediaCodec.decodeStub]] to codec-library formats (H.264/VP9/AV1):
+    * container-parseable video is now content-decoded for real, like
+    * images (q72) and audio (q71) before it. */
+  def videoFrameStats(df: DataFrame, idCol: String, binCol: String): Dataset[VideoFrameStats] = {
+    val src = df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+    src.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(0)
+        val payload = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+        val bad = VideoFrameStats(id, -1L, -1L, -1L, -1.0, -1.0, -1.0, -1L, -1L, -1L)
+        MediaCodec.decodeAviFrames(payload) match {
+          case None => Iterator.single(bad)
+          case Some(frames) if frames.isEmpty => Iterator.single(bad)
+          case Some(frames) =>
+            frames.iterator.zipWithIndex.map { case (bytes, i) =>
+              val img =
+                try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+                catch { case _: java.io.IOException => null }
+              if (img == null) bad
+              else {
+                val w = img.getWidth; val h = img.getHeight
+                var sr = 0L; var sg = 0L; var sb = 0L
+                var mr = 0L; var mg = 0L; var mb = 0L
+                var y = 0
+                while (y < h) {
+                  var x = 0
+                  while (x < w) {
+                    val rgb = img.getRGB(x, y)
+                    val cr = (rgb >> 16) & 0xff; val cg = (rgb >> 8) & 0xff
+                    val cb = rgb & 0xff
+                    sr += cr; sg += cg; sb += cb
+                    if (cr > mr) mr = cr; if (cg > mg) mg = cg; if (cb > mb) mb = cb
+                    x += 1
+                  }
+                  y += 1
+                }
+                val n = w.toLong * h
+                VideoFrameStats(id, i.toLong, w.toLong, h.toLong,
+                  sr.toDouble / n, sg.toDouble / n, sb.toDouble / n, mr, mg, mb)
+              }
+            }
+        }
+      }
+    }(Encoders.product[VideoFrameStats])
+  }
+
+  /** Deterministic MPNG-in-AVI fixture over any id column: each row
+    * becomes a REAL RIFF/AVI container whose 1 + id%3 frames are PNG
+    * rasters of the q72 pixel pattern keyed by pid = 4·id + frame
+    * (dims (1 + pid%16) × (1 + pid%12), pixel (x,y) closed-form in
+    * (pid,x,y)) — PNG is lossless, so a SQL oracle replays every pixel
+    * of every frame the real decoder must recover from the container.
+    * Map-side only; the test-harness inverse of [[videoFrameStats]]. */
+  def syntheticPatternAvis(df: DataFrame, idCol: String): DataFrame = {
+    val src = df.select(col(idCol).cast("long").as("id"))
+    src.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val frames = (0 until (1 + (id % 3)).toInt).map { f =>
+          val pid = 4 * id + f
+          val w = 1 + (pid % 16).toInt
+          val h = 1 + (pid % 12).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val cr = ((pid + 3 * x + 5 * y) % 256).toInt
+              val cg = ((2 * pid + 7 * x + y) % 256).toInt
+              val cb = ((5 * pid + x + 11 * y) % 256).toInt
+              img.setRGB(x, y, (cr << 16) | (cg << 8) | cb)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          bos.toByteArray
+        }
+        val w0 = 1 + ((4 * id) % 16).toInt
+        val h0 = 1 + ((4 * id) % 12).toInt
+        (id, MediaCodec.encodeAvi("MPNG", w0, h0, 25, frames))
+      }
+    }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)).toDF("id", "avi")
   }
 
   case class MediaFeature(id: Long, embedding: Array[Float])

@@ -291,6 +291,61 @@ class OperatorSpec extends AnyFunSuite {
     assert(bad.frames == -1L && bad.peak == -1L)
   }
 
+  test("real video FRAME decode: RIFF/AVI walk + per-frame raster stats") {
+    import graft.operators.Multimodal.MediaCodec
+    // MPNG fixture: lossless frames, every pixel a closed form — verify
+    // one id end-to-end against the hand-computed pattern
+    val out = Multimodal.videoFrameStats(
+      Multimodal.syntheticPatternAvis(Seq(5L).toDF("doc_id"), "doc_id"),
+      "id", "avi").collect().sortBy(_.frame)
+    assert(out.length == 3) // 1 + 5%3
+    out.zipWithIndex.foreach { case (s, f) =>
+      val pid = 4 * 5 + f
+      val w = 1 + pid % 16; val h = 1 + pid % 12
+      assert(s.width == w && s.height == h, s"frame $f dims")
+      val px = for { y <- 0 until h; x <- 0 until w }
+        yield ((pid + 3 * x + 5 * y) % 256, (2 * pid + 7 * x + y) % 256,
+          (5 * pid + x + 11 * y) % 256)
+      assert(s.mean_r == px.map(_._1).sum.toDouble / px.size)
+      assert(s.max_g == px.map(_._2).max.toLong)
+      assert(s.mean_b == px.map(_._3).sum.toDouble / px.size)
+    }
+    // real MJPG (lossy JPEG frames): the container walk and the ImageIO
+    // frame decode must both work on genuine JPEG bytes — dims are exact,
+    // pixel means are NOT asserted (JPEG quantizes)
+    val jpegFrames = (0 until 2).map { f =>
+      val img = new java.awt.image.BufferedImage(
+        16 + f, 9 + f, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g2 = img.createGraphics()
+      g2.setColor(new java.awt.Color(200, 100, 50)); g2.fillRect(0, 0, 16 + f, 9 + f)
+      g2.dispose()
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val mjpg = MediaCodec.encodeAvi("MJPG", 16, 9, 30, jpegFrames)
+    val js = Multimodal.videoFrameStats(
+      Seq((7L, mjpg)).toDF("id", "avi"), "id", "avi").collect().sortBy(_.frame)
+    assert(js.map(s => (s.frame, s.width, s.height)).toSeq ==
+      Seq((0L, 16L, 9L), (1L, 17L, 10L)))
+    // a JPEG-of-flat-color decodes near the fill color even after
+    // quantization — proves real pixel data flowed, not a header echo
+    assert(math.abs(js.head.mean_r - 200) < 10 && math.abs(js.head.mean_b - 50) < 10)
+    // malformed containers surface as sentinel rows, never drops
+    val bad = Multimodal.videoFrameStats(
+      Seq((9L, "RIFFjunk".getBytes), (10L, Array.empty[Byte]))
+        .toDF("id", "avi"), "id", "avi").collect()
+    assert(bad.length == 2 && bad.forall(s => s.frame == -1L && s.width == -1L))
+    // adversarial chunk size cannot wrap the bounds check or overrun:
+    // bytes 16-19 are the first LIST's size — blow it past the buffer
+    val evil = mjpg.clone()
+    evil(16) = 0xff.toByte; evil(17) = 0xff.toByte
+    evil(18) = 0xff.toByte; evil(19) = 0x7f.toByte
+    val es = Multimodal.videoFrameStats(
+      Seq((11L, evil)).toDF("id", "avi"), "id", "avi").collect()
+    assert(es.length == 1 && es.head.frame == -1L)
+  }
+
   test("capPerGroup: deterministic n-subset per group, window-free, seed-independent groups") {
     import graft.operators.Sampling
     // one mega-group (the domain-cap motivation) + small groups under n
