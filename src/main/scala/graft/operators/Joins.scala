@@ -35,15 +35,23 @@ object Joins {
         rightTieBreak.cast("long").as("__tie") +:
         lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++:
         rightPayload.map(col(_))): _*)
+    // left rows carry a MAX tiebreak so they sort after right rows at
+    // equal (__t, __tag=…) — see ordering note below
     val u = l.unionByName(r)
     // right rows sort before left rows at equal time (inclusive <=); the
-    // running last() then carries each payload forward to following lefts
-    val w = Window.partitionBy(col("__k"))
-      .orderBy(col("__t").asc, col("__tag").asc, col("__tie").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightPayload.foldLeft(u) { (d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
+    // running last() then carries each payload forward to following
+    // lefts. The scan runs through the grouped-prefix machinery, NOT
+    // Window.partitionBy(__k): one instrument owning half a quotes
+    // stream would pin its whole history to one task (AQE splits skewed
+    // joins/aggregates, never window partitions). Order columns must be
+    // non-null for the carry summaries, so __tag breaks left/right and
+    // __tie is coalesced to Long.MinValue for left rows (they have no
+    // payload to carry, so their relative order is immaterial).
+    val carried = Windows.groupedRunningLast(
+      u.withColumn("__tie", coalesce(col("__tie"), lit(Long.MinValue))),
+      col("__k"), col("__t"),
+      Seq(col("__t"), col("__tag"), col("__tie")),
+      rightPayload)
     carried.filter(col("__tag") === 1)
       .drop("__k", "__t", "__tag", "__tie")
   }

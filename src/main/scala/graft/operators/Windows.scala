@@ -95,4 +95,60 @@ object Windows {
       .withColumn(cumCol, col("__off") + col("__cum"))
       .drop("__b", "__gid", "__gv", "__cum", "__off")
   }
+
+  /** Distributed per-GROUP running LAST-NON-NULL carry along a total
+    * order within each group — the prefix-scan behind the as-of join,
+    * without the `Window.partitionBy(key)` trap (one instrument owning
+    * half a quotes stream collapses onto one task; AQE splits skewed
+    * joins and aggregates but never window partitions). Each `carryCols`
+    * column is REPLACED by `last(c, ignoreNulls)` over the group's full
+    * order prefix. Same bucket decomposition as [[groupedRunningTotal]]:
+    * dense group ids → group-major equal-width sub-buckets on `lead` →
+    * per-bucket windowed running last → per-bucket "last non-null by
+    * order" summaries (a max of (order, value) structs over non-null
+    * rows — ≤ groups×partitions rows) prefix-carried per group and
+    * broadcast back as each bucket's carry-in. `order` is a sequence of
+    * PLAIN columns compared ASCENDING (they double as struct fields in
+    * the summaries, where sort-order expressions cannot appear); it must
+    * be total within each group and non-null (use tag/tiebreak columns,
+    * as the as-of union does); `lead` must be its monotone numeric
+    * head. */
+  def groupedRunningLast(df: DataFrame, group: Column, lead: Column,
+                         order: Seq[Column], carryCols: Seq[String]): DataFrame = {
+    val leadDt = df.select(lead).schema.head.dataType
+    val numLead = graft.core.SemanticStream.numericLeadOf(leadDt, lead)
+      .getOrElse(throw new IllegalArgumentException(
+        s"groupedRunningLast: lead type $leadDt has no monotone numeric projection"))
+    val gids = df.select(group.as("__gv")).distinct()
+      .withColumn("__gid",
+        row_number().over(Window.orderBy(col("__gv"))).cast("long"))
+    // ≤ #groups rows — the unpartitioned window is bounded by group count
+    val withG = df.join(broadcast(gids), group <=> col("__gv"))
+    val bucketed = graft.core.IndexOps.bucketizeByGroupedLead(withG, col("__gid"), numLead)
+    val w = Window.partitionBy(col("__b")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withinBucket = carryCols.foldLeft(bucketed) { (d, c) =>
+      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    // per-bucket last non-null BY ORDER: max over (order..., value)
+    // structs of the non-null rows — order columns are non-null, so the
+    // struct comparison is total; ≤ groups×(partitions+1) result rows
+    val lastAggs = carryCols.map { c =>
+      max(when(col(c).isNotNull,
+        struct(order.map(o => o) :+ col(c).as("__v"): _*)))
+        .getField("__v").as(s"__bl_$c")
+    }
+    val summaries = bucketed.groupBy(col("__b"), col("__gid")).agg(lastAggs.head, lastAggs.tail: _*)
+    // carry-in per bucket: last non-null summary among STRICTLY preceding
+    // buckets of the same group (≤ partitions+1 rows per group)
+    val wCarry = Window.partitionBy(col("__gid")).orderBy(col("__b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carryIns = carryCols.foldLeft(summaries) { (d, c) =>
+      d.withColumn(s"__ci_$c", last(col(s"__bl_$c"), ignoreNulls = true).over(wCarry))
+    }.select(col("__b") +: carryCols.map(c => col(s"__ci_$c")): _*)
+    val joined = withinBucket.join(broadcast(carryIns), "__b")
+    carryCols.foldLeft(joined) { (d, c) =>
+      d.withColumn(c, coalesce(col(c), col(s"__ci_$c"))).drop(s"__ci_$c")
+    }.drop("__b", "__gid", "__gv")
+  }
 }

@@ -257,6 +257,67 @@ class StressSpec extends AnyFunSuite {
     }
   }
 
+  test("as-of join: one instrument owns 50% of a 1M-quote stream", SlowStress) {
+    failAfter(Span(900, Seconds)) {
+      // the quotes-stream trap: a hot instrument pins its whole history
+      // to one task under Window.partitionBy(key). The as-of join must
+      // run its running-last through the grouped-prefix machinery
+      // (sub-bucket windows) and stay EXACT against the naive
+      // single-window replay.
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "32") // production sizing
+      try {
+        val quotes = spark.range(1000000).select(
+          when(col("id") % 2 === 0, lit("HOT"))
+            .otherwise(concat(lit("i"), col("id") % 1000)).as("sym"),
+          (col("id") * 10).as("qt"), col("id").as("qid"),
+          (col("id") % 9973).cast("double").as("px"))
+        val trades = spark.range(200000).select(
+          when(col("id") % 2 === 0, lit("HOT"))
+            .otherwise(concat(lit("i"), col("id") % 1000)).as("tsym"),
+          (col("id") * 50 + 7).as("tt"), col("id").as("tid"))
+        val got = graft.operators.Joins.asof(
+          left = trades, right = quotes,
+          leftKey = col("tsym"), rightKey = col("sym"),
+          leftTime = col("tt"), rightTime = col("qt"),
+          rightPayload = Seq("qid", "px"),
+          rightTieBreak = col("qid"))
+          .select(col("tid"), col("qid"), col("px"))
+        // the running-last window partitions on the derived sub-bucket,
+        // never the raw key
+        val planStr = got.queryExecution.analyzed.toString
+        assert(planStr.contains("windowspecdefinition(__b"),
+          "as-of running-last must window on the sub-bucket column")
+        // structural: quote/trade times are uniform longs, so the hot
+        // key's 600k union rows spread across ~32 sub-buckets — 2× slack;
+        // a raw-key window would hold all 600k in one partition
+        val union = quotes.select(col("sym").as("k"), col("qt").as("t"))
+          .unionByName(trades.select(col("tsym").as("k"), col("tt").as("t")))
+        val mx = maxBucketRows(union, col("k"), col("t"))
+        val parts = spark.sessionState.conf.numShufflePartitions
+        assert(mx <= 2L * 600000L / parts, s"max as-of window partition $mx")
+        // exact parity with the naive single-window replay
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("k"))
+          .orderBy(col("t"), col("tag"), col("tie"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        val naive = quotes.select(col("sym").as("k"), col("qt").as("t"),
+            lit(0).as("tag"), col("qid").as("tie"), col("qid").as("nqid"),
+            col("px").as("npx"), lit(null).cast("long").as("tid"))
+          .unionByName(trades.select(col("tsym").as("k"), col("tt").as("t"),
+            lit(1).as("tag"), lit(Long.MaxValue).as("tie"),
+            lit(null).cast("long").as("nqid"),
+            lit(null).cast("double").as("npx"), col("tid")))
+          .withColumn("nqid", last(col("nqid"), ignoreNulls = true).over(w))
+          .withColumn("npx", last(col("npx"), ignoreNulls = true).over(w))
+          .filter(col("tag") === 1)
+          .select(col("tid"), col("nqid").as("qid"), col("npx").as("px"))
+        assert(got.exceptAll(naive).count() == 0L)
+        assert(naive.exceptAll(got).count() == 0L)
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+  }
+
   test("salted aggregation: one key owns 50% of 1M rows", SlowStress) {
     failAfter(Span(900, Seconds)) {
       val rows = spark.range(1000000).select(
