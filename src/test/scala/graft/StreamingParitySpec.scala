@@ -552,4 +552,61 @@ class StreamingParitySpec extends AnyFunSuite {
       rm(new java.io.File(ckpt))
     }
   }
+
+  test("streamingTopKPerGroup state stays O(groups·k) at larger-than-state scale") {
+    implicit val sq = spark.sqlContext
+    // 50k scored rows stream into 5 groups with k=3: the state store
+    // must hold exactly ONE compacted ≤k buffer per group — 5 state
+    // rows — no matter how many rows flowed through. A processor that
+    // buffers the stream (the O(n)-state regression this guards) shows
+    // up as numRowsTotal tracking the input count. Results must still
+    // equal the oracle-gated batch operator bit for bit.
+    val n = 50000
+    val rows = (0 until n).map { i =>
+      // deterministic, collision-free scores: a bijective odd multiplier
+      // mod 2^31, scaled — distinct doubles so the (score desc, id asc)
+      // order is unambiguous across engines
+      val h = (i.toLong * 2654435761L) & 0x7fffffffL
+      (s"g${i % 5}", i.toLong, h / 1000.0)
+    }
+    // transformWithState requires the RocksDB provider (multiple column
+    // families); same conf wrap as the restart-parity case
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+    val mem = MemoryStream[(String, Long, Double)]
+    val out = StreamOps.streamingTopKPerGroup(mem.toDS(), k = 3)
+    val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, StreamOps.TopKEntry)]()
+    val seq = new java.util.concurrent.atomic.AtomicLong()
+    val q = out.writeStream.outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamOps.TopKEntry], _: Long) =>
+        val stamp = seq.incrementAndGet()
+        df.collect().foreach(e => buf.add((stamp, e)))
+      }.start()
+    replay(mem, rows, chunk = 10000, q)
+    val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    q.stop()
+    assert(stateRows == 5L,
+      s"state rows $stateRows != 5 groups — state is not O(groups·k)")
+    // latest snapshot per group == batch operator on the same rows
+    val batchDf = rows.toDF("group", "id", "score")
+    val batch = graft.operators.Similarity.topKPerGroup(
+      batchDf, "group", "score", "id", 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val got = buf.toArray(Array.empty[(Long, StreamOps.TopKEntry)])
+      .groupBy(_._2.group)
+      .flatMap { case (_, es) =>
+        val top = es.map(_._1).max
+        es.filter(_._1 == top).map(_._2).toSeq
+      }
+      .map(e => (e.group, e.rank, e.id, e.score)).toSet
+    assert(got.size == 15 && got == batch)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
 }
