@@ -95,19 +95,24 @@ object QueriesSim {
     }),
 
     // per-user DFT of the first-8 event series, via the typed Aggregator
-    // (the reference's useDFT collector shape, collector.h:2744-2779)
+    // (the reference's useDFT collector shape, collector.h:2744-2779).
+    // "First 8 per user" comes from the bounded FirstKByOrder aggregate,
+    // NOT Window.partitionBy(user_id) + row_number: a hot user (one bot
+    // owning a big slice of events) would pin its entire history to one
+    // window task just to keep 8 rows — the aggregate's map-side partials
+    // carry ≤ 8 rows per (user × task) instead. size == 8 keeps exactly
+    // the users with ≥ 8 events, matching the old count-filter.
     "q37_dft8" -> ((s, dir) => {
       val dftUdaf = udaf(new DftAggregator(),
         Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
-      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      val firstK = udaf(new graft.functions.FirstKByOrder(8))
       val series = tbl(s, dir, "events")
-        .withColumn("rn", row_number().over(w) - 1)
-        .filter(col("rn") < 8)
-      val n8 = series.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") === 8).select(col("user_id"))
-      val spec = series.join(n8, "user_id")
         .groupBy(col("user_id"))
-        .agg(dftUdaf(col("rn").cast("long"), col("value")).as("bins"))
+        .agg(firstK(col("event_id").cast("long"), col("value")).as("fk"))
+        .filter(size(col("fk.items")) === 8)
+        .select(col("user_id"), posexplode(col("fk.items")).as(Seq("rn", "item")))
+      val spec = series.groupBy(col("user_id"))
+        .agg(dftUdaf(col("rn").cast("long"), col("item.payload")).as("bins"))
       spec.select(col("user_id"), posexplode(col("bins")).as(Seq("k", "bin")))
         .select(col("user_id"), col("k").cast("long").as("k"),
           // + 0.0 normalizes IEEE -0.0 (im-bins of real signals land on
@@ -122,15 +127,15 @@ object QueriesSim {
     "q42_fft12" -> ((s, dir) => {
       val fftUdaf = udaf(new DftAggregator(useFft = true),
         Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
-      val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      // same window-free first-k shape as q37 (see the note there)
+      val firstK = udaf(new graft.functions.FirstKByOrder(12))
       val series = tbl(s, dir, "events")
-        .withColumn("rn", row_number().over(w) - 1)
-        .filter(col("rn") < 12)
-      val n12 = series.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
-        .filter(col("cnt") === 12).select(col("user_id"))
-      val spec = series.join(n12, "user_id")
         .groupBy(col("user_id"))
-        .agg(fftUdaf(col("rn").cast("long"), col("value")).as("bins"))
+        .agg(firstK(col("event_id").cast("long"), col("value")).as("fk"))
+        .filter(size(col("fk.items")) === 12)
+        .select(col("user_id"), posexplode(col("fk.items")).as(Seq("rn", "item")))
+      val spec = series.groupBy(col("user_id"))
+        .agg(fftUdaf(col("rn").cast("long"), col("item.payload")).as("bins"))
       spec.select(col("user_id"), posexplode(col("bins")).as(Seq("k", "bin")))
         .select(col("user_id"), col("k").cast("long").as("k"),
           (round(col("bin._1"), 4) + lit(0.0)).as("re"),
@@ -183,14 +188,20 @@ object QueriesSim {
     }),
 
     // gap-based sessionization (30-min inactivity) — batch shape of the
-    // streaming session_window
+    // streaming session_window. The per-user lag runs through the
+    // exclusive-prefix groupedRunningLag, NOT Window.partitionBy(user_id):
+    // a hot user (one bot owning half the events) would pin its entire
+    // history to one window task; the bucketed lag splits each user's
+    // rows across sub-buckets with a per-bucket carry instead
     "q38_sessions" -> ((s, dir) => {
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
       // ts arrives as long nanos (eventsTsNanos); the 30-min gap test is an
       // exact integer compare — no FP, so it can never disagree with the
-      // oracle's epoch_ns() arithmetic
-      Queries.eventsTsNanos(s, dir)
-        .withColumn("gap", col("ts") - lag(col("ts"), 1).over(w))
+      // oracle's epoch_ns() arithmetic. (ts, event_id) is strictly total
+      // per user (event_id is the PK), as groupedRunningLag requires.
+      graft.operators.Windows.groupedRunningLag(
+        Queries.eventsTsNanos(s, dir), col("user_id"), col("ts"),
+        Seq(col("ts"), col("event_id")), Seq(("ts", "__prev_ts")))
+        .withColumn("gap", col("ts") - col("__prev_ts"))
         .withColumn("new_session",
           when(col("gap").isNull || col("gap") > 1800L * 1000000000L, 1L).otherwise(0L))
         .groupBy(col("user_id"))

@@ -33,6 +33,54 @@ case class TopKBuf(items: Seq[ScoredId])
   * engines' `-0.0 == 0.0` comparison semantics; NaN sorts first like
   * SQL's NaN-greatest.
   */
+/** One (order, payload) element of a per-group prefix: `ord` is the
+  * position key (must be unique within the group), `payload` the carried
+  * value. */
+case class OrdPayload(ord: Long, payload: Double)
+
+/** Bounded first-k buffer — plain product, rides the product encoder. */
+case class FirstKBuf(items: Seq[OrdPayload])
+
+/** Bounded FIRST-k aggregate over (ord, payload): keeps the k elements
+  * with the SMALLEST `ord` and emits them sorted ascending — the
+  * payload-carrying "first k rows per group by order" that replaces
+  * `Window.partitionBy(group).orderBy(ord)` + `row_number <= k`, whose
+  * window partition pins a group's ENTIRE history to one task (one hot
+  * user owning a big slice of an event stream is the canonical skew).
+  * As a typed Aggregator it runs in ObjectHashAggregate with map-side
+  * partial aggregation: each task reduces its slice to ≤ k entries
+  * before the exchange, so the shuffle carries O(k) rows per
+  * (group × task), never the group's history.
+  *
+  * Determinism: first-k selection commutes with partitioning (the global
+  * first-k is a subset of every partition's first-k union); `ord` must be
+  * unique within each group (a primary key like event_id), making the
+  * ascending order total and the result bit-identical to the
+  * single-window form regardless of merge order. */
+class FirstKByOrder(k: Int) extends Aggregator[OrdPayload, FirstKBuf, FirstKBuf] {
+  require(k > 0)
+  // compact lazily at 4k, not every row: amortized O(log k) per row
+  private val cap = math.max(4 * k, 64)
+
+  private def compact(items: Seq[OrdPayload]): Seq[OrdPayload] =
+    items.sortBy(_.ord).take(k)
+
+  override def zero: FirstKBuf = FirstKBuf(Nil)
+
+  override def reduce(b: FirstKBuf, a: OrdPayload): FirstKBuf = {
+    val grown = a +: b.items
+    if (grown.length > cap) FirstKBuf(compact(grown)) else FirstKBuf(grown)
+  }
+
+  override def merge(x: FirstKBuf, y: FirstKBuf): FirstKBuf =
+    FirstKBuf(compact(x.items ++ y.items))
+
+  override def finish(b: FirstKBuf): FirstKBuf = FirstKBuf(compact(b.items))
+
+  override def bufferEncoder: Encoder[FirstKBuf] = Encoders.product[FirstKBuf]
+  override def outputEncoder: Encoder[FirstKBuf] = Encoders.product[FirstKBuf]
+}
+
 class TopKByScore(k: Int) extends Aggregator[ScoredId, TopKBuf, TopKBuf] {
   require(k > 0)
   // compact lazily at 4k, not every row: amortized O(log k) per row

@@ -35,8 +35,9 @@ object Joins {
         rightTieBreak.cast("long").as("__tie") +:
         lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++:
         rightPayload.map(col(_))): _*)
-    // left rows carry a MAX tiebreak so they sort after right rows at
-    // equal (__t, __tag=…) — see ordering note below
+    // the left-row __tie value is immaterial (__tag=1 already orders
+    // lefts after rights at equal time); it is coalesced to Long.MinValue
+    // below only to satisfy groupedRunningLast's non-null order columns
     val u = l.unionByName(r)
     // right rows sort before left rows at equal time (inclusive <=); the
     // running last() then carries each payload forward to following

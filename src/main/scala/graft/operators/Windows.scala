@@ -57,43 +57,126 @@ object Windows {
       .drop("__b", "__cum", "__off")
   }
 
+  /** Per-group equal-width sub-buckets on `numLead`, derived from each
+    * group's OWN min/max (one per-group aggregate, joined back). Adds
+    * `__g` (the group value itself) and `__sb` (sub-bucket 0..parts) —
+    * every downstream window partitions by the PAIR (`__g`, `__sb`), so
+    * no window partition ever exceeds rows-per-group / parts.
+    *
+    * Deliberately NO dense group ids and NO broadcast hints: a dense-gid
+    * frame needs a global `row_number` window (an O(#groups) single-task
+    * sort) and a forced broadcast that OOMs at realistic key cardinality
+    * (millions of users/instruments). Joining on the raw group value
+    * lets the planner broadcast the per-group stats while they are small
+    * and fall back to a shuffle join — both sides already hash on the
+    * group key — when cardinality outgrows that. Null groups survive via
+    * null-safe equality. */
+  private[graft] def subBucketize(df: DataFrame, group: Column, numLead: Column): DataFrame = {
+    val parts = math.max(1,
+      df.sparkSession.sessionState.conf.numShufflePartitions)
+    val stats = df.groupBy(group.as("__g"))
+      .agg(min(numLead).cast("double").as("__mn"), max(numLead).cast("double").as("__mx"))
+    val width = (col("__mx") - col("__mn")) / parts
+    df.join(stats, group <=> col("__g"))
+      .withColumn("__sb",
+        when(numLead.isNull, lit(0L))
+          .when(col("__mx") === col("__mn"), lit(1L))
+          .otherwise(lit(1L) + least(floor((numLead.cast("double") - col("__mn")) / width),
+            lit(parts - 1L))).cast("long"))
+      .drop("__mn", "__mx")
+  }
+
+  private def numericLeadOrThrow(df: DataFrame, lead: Column, who: String): Column = {
+    val leadDt = df.select(lead).schema.head.dataType
+    graft.core.SemanticStream.numericLeadOf(leadDt, lead)
+      .getOrElse(throw new IllegalArgumentException(
+        s"$who: lead type $leadDt has no monotone numeric projection"))
+  }
+
   /** Distributed per-GROUP inclusive running total along a total order
     * WITHIN each group — the grouped twin of [[runningTotal]], without
     * the `Window.partitionBy(group)` trap (a low-cardinality group —
     * five languages over 100 TB — collapses each group onto one task).
-    * Same shape as the grouped rank (IndexOps.rankGroupedPrefix):
-    * dense numeric group ids (tiny distinct frame, broadcast) →
-    * group-major sub-buckets from each group's own lead range →
-    * per-bucket windowed running sum → per-(group, bucket) totals
-    * prefix-summed per group over ≤ groups×partitions rows and
-    * broadcast back. The lead is auto-projected through the
-    * numericLeadOf chokepoint (strings → 7-byte prefix number), and the
-    * order must be total within each group. Adds `cumCol` (long). */
+    * [[subBucketize]] splits each group into equal-width sub-ranges of
+    * its own lead → per-(group, sub-bucket) windowed running sum →
+    * per-(group, sub-bucket) totals prefix-summed per group over
+    * ≤ parts+1 rows each and joined back. The lead is auto-projected
+    * through the numericLeadOf chokepoint (strings → 7-byte prefix
+    * number), and the order must be total within each group. Adds
+    * `cumCol` (long). */
   def groupedRunningTotal(df: DataFrame, group: Column, lead: Column,
                           order: Seq[Column], value: Column,
                           cumCol: String): DataFrame = {
-    val leadDt = df.select(lead).schema.head.dataType
-    val numLead = graft.core.SemanticStream.numericLeadOf(leadDt, lead)
-      .getOrElse(throw new IllegalArgumentException(
-        s"groupedRunningTotal: lead type $leadDt has no monotone numeric projection"))
-    val gids = df.select(group.as("__gv")).distinct()
-      .withColumn("__gid",
-        row_number().over(Window.orderBy(col("__gv"))).cast("long"))
-    // ≤ #groups rows — the unpartitioned window is bounded by group count
-    val withG = df.join(broadcast(gids), group <=> col("__gv"))
-    val w = Window.partitionBy(col("__b")).orderBy(order: _*)
+    val numLead = numericLeadOrThrow(df, lead, "groupedRunningTotal")
+    val w = Window.partitionBy(col("__g"), col("__sb")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = graft.core.IndexOps.bucketizeByGroupedLead(withG, col("__gid"), numLead)
+    val cum = subBucketize(df, group, numLead)
       .withColumn("__cum", sum(value.cast("long")).over(w))
-    val totals = cum.groupBy(col("__b"), col("__gid"))
+    val totals = cum.groupBy(col("__g").as("__og"), col("__sb").as("__osb"))
       .agg(sum(value.cast("long")).as("__tot"))
+    // exclusive prefix over a group's sub-bucket totals: the window
+    // partition is ≤ parts+1 rows per group, at any group cardinality
     val offsets = totals.withColumn("__off", coalesce(
-        sum(col("__tot")).over(Window.partitionBy(col("__gid")).orderBy(col("__b"))
+        sum(col("__tot")).over(Window.partitionBy(col("__og")).orderBy(col("__osb"))
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__b"), col("__off"))
-    cum.join(broadcast(offsets), "__b")
+      .select(col("__og"), col("__osb"), col("__off"))
+    cum.join(offsets, col("__g") <=> col("__og") && col("__sb") === col("__osb"))
       .withColumn(cumCol, col("__off") + col("__cum"))
-      .drop("__b", "__gid", "__gv", "__cum", "__off")
+      .drop("__g", "__sb", "__og", "__osb", "__cum", "__off")
+  }
+
+  /** Shared core of [[groupedRunningLast]] / [[groupedRunningLag]]: for
+    * each (in, out) carry pair, `out` := last non-null `in` over the
+    * group's order prefix — INCLUSIVE of the current row for running
+    * last, STRICTLY PRECEDING for lag. Decomposition: [[subBucketize]] →
+    * per-(group, sub-bucket) windowed running last → per-sub-bucket
+    * "last non-null by order" summaries (a max of (order..., value)
+    * structs over the non-null rows) prefix-carried per group over
+    * ≤ parts+1 rows each and joined back as each sub-bucket's carry-in.
+    *
+    * `order` is a sequence of PLAIN columns compared ASCENDING (they
+    * double as struct fields in the summaries, where sort-order
+    * expressions cannot appear). It MUST be strictly total (unique)
+    * within each group over the rows whose carry values are non-null:
+    * on a full order tie the per-column struct maxima are free to take
+    * each carry column from a DIFFERENT tied row (append a unique
+    * tiebreak column, as the as-of union does with its right-row id).
+    * `lead` must be the order's monotone numeric head. */
+  private def groupedRunningCarry(df: DataFrame, group: Column, lead: Column,
+                                  order: Seq[Column], carries: Seq[(String, String)],
+                                  exclusive: Boolean): DataFrame = {
+    val numLead = numericLeadOrThrow(df, lead, "groupedRunningCarry")
+    val bucketed = subBucketize(df, group, numLead)
+    val w = Window.partitionBy(col("__g"), col("__sb")).orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding,
+        if (exclusive) -1 else Window.currentRow)
+    val withinBucket = carries.foldLeft(bucketed) { case (d, (in, out)) =>
+      d.withColumn(out, last(col(in), ignoreNulls = true).over(w))
+    }
+    // per-sub-bucket last non-null BY ORDER: max over (order..., value)
+    // structs of the non-null rows — order columns are non-null, so the
+    // struct comparison is total. Summaries read the PRE-carry frame
+    // (carry-ins for bucket b come from buckets < b in full, regardless
+    // of the exclusive frame above).
+    val lastAggs = carries.map { case (in, _) =>
+      max(when(col(in).isNotNull,
+        struct(order.map(o => o) :+ col(in).as("__v"): _*)))
+        .getField("__v").as(s"__bl_$in")
+    }
+    val summaries = bucketed.groupBy(col("__g").as("__cg"), col("__sb").as("__csb"))
+      .agg(lastAggs.head, lastAggs.tail: _*)
+    // carry-in per sub-bucket: last non-null summary among STRICTLY
+    // preceding sub-buckets of the same group (≤ parts+1 rows per group)
+    val wCarry = Window.partitionBy(col("__cg")).orderBy(col("__csb"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carryIns = carries.foldLeft(summaries) { case (d, (in, _)) =>
+      d.withColumn(s"__ci_$in", last(col(s"__bl_$in"), ignoreNulls = true).over(wCarry))
+    }.select(col("__cg") +: col("__csb") +: carries.map { case (in, _) => col(s"__ci_$in") }: _*)
+    val joined = withinBucket.join(carryIns,
+      col("__g") <=> col("__cg") && col("__sb") === col("__csb"))
+    carries.foldLeft(joined) { case (d, (in, out)) =>
+      d.withColumn(out, coalesce(col(out), col(s"__ci_$in"))).drop(s"__ci_$in")
+    }.drop("__g", "__sb", "__cg", "__csb")
   }
 
   /** Distributed per-GROUP running LAST-NON-NULL carry along a total
@@ -102,53 +185,21 @@ object Windows {
     * half a quotes stream collapses onto one task; AQE splits skewed
     * joins and aggregates but never window partitions). Each `carryCols`
     * column is REPLACED by `last(c, ignoreNulls)` over the group's full
-    * order prefix. Same bucket decomposition as [[groupedRunningTotal]]:
-    * dense group ids → group-major equal-width sub-buckets on `lead` →
-    * per-bucket windowed running last → per-bucket "last non-null by
-    * order" summaries (a max of (order, value) structs over non-null
-    * rows — ≤ groups×partitions rows) prefix-carried per group and
-    * broadcast back as each bucket's carry-in. `order` is a sequence of
-    * PLAIN columns compared ASCENDING (they double as struct fields in
-    * the summaries, where sort-order expressions cannot appear); it must
-    * be total within each group and non-null (use tag/tiebreak columns,
-    * as the as-of union does); `lead` must be its monotone numeric
-    * head. */
+    * order prefix, current row included. See [[groupedRunningCarry]] for
+    * the decomposition and the order-totality requirement. */
   def groupedRunningLast(df: DataFrame, group: Column, lead: Column,
-                         order: Seq[Column], carryCols: Seq[String]): DataFrame = {
-    val leadDt = df.select(lead).schema.head.dataType
-    val numLead = graft.core.SemanticStream.numericLeadOf(leadDt, lead)
-      .getOrElse(throw new IllegalArgumentException(
-        s"groupedRunningLast: lead type $leadDt has no monotone numeric projection"))
-    val gids = df.select(group.as("__gv")).distinct()
-      .withColumn("__gid",
-        row_number().over(Window.orderBy(col("__gv"))).cast("long"))
-    // ≤ #groups rows — the unpartitioned window is bounded by group count
-    val withG = df.join(broadcast(gids), group <=> col("__gv"))
-    val bucketed = graft.core.IndexOps.bucketizeByGroupedLead(withG, col("__gid"), numLead)
-    val w = Window.partitionBy(col("__b")).orderBy(order: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val withinBucket = carryCols.foldLeft(bucketed) { (d, c) =>
-      d.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    // per-bucket last non-null BY ORDER: max over (order..., value)
-    // structs of the non-null rows — order columns are non-null, so the
-    // struct comparison is total; ≤ groups×(partitions+1) result rows
-    val lastAggs = carryCols.map { c =>
-      max(when(col(c).isNotNull,
-        struct(order.map(o => o) :+ col(c).as("__v"): _*)))
-        .getField("__v").as(s"__bl_$c")
-    }
-    val summaries = bucketed.groupBy(col("__b"), col("__gid")).agg(lastAggs.head, lastAggs.tail: _*)
-    // carry-in per bucket: last non-null summary among STRICTLY preceding
-    // buckets of the same group (≤ partitions+1 rows per group)
-    val wCarry = Window.partitionBy(col("__gid")).orderBy(col("__b"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val carryIns = carryCols.foldLeft(summaries) { (d, c) =>
-      d.withColumn(s"__ci_$c", last(col(s"__bl_$c"), ignoreNulls = true).over(wCarry))
-    }.select(col("__b") +: carryCols.map(c => col(s"__ci_$c")): _*)
-    val joined = withinBucket.join(broadcast(carryIns), "__b")
-    carryCols.foldLeft(joined) { (d, c) =>
-      d.withColumn(c, coalesce(col(c), col(s"__ci_$c"))).drop(s"__ci_$c")
-    }.drop("__b", "__gid", "__gv")
-  }
+                         order: Seq[Column], carryCols: Seq[String]): DataFrame =
+    groupedRunningCarry(df, group, lead, order,
+      carryCols.map(c => (c, c)), exclusive = false)
+
+  /** Exclusive-prefix (LAG) twin of [[groupedRunningLast]]: for each row,
+    * the last non-null value of each carry column over the STRICTLY
+    * PRECEDING rows of its group's order — `lag(c, 1)` when c is
+    * non-null everywhere, hot-key-safe where
+    * `lag(c).over(Window.partitionBy(group))` pins a hot group's entire
+    * history to one task. Each (in, out) pair writes a NEW column `out`,
+    * leaving `in` untouched; the first row of each group gets null. */
+  def groupedRunningLag(df: DataFrame, group: Column, lead: Column,
+                        order: Seq[Column], carries: Seq[(String, String)]): DataFrame =
+    groupedRunningCarry(df, group, lead, order, carries, exclusive = true)
 }

@@ -390,6 +390,40 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.filter(col("g") === "c").count() == 1L)
   }
 
+  test("FirstKByOrder: window-free first-k per group, bit-identical to the row_number window") {
+    // skewed: one hot user owns 75% of the rows — the shape that pins a
+    // Window.partitionBy(user) to one task but costs the aggregate O(k)
+    val df = spark.range(2000).select(
+      when(col("id") < 1500, lit(0L)).otherwise(col("id") % 7).as("user_id"),
+      col("id").as("event_id"),
+      (col("id") * 17 % 101).cast("double").as("value")).repartition(8)
+    val firstK = udaf(new graft.functions.FirstKByOrder(8))
+    val got = df.groupBy(col("user_id"))
+      .agg(firstK(col("event_id"), col("value")).as("fk"))
+      .select(col("user_id"), posexplode(col("fk.items")).as(Seq("rn", "item")))
+      .select(col("user_id"), col("rn").cast("long").as("rn"),
+        col("item.ord").as("event_id"), col("item.payload").as("value"))
+    assert(!got.queryExecution.executedPlan.toString.contains("Window"),
+      "FirstKByOrder must not plan a window")
+    val naive = df.withColumn("rn",
+      (row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("event_id"))) - 1).cast("long"))
+      .filter(col("rn") < 8)
+      .select(col("user_id"), col("rn"), col("event_id"), col("value"))
+    assert(got.collect().toSet == naive.collect().toSet)
+  }
+
+  test("q37/q42 query plans are window-free (hot-user-safe first-k)") {
+    // q38 is hot-user-safe differently: its lag runs through the bucketed
+    // grouped-prefix machinery, whose windows are partition-BOUNDED, not
+    // absent — covered by the StressSpec hot-user case instead
+    Seq("q37_dft8", "q42_fft12").foreach { q =>
+      val plan = QueriesSim.all(q)(spark, "/root/testdata/sf0.001")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"$q must not plan a window")
+    }
+  }
+
   test("real image CONTENT decode: pixel stats match the closed-form pattern") {
     // patterned PNG round trip: every pixel of the fixture is a closed
     // form of (id, x, y); the rasterizing reducer must recover exact
@@ -705,6 +739,27 @@ class OperatorSpec extends AnyFunSuite {
         df.withColumn("m", map(col("k"), col("v"))),
         col("grp"), col("m"), Seq(col("id")), col("v"), "cum")
     }
+  }
+
+  test("groupedRunningLag: exclusive-prefix lag matches the naive window, ties and hot group") {
+    import graft.operators.Windows
+    import org.apache.spark.sql.expressions.{Window => W}
+    // one hot group (75% of rows) + ts ties within groups broken by eid —
+    // the strict-totality contract is (ts, eid), eid unique
+    val df = spark.range(600).select(
+      when(col("id") < 450, lit("hot")).otherwise(concat(lit("u"), col("id") % 13)).as("u"),
+      (col("id") % 50).as("ts"), col("id").as("eid")).repartition(8)
+    val got = Windows.groupedRunningLag(df, col("u"), col("ts"),
+        Seq(col("ts"), col("eid")), Seq(("ts", "prev_ts")))
+      .select(col("u"), col("eid"), col("prev_ts")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> Option(r.get(2))).toMap
+    val naive = df.withColumn("prev_ts",
+        lag(col("ts"), 1).over(W.partitionBy(col("u")).orderBy(col("ts"), col("eid"))))
+      .select(col("u"), col("eid"), col("prev_ts")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> Option(r.get(2))).toMap
+    assert(got == naive)
+    // every group's order-first row has a null lag
+    assert(got.count(_._2.isEmpty) == naive.count(_._2.isEmpty))
   }
 
   test("connected components: chains need multi-round propagation, cycles terminate") {

@@ -35,18 +35,15 @@ class StressSpec extends AnyFunSuite {
     * create for (group, lead) — the structural twin of the wall-clock
     * bound: a plan that windows on the raw group shows up as one bucket
     * holding an entire group, load or no load. Replays the operator's
-    * own bucketization (same gid join, same numericLeadOf projection). */
+    * own bucketization (same per-group stats sub-bucketing, same
+    * numericLeadOf projection). */
   private def maxBucketRows(df: org.apache.spark.sql.DataFrame,
                             group: org.apache.spark.sql.Column,
                             lead: org.apache.spark.sql.Column): Long = {
     val leadDt = df.select(lead).schema.head.dataType
     val numLead = graft.core.SemanticStream.numericLeadOf(leadDt, lead).get
-    val gids = df.select(group.as("__gv")).distinct()
-      .withColumn("__gid", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("__gv"))).cast("long"))
-    val withG = df.join(broadcast(gids), group <=> col("__gv"))
-    graft.core.IndexOps.bucketizeByGroupedLead(withG, col("__gid"), numLead)
-      .groupBy(col("__b")).agg(count(lit(1)).as("n"))
+    graft.operators.Windows.subBucketize(df, group, numLead)
+      .groupBy(col("__g"), col("__sb")).agg(count(lit(1)).as("n"))
       .agg(max(col("n"))).collect()(0).getLong(0)
   }
 
@@ -230,7 +227,7 @@ class StressSpec extends AnyFunSuite {
         // the running-sum window partitions on the derived sub-bucket —
         // a raw-group window would collapse 900k rows onto one task
         val planStr = out.queryExecution.analyzed.toString
-        assert(planStr.contains("windowspecdefinition(__b"),
+        assert(planStr.contains("windowspecdefinition(__g"),
           "running-sum window must partition on the sub-bucket column")
         // structural: worst legal partition = the hot-key tie mass (100k
         // rows share one lead value — unsplittable by equal-width
@@ -286,7 +283,7 @@ class StressSpec extends AnyFunSuite {
         // the running-last window partitions on the derived sub-bucket,
         // never the raw key
         val planStr = got.queryExecution.analyzed.toString
-        assert(planStr.contains("windowspecdefinition(__b"),
+        assert(planStr.contains("windowspecdefinition(__g"),
           "as-of running-last must window on the sub-bucket column")
         // structural: quote/trade times are uniform longs, so the hot
         // key's 600k union rows spread across ~32 sub-buckets — 2× slack;
@@ -314,6 +311,41 @@ class StressSpec extends AnyFunSuite {
           .select(col("tid"), col("nqid").as("qid"), col("npx").as("px"))
         assert(got.exceptAll(naive).count() == 0L)
         assert(naive.exceptAll(got).count() == 0L)
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+  }
+
+  test("sessionization lag: one user owns 50% of 1M events", SlowStress) {
+    failAfter(Span(900, Seconds)) {
+      // the q38 trap shape: lag(ts) under Window.partitionBy(user_id)
+      // pins the hot user's 500k events to one task. groupedRunningLag
+      // must window on the derived sub-bucket, stay inside the
+      // structural partition bound, and agree with the naive lag
+      // row-for-row (nulls on each user's first event included).
+      import graft.operators.Windows
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "32") // production sizing
+      try {
+        val df = spark.range(1000000).select(
+          when(col("id") % 2 === 0, lit(0L)).otherwise(col("id") % 1500).as("user_id"),
+          (col("id") * 1000L + col("id") % 7).as("ts"), col("id").as("event_id"))
+        val out = Windows.groupedRunningLag(df, col("user_id"), col("ts"),
+          Seq(col("ts"), col("event_id")), Seq(("ts", "prev_ts")))
+        val planStr = out.queryExecution.analyzed.toString
+        assert(planStr.contains("windowspecdefinition(__g"),
+          "lag must window on the sub-bucket column, never the raw user")
+        // structural: uniform ts spreads the hot user's 500k rows over
+        // ~32 sub-buckets — 2× slack; a raw-user window shows 500k
+        val parts = spark.sessionState.conf.numShufflePartitions
+        val mx = maxBucketRows(df, col("user_id"), col("ts"))
+        assert(mx <= 2L * 500000L / parts, s"max lag window partition $mx")
+        val naive = df.withColumn("prev_naive",
+          lag(col("ts"), 1).over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))))
+          .select(col("event_id").as("eid"), col("prev_naive"))
+        val mismatches = out.join(naive, col("event_id") === col("eid"))
+          .filter(!(col("prev_ts") <=> col("prev_naive"))).count()
+        assert(mismatches == 0L, s"$mismatches rows diverge from the naive lag")
       } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     }
   }
