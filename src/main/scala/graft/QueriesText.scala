@@ -30,7 +30,9 @@ object QueriesText {
     * (file names, lengths, mtimes) — regenerating the table in-session
     * changes the fingerprint, which evicts AND unpersists the stale
     * spine rather than silently serving it. [[resetPairsCache]]
-    * force-drops everything (test/ops hook). */
+    * force-drops everything (test/ops hook); the per-session overload
+    * is the teardown for sessions discarded mid-application, and every
+    * cache touch sweeps entries whose context has stopped. */
   private case class PairsEntry(fingerprint: String, pairs: DataFrame)
   private val pairsCache =
     new java.util.HashMap[SparkSession, scala.collection.mutable.Map[String, PairsEntry]]()
@@ -53,6 +55,26 @@ object QueriesText {
     pairsCache.clear()
   }
 
+  /** Drop ONE session's cached spines, unpersisting their checkpoint
+    * blocks — the teardown hook for services that discard sessions
+    * mid-application (`newSession` over a shared context), where the
+    * application-end listener would otherwise pin the entry and its
+    * blocks until the whole context stops. */
+  private[graft] def resetPairsCache(s: SparkSession): Unit = pairsCache.synchronized {
+    val entries = pairsCache.remove(s)
+    if (entries != null) entries.values.foreach(e =>
+      org.apache.spark.sql.GraftColumnShim.unpersistCheckpoint(e.pairs))
+  }
+
+  /** Evict entries whose owning context has stopped (their blocks died
+    * with the executors — no unpersist possible). Called on every cache
+    * touch: keeps long-lived multi-context services from accreting dead
+    * sessions between application-end listener firings. */
+  private def sweepStoppedSessions(): Unit = pairsCache.synchronized {
+    val it = pairsCache.keySet.iterator()
+    while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
+  }
+
   /** Per-session sub-map, created on first touch; creation also registers
     * the cleanup listener that removes this session's entries at
     * application end (the checkpoint blocks die with the executors, so no
@@ -60,6 +82,7 @@ object QueriesText {
   private def perSessionMap(
       s: SparkSession): scala.collection.mutable.Map[String, PairsEntry] =
     pairsCache.synchronized {
+      sweepStoppedSessions()
       val existing = pairsCache.get(s)
       if (existing != null) existing
       else {

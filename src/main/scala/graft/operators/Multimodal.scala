@@ -462,8 +462,12 @@ object Multimodal {
         val img =
           if (payload.isEmpty) null
           else
+            // NonFatal, not just IOException: ImageIO plugins throw
+            // RuntimeExceptions (IllegalArgument, ArrayIndexOutOfBounds,
+            // NegativeArraySize) on crafted payloads — a corrupt image
+            // must yield the sentinel row, never fail the task
             try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-            catch { case _: java.io.IOException => null }
+            catch { case scala.util.control.NonFatal(_) => null }
         if (img == null)
           ImagePixelStats(id, -1L, -1L, -1.0, -1.0, -1.0, -1L, -1L, -1L)
         else {
@@ -713,8 +717,10 @@ object Multimodal {
           case Some(frames) =>
             frames.iterator.zipWithIndex.map { case (bytes, i) =>
               val img =
+                // NonFatal (see imagePixelStats): a crafted frame payload
+                // must produce the frame = -1 sentinel, not a task failure
                 try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-                catch { case _: java.io.IOException => null }
+                catch { case scala.util.control.NonFatal(_) => null }
               if (img == null) bad
               else {
                 val w = img.getWidth; val h = img.getHeight

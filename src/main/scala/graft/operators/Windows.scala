@@ -153,17 +153,26 @@ object Windows {
     val withinBucket = carries.foldLeft(bucketed) { case (d, (in, out)) =>
       d.withColumn(out, last(col(in), ignoreNulls = true).over(w))
     }
-    // per-sub-bucket last non-null BY ORDER: max over (order..., value)
-    // structs of the non-null rows — order columns are non-null, so the
-    // struct comparison is total. Summaries read the PRE-carry frame
-    // (carry-ins for bucket b come from buckets < b in full, regardless
-    // of the exclusive frame above).
-    val lastAggs = carries.map { case (in, _) =>
-      max(when(col(in).isNotNull,
-        struct(order.map(o => o) :+ col(in).as("__v"): _*)))
-        .getField("__v").as(s"__bl_$in")
+    // Per-sub-bucket "last non-null by order" summaries, aggregated over
+    // the WINDOWED frame, not a separate branch on `bucketed`: the
+    // window's output already hashes on (__g, __sb), so this aggregate
+    // needs no new exchange and the shared exchange below the sort is
+    // reused — one scan of the data, not two. Inclusive case: the
+    // max-order row's running-last IS the bucket summary (null when the
+    // bucket holds no non-null value — the carry window's ignoreNulls
+    // then skips it). Exclusive (lag) case: the running-last excludes
+    // each row's own value, so aggregate the untouched `in` column over
+    // the non-null rows instead.
+    val lastAggs = carries.map { case (in, out) =>
+      if (exclusive)
+        max(when(col(in).isNotNull,
+          struct(order.map(o => o) :+ col(in).as("__v"): _*)))
+          .getField("__v").as(s"__bl_$in")
+      else
+        max(struct(order.map(o => o) :+ col(out).as("__v"): _*))
+          .getField("__v").as(s"__bl_$in")
     }
-    val summaries = bucketed.groupBy(col("__g").as("__cg"), col("__sb").as("__csb"))
+    val summaries = withinBucket.groupBy(col("__g").as("__cg"), col("__sb").as("__csb"))
       .agg(lastAggs.head, lastAggs.tail: _*)
     // carry-in per sub-bucket: last non-null summary among STRICTLY
     // preceding sub-buckets of the same group (≤ parts+1 rows per group)

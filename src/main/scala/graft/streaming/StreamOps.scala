@@ -247,6 +247,85 @@ object StreamOps {
         OutputMode.Update)
   }
 
+  /** One tagged row of the streaming as-of union — the same (key, time,
+    * tag, tie) spine the batch [[graft.operators.Joins.asof]] unions:
+    * `tag = 0` is a RIGHT (quote) row carrying (qid, px), `tag = 1` a
+    * LEFT (trade) row carrying `leftId`. */
+  case class AsofEvent(key: String, t: Long, tag: Int, tie: Long,
+                       leftId: Long, qid: Long, px: Double)
+
+  /** One as-of match: the left row id and the payload of the latest
+    * right row at-or-before it (None when no right row precedes). */
+  case class AsofJoined(leftId: Long, qid: Option[Long], px: Option[Double])
+
+  /** Streaming AS-OF join on `transformWithState` — the unbounded twin
+    * of [[graft.operators.Joins.asof]]. State per key is ONE register:
+    * the (t, tie, payload) of the latest right row seen — O(1) per key,
+    * bounded by key count, no matter how many rows stream through
+    * (the batch operator's running-last carry, held as state instead of
+    * recomputed). Each micro-batch sorts a key's rows by the batch
+    * operator's exact order (t, tag asc — rights before lefts at equal
+    * time — then tie) and sweeps once: rights advance the register
+    * (latest (t, tie) wins, the batch tiebreak), lefts emit the current
+    * register.
+    *
+    * Semantics are PROCESS-TIME as-of: a left row matches the latest
+    * right row among those already seen. When the tagged stream arrives
+    * in (t, tag, tie) order — in-order sources, or watermarked
+    * reordering upstream — the emitted matches equal the batch
+    * `Joins.asof` exactly (the parity spec replays exactly this); a
+    * late right row never rewrites past emissions, only informs
+    * subsequent lefts. `ttl` (processing-time) bounds state for keys
+    * that go quiet — the eviction knob for unbounded key universes. */
+  class AsofProcessor(ttl: Option[java.time.Duration] = None)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, AsofEvent, AsofJoined] {
+    import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var lastRight: ValueState[(Long, Long, Long, Double)] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      lastRight = getHandle.getValueState[(Long, Long, Long, Double)]("lastRight",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.scalaLong, Encoders.scalaDouble),
+        ttl.map(TTLConfig(_)).getOrElse(TTLConfig.NONE))
+
+    override def handleInputRows(key: String, rows: Iterator[AsofEvent],
+                                 timerValues: TimerValues): Iterator[AsofJoined] = {
+      // micro-batch iterators carry no order — restore the batch
+      // operator's total order before the sweep
+      val sorted = rows.toArray.sortBy(r => (r.t, r.tag, r.tie))
+      var st = Option(lastRight.get())
+      val out = Seq.newBuilder[AsofJoined]
+      sorted.foreach { r =>
+        if (r.tag == 0) {
+          // latest (t, tie) wins — identical to the batch running-last
+          // over (t, tag, tie); an out-of-order right older than the
+          // register is ignored, never regresses it
+          if (st.forall(s => s._1 < r.t || (s._1 == r.t && s._2 <= r.tie)))
+            st = Some((r.t, r.tie, r.qid, r.px))
+        } else out += AsofJoined(r.leftId, st.map(_._3), st.map(_._4))
+      }
+      st.foreach(lastRight.update)
+      out.result().iterator
+    }
+  }
+
+  /** [[AsofProcessor]] wired over a tagged union stream. Build the union
+    * exactly like the batch operator does: rights as
+    * `AsofEvent(key, rightTime, 0, rightTieBreak, -1, qid, px)`, lefts
+    * as `AsofEvent(key, leftTime, 1, Long.MinValue, leftId, -1, 0)`. */
+  def streamingAsof(events: Dataset[AsofEvent],
+                    ttl: Option[java.time.Duration] = None): Dataset[AsofJoined] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.key)
+      .transformWithState(new AsofProcessor(ttl),
+        if (ttl.isDefined) org.apache.spark.sql.streaming.TimeMode.ProcessingTime()
+        else org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append)
+  }
+
   /** [[FirstSeenDedupProcessor]] wired over (id, key) rows. */
   def firstSeenDedupTws(docs: Dataset[(Long, String)]): Dataset[(Long, String)] = {
     import docs.sparkSession.implicits._

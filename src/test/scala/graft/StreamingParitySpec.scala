@@ -553,6 +553,86 @@ class StreamingParitySpec extends AnyFunSuite {
     }
   }
 
+  test("parity across checkpoint restart: streamingAsof ≡ batch Joins.asof (RocksDB), state O(keys)") {
+    implicit val sq = spark.sqlContext
+    // the streaming twin of q43: orders (rights) and events (lefts)
+    // stream in as one tagged union in the batch operator's (t, tag,
+    // tie) order; the query is killed mid-stream and resumed from the
+    // RocksDB checkpoint. Every emitted match must equal the
+    // oracle-gated batch as-of bit for bit, and state must be ONE
+    // running-last register per key with at least one right row — never
+    // the stream.
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_asof_ckpt_").toString
+    try {
+      val ev = events.select(col("event_id"), col("user_id"), col("ts"))
+      val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"), col("o_totalprice"))
+      val batch = graft.operators.Joins.asof(
+        left = ev, right = ord,
+        leftKey = col("user_id") + 1, rightKey = col("o_custkey"),
+        leftTime = col("ts"),
+        rightTime = unix_micros(col("o_orderdate").cast("timestamp")) * 1000L,
+        rightPayload = Seq("o_orderkey", "o_totalprice"),
+        rightTieBreak = col("o_orderkey"))
+        .select(col("event_id"), col("o_orderkey"), col("o_totalprice")).collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSet
+
+      val rights = ord.select(col("o_custkey").cast("string"),
+          (unix_micros(col("o_orderdate").cast("timestamp")) * 1000L).as("t"),
+          col("o_orderkey"), col("o_totalprice")).collect()
+        .map(r => StreamOps.AsofEvent(r.getString(0), r.getLong(1), 0,
+          r.getLong(2), -1L, r.getLong(2), r.getDouble(3)))
+      val lefts = ev.select((col("user_id") + 1).cast("string"), col("ts"), col("event_id"))
+        .collect()
+        .map(r => StreamOps.AsofEvent(r.getString(0), r.getLong(1), 1,
+          Long.MinValue, r.getLong(2), -1L, 0.0))
+      // the batch operator's exact total order — in-order replay is the
+      // regime where streaming ≡ batch holds exactly
+      val rows = (rights ++ lefts).sortBy(r => (r.t, r.tag, r.tie)).toSeq
+
+      val mem = MemoryStream[StreamOps.AsofEvent]
+      val out = StreamOps.streamingAsof(mem.toDS())
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[StreamOps.AsofJoined]()
+      def start() = out.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamOps.AsofJoined], _: Long) =>
+          df.collect().foreach(buf.add)
+        }.start()
+
+      val half = rows.length / 2
+      val q1 = start()
+      replay(mem, rows.take(half), chunk = 2000, q1)
+      q1.stop()
+      val q2 = start() // running-last registers resume from the checkpoint
+      replay(mem, rows.drop(half), chunk = 2000, q2)
+      val stateRows = q2.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      q2.stop()
+
+      val got = buf.toArray(Array.empty[StreamOps.AsofJoined])
+        .map(j => (j.leftId, j.qid, j.px)).toSet
+      assert(got == batch)
+      // O(keys) state: one register per key that has seen a right row,
+      // regardless of how many rows streamed through
+      val rightKeys = rights.map(_.key).distinct.length.toLong
+      assert(stateRows == rightKeys,
+        s"state rows $stateRows != $rightKeys right keys — state is not O(keys)")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(ckpt))
+    }
+  }
+
   test("streamingTopKPerGroup state stays O(groups·k) at larger-than-state scale") {
     implicit val sq = spark.sqlContext
     // 50k scored rows stream into 5 groups with k=3: the state store
