@@ -74,16 +74,31 @@ object Windows {
   private[graft] def subBucketize(df: DataFrame, group: Column, numLead: Column): DataFrame = {
     val parts = math.max(1,
       df.sparkSession.sessionState.conf.numShufflePartitions)
-    val stats = df.groupBy(group.as("__g"))
+    // __g is materialized on the BIG frame (not taken from the stats
+    // side of the join): downstream exchanges hash on it, and an
+    // attribute that originated on the broadcast side would carry no
+    // partitioning lineage for the planner to reuse
+    val withG = df.withColumn("__g", group)
+    val stats = withG.groupBy(col("__g").as("__gs"))
       .agg(min(numLead).cast("double").as("__mn"), max(numLead).cast("double").as("__mx"))
     val width = (col("__mx") - col("__mn")) / parts
-    df.join(stats, group <=> col("__g"))
+    // __bk packs (group, sub-bucket) into ONE non-null struct attribute.
+    // Everything downstream keys on it — window partitions, summary
+    // group-bys, carry joins — for two reasons: (a) struct equality is
+    // ordering-based, so null groups compare equal without `<=>` (whose
+    // key-wrapping would defeat partitioning reuse); (b) a plain `===`
+    // on the same attribute the window partitioned by lets the planner
+    // satisfy the carry join's distribution AND sort from the window's
+    // own exchange — the big side is never re-shuffled or re-sorted for
+    // the join.
+    withG.join(stats, col("__g") <=> col("__gs"))
       .withColumn("__sb",
         when(numLead.isNull, lit(0L))
           .when(col("__mx") === col("__mn"), lit(1L))
           .otherwise(lit(1L) + least(floor((numLead.cast("double") - col("__mn")) / width),
             lit(parts - 1L))).cast("long"))
-      .drop("__mn", "__mx")
+      .drop("__gs", "__mn", "__mx")
+      .withColumn("__bk", struct(col("__g"), col("__sb")))
   }
 
   private def numericLeadOrThrow(df: DataFrame, lead: Column, who: String): Column = {
@@ -108,21 +123,27 @@ object Windows {
                           order: Seq[Column], value: Column,
                           cumCol: String): DataFrame = {
     val numLead = numericLeadOrThrow(df, lead, "groupedRunningTotal")
-    val w = Window.partitionBy(col("__g"), col("__sb")).orderBy(order: _*)
+    val w = Window.partitionBy(col("__bk")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = subBucketize(df, group, numLead)
       .withColumn("__cum", sum(value.cast("long")).over(w))
-    val totals = cum.groupBy(col("__g").as("__og"), col("__sb").as("__osb"))
+    // totals aggregate the WINDOWED frame: already clustered on __bk, so
+    // no exchange of its own — the one big shuffle is the window's
+    val totals = cum.groupBy(col("__bk").as("__obk"))
       .agg(sum(value.cast("long")).as("__tot"))
     // exclusive prefix over a group's sub-bucket totals: the window
     // partition is ≤ parts+1 rows per group, at any group cardinality
-    val offsets = totals.withColumn("__off", coalesce(
-        sum(col("__tot")).over(Window.partitionBy(col("__og")).orderBy(col("__osb"))
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__og"), col("__osb"), col("__off"))
-    cum.join(offsets, col("__g") <=> col("__og") && col("__sb") === col("__osb"))
+    val offsets = totals
+      .withColumn("__owg", col("__obk").getField("__g"))
+      .withColumn("__owsb", col("__obk").getField("__sb"))
+      .withColumn("__off", coalesce(
+        sum(col("__tot")).over(
+          Window.partitionBy(col("__owg")).orderBy(col("__owsb"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__obk"), col("__off"))
+    cum.join(offsets, col("__bk") === col("__obk"))
       .withColumn(cumCol, col("__off") + col("__cum"))
-      .drop("__g", "__sb", "__og", "__osb", "__cum", "__off")
+      .drop("__g", "__sb", "__bk", "__obk", "__cum", "__off")
   }
 
   /** Shared core of [[groupedRunningLast]] / [[groupedRunningLag]]: for
@@ -147,45 +168,43 @@ object Windows {
                                   exclusive: Boolean): DataFrame = {
     val numLead = numericLeadOrThrow(df, lead, "groupedRunningCarry")
     val bucketed = subBucketize(df, group, numLead)
-    val w = Window.partitionBy(col("__g"), col("__sb")).orderBy(order: _*)
+    val w = Window.partitionBy(col("__bk")).orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding,
         if (exclusive) -1 else Window.currentRow)
     val withinBucket = carries.foldLeft(bucketed) { case (d, (in, out)) =>
       d.withColumn(out, last(col(in), ignoreNulls = true).over(w))
     }
-    // Per-sub-bucket "last non-null by order" summaries, aggregated over
-    // the WINDOWED frame, not a separate branch on `bucketed`: the
-    // window's output already hashes on (__g, __sb), so this aggregate
-    // needs no new exchange and the shared exchange below the sort is
-    // reused — one scan of the data, not two. Inclusive case: the
-    // max-order row's running-last IS the bucket summary (null when the
-    // bucket holds no non-null value — the carry window's ignoreNulls
-    // then skips it). Exclusive (lag) case: the running-last excludes
-    // each row's own value, so aggregate the untouched `in` column over
-    // the non-null rows instead.
-    val lastAggs = carries.map { case (in, out) =>
-      if (exclusive)
-        max(when(col(in).isNotNull,
-          struct(order.map(o => o) :+ col(in).as("__v"): _*)))
-          .getField("__v").as(s"__bl_$in")
-      else
-        max(struct(order.map(o => o) :+ col(out).as("__v"): _*))
-          .getField("__v").as(s"__bl_$in")
+    // Per-sub-bucket "last non-null by order" summaries: max over
+    // (order..., value) structs of the non-null rows — order columns are
+    // non-null, so the struct comparison is total. This branch re-reads
+    // the (column-pruned) input and map-side partial-aggregates it down
+    // to ≤ one row per (group, sub-bucket) before its exchange — a cheap
+    // second scan, where re-shuffling the big side for the carry join
+    // (the alternative this layout avoids) would not be.
+    val lastAggs = carries.map { case (in, _) =>
+      max(when(col(in).isNotNull,
+        struct(order.map(o => o) :+ col(in).as("__v"): _*)))
+        .getField("__v").as(s"__bl_$in")
     }
-    val summaries = withinBucket.groupBy(col("__g").as("__cg"), col("__sb").as("__csb"))
+    val summaries = bucketed.groupBy(col("__bk").as("__cbk"))
       .agg(lastAggs.head, lastAggs.tail: _*)
     // carry-in per sub-bucket: last non-null summary among STRICTLY
-    // preceding sub-buckets of the same group (≤ parts+1 rows per group)
-    val wCarry = Window.partitionBy(col("__cg")).orderBy(col("__csb"))
+    // preceding sub-buckets of the same group (≤ parts+1 rows per
+    // group). The struct fields are materialized as columns first so
+    // every carry column's window shares ONE attribute-keyed spec —
+    // expression-keyed specs don't merge, and each would plan its own
+    // exchange+sort over the summaries frame.
+    val wCarry = Window.partitionBy(col("__cwg")).orderBy(col("__cwsb"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val carryIns = carries.foldLeft(summaries) { case (d, (in, _)) =>
+    val carryIns = carries.foldLeft(
+      summaries.withColumn("__cwg", col("__cbk").getField("__g"))
+        .withColumn("__cwsb", col("__cbk").getField("__sb"))) { case (d, (in, _)) =>
       d.withColumn(s"__ci_$in", last(col(s"__bl_$in"), ignoreNulls = true).over(wCarry))
-    }.select(col("__cg") +: col("__csb") +: carries.map { case (in, _) => col(s"__ci_$in") }: _*)
-    val joined = withinBucket.join(carryIns,
-      col("__g") <=> col("__cg") && col("__sb") === col("__csb"))
+    }.select(col("__cbk") +: carries.map { case (in, _) => col(s"__ci_$in") }: _*)
+    val joined = withinBucket.join(carryIns, col("__bk") === col("__cbk"))
     carries.foldLeft(joined) { case (d, (in, out)) =>
       d.withColumn(out, coalesce(col(out), col(s"__ci_$in"))).drop(s"__ci_$in")
-    }.drop("__g", "__sb", "__cg", "__csb")
+    }.drop("__g", "__sb", "__bk", "__cbk")
   }
 
   /** Distributed per-GROUP running LAST-NON-NULL carry along a total

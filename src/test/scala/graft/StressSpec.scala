@@ -227,7 +227,7 @@ class StressSpec extends AnyFunSuite {
         // the running-sum window partitions on the derived sub-bucket —
         // a raw-group window would collapse 900k rows onto one task
         val planStr = out.queryExecution.analyzed.toString
-        assert(planStr.contains("windowspecdefinition(__g"),
+        assert(planStr.contains("windowspecdefinition(__bk"),
           "running-sum window must partition on the sub-bucket column")
         // structural: worst legal partition = the hot-key tie mass (100k
         // rows share one lead value — unsplittable by equal-width
@@ -283,7 +283,7 @@ class StressSpec extends AnyFunSuite {
         // the running-last window partitions on the derived sub-bucket,
         // never the raw key
         val planStr = got.queryExecution.analyzed.toString
-        assert(planStr.contains("windowspecdefinition(__g"),
+        assert(planStr.contains("windowspecdefinition(__bk"),
           "as-of running-last must window on the sub-bucket column")
         // structural: quote/trade times are uniform longs, so the hot
         // key's 600k union rows spread across ~32 sub-buckets — 2× slack;
@@ -332,7 +332,7 @@ class StressSpec extends AnyFunSuite {
         val out = Windows.groupedRunningLag(df, col("user_id"), col("ts"),
           Seq(col("ts"), col("event_id")), Seq(("ts", "prev_ts")))
         val planStr = out.queryExecution.analyzed.toString
-        assert(planStr.contains("windowspecdefinition(__g"),
+        assert(planStr.contains("windowspecdefinition(__bk"),
           "lag must window on the sub-bucket column, never the raw user")
         // structural: uniform ts spreads the hot user's 500k rows over
         // ~32 sub-buckets — 2× slack; a raw-user window shows 500k
