@@ -92,4 +92,26 @@ class PropertySpec extends AnyFunSuite {
       got.map(s => (key(s), s.id)) == want.map(s => (key(s), s.id))
     })
   }
+
+  test("FirstKByOrder partition invariance: any chunking + merge order == global sort-take") {
+    // the same law for the first-k twin (q37/q42's engine): first-k
+    // selection commutes with partitioning when ord is unique, so any
+    // split and merge order must equal the single-pass sort-take
+    import graft.functions.{FirstKByOrder, OrdPayload}
+    val entries: Gen[List[OrdPayload]] = for {
+      n <- Gen.choose(0, 120)
+      ords <- Gen.listOfN(n, Gen.choose(Long.MinValue / 2, Long.MaxValue / 2))
+    } yield ords.distinct.zipWithIndex.map { case (o, i) => OrdPayload(o, i * 1.5) }
+    check("firstk-partition", Prop.forAll(entries, Gen.choose(1, 12),
+      Gen.choose(1, 7), Gen.long) { (xs, k, chunks, seed) =>
+      val agg = new FirstKByOrder(k)
+      val rnd = new scala.util.Random(seed)
+      val parts = rnd.shuffle(xs).grouped(math.max(1, xs.length / chunks + 1)).toList
+      val bufs = parts.map(p => p.foldLeft(agg.zero)(agg.reduce))
+      val merged = rnd.shuffle(bufs).foldLeft(agg.zero)(agg.merge)
+      val got = agg.finish(merged).items
+      val want = xs.sortBy(_.ord).take(k)
+      got == want
+    })
+  }
 }
