@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.DftAggregator
 import graft.operators.Similarity

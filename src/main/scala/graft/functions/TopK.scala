@@ -42,8 +42,12 @@ case class OrdPayload(ord: Long, payload: Double)
 case class FirstKBuf(items: Seq[OrdPayload])
 
 /** Bounded FIRST-k aggregate over (ord, payload): keeps the k elements
-  * with the SMALLEST `ord` and emits them sorted ascending — the
-  * payload-carrying "first k rows per group by order" that replaces
+  * with the SMALLEST `ord` and emits them sorted ascending — the prefix
+  * the reference's collectors consume when a spectral/series collector
+  * reads the first n elements of a stream (collector.h:2744-2779 reads
+  * the series in index order; q37/q42 take "first 8/12 events per
+  * user"), generalized to the payload-carrying "first k rows per group
+  * by order" that replaces
   * `Window.partitionBy(group).orderBy(ord)` + `row_number <= k`, whose
   * window partition pins a group's ENTIRE history to one task (one hot
   * user owning a big slice of an event stream is the canonical skew).
