@@ -246,7 +246,7 @@ object Similarity {
   private def stepFrom(emb: DataFrame, vecCol: String,
                        cents: Array[(Long, Array[Float])]): DataFrame = {
     val vec = col(vecCol)
-    val candidates = cents.map { case (cid, cv) =>
+    val candidates = cents.toIndexedSeq.map { case (cid, cv) =>
       val c = typedLit(cv)
       struct(
         (lit(-2.0) * dot(vec, c) + dot(c, c)).as("d"),
