@@ -174,20 +174,63 @@ object Windows {
     val withinBucket = carries.foldLeft(bucketed) { case (d, (in, out)) =>
       d.withColumn(out, last(col(in), ignoreNulls = true).over(w))
     }
-    // Per-sub-bucket "last non-null by order" summaries: max over
-    // (order..., value) structs of the non-null rows — order columns are
-    // non-null, so the struct comparison is total. This branch re-reads
-    // the (column-pruned) input and map-side partial-aggregates it down
-    // to ≤ one row per (group, sub-bucket) before its exchange — a cheap
-    // second scan, where re-shuffling the big side for the carry join
-    // (the alternative this layout avoids) would not be.
-    val lastAggs = carries.map { case (in, _) =>
-      max(when(col(in).isNotNull,
-        struct(order.map(o => o) :+ col(in).as("__v"): _*)))
-        .getField("__v").as(s"__bl_$in")
-    }
+    // Per-sub-bucket "last non-null by order" summaries: the value at
+    // the greatest (order...) among each bucket's non-null rows. This
+    // branch re-reads the (column-pruned) input and map-side
+    // partial-aggregates it down to ≤ one row per (group, sub-bucket)
+    // before its exchange — a cheap second scan, where re-shuffling the
+    // big side for the carry join (the alternative this layout avoids)
+    // would not be.
+    //
+    // Two aggregate forms, picked by type: when every order column is
+    // integral and every carry is long- or double-family, the typed
+    // LastByOrder aggregates run in ObjectHashAggregate — O(1) buffer,
+    // no sort. Otherwise max(struct(order..., value)): same result, but
+    // a struct-typed buffer forces SortAggregate (a map-side sort of
+    // the data by bucket key). One struct-max in the list would force
+    // the whole aggregate sort-based, so the fast path is all-or-none.
+    val integral: Set[org.apache.spark.sql.types.DataType] = Set(
+      org.apache.spark.sql.types.ByteType, org.apache.spark.sql.types.ShortType,
+      org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.LongType)
+    val longFam = integral
+    val doubleFam: Set[org.apache.spark.sql.types.DataType] =
+      Set(org.apache.spark.sql.types.FloatType, org.apache.spark.sql.types.DoubleType)
+    val carryDts = carries.map { case (in, _) => df.schema(in).dataType }
+    val fastPath =
+      order.forall(o => integral.contains(bucketed.select(o).schema.head.dataType)) &&
+        carryDts.forall(dt => longFam.contains(dt) || doubleFam.contains(dt))
+    val (lastAggs, unwrap): (Seq[Column], Seq[Column => Column]) =
+      if (fastPath) {
+        val packedOrd = array(order.map(_.cast("long")): _*)
+        val aggs = carries.zip(carryDts).map { case ((in, _), dt) =>
+          if (longFam.contains(dt)) {
+            val a = udaf(new graft.functions.LastLongByOrder())
+            a(packedOrd, coalesce(col(in).cast("long"), lit(0L)), col(in).isNotNull)
+              .as(s"__raw_$in")
+          } else {
+            val a = udaf(new graft.functions.LastDoubleByOrder())
+            a(packedOrd, coalesce(col(in).cast("double"), lit(0.0)), col(in).isNotNull)
+              .as(s"__raw_$in")
+          }
+        }
+        val un = carries.zip(carryDts).map { case (_, dt) =>
+          (c: Column) => when(c.getField("ok"), c.getField("v").cast(dt))
+        }
+        (aggs, un)
+      } else {
+        val aggs = carries.map { case (in, _) =>
+          max(when(col(in).isNotNull,
+            struct(order.map(o => o) :+ col(in).as("__v"): _*))).as(s"__raw_$in")
+        }
+        val un = carries.map { _ => (c: Column) => c.getField("__v") }
+        (aggs, un)
+      }
     val summaries = bucketed.groupBy(col("__bk").as("__cbk"))
       .agg(lastAggs.head, lastAggs.tail: _*)
+    val summariesUnwrapped = carries.zip(unwrap).foldLeft(summaries) {
+      case (d, ((in, _), un)) =>
+        d.withColumn(s"__bl_$in", un(col(s"__raw_$in"))).drop(s"__raw_$in")
+    }
     // carry-in per sub-bucket: last non-null summary among STRICTLY
     // preceding sub-buckets of the same group (≤ parts+1 rows per
     // group). The struct fields are materialized as columns first so
@@ -197,7 +240,7 @@ object Windows {
     val wCarry = Window.partitionBy(col("__cwg")).orderBy(col("__cwsb"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val carryIns = carries.foldLeft(
-      summaries.withColumn("__cwg", col("__cbk").getField("__g"))
+      summariesUnwrapped.withColumn("__cwg", col("__cbk").getField("__g"))
         .withColumn("__cwsb", col("__cbk").getField("__sb"))) { case (d, (in, _)) =>
       d.withColumn(s"__ci_$in", last(col(s"__bl_$in"), ignoreNulls = true).over(wCarry))
     }.select(col("__cbk") +: carries.map { case (in, _) => col(s"__ci_$in") }: _*)

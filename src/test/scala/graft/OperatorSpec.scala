@@ -762,6 +762,38 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.count(_._2.isEmpty) == naive.count(_._2.isEmpty))
   }
 
+  test("groupedRunningLast: typed fast path is hash-aggregated; string carry falls back, both exact") {
+    import graft.operators.Windows
+    import org.apache.spark.sql.expressions.{Window => W}
+    // sparse carries: only every 3rd row has a value, so the running
+    // last must bridge nulls within AND across sub-buckets
+    val df = spark.range(400).select(
+      (col("id") % 5).as("g"), col("id").as("ts"),
+      when(col("id") % 3 === 0, col("id") * 7).as("num"),
+      when(col("id") % 3 === 0, concat(lit("s"), col("id"))).as("str"))
+      .repartition(8)
+    def naive(c: String) = df.withColumn(c,
+      last(col(c), ignoreNulls = true).over(W.partitionBy(col("g")).orderBy(col("ts"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .select(col("ts").as("k"), col(c)).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    // long carry → LastLongByOrder (ObjectHashAggregate — no
+    // SortAggregate anywhere in the summary branch)
+    val fast = Windows.groupedRunningLast(df, col("g"), col("ts"),
+      Seq(col("ts")), Seq("num"))
+    assert(!fast.queryExecution.executedPlan.toString.contains("SortAggregate"),
+      "integral-order long carry must take the hash-aggregated summary path")
+    assert(fast.select(col("ts"), col("num")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap == naive("num"))
+    // string carry → struct-max fallback, same answer
+    val slow = Windows.groupedRunningLast(df, col("g"), col("ts"),
+      Seq(col("ts")), Seq("str"))
+    assert(slow.queryExecution.executedPlan.toString.contains("SortAggregate"),
+      "non-numeric carry must fall back to the struct-max summary")
+    assert(slow.select(col("ts"), col("str")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap == naive("str"))
+  }
+
   test("connected components: chains need multi-round propagation, cycles terminate") {
     import graft.operators.Dedup
     // path 10-2-7-4 (min in the middle of arrival order), cycle 20-21-22-20,

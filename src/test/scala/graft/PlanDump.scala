@@ -18,5 +18,9 @@ object PlanDump {
     val t1 = System.nanoTime()
     df.count()
     println(f"[plandump] $name warm=${(System.nanoTime() - t1) / 1e9}%.3f s")
+    // post-execution view: AQE's FINAL plan (runtime join strategy
+    // switches, coalesced partitions), not the initial guess above
+    println("== AQE final ==")
+    println(df.queryExecution.executedPlan.toString)
   }
 }
