@@ -326,6 +326,34 @@ object StreamOps {
         OutputMode.Append)
   }
 
+  /** Streaming RANGE (interval) join — the unbounded twin of
+    * [[graft.operators.Joins.rangeJoin]] for the fixed-width window
+    * case (hi = rightTime + window): left rows against right rows of
+    * the same key with `leftTime ∈ [rightTime, rightTime + window)`,
+    * as a watermarked stream-stream inner join. The two-sided
+    * event-time bound in the join condition is what lets Spark's
+    * stream-stream join EVICT buffered rows once the watermark passes
+    * their match horizon — state is bounded by rate × (window +
+    * watermark delay), never the stream. No bin-explode is needed
+    * here: the batch operator bins time to turn a range predicate into
+    * an equi-join key; the streaming join buffers by key and applies
+    * the range natively. Emits the aliased frames (`l.*`, `r.*`) like
+    * the batch twin; add residual predicates (self-pair exclusion,
+    * payload filters) downstream. Time columns must be timestamps
+    * (watermarks don't attach to raw longs — `timestamp_micros` the
+    * epoch first). */
+  def streamingRangeJoin(left: DataFrame, right: DataFrame,
+                         leftKeyCol: String, rightKeyCol: String,
+                         leftTimeCol: String, rightTimeCol: String,
+                         window: String, watermark: String): DataFrame = {
+    val l = left.withWatermark(leftTimeCol, watermark).alias("l")
+    val r = right.withWatermark(rightTimeCol, watermark).alias("r")
+    l.join(r,
+      col(s"l.$leftKeyCol") === col(s"r.$rightKeyCol") &&
+        col(s"l.$leftTimeCol") >= col(s"r.$rightTimeCol") &&
+        col(s"l.$leftTimeCol") < col(s"r.$rightTimeCol") + expr(s"INTERVAL $window"))
+  }
+
   /** [[FirstSeenDedupProcessor]] wired over (id, key) rows. */
   def firstSeenDedupTws(docs: Dataset[(Long, String)]): Dataset[(Long, String)] = {
     import docs.sparkSession.implicits._

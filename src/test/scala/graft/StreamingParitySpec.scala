@@ -633,6 +633,59 @@ class StreamingParitySpec extends AnyFunSuite {
     }
   }
 
+  test("parity: streamingRangeJoin ≡ batch rangeJoin (q51 shape), state evicted past the horizon") {
+    implicit val sq = spark.sqlContext
+    // the q51 shape: same-user event pairs within 10 minutes AFTER a
+    // trigger event, both sides the events stream itself. Batch truth
+    // from the oracle-gated binned rangeJoin on the same rows.
+    val evMicros = spark.read.parquet(s"$sfDir/events.parquet")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_us"))
+    val win = 600L * 1000000L
+    val triggers = evMicros.select(col("event_id").as("t_event"),
+      col("user_id").as("t_user"), col("ts_us").as("lo"),
+      (col("ts_us") + win).as("hi"))
+    val batch = graft.operators.Joins.rangeJoin(evMicros, triggers,
+      leftKeyCol = "user_id", rightKeyCol = "t_user",
+      leftTimeCol = "ts_us", rightLoCol = "lo", rightHiCol = "hi",
+      binWidth = win)
+      .filter(col("l.event_id") =!= col("r.t_event"))
+      .select(col("r.t_event"), col("l.event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(batch.nonEmpty)
+
+    val rows = evMicros.orderBy(col("ts_us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val memL = MemoryStream[(Long, Long, Long)]
+    val memR = MemoryStream[(Long, Long, Long)]
+    def tsify(df: DataFrame) = df.toDF("event_id", "user_id", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us"))).drop("ts_us")
+    val joined = StreamOps.streamingRangeJoin(
+      tsify(memL.toDF()), tsify(memR.toDF()),
+      leftKeyCol = "user_id", rightKeyCol = "user_id",
+      leftTimeCol = "ts", rightTimeCol = "ts",
+      window = "10 minutes", watermark = "20 minutes")
+      .filter(col("l.event_id") =!= col("r.event_id"))
+      .select(col("r.event_id").as("a"), col("l.event_id").as("b"))
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("parity_rangejoin").start()
+    // both sides replay the SAME ordered event stream in lockstep
+    rows.grouped(100).foreach { chunk =>
+      memL.addData(chunk: _*); memR.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    val stateRows = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    q.stop()
+    val got = spark.table("parity_rangejoin").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == batch)
+    // the events span ~30 days against a 30-minute match horizon: the
+    // join must have EVICTED nearly everything — buffering the whole
+    // stream (the unbounded-state regression) shows up as ~2n rows
+    assert(stateRows < rows.length / 2,
+      s"state rows $stateRows — stream-stream join is not evicting past the watermark")
+  }
+
   test("streamingTopKPerGroup state stays O(groups·k) at larger-than-state scale") {
     implicit val sq = spark.sqlContext
     // 50k scored rows stream into 5 groups with k=3: the state store
