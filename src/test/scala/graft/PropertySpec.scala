@@ -114,4 +114,31 @@ class PropertySpec extends AnyFunSuite {
       got == want
     })
   }
+
+  test("LastLongByOrder partition invariance: any chunking + merge order == last valid by order") {
+    // the law behind the carry machinery's hash-aggregated summaries:
+    // max-by over a strict total order is associative and commutative,
+    // so any split/merge must equal the single-pass answer; rows with
+    // ok=false (null carries) never win
+    import graft.functions.{LastLongByOrder, OrdLong}
+    val entries: Gen[List[OrdLong]] = for {
+      n <- Gen.choose(0, 100)
+      ords <- Gen.listOfN(n, Gen.listOfN(3, Gen.choose(-1000L, 1000L)))
+    } yield ords.distinct.zipWithIndex.map { case (o, i) =>
+      OrdLong(o, i.toLong, ok = i % 3 != 0)
+    }
+    check("lastbyorder-partition", Prop.forAll(entries, Gen.choose(1, 7), Gen.long) {
+      (xs, chunks, seed) =>
+      val agg = new LastLongByOrder
+      val rnd = new scala.util.Random(seed)
+      val parts = rnd.shuffle(xs).grouped(math.max(1, xs.length / chunks + 1)).toList
+      val bufs = parts.map(p => p.foldLeft(agg.zero)(agg.reduce))
+      val got = agg.finish(rnd.shuffle(bufs).foldLeft(agg.zero)(agg.merge))
+      val valid = xs.filter(_.ok)
+      val want =
+        if (valid.isEmpty) agg.zero
+        else valid.maxBy(_.ord)(Ordering.Implicits.seqOrdering[Seq, Long])
+      got == want
+    })
+  }
 }
