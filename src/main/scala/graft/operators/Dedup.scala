@@ -195,7 +195,18 @@ object Dedup {
                       maxBucketSize: Option[Int] = None,
                       materialize: Boolean = false): DataFrame = {
     val sig = minhashSignature(df, idCol, textCol, shingleWidth, numHashes)
+    // The candidate frame feeds THREE consumers (both id projections +
+    // the verify join) and the candidate-shingle frame three more (two
+    // join sides + the size aggregate). Left lazy, each consumer would
+    // replant the whole signature/banding pipeline in the plan — the
+    // corpus would be scanned and min-hashed ~3×. Both frames are small
+    // BY CONSTRUCTION — pairs are capped-banding-bounded, shingles are
+    // semi-joined to candidate docs only (the verify working set) — so
+    // each is lazily localCheckpoint-ed (disk-backed blocks, computed
+    // once inside the first action, freed by the ContextCleaner when
+    // the frame is collected). The spine runs ONCE per call.
     val cand = lshCandidates(lshBands(sig, bands, numHashes / bands), maxBucketSize)
+      .localCheckpoint(false)
     val candIds = cand.select(col("a").as("id"))
       .union(cand.select(col("b").as("id"))).distinct()
     val candDocs = df.join(candIds.withColumnRenamed("id", idCol),
@@ -203,6 +214,7 @@ object Dedup {
     val sh = candDocs.select(col(idCol).as("id"),
       explode(shingleArray(col(textCol), shingleWidth)).as("shingle"))
       .distinct()
+      .localCheckpoint(false)
     val pairs = jaccard(cand, sh).filter(col("jaccard") >= threshold)
     if (materialize) pairs.localCheckpoint() else pairs
   }
