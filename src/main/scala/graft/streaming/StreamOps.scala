@@ -354,6 +354,58 @@ object StreamOps {
         col(s"l.$leftTimeCol") < col(s"r.$rightTimeCol") + expr(s"INTERVAL $window"))
   }
 
+  /** One document offered to the streaming token-budget curator:
+    * `k` is the deterministic admission-order key (the batch q66 shape
+    * uses md5(doc_id) — an epoch-stable shuffle), `nTokens` its cost. */
+  case class BudgetedDoc(lang: String, k: String, docId: Long, nTokens: Long)
+
+  /** One admitted document with the tokens consumed before it. */
+  case class AdmittedDoc(docId: Long, lang: String, nTokens: Long, cumBefore: Long)
+
+  /** Streaming token-budget domain mixing — the unbounded twin of the
+    * q66 batch shape (`Windows.groupedRunningTotal` + prefix filter): a
+    * document is admitted iff its language's running token total BEFORE
+    * it is still under `budget`; every arrival (admitted or not) adds
+    * its tokens to the running total, exactly like the batch prefix
+    * sum over the full order. State is ONE long per language — O(langs)
+    * forever — where the batch operator's distributed prefix sum is
+    * re-derived per run. Within a micro-batch rows are swept in
+    * (k, docId) order; when the stream arrives in that order (the
+    * parity spec replays exactly this), admissions equal the batch
+    * operator's bit for bit. */
+  class TokenBudgetProcessor(budget: Long)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[String, BudgetedDoc, AdmittedDoc] {
+    import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var total: ValueState[Long] = _
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      total = getHandle.getValueState[Long]("total", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[BudgetedDoc],
+                                 timerValues: TimerValues): Iterator[AdmittedDoc] = {
+      var t = if (total.exists()) total.get() else 0L
+      val out = Seq.newBuilder[AdmittedDoc]
+      rows.toArray.sortBy(r => (r.k, r.docId)).foreach { r =>
+        if (t < budget) out += AdmittedDoc(r.docId, key, r.nTokens, t)
+        t += r.nTokens
+      }
+      total.update(t)
+      out.result().iterator
+    }
+  }
+
+  /** [[TokenBudgetProcessor]] wired over a document stream. */
+  def streamingTokenBudget(docs: Dataset[BudgetedDoc], budget: Long): Dataset[AdmittedDoc] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_.lang)
+      .transformWithState(new TokenBudgetProcessor(budget),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Append)
+  }
+
   /** [[FirstSeenDedupProcessor]] wired over (id, key) rows. */
   def firstSeenDedupTws(docs: Dataset[(Long, String)]): Dataset[(Long, String)] = {
     import docs.sparkSession.implicits._

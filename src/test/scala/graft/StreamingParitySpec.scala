@@ -686,6 +686,62 @@ class StreamingParitySpec extends AnyFunSuite {
       s"state rows $stateRows — stream-stream join is not evicting past the watermark")
   }
 
+  test("parity across checkpoint restart: streamingTokenBudget ≡ q66 batch mixing, state O(langs)") {
+    implicit val sq = spark.sqlContext
+    // the q66 curation shape as a stream: docs arrive in the epoch-
+    // shuffle order (md5(doc_id), doc_id); each language admits until
+    // its 3000-token budget is consumed. Batch truth is q66's own
+    // oracle-gated query; the stream is killed mid-replay and resumed.
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_budget_ckpt_").toString
+    try {
+      val batch = QueriesText.all("q66_token_budget_mix")(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      val rows = docs.select(col("lang"),
+          md5(col("doc_id").cast("string")).as("k"), col("doc_id"),
+          graft.operators.TextAnalysis.tokenCount(col("text")).as("n_tokens"))
+        .collect()
+        .map(r => StreamOps.BudgetedDoc(r.getString(0), r.getString(1),
+          r.getLong(2), r.getLong(3)))
+        .sortBy(d => (d.k, d.docId)).toSeq
+
+      val mem = MemoryStream[StreamOps.BudgetedDoc]
+      val out = StreamOps.streamingTokenBudget(mem.toDS(), budget = 3000L)
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[StreamOps.AdmittedDoc]()
+      def start() = out.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamOps.AdmittedDoc], _: Long) =>
+          df.collect().foreach(buf.add)
+        }.start()
+
+      val q1 = start()
+      replay(mem, rows.take(250), chunk = 50, q1)
+      q1.stop()
+      val q2 = start() // per-lang running totals resume from the checkpoint
+      replay(mem, rows.drop(250), chunk = 50, q2)
+      val stateRows = q2.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      q2.stop()
+
+      val got = buf.toArray(Array.empty[StreamOps.AdmittedDoc])
+        .map(a => (a.docId, a.lang, a.nTokens, a.cumBefore)).toSet
+      assert(got == batch)
+      // O(langs) state: one running total per language, ever
+      val langs = rows.map(_.lang).distinct.length.toLong
+      assert(stateRows == langs, s"state rows $stateRows != $langs langs")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(ckpt))
+    }
+  }
+
   test("streamingTopKPerGroup state stays O(groups·k) at larger-than-state scale") {
     implicit val sq = spark.sqlContext
     // 50k scored rows stream into 5 groups with k=3: the state store
