@@ -794,6 +794,37 @@ class OperatorSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> Option(r.get(1))).toMap == naive("str"))
   }
 
+  test("grouped running total/lag: a NULL group is one ordinary group (struct-key null safety)") {
+    import graft.operators.Windows
+    import org.apache.spark.sql.expressions.{Window => W}
+    // a third of rows carry a null group — the struct(group, sub-bucket)
+    // key must route them through stats, windows and carry joins as one
+    // coherent group, exactly like Spark's own groupBy(null) semantics
+    val df = spark.range(300).select(
+      when(col("id") % 3 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("g"), col("id") % 2)).as("g"),
+      col("id").as("ts"), (col("id") % 7 + 1).as("v")).repartition(8)
+    val gotCum = Windows.groupedRunningTotal(df, col("g"), col("ts"),
+        Seq(col("ts")), col("v"), "cum")
+      .select(col("ts").as("k"), col("cum")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val naiveCum = df.withColumn("cum",
+        sum(col("v")).over(W.partitionBy(col("g")).orderBy(col("ts"))
+          .rowsBetween(W.unboundedPreceding, W.currentRow)))
+      .select(col("ts"), col("cum")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotCum == naiveCum)
+    val gotLag = Windows.groupedRunningLag(df, col("g"), col("ts"),
+        Seq(col("ts")), Seq(("ts", "prev")))
+      .select(col("ts").as("k"), col("prev")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    val naiveLag = df.withColumn("prev",
+        lag(col("ts"), 1).over(W.partitionBy(col("g")).orderBy(col("ts"))))
+      .select(col("ts"), col("prev")).collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(gotLag == naiveLag)
+  }
+
   test("connected components: chains need multi-round propagation, cycles terminate") {
     import graft.operators.Dedup
     // path 10-2-7-4 (min in the middle of arrival order), cycle 20-21-22-20,
