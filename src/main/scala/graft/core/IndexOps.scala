@@ -130,10 +130,16 @@ object IndexOps {
       .drop("__mn", "__mx")
     val w = Window.partitionBy(col("__b")).orderBy(key.asc)
     val rn = bucketed.withColumn("__rn", row_number().over(w).cast("long"))
+    // Bucket counts come from the PRE-window frame: max(__rn) per bucket
+    // is the same number, but referencing the window output would replay
+    // the rank's exchange+sort+window in the offsets branch (and ranks
+    // nest — a concatenate of bridges multiplies that replay; q10's
+    // final plan held 27 window nodes before this). The count branch is
+    // a map-side partial aggregate over the bucketized scan instead.
     // NOTE the prefix-sum window below is unpartitioned BY DESIGN — it
     // runs over at most `parts` bucket-count rows, never the data, so
     // the "No Partition Defined" warning it triggers is expected noise
-    val offsets = rn.groupBy(col("__b")).agg(max(col("__rn")).as("__cnt"))
+    val offsets = bucketed.groupBy(col("__b")).agg(count(lit(1)).as("__cnt"))
       .withColumn("__off", coalesce(
         sum(col("__cnt")).over(
           Window.orderBy(col("__b")).rowsBetween(Window.unboundedPreceding, -1)),
@@ -208,10 +214,11 @@ object IndexOps {
   def rankNumericPrefix(df: DataFrame, lead: Column, order: Seq[Column],
                         renumberIdx: Boolean, ascending: Boolean = true): DataFrame = {
     val w = Window.partitionBy(col("__b")).orderBy(order: _*)
-    val rn = bucketizeByLead(df, lead)
-      .withColumn("__rn", row_number().over(w).cast("long"))
+    val bucketed = bucketizeByLead(df, lead)
+    val rn = bucketed.withColumn("__rn", row_number().over(w).cast("long"))
+    // counts from the PRE-window frame (see rankNumericUnique's note)
     val offsets = prefixOffsets(
-      rn.groupBy(col("__b")).agg(count(lit(1)).as("__tot")), ascending)
+      bucketed.groupBy(col("__b")).agg(count(lit(1)).as("__tot")), ascending)
     val out = rn.join(broadcast(offsets), "__b")
       .withColumn("ord", col("__off") + col("__rn") - 1L)
     (if (renumberIdx) out.withColumn("idx", col("ord")) else out)
@@ -250,10 +257,11 @@ object IndexOps {
   def rankGroupedPrefix(df: DataFrame, group: Column, lead: Column,
                         order: Seq[Column], renumberIdx: Boolean): DataFrame = {
     val w = Window.partitionBy(col("__b")).orderBy(order: _*)
-    val rn = bucketizeByGroupedLead(df, group, lead)
-      .withColumn("__rn", row_number().over(w).cast("long"))
+    val bucketed = bucketizeByGroupedLead(df, group, lead)
+    val rn = bucketed.withColumn("__rn", row_number().over(w).cast("long"))
+    // counts from the PRE-window frame (see rankNumericUnique's note)
     val offsets = prefixOffsets(
-      rn.groupBy(col("__b")).agg(count(lit(1)).as("__tot")), ascending = true)
+      bucketed.groupBy(col("__b")).agg(count(lit(1)).as("__tot")), ascending = true)
     val out = rn.join(broadcast(offsets), "__b")
       .withColumn("ord", col("__off") + col("__rn") - 1L)
     (if (renumberIdx) out.withColumn("idx", col("ord")) else out)
