@@ -268,6 +268,28 @@ object QueriesText {
 
     // benchmark-contamination check: 12-token prefixes of every 25th doc
     // as the "eval set"; fraction of their trigrams found in the corpus
+    // blocklist decontamination at scale: drop every corpus doc sharing
+    // ANY word 3-shingle with the blocklist docs. The bloom prefilter
+    // (operators.Joins.bloomAntiJoin / bloomSemiJoin) keeps the corpus
+    // shingle explosion map-side for definitely-clean shingles — only
+    // bloom-passing shingles (true hits + the fpp tail) reach the exact
+    // semi join, so the result is bit-identical to the plain join
+    "q77_bloom_decontaminate" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val block = docs.filter(col("doc_id") % 25 === 0)
+        .select(explode(Dedup.shingleArray(col("text"), 3)).as("shingle"))
+        .distinct()
+      val corpus = docs.filter(col("doc_id") % 25 =!= 0)
+      val corpusSh = corpus.select(col("doc_id"),
+        explode(Dedup.shingleArray(col("text"), 3)).as("shingle"))
+      val contaminated = graft.operators.Joins.bloomSemiJoin(
+          corpusSh, block, col("shingle"), col("shingle"))
+        .select("doc_id").distinct()
+      corpus.join(contaminated, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q55_contamination" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
       val eval = docs.filter(col("doc_id") % 25 === 0)
@@ -729,6 +751,27 @@ object QueriesText {
         |SELECT id, CAST(chunk AS BIGINT) AS chunk, cum_tokens,
         |  CAST(floor((cum_tokens - n_chunk_tokens) / 256.0) AS BIGINT) AS bin
         |FROM cums ORDER BY id, chunk""".stripMargin,
+
+    "q77_bloom_decontaminate" ->
+      s"""WITH $wordsCte,
+         |shingled AS (
+         |  SELECT doc_id, tok || ' ' ||
+         |    lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos) || ' ' ||
+         |    lead(tok, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS shingle
+         |  FROM words),
+         |s2 AS (
+         |  SELECT DISTINCT doc_id, shingle FROM shingled
+         |  WHERE shingle IS NOT NULL),
+         |block AS (
+         |  SELECT DISTINCT shingle FROM s2 WHERE doc_id % 25 = 0),
+         |contaminated AS (
+         |  SELECT DISTINCT c.doc_id FROM s2 c
+         |  JOIN block b ON c.shingle = b.shingle
+         |  WHERE c.doc_id % 25 <> 0)
+         |SELECT d.doc_id, d.lang, d.n_chars FROM documents d
+         |WHERE d.doc_id % 25 <> 0
+         |  AND d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |ORDER BY doc_id""".stripMargin,
 
     "q55_contamination" ->
       s"""WITH $wordsCte,

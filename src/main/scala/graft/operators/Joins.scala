@@ -95,6 +95,94 @@ object Joins {
       .drop("__bin")
   }
 
+  /** Builds a Bloom filter over `keysKey` (nulls excluded) and returns the
+    * probe predicate for `bigKey` — the shared prefilter behind
+    * [[bloomSemiJoin]]/[[bloomAntiJoin]]. The key is normalized the SAME
+    * way on both sides (integral → long, string → string, anything else →
+    * its string form), so put/probe hashing is symmetric by construction:
+    * the filter can false-POSITIVE (fpp) but never false-negative, which
+    * is all the exactness argument needs. Null probe keys return false
+    * ("definitely not in the blocklist" — correct for both join kinds,
+    * since SQL equality never matches null).
+    *
+    * The filter is built with the public `df.stat.bloomFilter` (a
+    * distributed aggregate; only the ~1.2·n-byte bitmap at fpp=1% reaches
+    * the driver) and shipped as a broadcast variable. Sizing: `1e9` keys
+    * at 1% ≈ 1.2 GB — fine on large-executor clusters; past that, raise
+    * fpp (the exact join still guarantees correctness) or shard the
+    * blocklist. `expectedItems ≤ 0` → one approx_count_distinct job over
+    * the blocklist picks n. */
+  private def bloomProbe(big: DataFrame, keys: DataFrame,
+                         bigKey: Column, keysKey: Column,
+                         fpp: Double, expectedItems: Long): Column = {
+    import org.apache.spark.sql.types._
+    val dt = keys.select(keysKey).schema.head.dataType
+    val integral = Set[DataType](ByteType, ShortType, IntegerType, LongType)
+    def norm(c: Column): Column =
+      if (integral.contains(dt)) c.cast("long")
+      else if (dt == StringType) c
+      else c.cast("string")
+    val keyed = keys.select(norm(keysKey).as("__bk")).filter(col("__bk").isNotNull)
+    // one small aggregate sizes the filter AND detects the empty
+    // blocklist (whose bloom aggregate yields a null-buffer filter that
+    // NPEs on probe): empty → constant-false probe, no filter built
+    val stats0 = keyed.agg(approx_count_distinct(col("__bk")).as("__n"),
+      count(lit(1)).as("__c")).head()
+    if (stats0.getLong(1) == 0L) return lit(false)
+    val n = math.max(1L, if (expectedItems > 0) expectedItems else stats0.getLong(0))
+    val bf = keyed.stat.bloomFilter(col("__bk"), n, fpp)
+    val bc = big.sparkSession.sparkContext.broadcast(bf)
+    if (integral.contains(dt)) {
+      val probe = udf((v: java.lang.Long) => v != null && bc.value.mightContainLong(v))
+      probe(norm(bigKey))
+    } else {
+      val probe = udf((v: String) => v != null && bc.value.mightContainString(v))
+      probe(norm(bigKey))
+    }
+  }
+
+  /** Bloom-prefiltered exact SEMI join: rows of `big` whose `bigKey`
+    * appears in `keys.keysKey` — bit-identical to
+    * `big.join(keys, bigKey === keysKey, "left_semi")`, but the big side's
+    * shuffle carries only bloom-passing rows (true matches + the fpp
+    * tail) instead of the whole corpus. This is the contamination-HIT
+    * path when the blocklist is too large to broadcast exactly but its
+    * bloom bitmap fits: at 100 TB the corpus-side exchange shrinks from
+    * every row to ~(matches + fpp·rows). The probe UDF sits between the
+    * scan and the exchange — off the codegen fast path, but it deletes an
+    * exchange's worth of I/O, which dominates. */
+  def bloomSemiJoin(big: DataFrame, keys: DataFrame,
+                    bigKey: Column, keysKey: Column,
+                    fpp: Double = 0.01, expectedItems: Long = -1L): DataFrame = {
+    val pass = bloomProbe(big, keys, bigKey, keysKey, fpp, expectedItems)
+    // the right side is pruned to ONE uniquely-named key column: semi/anti
+    // output left columns only, and same-named keys on both sides (the
+    // self-decontamination case) would otherwise be ambiguous
+    val rk = keys.select(keysKey.as("__graft_bloom_k"))
+    big.filter(pass).join(rk, bigKey === rk("__graft_bloom_k"), "left_semi")
+  }
+
+  /** Bloom-prefiltered exact ANTI join (blocklist decontamination): rows
+    * of `big` whose `bigKey` does NOT appear in `keys.keysKey` —
+    * bit-identical to `big.join(keys, bigKey === keysKey, "left_anti")`.
+    * Rows the bloom rejects are DEFINITELY clean and bypass the join
+    * entirely (a map-side filter union branch); only bloom-passing rows
+    * (true hits + the fpp tail) reach the exact anti join. With a mostly
+    * clean corpus — the normal decontamination case — the join input is a
+    * tiny fraction of the data. Null-key rows ride the clean branch,
+    * matching anti-join semantics (null equals nothing, so anti keeps
+    * it). */
+  def bloomAntiJoin(big: DataFrame, keys: DataFrame,
+                    bigKey: Column, keysKey: Column,
+                    fpp: Double = 0.01, expectedItems: Long = -1L): DataFrame = {
+    val pass = bloomProbe(big, keys, bigKey, keysKey, fpp, expectedItems)
+    val clean = big.filter(!pass)
+    val rk = keys.select(keysKey.as("__graft_bloom_k"))
+    val candidates = big.filter(pass)
+      .join(rk, bigKey === rk("__graft_bloom_k"), "left_anti")
+    clean.unionByName(candidates)
+  }
+
   /** Two-stage salted aggregation for skewed keys: partial aggregate on
     * (key, salt), final aggregate on key. `partials` aggregate raw input;
     * `finals` re-aggregate the partial columns (by matching name). For
