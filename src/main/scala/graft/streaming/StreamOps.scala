@@ -406,6 +406,25 @@ object StreamOps {
         OutputMode.Append)
   }
 
+  /** Streaming blocklist decontamination — the unbounded twin of
+    * [[graft.operators.Joins.bloomAntiJoin]], and the deployment shape
+    * for "filter a document stream against a fixed contamination list".
+    * The blocklist is STATIC: its bloom bitmap is built once at plan
+    * time and broadcast, so the stream side is fully STATELESS — rows
+    * the bloom clears pass on the map side of their micro-batch, and
+    * only bloom-passing rows (true hits + the fpp tail) are verified by
+    * a stream-static left_anti join (a per-batch broadcast lookup, no
+    * state store, nothing buffered across triggers). Emitted rows are
+    * bit-identical to the batch operator over the same input rows,
+    * whatever the micro-batch boundaries — the operator is row-local.
+    * Delegates to the batch implementation: every piece (probe filter,
+    * stream-static anti join, self-union) is streaming-legal as
+    * composed. */
+  def streamingBlocklistFilter(stream: DataFrame, keys: DataFrame,
+                               streamKey: Column, keysKey: Column,
+                               fpp: Double = 0.01, expectedItems: Long = -1L): DataFrame =
+    graft.operators.Joins.bloomAntiJoin(stream, keys, streamKey, keysKey, fpp, expectedItems)
+
   /** [[FirstSeenDedupProcessor]] wired over (id, key) rows. */
   def firstSeenDedupTws(docs: Dataset[(Long, String)]): Dataset[(Long, String)] = {
     import docs.sparkSession.implicits._

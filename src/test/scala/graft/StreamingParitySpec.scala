@@ -686,6 +686,41 @@ class StreamingParitySpec extends AnyFunSuite {
       s"state rows $stateRows — stream-stream join is not evicting past the watermark")
   }
 
+  test("parity: streamingBlocklistFilter ≡ batch bloomAntiJoin, stateless stream-static") {
+    implicit val sq = spark.sqlContext
+    // the q77 shape: blocklist = word 3-shingles of the doc_id%25 docs;
+    // the corpus shingle stream is decontaminated against it. Batch
+    // truth from the oracle-gated bloomAntiJoin on the same rows.
+    val block = docs.filter(col("doc_id") % 25 === 0)
+      .select(explode(graft.operators.Dedup.shingleArray(col("text"), 3)).as("shingle"))
+      .distinct()
+    val corpusSh = docs.filter(col("doc_id") % 25 =!= 0)
+      .select(col("doc_id"), explode(graft.operators.Dedup.shingleArray(col("text"), 3)).as("shingle"))
+    val batchClean = graft.operators.Joins.bloomAntiJoin(
+        corpusSh, block, col("shingle"), col("shingle"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+    val mem = MemoryStream[(Long, String)]
+    val st = mem.toDF().toDF("doc_id", "shingle")
+    val out = StreamOps.streamingBlocklistFilter(st, block, col("shingle"), col("shingle"))
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("parity_blocklist").start()
+    val rows = corpusSh.orderBy(col("doc_id"), col("shingle")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    replay(mem, rows, chunk = 500, q)
+    // STATELESS: no state store operators at all — the static side is a
+    // per-batch broadcast, nothing is buffered across triggers
+    val stateRows = Option(q.lastProgress)
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    q.stop()
+    val streamClean = spark.table("parity_blocklist")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(streamClean == batchClean)
+    // the filter really dropped contaminated shingles, and kept some
+    assert(streamClean.nonEmpty && streamClean.size < rows.size)
+    assert(stateRows == 0L, s"expected a stateless plan, got $stateRows state rows")
+  }
+
   test("parity across checkpoint restart: streamingTokenBudget ≡ q66 batch mixing, state O(langs)") {
     implicit val sq = spark.sqlContext
     // the q66 curation shape as a stream: docs arrive in the epoch-
