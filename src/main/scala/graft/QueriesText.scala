@@ -401,6 +401,17 @@ object QueriesText {
         tbl(s, dir, "documents"), "source", "doc_id", n = 5, seed = 7L)
         .orderBy(col("source"), col("pick"))),
 
+    // top-FRACTION per group (keep the best 20% per language): the
+    // per-group k = ⌈n_g·frac⌉ varies by group, which the fixed-k
+    // bounded aggregates can't express — the rank is the grouped
+    // sub-bucket prefix machinery (groupedRunningTotal of 1s), never
+    // Window.partitionBy(lang). Oracle = the classic windowed rank.
+    "q78_top_fraction" -> ((s, dir) =>
+      graft.operators.Sampling.topFractionPerGroup(
+        tbl(s, dir, "documents").select(col("doc_id"), col("lang"), col("n_chars")),
+        "lang", "n_chars", "doc_id", frac = 0.2)
+        .orderBy(col("doc_id"))),
+
     // per-group top-k WITHOUT a window: top-3 docs by quality per
     // language via the bounded TopKByScore aggregate — map-side partial
     // top-ks, O(k) rows per (group × task) across the exchange. The
@@ -922,6 +933,16 @@ object QueriesText {
     // the hex-string order of the 13-char digest prefix IS the operator's
     // 52-bit double order (fixed-length lowercase hex), so the window
     // replay is exact
+    "q78_top_fraction" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_chars DESC, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars FROM r
+        |WHERE rk <= ceil(n * 0.2) ORDER BY doc_id""".stripMargin,
+
     "q75_cap_per_group" ->
       """WITH h AS (
         |  SELECT source, doc_id,

@@ -91,6 +91,30 @@ object Sampling {
       .select(col(groupCol), col("rank").as("pick"), col(idCol))
   }
 
+  /** Keep the TOP `frac` of each group by `score` (descending, ties by
+    * `tieBreak` ascending) — the "best X% per language/domain" curation
+    * gate, with a PER-GROUP k (⌈n_g·frac⌉, so every non-empty group
+    * keeps at least one row) that the fixed-k bounded aggregates cannot
+    * express. Hot-key-safe by construction: the within-group rank is
+    * [[Windows.groupedRunningTotal]] with value 1 — the grouped
+    * sub-bucket prefix machinery, never `Window.partitionBy(group)` —
+    * ranked ascending on the NEGATED score so "top" is a prefix. The
+    * per-group sizes are one tiny aggregate the planner may broadcast.
+    * (score, tieBreak) must be a total order within each group; score
+    * must be numeric and non-null. */
+  def topFractionPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
+                          tieBreakCol: String, frac: Double): DataFrame = {
+    require(frac > 0 && frac <= 1, s"frac must be in (0,1], got $frac")
+    val scored = df.withColumn("__negs", negate(col(scoreCol).cast("double")))
+    val ranked = Windows.groupedRunningTotal(scored, col(groupCol),
+      col("__negs"), Seq(col("__negs"), col(tieBreakCol)), lit(1L), "__rank")
+    val sizes = df.groupBy(col(groupCol).as("__szg"))
+      .agg(count(lit(1)).as("__n"))
+    ranked.join(sizes, col(groupCol) <=> col("__szg"))
+      .filter(col("__rank") <= ceil(col("__n") * frac))
+      .drop("__negs", "__rank", "__szg", "__n")
+  }
+
   /** Stratified sample: per-stratum fractions (the training-mix
     * reweighting step — e.g. upweight low-resource languages). The
     * stratum→threshold table rides a map literal (`element_at`, pure

@@ -369,6 +369,48 @@ class OperatorSpec extends AnyFunSuite {
     assert(other != byGroup("mega").map(_._3).toSet)
   }
 
+  test("topFractionPerGroup: per-group ceil(n*frac), ties by id, null groups, no raw-group window") {
+    import graft.operators.Sampling
+    val df = Seq(
+      ("a", 1L, 10.0), ("a", 2L, 20.0), ("a", 3L, 30.0), ("a", 4L, 40.0), ("a", 5L, 50.0),
+      ("b", 6L, 1.0), ("b", 7L, 2.0),
+      ("c", 11L, 9.0), ("c", 12L, 9.0), // full score tie → tieBreak asc wins
+      (null.asInstanceOf[String], 8L, 5.0), (null.asInstanceOf[String], 9L, 6.0),
+      (null.asInstanceOf[String], 10L, 7.0)
+    ).toDF("g", "id", "score").repartition(7)
+    val got = Sampling.topFractionPerGroup(df, "g", "score", "id", 0.4)
+    val picked = got.collect()
+      .map(r => (Option(r.getString(0)).getOrElse("∅"), r.getLong(1))).toSet
+    // a: ceil(5·0.4)=2 → top scores 50,40; b: ceil(2·0.4)=1 → score 2;
+    // c: ceil(2·0.4)=1, tie on score → smaller id 11; null group:
+    // ceil(3·0.4)=2 → scores 7,6 (null groups ride the struct bucket key)
+    assert(picked == Set(("a", 5L), ("a", 4L), ("b", 7L), ("c", 11L),
+      ("∅", 10L), ("∅", 9L)))
+    // every window in the plan partitions on machinery buckets, never the
+    // raw group alone: with 13 rows in ≤5 groups a raw-group window would
+    // be the q74-class single-task-per-group shape this operator retires
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("windowspecdefinition(g#"),
+      s"window partitioned on the raw group:\n$plan")
+  }
+
+  test("topFractionPerGroup parity with the windowed rank on real documents") {
+    import graft.operators.Sampling
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val got = Sampling.topFractionPerGroup(docs, "lang", "n_chars", "doc_id", 0.25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val want = docs
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))))
+      .filter(col("rk") <= ceil(col("n") * 0.25))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
   test("topKPerGroup: window-free plan, bit-identical to the row_number window") {
     // mixed group sizes, score ties resolved by id, k larger than one group
     val rows = Seq(
