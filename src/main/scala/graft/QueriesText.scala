@@ -318,6 +318,19 @@ object QueriesText {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))),
 
+    // CCNet-style LM quality: per-doc cross-entropy under an add-one
+    // bigram model counted from the corpus itself — exact integer counts
+    // (same tokenization the oracle replays), floating only at the final
+    // ln/mean. Model derived model-side, one 1:1 doc↔model join, no
+    // windows; the Zipf-skewed join key is AQE skew-join territory.
+    "q79_lm_quality" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      TA.lmCrossEntropy(docs, docs, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_bigrams"),
+          round(col("cross_entropy") + lit(1e-9), 4).as("cross_entropy"))
+        .orderBy(col("doc_id"))
+    }),
+
     // corpus bigram counts (the BPE-trainer merge statistic): top pairs
     "q52_bigrams" -> ((s, dir) =>
       TA.bigramCounts(tbl(s, dir, "documents"), "text")
@@ -933,6 +946,28 @@ object QueriesText {
     // the hex-string order of the 13-char digest prefix IS the operator's
     // 52-bit double order (fixed-length lowercase hex), so the window
     // replay is exact
+    "q79_lm_quality" ->
+      s"""WITH $wordsCte,
+         |bi AS (
+         |  SELECT doc_id, tok AS w1,
+         |    tok || ' ' || lead(tok, 1) OVER (PARTITION BY doc_id ORDER BY pos)
+         |      AS bigram
+         |  FROM words),
+         |bi2 AS (SELECT doc_id, w1, bigram FROM bi WHERE bigram IS NOT NULL),
+         |c2 AS (SELECT bigram, count(*) AS c2 FROM bi2 GROUP BY 1),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM bi2 GROUP BY 1),
+         |v AS (SELECT count(DISTINCT tok) AS v FROM words),
+         |scored AS (
+         |  SELECT b.doc_id, -ln((c2.c2 + 1.0) / (c1.c1 + v.v)) AS nll
+         |  FROM bi2 b JOIN c2 USING (bigram) JOIN c1 USING (w1) CROSS JOIN v),
+         |agg AS (
+         |  SELECT doc_id, count(*) AS n_bigrams, avg(nll) AS ce
+         |  FROM scored GROUP BY 1)
+         |SELECT d.doc_id, CAST(coalesce(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+         |  round(coalesce(a.ce, 0.0) + 1e-9, 4) AS cross_entropy
+         |FROM documents d LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
     "q78_top_fraction" ->
       """WITH r AS (
         |  SELECT doc_id, lang, n_chars,

@@ -259,6 +259,55 @@ object TextAnalysis {
       .groupBy(col("bigram"))
       .agg(count(lit(1)).as("n"))
 
+  /** CCNet-style n-gram LM quality scoring: per-document cross-entropy
+    * under an add-one-smoothed bigram model counted from `train` —
+    * the classic "wiki-side perplexity" curation signal (low = fluent,
+    * high = gibberish/boilerplate). P(w2|w1) = (c(w1 w2)+1)/(c(w1·)+V);
+    * score = −mean ln P over the doc's bigram multiset (0.0 for docs
+    * shorter than one bigram, with n_bigrams = 0).
+    *
+    * Every count is exact integer arithmetic on the same tokenization as
+    * [[bigramCounts]]/[[Dedup.shingleArray]], so any engine reproduces
+    * the model bit-for-bit; only the final ln/mean is floating.
+    *
+    * Scale shape: the model is two hash aggregates (bigram counts;
+    * leading-token counts derived MODEL-side — one row per distinct
+    * bigram, so the w1 re-aggregation fans out by distinct successors,
+    * never by corpus occurrences). Docs join the denormalized
+    * (bigram → c2, c1) model once, 1:1 per doc-bigram occurrence — no
+    * fanout — then one per-doc aggregate. The doc↔model join key is
+    * Zipf-skewed ("of the" is everywhere): AQE's skew-join split
+    * handles the oversized partitions, and for extreme corpora the
+    * Zipf HEAD of the model (top-M bigrams carry most matches) can be
+    * broadcast ahead of the shuffle join — the vocab scalar here rides
+    * exactly that pattern (a 1-row broadcast). No windows anywhere. */
+  def lmCrossEntropy(train: org.apache.spark.sql.DataFrame,
+                     docs: org.apache.spark.sql.DataFrame,
+                     idCol: String, textCol: String): org.apache.spark.sql.DataFrame = {
+    val c2 = bigramCounts(train, textCol)
+    val c1 = c2.groupBy(substring_index(col("bigram"), " ", 1).as("__w1"))
+      .agg(sum(col("n")).as("c1"))
+    val model = c2.withColumn("__w1", substring_index(col("bigram"), " ", 1))
+      .join(c1, "__w1")
+      .select(col("bigram"), col("n").as("c2"), col("c1"))
+    val vocab = train.select(explode(tokens(col(textCol))).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    val db = docs.select(col(idCol).as("id"),
+      explode(Dedup.shingleArray(col(textCol), 2)).as("bigram"))
+    val scored = db.join(model, Seq("bigram"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("id"),
+        negate(log((coalesce(col("c2"), lit(0L)) + lit(1.0)) /
+          (coalesce(col("c1"), lit(0L)) + col("v")))).as("nll"))
+    val perDoc = scored.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("nll")).as("__sum_nll"))
+    docs.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(coalesce(col("n_bigrams"), lit(0L)) === 0L, lit(0.0))
+          .otherwise(col("__sum_nll") / col("n_bigrams")).as("cross_entropy"))
+  }
+
   /** Document fingerprint: content hash plus a prefix-shingle hash (a
     * cheap stand-in for rolling-hash sketches; md5 matches every engine). */
   def fingerprint(c: Column): Column = md5(c)

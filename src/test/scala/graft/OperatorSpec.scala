@@ -411,6 +411,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("lmCrossEntropy: closed-form add-one bigram model, empty docs score 0") {
+    import graft.operators.TextAnalysis
+    // corpus: "a b a b" → bigrams (a b),(b a),(a b); "a b" → (a b);
+    // "c" → none (but c joins the vocab). Model: c2("a b")=3,
+    // c2("b a")=1; c1(a)=3, c1(b)=1; V=3.
+    val docs = Seq((1L, "a b a b"), (2L, "a b"), (3L, "c"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.lmCrossEntropy(docs, docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val pAB = (3.0 + 1) / (3 + 3) // P(b|a)
+    val pBA = (1.0 + 1) / (1 + 3) // P(a|b)
+    assert(got(1L)._1 == 3L)
+    assert(math.abs(got(1L)._2 - -(2 * math.log(pAB) + math.log(pBA)) / 3) < 1e-12)
+    assert(got(2L)._1 == 1L)
+    assert(math.abs(got(2L)._2 - -math.log(pAB)) < 1e-12)
+    assert(got(3L) == (0L, 0.0)) // no bigrams → explicit zero row
+    // gibberish scores worse than in-distribution text when the model
+    // is trained elsewhere (the actual curation use): score both
+    // against the doc-1/doc-2 model
+    val scoreIt = (t: String) => TextAnalysis.lmCrossEntropy(
+      docs.filter(col("doc_id") =!= 3L), Seq((9L, t)).toDF("doc_id", "text"),
+      "doc_id", "text").collect().head.getDouble(2)
+    assert(scoreIt("a b a b") < scoreIt("q z q z"))
+  }
+
   test("topKPerGroup: window-free plan, bit-identical to the row_number window") {
     // mixed group sizes, score ties resolved by id, k larger than one group
     val rows = Seq(
