@@ -425,6 +425,49 @@ object StreamOps {
                                fpp: Double = 0.01, expectedItems: Long = -1L): DataFrame =
     graft.operators.Joins.bloomAntiJoin(stream, keys, streamKey, keysKey, fpp, expectedItems)
 
+  /** One LM-scored document: id, bigram count, add-one bigram
+    * cross-entropy (0.0 when the doc has no bigrams). */
+  case class LmScored(id: Long, nBigrams: Long, crossEntropy: Double)
+
+  /** Streaming LM quality scoring — the unbounded twin of
+    * [[graft.operators.TextAnalysis.lmCrossEntropy]], in the shape LM
+    * filters actually deploy (CCNet ships its model to every worker):
+    * the bigram model is counted ONCE from the static train corpus,
+    * collected and broadcast, and each streamed document is scored in
+    * one map-side pass over its own bigrams — STATELESS, no state
+    * store, no shuffle, scores bit-identical to the batch operator for
+    * the same (train, doc) inputs (same tokenization, same counts,
+    * same ln/mean — the parity spec asserts exact equality). The
+    * broadcast bounds this twin to models that fit in executor memory
+    * (the bloom-bitmap class of trade); past that, score in micro-batch
+    * joins with `foreachBatch` against the distributed model instead. */
+  def streamingLmScore(docs: Dataset[(Long, String)],
+                       train: DataFrame, trainTextCol: String): Dataset[LmScored] = {
+    import docs.sparkSession.implicits._
+    val c2Rows = graft.operators.TextAnalysis.bigramCounts(train, trainTextCol)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val c2 = c2Rows.toMap
+    val c1 = c2Rows.groupMapReduce(_._1.takeWhile(_ != ' '))(_._2)(_ + _)
+    val v = train.select(
+        explode(graft.operators.TextAnalysis.tokens(col(trainTextCol))).as("tok"))
+      .agg(countDistinct(col("tok"))).head().getLong(0)
+    val bc = docs.sparkSession.sparkContext.broadcast((c2, c1, v))
+    docs.map { case (id, text) =>
+      val (m2, m1, vv) = bc.value
+      // same tokenization as Dedup.shingleArray(_, 2): ASCII-ws runs
+      val toks = "[^ \t\n\u000B\f\r]+".r.findAllIn(text).toArray
+      var n = 0L; var sum = 0.0
+      var i = 0
+      while (i < toks.length - 1) {
+        val w1 = toks(i)
+        val key = w1 + " " + toks(i + 1)
+        val p = (m2.getOrElse(key, 0L) + 1.0) / (m1.getOrElse(w1, 0L) + vv)
+        sum -= math.log(p); n += 1; i += 1
+      }
+      LmScored(id, n, if (n == 0) 0.0 else sum / n)
+    }
+  }
+
   /** [[FirstSeenDedupProcessor]] wired over (id, key) rows. */
   def firstSeenDedupTws(docs: Dataset[(Long, String)]): Dataset[(Long, String)] = {
     import docs.sparkSession.implicits._

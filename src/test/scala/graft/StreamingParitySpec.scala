@@ -721,6 +721,38 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(stateRows == 0L, s"expected a stateless plan, got $stateRows state rows")
   }
 
+  test("parity: streamingLmScore ≡ batch lmCrossEntropy, stateless map-side model") {
+    implicit val sq = spark.sqlContext
+    // q79 shape: model counted from the full sf0.001 corpus; the same
+    // docs stream through the broadcast-model scorer
+    val batch = graft.operators.TextAnalysis
+      .lmCrossEntropy(docs, docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamOps.streamingLmScore(mem.toDS(), docs, "text")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("parity_lmscore").start()
+    val rows = docs.select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    replay(mem, rows, chunk = 20, q)
+    val stateRows = Option(q.lastProgress)
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    q.stop()
+    val streamed = spark.table("parity_lmscore")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(streamed.keySet == batch.keySet)
+    // n_bigrams must match exactly; the cross-entropy to 1e-9 — the
+    // batch sum is a distributed reduction whose addition ORDER differs
+    // from the scorer's sequential per-doc loop, so the last ulps of an
+    // IEEE sum may differ even though every term is identical
+    streamed.foreach { case (id, (n, ce)) =>
+      assert(n == batch(id)._1, s"doc $id n_bigrams $n vs ${batch(id)._1}")
+      assert(math.abs(ce - batch(id)._2) < 1e-9, s"doc $id ce $ce vs ${batch(id)._2}")
+    }
+    assert(stateRows == 0L, s"expected a stateless plan, got $stateRows state rows")
+  }
+
   test("parity across checkpoint restart: streamingTokenBudget ≡ q66 batch mixing, state O(langs)") {
     implicit val sq = spark.sqlContext
     // the q66 curation shape as a stream: docs arrive in the epoch-
