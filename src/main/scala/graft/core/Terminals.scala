@@ -312,6 +312,30 @@ final class Statistics(val df: DataFrame) extends Serializable {
   def thirdQuartile: Double = percentile(75)
   def interquartileRange: Double = thirdQuartile - firstQuartile
 
+  /** SCALE-PATH variants (beyond the reference, which is single-machine
+    * exact): the exact `percentile` is an ObjectHashAggregate whose
+    * buffer holds every value — at 100 TB that is the data, not a
+    * summary. `approxPercentile` rides Spark's Greenwald-Khanna sketch:
+    * fixed-size buffers, map-side merge, rank error ≤ 1/accuracy — the
+    * form a cluster actually runs for quantile gates (e.g. "p99 doc
+    * length"). Same interpolation-free convention as approx_percentile
+    * everywhere Spark runs, so results are reproducible cluster-to-
+    * cluster at equal accuracy. */
+  def approxPercentile(p: Double, accuracy: Int = 10000): Double = {
+    require(p >= 0 && p <= 100, s"percentile $p out of [0,100]")
+    scalar(coalesce(
+      approx_percentile(v, lit(p / 100.0), lit(accuracy)).cast("double"), lit(0.0)))
+  }
+
+  /** Scale-path distinct count: HyperLogLog++ with relative standard
+    * deviation `rsd` — O(1) sketch per partition where `distinct.count`
+    * shuffles every distinct value (vocabulary-sized exchanges at
+    * corpus scale). */
+  def approxDistinct(rsd: Double = 0.05): Long = {
+    val r = df.agg(approx_count_distinct(v, rsd)).collect()(0)
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
   /** Most frequent value (useMode, collector.h:2251-2277 — its complex
     * phasor is always 0-phase, so it degenerates to frequency counting).
     * Ties break to the smallest value (deterministic; the reference's

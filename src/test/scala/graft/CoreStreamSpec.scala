@@ -322,6 +322,21 @@ class CoreStreamSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](st.percentile(101))
   }
 
+  test("approx scale-path terminals honor their sketch error bounds") {
+    // 10k distinct values 0..9999: GK rank error ≤ n/accuracy = 1 at
+    // accuracy 10k, so the p50/p99 estimates sit within ±2 ranks of the
+    // exact order statistic; HLL++ at rsd 0.05 lands within 3σ = 15%
+    val st = SemanticStream.range(spark, 0, 10000).map(_.toDouble).toStatistics
+    assert(math.abs(st.approxPercentile(50) - st.percentile(50)) <= 2.0)
+    assert(math.abs(st.approxPercentile(99) - st.percentile(99)) <= 2.0)
+    val d = st.approxDistinct(0.05)
+    assert(d > 8500 && d < 11500, s"HLL estimate $d out of bounds")
+    // empty stream: the same zero-conventions as the exact terminals
+    val e = SemanticStream.from(spark, Seq.empty[Double]).toStatistics
+    assert(e.approxPercentile(50) == 0.0 && e.approxDistinct() == 0L)
+    assertThrows[IllegalArgumentException](st.approxPercentile(101))
+  }
+
   test("mode: frequency counting, smallest-value tie-break") {
     assert(SemanticStream.from(spark, Seq(1.0, 2.0, 2.0, 3.0)).toStatistics.mode.contains(2.0))
     assert(SemanticStream.from(spark, Seq(3.0, 1.0)).toStatistics.mode.contains(1.0))
