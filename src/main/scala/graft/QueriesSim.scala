@@ -47,6 +47,22 @@ object QueriesSim {
     }),
 
     // brute-force cosine top-k (queries broadcast against corpus scan)
+    // product-quantization ADC top-k: corpus scored through its m-byte
+    // PQ codes against a per-query literal lookup table — the
+    // memory-bandwidth half of large-scale ANN (pair with IVF cells for
+    // candidate pruning). Deterministic seed codebooks (slices of the
+    // first ksub vectors) so the oracle can rebuild the codebooks,
+    // codes, LUT and ranking exactly; pqTrainBooks refinement is
+    // spec-covered (error-decrease law), not oracled — trained books
+    // are floating fixpoints, not engine-portable integers.
+    "q80_pq_adc" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, m = 4, ksub = 8)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     "q35_cosine_topk" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s) // native graft_dot
       val emb = tbl(s, dir, "embeddings")
@@ -309,6 +325,58 @@ object QueriesSim {
         |  round(avg(val) + 1e-9, 4) + 0.0 AS mean
         |FROM comps GROUP BY cluster, dim
         |ORDER BY cluster, dim""".stripMargin,
+
+    // replays seed codebooks → per-(vector, subspace) argmin codes →
+    // per-query LUT → ADC sum in the SAME left-to-right order as the
+    // Spark fold (((0+d0)+d1)+d2)+d3 via conditional aggregation
+    "q80_pq_adc" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |seeds0 AS (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 8),
+        |seeds AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e
+        |  FROM seeds0),
+        |books AS (
+        |  SELECT t.j AS sub, s.cid,
+        |    list_slice(s.e, t.j * 16 + 1, t.j * 16 + 16) AS ce
+        |  FROM seeds s CROSS JOIN range(4) t(j)),
+        |dists AS (
+        |  SELECT v.vec_id, b.sub, b.cid,
+        |    -2.0 * list_sum(list_apply(range(1, 17),
+        |        i -> v.e[b.sub * 16 + i] * b.ce[i]))
+        |      + list_sum(list_apply(b.ce, x -> x * x)) AS d
+        |  FROM v CROSS JOIN books b),
+        |codes AS (
+        |  SELECT vec_id, sub, cid AS code FROM dists
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+        |    ORDER BY d, cid) = 1),
+        |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 10),
+        |lut AS (
+        |  SELECT q.qid, b.sub, b.cid,
+        |    -2.0 * list_sum(list_apply(range(1, 17),
+        |        i -> q.qe[b.sub * 16 + i] * b.ce[i]))
+        |      + list_sum(list_apply(b.ce, x -> x * x)) AS d
+        |  FROM q CROSS JOIN books b),
+        |grp AS (
+        |  SELECT l.qid, c.vec_id AS nid,
+        |    sum(CASE WHEN c.sub = 0 THEN l.d END) AS d0,
+        |    sum(CASE WHEN c.sub = 1 THEN l.d END) AS d1,
+        |    sum(CASE WHEN c.sub = 2 THEN l.d END) AS d2,
+        |    sum(CASE WHEN c.sub = 3 THEN l.d END) AS d3
+        |  FROM codes c JOIN lut l ON l.sub = c.sub AND l.cid = c.code
+        |  WHERE c.vec_id <> l.qid
+        |  GROUP BY l.qid, c.vec_id),
+        |scored AS (
+        |  SELECT qid, nid,
+        |    round((((0.0 + d0) + d1) + d2) + d3, 4) + 0.0 AS adc
+        |  FROM grp),
+        |ranked AS (
+        |  SELECT qid, nid, adc, CAST(row_number() OVER (
+        |    PARTITION BY qid ORDER BY adc ASC, nid ASC) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT qid, rank, nid, adc FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
 
     "q35_cosine_topk" ->
       """WITH v AS (

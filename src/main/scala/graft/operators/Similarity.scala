@@ -299,6 +299,144 @@ object Similarity {
     out
   }
 
+  // ---------- Product quantization (PQ) ----------
+
+  private def dotSeq(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+  private def sqNormSeq(a: Array[Double]): Double = dotSeq(a, a)
+
+  /** Deterministic PQ seed codebooks: subspace `j`'s `ksub` centroids are
+    * the j-th slices of the first `ksub` vectors by id — the same seeding
+    * rule as [[kmeansStep]], reproducible in any engine (refine with
+    * [[pqTrainBooks]]). Doubles throughout; every later sum is a
+    * sequential left fold, the arithmetic an SQL oracle's ordered
+    * `list_sum` replays. Shape `books(sub)(centroid)(localDim)`. */
+  def pqSeedBooks(emb: DataFrame, idCol: String, vecCol: String,
+                  m: Int, ksub: Int): Array[Array[Array[Double]]] = {
+    val dims = vecDims(emb, vecCol)
+    require(m > 0 && dims % m == 0, s"dims $dims not divisible by m=$m")
+    require(ksub > 0)
+    val dsub = dims / m
+    val rows = emb.orderBy(col(idCol)).limit(ksub)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    require(rows.length == ksub, s"corpus has ${rows.length} < ksub=$ksub vectors")
+    Array.tabulate(m)(j => rows.map(v => v.slice(j * dsub, (j + 1) * dsub)))
+  }
+
+  /** PQ codes for one vector column against literal codebooks: code_j =
+    * argmin_t of the reduced L2² to centroid t (−2·x·c + c·c; the x·x
+    * term is constant across candidates), ties to the smaller centroid
+    * id — a PURE MAP-SIDE projection, like every assignment step here:
+    * the 100 TB corpus is encoded to m small ints per vector in one
+    * scan, no join, no shuffle. */
+  def pqCodesExpr(vec: Column, books: Array[Array[Array[Double]]]): Column = {
+    val m = books.length; val dsub = books(0)(0).length
+    array((0 until m).map { j =>
+      val sub = slice(vec, j * dsub + 1, dsub)
+      val cands = books(j).zipWithIndex.map { case (cv, t) =>
+        struct((lit(-2.0) * dot(sub, typedLit(cv)) + lit(sqNormSeq(cv))).as("d"),
+          lit(t.toLong).as("cid"))
+      }.toIndexedSeq
+      (if (cands.length == 1) cands.head else least(cands: _*)).getField("cid")
+    }: _*)
+  }
+
+  /** PQ-encode a corpus: (id, codes array<long> of length m). */
+  def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
+               books: Array[Array[Array[Double]]]): DataFrame =
+    emb.select(col(idCol).as("id"), pqCodesExpr(col(vecCol), books).as("codes"))
+
+  /** Per-subspace Lloyd refinement of [[pqSeedBooks]] — ALL m subspaces
+    * advance together in ONE (sub, centroid, localDim) mean shuffle per
+    * round (assignment is the map-side [[pqCodesExpr]] against literal
+    * books; a per-subspace loop would scan the corpus m× per round).
+    * Driver-coordinated like [[kmeansIterate]]: bounded m·ksub·dsub
+    * collect per round rebuilds the literals, empty centroids keep their
+    * previous position, convergence compares float-quantized books. */
+  def pqTrainBooks(emb: DataFrame, idCol: String, vecCol: String,
+                   m: Int, ksub: Int, maxIter: Int = 10): Array[Array[Array[Double]]] = {
+    require(maxIter > 0)
+    var books = pqSeedBooks(emb, idCol, vecCol, m, ksub)
+    val dsub = books(0)(0).length
+    var it = 0; var converged = false
+    while (!converged && it < maxIter) {
+      val rows = emb
+        .select(pqCodesExpr(col(vecCol), books).as("__codes"),
+          posexplode(col(vecCol)).as(Seq("dim", "v")))
+        .withColumn("sub", (col("dim") / dsub).cast("int"))
+        .select(col("sub"),
+          element_at(col("__codes"), col("sub") + 1).as("cid"),
+          (col("dim") % dsub).as("ldim"), col("v").cast("double").as("v"))
+        .groupBy(col("sub"), col("cid"), col("ldim"))
+        .agg(avg(col("v")).as("mean"))
+        .collect()
+      val next = books.map(_.map(_.clone()))
+      rows.foreach { r =>
+        next(r.getInt(0))(r.getLong(1).toInt)(r.getInt(2)) = r.getDouble(3)
+      }
+      converged = next.zip(books).forall { case (nj, bj) =>
+        nj.zip(bj).forall { case (nc, bc) =>
+          nc.map(_.toFloat).sameElements(bc.map(_.toFloat))
+        }
+      }
+      books = next
+      it += 1
+    }
+    books
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k: every corpus vector is scored
+    * against each query through its m-byte code alone — score =
+    * Σ_j lut[q][j][code_j], where the per-query lookup table holds the
+    * reduced L2² from the query's j-th subvector to every centroid
+    * (−2·q·c + c·c; the q·q term is constant per query, ranking
+    * unchanged). The LUT (#queries·m·ksub doubles) is driver-built from
+    * the broadcast-sized query side — the same bound every ranker here
+    * puts on queries — and inlined as ONE map literal, so scoring is a
+    * map-side fold over the codes: the corpus's floats are never read
+    * again (PQ's point: the scan is code-bandwidth-bound, 4·dims/m
+    * compression at ksub ≤ 256). Ranking: rounded distance asc, id asc,
+    * through the bounded top-k aggregate — no window. Combine with the
+    * IVF cells for candidate pruning; ADC is the scan-cost half. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int, m: Int, ksub: Int,
+             trainedBooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    val books = trainedBooks.getOrElse(pqSeedBooks(corpus, idCol, vecCol, m, ksub))
+    require(books.length == m && books.forall(_.length == ksub))
+    val dsub = books(0)(0).length
+    val qRows = queries.select(col(idCol).cast("long"), col(vecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    val lutMap: Map[Long, Seq[Double]] = qRows.map { case (qid, qv) =>
+      qid -> (0 until m).flatMap { j =>
+        val qsub = qv.slice(j * dsub, (j + 1) * dsub)
+        books(j).toSeq.map(cv => -2.0 * dotSeq(qsub, cv) + sqNormSeq(cv))
+      }
+    }.toMap
+    val coded = corpus.select(col(idCol).as("nid"),
+      pqCodesExpr(col(vecCol), books).as("__codes"))
+    val lut = element_at(typedLit(lutMap), col("qid"))
+    val contrib = transform(col("__codes"),
+      (c, j) => element_at(lut, j * lit(ksub) + c.cast("int") + lit(1)))
+    val scored = coded.crossJoin(broadcast(
+        queries.select(col(idCol).cast("long").as("qid"))))
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        // +0.0 normalizes IEEE −0.0 after rounding (engines disagree on
+        // its sign bit, not its value)
+        (round(aggregate(contrib, lit(0.0), (a, x) => a + x), 4) + lit(0.0))
+          .as("adc"))
+    // distance ASC through the (score desc, id asc) bounded aggregate:
+    // rank on the negated rounded distance (negation of a rounded double
+    // is exact), display the positive distance
+    topKByQuery(scored.withColumn("__neg", negate(col("adc"))), k, "__neg", "__neg")
+      .select(col("qid"), col("rank"), col("nid"),
+        (negate(col("__neg")) + lit(0.0)).as("adc"))
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding itself). Ranking key is (rounded cosine desc, id
     * asc) — rounded so FP summation order can never flip a rank. */

@@ -369,6 +369,78 @@ class OperatorSpec extends AnyFunSuite {
     assert(other != byGroup("mega").map(_._3).toSet)
   }
 
+  test("PQ: codes well-formed, Lloyd refinement never increases quantization error") {
+    import graft.operators.Similarity
+    graft.functions.GraftFunctions.register(spark)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val m = 4; val ksub = 8
+    val seed = Similarity.pqSeedBooks(emb, "vec_id", "embedding", m, ksub)
+    val dsub = seed(0)(0).length
+    val codes = Similarity.pqEncode(emb, "vec_id", "embedding", seed)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    assert(codes.values.forall(c => c.length == m && c.forall(t => t >= 0 && t < ksub)))
+    // a seed vector's j-th slice IS centroid j's source: vector 0 must
+    // encode to its own centroid in every subspace (distance 0 is minimal)
+    val firstId = emb.orderBy(col("vec_id")).select(col("vec_id"))
+      .head().getLong(0)
+    assert(codes(firstId).forall(_ == 0L))
+
+    // error-decrease law: total L2² to assigned centroids under trained
+    // books ≤ under seed books (Lloyd's monotonicity, the reason to train)
+    val vecs = emb.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getSeq[Float](1).toArray.map(_.toDouble))
+    def totalErr(books: Array[Array[Array[Double]]]): Double =
+      vecs.map { v =>
+        (0 until m).map { j =>
+          val sub = v.slice(j * dsub, (j + 1) * dsub)
+          books(j).map(c => sub.zip(c).map { case (x, y) =>
+            (x - y) * (x - y) }.sum).min
+        }.sum
+      }.sum
+    val trained = Similarity.pqTrainBooks(emb, "vec_id", "embedding", m, ksub,
+      maxIter = 5)
+    val e0 = totalErr(seed); val e1 = totalErr(trained)
+    assert(e1 <= e0 + 1e-6, s"training increased error: $e0 -> $e1")
+    assert(e1 < e0 * 0.9, s"training barely moved: $e0 -> $e1")
+  }
+
+  test("pqTopK: ADC recall beats random, self excluded, ranks dense") {
+    import graft.operators.Similarity
+    graft.functions.GraftFunctions.register(spark)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 20)
+    val k = 10
+    // trained books at production-ish granularity (m=8 subspaces of 8
+    // dims, 16 centroids each; the q80 oracle pins the coarser 4×8
+    // configuration — these synthetic near-random vectors cap recall at
+    // coarse settings: 4×8 seed books reach ~1.7 mean overlap)
+    val books = Similarity.pqTrainBooks(emb, "vec_id", "embedding",
+      m = 8, ksub = 16, maxIter = 5)
+    val got = Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+      k = k, m = 8, ksub = 16, trainedBooks = Some(books)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byQ = got.groupBy(_._1)
+    assert(byQ.size == 20)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_._2).sorted.toSeq == (1L to k), s"ranks not dense for $q")
+      assert(!rows.map(_._3).contains(q), s"query $q returned itself")
+    }
+    // recall@10 vs exact L2 (ADC approximates L2 over PQ codes): with
+    // 500 vectors a random 10-subset would overlap 10·10/499 ≈ 0.2 ids —
+    // require the mean overlap to clear 2 (an order of magnitude above)
+    val all = emb.collect().map(r =>
+      (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble))).toMap
+    val recall = (0L until 20L).map { q =>
+      val qv = all(q)
+      val exact = all.toSeq.filter(_._1 != q)
+        .map { case (id, v) =>
+          (id, v.zip(qv).map { case (x, y) => (x - y) * (x - y) }.sum) }
+        .sortBy { case (id, d) => (d, id) }.take(k).map(_._1).toSet
+      byQ(q).map(_._3).count(exact.contains).toDouble
+    }.sum / 20.0
+    assert(recall > 2.0, s"mean ADC overlap with exact L2 top-10 = $recall")
+  }
+
   test("topFractionPerGroup: per-group ceil(n*frac), ties by id, null groups, no raw-group window") {
     import graft.operators.Sampling
     val df = Seq(
