@@ -63,6 +63,18 @@ object QueriesSim {
         .orderBy(col("qid"), col("rank"))
     }),
 
+    // IVF+PQ: the q48 coarse cells prune candidates to the query's
+    // cell, the q80 codes make each candidate a LUT fold — the
+    // composed billion-scale ANN layout, both components' determinism
+    // arguments unchanged
+    "q81_ivfpq" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.ivfPqTopK(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nlist = 4, m = 4, ksub = 8)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     "q35_cosine_topk" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s) // native graft_dot
       val emb = tbl(s, dir, "embeddings")
@@ -325,6 +337,75 @@ object QueriesSim {
         |  round(avg(val) + 1e-9, 4) + 0.0 AS mean
         |FROM comps GROUP BY cluster, dim
         |ORDER BY cluster, dim""".stripMargin,
+
+    // q80's PQ chain with q48's cell computation spliced in: candidates
+    // must share the query's argmax pseudo-centroid cell
+    "q81_ivfpq" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |comps AS (
+        |  SELECT vec_id, unnest(embedding) AS comp,
+        |    generate_subscripts(embedding, 1) - 1 AS dim
+        |  FROM embeddings),
+        |projs AS (
+        |  SELECT vec_id, c.c AS cell,
+        |    sum(CAST(comp AS DOUBLE) *
+        |      (CASE WHEN substr(md5((c.c + 7919)::VARCHAR || '-' || dim::VARCHAR), 1, 1)
+        |        BETWEEN '8' AND 'f' THEN 1.0 ELSE -1.0 END)) AS proj
+        |  FROM comps, generate_series(0, 3) AS c(c)
+        |  GROUP BY vec_id, c.c),
+        |cells AS (
+        |  SELECT vec_id, cell FROM projs
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id
+        |    ORDER BY proj DESC, cell ASC) = 1),
+        |seeds0 AS (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 8),
+        |seeds AS (
+        |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e
+        |  FROM seeds0),
+        |books AS (
+        |  SELECT t.j AS sub, s.cid,
+        |    list_slice(s.e, t.j * 16 + 1, t.j * 16 + 16) AS ce
+        |  FROM seeds s CROSS JOIN range(4) t(j)),
+        |dists AS (
+        |  SELECT v.vec_id, b.sub, b.cid,
+        |    -2.0 * list_sum(list_apply(range(1, 17),
+        |        i -> v.e[b.sub * 16 + i] * b.ce[i]))
+        |      + list_sum(list_apply(b.ce, x -> x * x)) AS d
+        |  FROM v CROSS JOIN books b),
+        |codes AS (
+        |  SELECT vec_id, sub, cid AS code FROM dists
+        |  QUALIFY row_number() OVER (PARTITION BY vec_id, sub
+        |    ORDER BY d, cid) = 1),
+        |q AS (SELECT vec_id AS qid, e AS qe FROM v WHERE vec_id < 10),
+        |lut AS (
+        |  SELECT q.qid, b.sub, b.cid,
+        |    -2.0 * list_sum(list_apply(range(1, 17),
+        |        i -> q.qe[b.sub * 16 + i] * b.ce[i]))
+        |      + list_sum(list_apply(b.ce, x -> x * x)) AS d
+        |  FROM q CROSS JOIN books b),
+        |grp AS (
+        |  SELECT l.qid, c.vec_id AS nid,
+        |    sum(CASE WHEN c.sub = 0 THEN l.d END) AS d0,
+        |    sum(CASE WHEN c.sub = 1 THEN l.d END) AS d1,
+        |    sum(CASE WHEN c.sub = 2 THEN l.d END) AS d2,
+        |    sum(CASE WHEN c.sub = 3 THEN l.d END) AS d3
+        |  FROM codes c
+        |  JOIN lut l ON l.sub = c.sub AND l.cid = c.code
+        |  JOIN cells cv ON cv.vec_id = c.vec_id
+        |  JOIN cells cq ON cq.vec_id = l.qid AND cq.cell = cv.cell
+        |  WHERE c.vec_id <> l.qid
+        |  GROUP BY l.qid, c.vec_id),
+        |scored AS (
+        |  SELECT qid, nid,
+        |    round((((0.0 + d0) + d1) + d2) + d3, 4) + 0.0 AS adc
+        |  FROM grp),
+        |ranked AS (
+        |  SELECT qid, nid, adc, CAST(row_number() OVER (
+        |    PARTITION BY qid ORDER BY adc ASC, nid ASC) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT qid, rank, nid, adc FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
 
     // replays seed codebooks → per-(vector, subspace) argmin codes →
     // per-query LUT → ADC sum in the SAME left-to-right order as the

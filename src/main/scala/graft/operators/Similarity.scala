@@ -437,6 +437,49 @@ object Similarity {
         (negate(col("__neg")) + lit(0.0)).as("adc"))
   }
 
+  /** IVF+PQ top-k — the canonical billion-scale ANN layout (coarse
+    * cells prune candidates, codes make each candidate cheap): the IVF
+    * cell equi-join restricts scoring to the query's cell, then every
+    * surviving candidate costs one fold over its m-byte PQ code against
+    * the query's literal LUT — neither side's floats are touched after
+    * the map-side cell/code projections. Same codebook/LUT machinery as
+    * [[pqTopK]] (queries broadcast-sized, LUT inlined), same bounded
+    * window-free ranking; cells are [[cellExpr]]'s deterministic
+    * pseudo-centroids, exactly q48's. A hot cell is a hot JOIN key —
+    * AQE-splittable — never a window partition. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int, nlist: Int, m: Int, ksub: Int,
+                trainedBooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
+    val books = trainedBooks.getOrElse(pqSeedBooks(corpus, idCol, vecCol, m, ksub))
+    require(books.length == m && books.forall(_.length == ksub))
+    val dims = vecDims(corpus, vecCol)
+    val dsub = books(0)(0).length
+    val qRows = queries.select(col(idCol).cast("long"), col(vecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+    val lutMap: Map[Long, Seq[Double]] = qRows.map { case (qid, qv) =>
+      qid -> (0 until m).flatMap { j =>
+        val qsub = qv.slice(j * dsub, (j + 1) * dsub)
+        books(j).toSeq.map(cv => -2.0 * dotSeq(qsub, cv) + sqNormSeq(cv))
+      }
+    }.toMap
+    val c = corpus.select(col(idCol).as("nid"),
+      cellExpr(col(vecCol), nlist, dims).as("cell"),
+      pqCodesExpr(col(vecCol), books).as("__codes"))
+    val q = queries.select(col(idCol).cast("long").as("qid"),
+      cellExpr(col(vecCol), nlist, dims).as("cell"))
+    val lut = element_at(typedLit(lutMap), col("qid"))
+    val contrib = transform(col("__codes"),
+      (code, j) => element_at(lut, j * lit(ksub) + code.cast("int") + lit(1)))
+    val scored = c.join(broadcast(q), "cell")
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        (round(aggregate(contrib, lit(0.0), (a, x) => a + x), 4) + lit(0.0))
+          .as("adc"))
+    topKByQuery(scored.withColumn("__neg", negate(col("adc"))), k, "__neg", "__neg")
+      .select(col("qid"), col("rank"), col("nid"),
+        (negate(col("__neg")) + lit(0.0)).as("adc"))
+  }
+
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus
     * vectors (excluding itself). Ranking key is (rounded cosine desc, id
     * asc) — rounded so FP summation order can never flip a rank. */

@@ -441,6 +441,35 @@ class OperatorSpec extends AnyFunSuite {
     assert(recall > 2.0, s"mean ADC overlap with exact L2 top-10 = $recall")
   }
 
+  test("ivfPqTopK: candidates share the query's cell, ADC scores agree with brute PQ") {
+    import graft.operators.Similarity
+    graft.functions.GraftFunctions.register(spark)
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 10)
+    val (m, ksub, nlist) = (4, 8, 4)
+    val ivfpq = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+      k = 5, nlist = nlist, m = m, ksub = ksub).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    assert(ivfpq.nonEmpty)
+    // cell-pruning invariant: every (query, neighbor) pair shares a cell
+    val dims = 64
+    val cells = emb.select(col("vec_id"),
+      Similarity.cellExpr(col("embedding"), nlist, dims).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ivfpq.keys.foreach { case (q, n) =>
+      assert(cells(q) == cells(n), s"pair ($q,$n) crosses cells")
+    }
+    // scoring invariant: the composed operator's ADC equals brute PQ's
+    // for every pair it returns (pruning changes the candidate set,
+    // never the score)
+    val brute = Similarity.pqTopK(emb, queries, "vec_id", "embedding",
+      k = emb.count().toInt, m = m, ksub = ksub).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    ivfpq.foreach { case (pair, adc) =>
+      assert(brute(pair) == adc, s"ADC mismatch for $pair: $adc vs ${brute(pair)}")
+    }
+  }
+
   test("topFractionPerGroup: per-group ceil(n*frac), ties by id, null groups, no raw-group window") {
     import graft.operators.Sampling
     val df = Seq(
