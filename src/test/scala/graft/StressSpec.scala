@@ -157,6 +157,73 @@ class StressSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom anti join: 1M corpus vs 100k blocklist, ~10% hit rate — exact at scale", SlowStress) {
+    failAfter(Span(900, Seconds)) {
+      import graft.operators.Joins
+      // every 10th corpus key is blocked; keys are md5 strings so the
+      // bloom sees realistic high-entropy input. The exact-count assert
+      // is the whole correctness story: a false NEGATIVE in the probe
+      // (the one bloom failure mode the design must exclude) silently
+      // keeps a blocked row and shifts the count.
+      val corpus = spark.range(1000000).select(col("id"),
+        md5(concat(lit("k"), ((col("id") % 100000) * 10).cast("string"))).as("key"))
+      val block = spark.range(100000)
+        .select(md5(concat(lit("k"), (col("id") * 100).cast("string"))).as("bk"))
+      // blocked keys: id%100000*10 ≡ 0 (mod 100) → 10% of key space
+      val out = Joins.bloomAntiJoin(corpus, block, col("key"), col("bk"))
+      assert(out.count() == 900000L)
+      val semi = Joins.bloomSemiJoin(corpus, block, col("key"), col("bk"))
+      assert(semi.count() == 100000L)
+    }
+  }
+
+  test("top-fraction per group: 1M rows, 3 groups, massive score ties — exact quota", SlowStress) {
+    failAfter(Span(900, Seconds)) {
+      import graft.operators.Sampling
+      // 3 groups over 1M rows with only 1,000 distinct scores: every
+      // rank boundary lands inside a tie run, so the id tiebreak does
+      // real work, and the raw-group window this operator avoids would
+      // hold ~333k rows on one task
+      val df = spark.range(1000000).select(col("id"),
+        concat(lit("g"), col("id") % 3).as("grp"),
+        (col("id") % 1000).cast("double").as("score"))
+      val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+      spark.conf.set("spark.sql.shuffle.partitions", "32")
+      try {
+        val kept = Sampling.topFractionPerGroup(df, "grp", "score", "id", 0.1)
+        // exact per-group quota: ceil(n_g · 0.1), n_g from the input
+        val sizes = df.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val keptSizes = kept.groupBy(col("grp")).agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(keptSizes.keySet == sizes.keySet)
+        sizes.foreach { case (g, n) =>
+          assert(keptSizes(g) == math.ceil(n * 0.1).toLong,
+            s"group $g kept ${keptSizes(g)} of $n")
+        }
+        // selection correctness under ties: the worst kept (score desc,
+        // id asc) pair must rank at-or-before the best dropped pair
+        val dropped = df.join(kept.select(col("id")), Seq("id"), "left_anti")
+        val byG = (frame: org.apache.spark.sql.DataFrame, asc: Boolean) =>
+          frame.groupBy(col("grp")).agg(
+            (if (asc) min(struct(negate(col("score")), col("id")))
+             else max(struct(negate(col("score")), col("id")))).as("edge"))
+            .collect().map(r => r.getString(0) ->
+              (r.getStruct(1).getDouble(0), r.getStruct(1).getLong(1))).toMap
+        // kept edge = lexicographic MAX of (−score, id) among kept;
+        // dropped edge = MIN among dropped; ranking order is (−score,
+        // id) asc, so every kept pair must precede every dropped pair
+        val keptEdge = byG(kept, false)
+        val dropEdge = byG(dropped, true)
+        keptEdge.foreach { case (g, ke) =>
+          val de = dropEdge(g)
+          assert(ke._1 < de._1 || (ke._1 == de._1 && ke._2 < de._2),
+            s"group $g kept $ke after dropped $de")
+        }
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
+  }
+
   test("grouped running total: 1M rows, 3 groups — no single-task window", SlowStress) {
     failAfter(Span(900, Seconds)) {
       // 3 groups over 1M rows is the Window.partitionBy(group) trap
