@@ -331,6 +331,17 @@ object QueriesText {
         .orderBy(col("doc_id"))
     }),
 
+    // heavy hitters: exact top-10 tokens via the Misra-Gries bounded
+    // sketch (O(k) state/task) + exact recount of the ≤k candidates —
+    // never a vocabulary-wide shuffle-and-sort. hh_guaranteed reports
+    // the n/(k+1) exactness check from the data itself.
+    "q82_heavy_hitters" -> ((s, dir) => {
+      val toks = tbl(s, dir, "documents")
+        .select(explode(TA.tokens(col("text"))).as("tok"))
+      TA.heavyHitters(toks, col("tok"), h = 10, k = 500)
+        .orderBy(col("rank"))
+    }),
+
     // corpus bigram counts (the BPE-trainer merge statistic): top pairs
     "q52_bigrams" -> ((s, dir) =>
       TA.bigramCounts(tbl(s, dir, "documents"), "text")
@@ -946,6 +957,24 @@ object QueriesText {
     // the hex-string order of the 13-char digest prefix IS the operator's
     // 52-bit double order (fixed-length lowercase hex), so the window
     // replay is exact
+    // the oracle IS the vocabulary-wide exact count the operator avoids;
+    // equality holds because the MG candidate set provably contains the
+    // true top-h here (hh_guaranteed replays the n/(k+1) check)
+    "q82_heavy_hitters" ->
+      s"""WITH toks AS (
+         |  SELECT unnest(${toksSql("text")}) AS tok FROM documents),
+         |tot AS (SELECT count(*) AS n FROM toks),
+         |exact AS (SELECT tok AS key, count(*) AS n_key FROM toks GROUP BY 1),
+         |ranked AS (
+         |  SELECT key, n_key,
+         |    row_number() OVER (ORDER BY n_key DESC, key ASC) AS rank
+         |  FROM exact),
+         |flr AS (SELECT min(n_key) AS f FROM ranked WHERE rank <= 10)
+         |SELECT CAST(rank AS BIGINT) AS rank, key, n_key,
+         |  (SELECT f FROM flr) * 1.0 > (SELECT n FROM tot) / 501.0
+         |    AS hh_guaranteed
+         |FROM ranked WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
     "q79_lm_quality" ->
       s"""WITH $wordsCte,
          |bi AS (

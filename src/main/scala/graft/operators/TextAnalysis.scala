@@ -308,6 +308,52 @@ object TextAnalysis {
           .otherwise(col("__sum_nll") / col("n_bigrams")).as("cross_entropy"))
   }
 
+  /** Exact top-`h` most frequent keys WITHOUT a vocabulary-wide shuffle —
+    * the heavy-hitters curation primitive (dominant tokens, domains,
+    * boilerplate lines) at corpus scale, where a plain
+    * `groupBy(key).count.orderBy` shuffles every distinct key:
+    *
+    *  1. one pass of the [[graft.functions.MisraGries]] bounded sketch
+    *     (O(k) state per task, merged associatively) surfaces every key
+    *     whose true count CAN exceed n/(k+1) — at most k candidates;
+    *  2. the candidates are exact-counted with a literal-IN filtered
+    *     aggregate (the corpus sheds every non-candidate row map-side),
+    *     ranked (count desc, key asc) and cut to h.
+    *
+    * The result is provably exact whenever the h-th true count exceeds
+    * n/(k+1); `hh_guaranteed` reports that check from the data itself
+    * (true ⇒ the rows ARE the exact top-h; false ⇒ the tail of the list
+    * may be missing a key — raise k). The rank window runs over the ≤k
+    * exact-counted candidates, the same bounded-frame exception as
+    * IndexOps' offset windows — never over the corpus. Returns
+    * (rank, key, n_key, hh_guaranteed). */
+  def heavyHitters(df: org.apache.spark.sql.DataFrame, keyCol: Column,
+                   h: Int, k: Int): org.apache.spark.sql.DataFrame = {
+    require(h > 0 && k >= h, s"need k >= h > 0, got h=$h k=$k")
+    val mg = udaf(new graft.functions.MisraGries(k))
+    val keys = df.select(keyCol.cast("string").as("key"))
+      .filter(col("key").isNotNull)
+    val sketchRow = keys.agg(mg(col("key")).as("buf"),
+      count(lit(1)).as("n")).head()
+    val n = sketchRow.getLong(1)
+    val cand = sketchRow.getStruct(0).getMap[String, Long](0).keys.toSeq
+    if (cand.isEmpty) return df.sparkSession.emptyDataFrame
+      .select(lit(0L).as("rank"), lit("").as("key"), lit(0L).as("n_key"),
+        lit(false).as("hh_guaranteed")).limit(0)
+    val exact = keys.filter(col("key").isin(cand: _*))
+      .groupBy(col("key")).agg(count(lit(1)).as("n_key"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n_key").desc, col("key").asc)
+    val ranked = exact
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= h)
+    val floorRow = ranked.agg(min(col("n_key"))).head()
+    val guaranteed = !floorRow.isNullAt(0) &&
+      floorRow.getLong(0).toDouble > n.toDouble / (k + 1)
+    ranked.select(col("rank"), col("key"), col("n_key"),
+      lit(guaranteed).as("hh_guaranteed"))
+  }
+
   /** Document fingerprint: content hash plus a prefix-shingle hash (a
     * cheap stand-in for rolling-hash sketches; md5 matches every engine). */
   def fingerprint(c: Column): Column = md5(c)

@@ -512,6 +512,43 @@ class OperatorSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("heavyHitters: MG prune at vocab >> k, exact recount matches brute force") {
+    import graft.operators.TextAnalysis
+    // ~160k distinct tail keys + 3 hot keys over 200k rows: vocabulary
+    // dwarfs the sketch budget (k=64), so the decrement/merge prune is
+    // exercised hard — and the final answer must still be EXACT
+    val df = spark.range(200000).select(
+      when(col("id") % 5 === 0, lit("hot_a"))
+        .when(col("id") % 7 === 0, lit("hot_b"))
+        .when(col("id") % 11 === 0, lit("hot_c"))
+        .otherwise(concat(lit("t"), col("id"))).as("key"))
+    val got = TextAnalysis.heavyHitters(df, col("key"), h = 3, k = 64).collect()
+    val brute = df.groupBy(col("key")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("key").asc).limit(3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got.map(r => (r.getString(1), r.getLong(2))).toSeq == brute)
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    assert(got.forall(_.getBoolean(3)), "hot counts are far above n/(k+1)")
+  }
+
+  test("MisraGries law: keys above n/(k+1) survive any chunking and merge order") {
+    val agg = new graft.functions.MisraGries(9)
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 20) {
+      val n = 2000
+      // cubed uniform → zipf-ish head over ~50 symbols
+      val data = Seq.fill(n)(s"k${(math.pow(rnd.nextDouble(), 3) * 50).toInt}")
+      val counts = data.groupBy(identity).map { case (k, v) => k -> v.size }
+      val chunks = data.grouped(rnd.nextInt(300) + 50).toSeq
+      val bufs = chunks.map(c => c.foldLeft(agg.zero)(agg.reduce))
+      val merged = rnd.shuffle(bufs).reduce(agg.merge)
+      assert(merged.keys.size <= 9)
+      counts.filter(_._2 > n / 10.0).keys.foreach { hot =>
+        assert(merged.keys.contains(hot), s"trial $trial lost heavy key $hot")
+      }
+    }
+  }
+
   test("lmCrossEntropy: closed-form add-one bigram model, empty docs score 0") {
     import graft.operators.TextAnalysis
     // corpus: "a b a b" → bigrams (a b),(b a),(a b); "a b" → (a b);
