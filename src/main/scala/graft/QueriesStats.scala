@@ -18,6 +18,23 @@ object QueriesStats {
     s.read.parquet(s"$dir/$name.parquet")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // PageRank over the symmetrized customer↔supplier relation graph
+    // (orders ⋈ lineitem), 5 fixed iterations, damping 0.85 — the
+    // graph-centrality quality prior of web-crawl curation, on TPC-H
+    // relations. One shuffle join + one partial agg per round; the
+    // edge spine is checkpointed once.
+    "q84_pagerank" -> ((s, dir) => {
+      val o = tbl(s, dir, "orders"); val l = tbl(s, dir, "lineitem")
+      val e0 = o.join(l, o("o_orderkey") === l("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+      val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      graft.operators.Graph.pageRank(sym, iters = 5, damping = 0.85)
+        .select(col("id").as("node"),
+          round(col("rank") + lit(1e-9), 7).as("rank"))
+        .orderBy(col("node"))
+    }),
+
     // variance family: population convention (collector.h:688-836)
     "q17_stats_group" -> ((s, dir) =>
       tbl(s, dir, "lineitem")
@@ -256,6 +273,37 @@ object QueriesStats {
       |FROM c ORDER BY l_returnflag""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // 5 unrolled PageRank rounds; constants written as (1.0 - 0.85) and
+    // 0.85 to match the Spark driver-side literals bit-for-bit. `pr`
+    // inside the CTEs (rank is a DuckDB window keyword); aliased back
+    // to "rank" at the end.
+    "q84_pagerank" -> {
+      val iterCtes = (1 to 5).map { i =>
+        s"""r$i AS (
+           |  SELECT n.id,
+           |    (1.0 - 0.85) / (SELECT n FROM nn) + 0.85 * coalesce(c.cin, 0.0)
+           |      AS pr
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS id, sum(r.pr / d.deg) AS cin
+           |    FROM e JOIN r${i - 1} r ON e.src = r.id
+           |    JOIN deg d ON e.src = d.src
+           |    GROUP BY 1) c USING (id))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (
+         |  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+         |    's' || CAST(l_suppkey AS VARCHAR) AS dst
+         |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+         |e AS (SELECT src, dst FROM e0
+         |      UNION SELECT dst AS src, src AS dst FROM e0),
+         |nodes AS (SELECT DISTINCT src AS id FROM e),
+         |nn AS (SELECT count(*) AS n FROM nodes),
+         |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+         |r0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS pr FROM nodes),
+         |$iterCtes
+         |SELECT id AS node, round(pr + 1e-9, 7) AS "rank"
+         |FROM r5 ORDER BY node""".stripMargin
+    },
+
     "q60_gradient" ->
       """WITH RECURSIVE it AS (
         |  SELECT CAST(n_nationkey AS BIGINT) AS i,

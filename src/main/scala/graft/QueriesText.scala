@@ -128,6 +128,28 @@ object QueriesText {
   }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // CCNet-style corpus-level segment dedup (boilerplate removal):
+    // 3-token segments, drop any segment text appearing in >2 distinct
+    // docs corpus-wide, reassemble the survivors — map-side segment
+    // slicing, digest-keyed frequency count, anti-join blocklist
+    "q83_segment_dedup" -> ((s, dir) =>
+      Dedup.segmentDedup(tbl(s, dir, "documents"), "doc_id", "text",
+        segTokens = 3, maxDocs = 2)
+        .select(col("id").as("doc_id"), col("n_segments"), col("n_kept"),
+          col("n_kept_tokens"),
+          substring(col("kept_text"), 1, 60).as("kept_head60"))
+        .orderBy(col("doc_id"))),
+
+    // BM25 relevance against a fixed query-term set (retrieval-style
+    // data selection): map-side tf/dl folds + one 1-row corpus-stats
+    // broadcast — the corpus itself never shuffles
+    "q85_bm25" -> ((s, dir) =>
+      TA.bm25(tbl(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "join", "window"))
+        .select(col("id").as("doc_id"), col("n_query_hits"),
+          round(col("score") + lit(1e-9), 4).as("bm25"))
+        .orderBy(col("doc_id"))),
+
     // charsequence scalar surface: ASCII-only case map, occurrence count,
     // affix tests (charsequence.h:844-1158)
     "q27_text_case" -> ((s, dir) =>
@@ -624,6 +646,71 @@ object QueriesText {
     markers.map(m => occ("' ' || text || ' '", s" $m ")).mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    // replays segmentDedup exactly: aligned 3-token segments, corpus
+    // frequency on distinct docs, anti-join, ordered reassembly
+    "q83_segment_dedup" ->
+      s"""WITH $wordsCte,
+         |segs AS (
+         |  SELECT doc_id, CAST((pos - 1) // 3 AS BIGINT) AS seg,
+         |    string_agg(tok, ' ' ORDER BY pos) AS seg_text,
+         |    count(*) AS seg_toks
+         |  FROM words GROUP BY 1, 2),
+         |freq AS (
+         |  SELECT seg_text FROM segs GROUP BY seg_text
+         |  HAVING count(DISTINCT doc_id) > 2),
+         |kept AS (
+         |  SELECT s.doc_id, s.seg, s.seg_text, s.seg_toks
+         |  FROM segs s ANTI JOIN freq f USING (seg_text)),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+         |    CAST(sum(seg_toks) AS BIGINT) AS n_kept_tokens,
+         |    string_agg(seg_text, ' ' ORDER BY seg) AS kept_text
+         |  FROM kept GROUP BY 1),
+         |tot AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments
+         |  FROM segs GROUP BY 1)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(t.n_segments, 0) AS BIGINT) AS n_segments,
+         |  CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+         |  CAST(coalesce(a.n_kept_tokens, 0) AS BIGINT) AS n_kept_tokens,
+         |  substring(coalesce(a.kept_text, ''), 1, 60) AS kept_head60
+         |FROM documents d
+         |LEFT JOIN tot t USING (doc_id) LEFT JOIN agg a USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
+    // replays bm25 term-by-term with the same literal constants and the
+    // same association order, so FP agrees to well inside round(4)
+    "q85_bm25" -> {
+      val terms = Seq("spark", "join", "window")
+      val tfSel = terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf$i"
+      }.mkString(",\n         |    ")
+      val dfSel = terms.indices.map(i =>
+        s"sum(CASE WHEN tf$i > 0 THEN 1.0 ELSE 0.0 END) AS df$i")
+        .mkString(", ")
+      val score = terms.indices.map(i =>
+        s"""(CASE WHEN dl > 0 THEN ln(1.0 + (nn - df$i + 0.5) / (df$i + 0.5))
+           |      * tf$i * 2.2 / (tf$i + 1.2 * (0.25 + 0.75 * dl / avgdl))
+           |    ELSE 0.0 END)""".stripMargin).mkString("\n         |  + ")
+      val hits = terms.indices.map(i =>
+        s"(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH tk AS (
+         |  SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         |base AS (
+         |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+         |    $tfSel
+         |  FROM tk),
+         |stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS nn, avg(dl) AS avgdl,
+         |    $dfSel
+         |  FROM base)
+         |SELECT b.doc_id, CAST($hits AS BIGINT) AS n_query_hits,
+         |  round($score
+         |  + 1e-9, 4) AS bm25
+         |FROM base b CROSS JOIN stats
+         |ORDER BY doc_id""".stripMargin
+    },
+
     "q27_text_case" ->
       s"""SELECT doc_id,
          |  translate(substr(text, 1, 40),

@@ -344,4 +344,66 @@ object Dedup {
           (col("l.norm") * col("r.norm"))).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
+
+  /** CCNet-style corpus-level segment dedup (boilerplate removal): split
+    * each doc into consecutive `segTokens`-token segments, drop every
+    * segment whose exact text appears in more than `maxDocs` DISTINCT
+    * documents corpus-wide, and reassemble the survivors in original
+    * order. This is the paragraph-hash dedup step of CCNet/Gopher-class
+    * pipelines — headers, license banners and nav boilerplate repeat
+    * verbatim across pages and poison LM training mixes.
+    *
+    * 100 TB shape: segment construction is one MAP-SIDE projection
+    * (token-array slice — no explode, no shuffle, no per-token rows);
+    * the corpus-wide frequency count groups md5(segment) digests, never
+    * raw text; the blocklist (only segments OVER the threshold) is far
+    * smaller than the corpus and meets the exploded segments in a
+    * LEFT ANTI join that Spark is free to broadcast or shuffle on real
+    * sizes (no forced broadcast — the blocklist of a pathological corpus
+    * can be big); reassembly is a per-doc collect whose size is bounded
+    * by the DOCUMENT length, never by the corpus.
+    *
+    * Returns one row per input doc:
+    * (id, n_segments, n_kept, n_kept_tokens, kept_text) — empty/blank
+    * docs report 0/0/0/"". */
+  def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
+                   segTokens: Int = 3, maxDocs: Int = 2): DataFrame = {
+    require(segTokens > 0, "segTokens must be positive")
+    val toks = TextAnalysis.tokens(col(textCol))
+    // map-side segment array: slice the token array in strides — guard
+    // the empty case (sequence(0,-1) would DESCEND, not produce empty)
+    val nSegs = ceil(size(toks).cast("double") / lit(segTokens.toDouble)).cast("int")
+    val segArr = when(size(toks) === 0, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), nSegs - 1),
+        i => array_join(slice(toks, i * segTokens + 1, lit(segTokens)), " ")))
+    // one scan shape: (id, n_segments map-side, exploded segments). The
+    // corpus is read twice total — once to COUNT segment frequencies,
+    // once to FILTER against the blocklist — the canonical two-pass
+    // CCNet shape (recomputing the cheap projection beats materializing
+    // a corpus-sized intermediate).
+    val base = docs.select(col(idCol).as("id"), segArr.as("sa"))
+    val segs = base
+      .select(col("id"), posexplode(col("sa")).as(Seq("seg", "seg_text")))
+      .withColumn("dig", md5(col("seg_text")))
+    // corpus-wide frequency on the digest only; blocklist = over-threshold
+    val blocked = segs.groupBy(col("dig").as("bdig"))
+      .agg(countDistinct(col("id")).as("ndocs"))
+      .filter(col("ndocs") > maxDocs)
+      .select(col("bdig"))
+    val kept = segs.join(blocked, segs("dig") === blocked("bdig"), "left_anti")
+    // per-doc reassembly: bounded by doc length, not corpus size
+    val agg = kept.groupBy(col("id")).agg(
+      count(lit(1)).as("n_kept"),
+      sum(size(TextAnalysis.tokens(col("seg_text"))).cast("long")).as("n_kept_tokens"),
+      array_join(
+        transform(array_sort(collect_list(struct(col("seg"), col("seg_text")))),
+          s => s.getField("seg_text")), " ").as("kept_text"))
+    base.select(col("id"), size(col("sa")).cast("long").as("n_segments"))
+      .join(agg, Seq("id"), "left")
+      .select(col("id"),
+        col("n_segments"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_kept_tokens"), lit(0L)).as("n_kept_tokens"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
 }

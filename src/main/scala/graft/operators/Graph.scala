@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics for corpus curation. Web-scale training-data
+  * pipelines weight documents by graph centrality (harmonic/PageRank over
+  * the hyperlink graph is the canonical crawl-quality prior); the same
+  * primitive ranks entities in any derived relation graph.
+  */
+object Graph {
+
+  /** PageRank over a directed edge list, fixed iteration count.
+    *
+    * r_{i+1}(v) = (1-d)/N + d * Σ_{(u,v)∈E} r_i(u) / outdeg(u)
+    *
+    * This is the "leaky" formulation: mass flowing from dangling nodes
+    * (no out-edges) is dropped, not redistributed — symmetrize the edge
+    * list first (as the undirected-graph callers do) if every node must
+    * keep out-degree ≥ 1. Deterministic: no RNG, fixed `iters`.
+    *
+    * 100 TB shape: the edge list is deduplicated and joined with its
+    * out-degrees ONCE, then localCheckpoint-ed — it re-enters every
+    * round's join with bounded lineage and AQE re-plans each round on
+    * real propagated sizes (same discipline as
+    * [[Dedup.connectedComponentsWithStats]]). Each round is exactly one
+    * shuffle join (ranks meet edges on src) plus one partial-aggregated
+    * groupBy (contributions meet on dst) — never an all-pairs form, and
+    * per-round state is one (node, rank) row per node. The only driver
+    * scalar is N (node count). Hub nodes (a page every doc links to)
+    * produce a skewed dst groupBy — partial aggregation bounds it at
+    * one row per (dst × task).
+    *
+    * Returns (id, rank) for every node appearing in any edge. */
+  def pageRank(edges: DataFrame, srcCol: String = "src",
+               dstCol: String = "dst", iters: Int = 5,
+               damping: Double = 0.85): DataFrame = {
+    require(iters >= 0, "iters must be non-negative")
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .distinct()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint()
+    val n = nodes.count() // one driver scalar, not data
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // (src, dst, deg) spine — reused by every round's join
+    val spine = e.join(outDeg, "src").localCheckpoint()
+    var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank"))
+      .localCheckpoint()
+    for (_ <- 0 until iters) {
+      val contribs = spine
+        .join(ranks.select(col("id").as("src"), col("rank")), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("rank") / col("deg")).as("cin"))
+      ranks = nodes.join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * coalesce(col("cin"), lit(0.0))).as("rank"))
+        // eager: materializes this round in ONE job and keeps lineage
+        // one-round deep (no convergence probe needed — fixed iters)
+        .localCheckpoint()
+    }
+    ranks
+  }
+}

@@ -359,4 +359,53 @@ object TextAnalysis {
   def fingerprint(c: Column): Column = md5(c)
   def prefixShingleFingerprint(c: Column, nTokens: Int = 8): Column =
     md5(array_join(slice(tokens(c), 1, nTokens), " "))
+
+  /** BM25 relevance of every document against a fixed query-term set —
+    * the retrieval-style data-selection primitive ("keep docs that look
+    * like the target distribution" seeds curation by scoring the corpus
+    * against exemplar queries).
+    *
+    *   score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *   idf(t)   = ln(1 + (N − df + 0.5)/(df + 0.5))      (Lucene form)
+    *
+    * 100 TB shape: per-term tf and dl are MAP-SIDE token-array folds on
+    * the single corpus scan (one codegen'd projection — the query terms
+    * are literals, no explode, no per-token rows); the corpus statistics
+    * (N, avgdl, per-term df) reduce to ONE row, broadcast back via
+    * crossJoin — the same 1-row-frame pattern as lmCrossEntropy's vocab
+    * scalar. Zero shuffles of the corpus itself; no windows.
+    *
+    * Returns (id, n_query_hits, score) for every doc — empty docs score
+    * 0. `terms` must be non-empty and duplicate-free. */
+  def bm25(docs: org.apache.spark.sql.DataFrame, idCol: String,
+           textCol: String, terms: Seq[String], k1: Double = 1.2,
+           b: Double = 0.75): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    require(terms.distinct.size == terms.size, "query terms must be unique")
+    val toks = tokens(col(textCol))
+    // one map-side projection: dl + a tf column per literal query term
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      size(filter(toks, x => x === lit(t))).cast("double").as(s"tf$i")
+    }
+    val base = docs.select(
+      (col(idCol).as("id") +: size(toks).cast("double").as("dl") +: tfCols): _*)
+    // corpus stats reduce to ONE row: N, avgdl, df per term
+    val statAggs = count(lit(1)).cast("double").as("nn") +:
+      avg(col("dl")).as("avgdl") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1.0).otherwise(0.0)).as(s"df$i"))
+    val stats = base.agg(statAggs.head, statAggs.tail: _*)
+    val scored = base.crossJoin(broadcast(stats))
+    val termScore = terms.indices.map { i =>
+      val idf = log(lit(1.0) +
+        (col("nn") - col(s"df$i") + lit(0.5)) / (col(s"df$i") + lit(0.5)))
+      val tf = col(s"tf$i")
+      val denom = tf + lit(k1) * (lit(1.0 - b) +
+        lit(b) * col("dl") / col("avgdl"))
+      when(col("dl") > 0, idf * tf * lit(k1 + 1.0) / denom).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    val hits = terms.indices.map(i =>
+      when(col(s"tf$i") > 0, 1L).otherwise(0L).cast("long")).reduce(_ + _)
+    scored.select(col("id"), hits.as("n_query_hits"), termScore.as("score"))
+  }
 }

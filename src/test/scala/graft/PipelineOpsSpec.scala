@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{Dedup, Graph, TextAnalysis => TA}
+
+/** Specs for the round-9 curation additions: corpus-level segment dedup
+  * (CCNet boilerplate removal), PageRank, and BM25 scoring — each with a
+  * closed-form oracle on tiny data plus a structural plan check.
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // --- segmentDedup ---------------------------------------------------
+
+  test("segmentDedup drops corpus-frequent segments, keeps order") {
+    // "a b" opens 3 of 4 docs → blocked at maxDocs=2; everything else
+    // survives. Doc 4 is blank. Segment size 2.
+    val docs = Seq(
+      (1L, "a b x y"),
+      (2L, "a b p q r"),
+      (3L, "a b x y"),   // second seg "x y" appears in docs 1,3 only → kept
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(docs, "doc_id", "text", segTokens = 2, maxDocs = 2)
+      .orderBy("id").collect()
+    // doc1: segs ["a b","x y"] → "a b" blocked (3 docs) → kept "x y"
+    assert(out(0).getLong(1) == 2 && out(0).getLong(2) == 1)
+    assert(out(0).getString(4) == "x y")
+    assert(out(0).getLong(3) == 2) // n_kept_tokens
+    // doc2: segs ["a b","p q","r"] → kept "p q r" (2 segments, 3 tokens)
+    assert(out(1).getLong(2) == 2 && out(1).getLong(3) == 3)
+    assert(out(1).getString(4) == "p q r")
+    // doc4 (blank): 0/0/0/""
+    assert(out(3).getLong(1) == 0 && out(3).getLong(2) == 0)
+    assert(out(3).getString(4) == "")
+  }
+
+  test("segmentDedup counts DISTINCT docs, not occurrences") {
+    // "a b" twice inside ONE doc is 1 distinct doc — must NOT be blocked
+    // at maxDocs=1 unless a second doc has it
+    val docs = Seq((1L, "a b a b"), (2L, "z z")).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(docs, "doc_id", "text", segTokens = 2, maxDocs = 1)
+      .orderBy("id").collect()
+    assert(out(0).getString(4) == "a b a b") // both segments kept
+    assert(out(1).getString(4) == "z z")
+  }
+
+  test("segmentDedup short-tail segment hashes separately") {
+    // 5 tokens at segTokens=2 → segments [t0 t1][t2 t3][t4]: the 1-token
+    // tail is its own segment, not merged or dropped
+    val docs = Seq((1L, "p q r s t")).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(docs, "doc_id", "text", segTokens = 2, maxDocs = 1)
+      .collect()
+    assert(out(0).getLong(1) == 3)
+    assert(out(0).getString(4) == "p q r s t")
+  }
+
+  test("segmentDedup plan: no per-doc window, no cartesian") {
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val plan = Dedup.segmentDedup(docs, "doc_id", "text")
+      .queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("windowexpression"),
+      s"segment dedup must not use windows:\n$plan")
+    assert(!plan.toLowerCase.contains("cartesian"))
+  }
+
+  // --- pageRank -------------------------------------------------------
+
+  test("pageRank: two-node symmetric graph converges to uniform") {
+    // a↔b: by symmetry every iteration keeps rank = 0.5 each
+    val e = Seq(("a", "b"), ("b", "a")).toDF("src", "dst")
+    val r = Graph.pageRank(e, iters = 5).collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r("a") - 0.5) < 1e-12)
+    assert(math.abs(r("b") - 0.5) < 1e-12)
+  }
+
+  test("pageRank: star hub outranks leaves; closed-form 1 iteration") {
+    // leaves l1..l3 → hub, hub → each leaf (symmetrized star), N=4.
+    // After 1 round from uniform 0.25:
+    //   hub = 0.15/4 + 0.85·(3·(0.25/1)) = 0.0375 + 0.6375 = 0.675
+    //   leaf = 0.15/4 + 0.85·(0.25/3)    = 0.0375 + 0.070833…
+    val fwd = Seq(("l1", "h"), ("l2", "h"), ("l3", "h")).toDF("src", "dst")
+    val sym = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val r = Graph.pageRank(sym, iters = 1).collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r("h") - ((1.0 - 0.85) / 4 + 0.85 * 0.75)) < 1e-12)
+    val leaf = (1.0 - 0.85) / 4 + 0.85 * (0.25 / 3)
+    Seq("l1", "l2", "l3").foreach(l => assert(math.abs(r(l) - leaf) < 1e-12))
+    // total mass conserved on a symmetrized (dangling-free) graph
+    assert(math.abs(r.values.sum - 1.0) < 1e-9)
+  }
+
+  test("pageRank: dangling sink leaks mass (documented semantics)") {
+    // a → b with NO back edge: b's mass has nowhere to go and is dropped
+    val e = Seq(("a", "b")).toDF("src", "dst")
+    val r = Graph.pageRank(e, iters = 3).collect()
+      .map(x => x.getString(0) -> x.getDouble(1)).toMap
+    assert(r.values.sum < 1.0 - 1e-6)
+    assert(r("b") > r("a")) // b still receives a's flow
+  }
+
+  test("pageRank: iters=0 returns the uniform prior") {
+    val e = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val r = Graph.pageRank(e, iters = 0).collect()
+    assert(r.length == 3)
+    r.foreach(x => assert(math.abs(x.getDouble(1) - 1.0 / 3) < 1e-12))
+  }
+
+  // --- bm25 -----------------------------------------------------------
+
+  test("bm25 matches the closed form on a 2-doc corpus") {
+    // corpus: d1 = "x x y" (dl 3), d2 = "z z" (dl 2); query = (x, z)
+    // N=2, avgdl=2.5; df(x)=1, df(z)=1 → idf = ln(1 + 1.5/1.5) = ln 2
+    val docs = Seq((1L, "x x y"), (2L, "z z")).toDF("doc_id", "text")
+    val out = TA.bm25(docs, "doc_id", "text", Seq("x", "z"))
+      .orderBy("id").collect()
+    val k1 = 1.2; val b = 0.75
+    def s(tf: Double, dl: Double) =
+      math.log(2.0) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / 2.5))
+    assert(math.abs(out(0).getDouble(2) - s(2, 3)) < 1e-9) // d1: only x hits
+    assert(out(0).getLong(1) == 1)
+    assert(math.abs(out(1).getDouble(2) - s(2, 2)) < 1e-9) // d2: only z hits
+  }
+
+  test("bm25: rarer term scores higher at equal tf") {
+    val docs = Seq(
+      (1L, "common rare"), (2L, "common pad"), (3L, "common pad"),
+      (4L, "pad pad")).toDF("doc_id", "text")
+    val r = TA.bm25(docs, "doc_id", "text", Seq("common", "rare"))
+      .filter(col("id") === 1L).head()
+    // within doc 1 both terms have tf=1 and same dl — the score must
+    // exceed twice the common-term-only score of doc 2 (idf(rare) > idf(common))
+    val d2 = TA.bm25(docs, "doc_id", "text", Seq("common", "rare"))
+      .filter(col("id") === 2L).head()
+    assert(r.getDouble(2) > 2 * d2.getDouble(2))
+    assert(r.getLong(1) == 2)
+  }
+
+  test("bm25: empty doc scores zero; plan is shuffle-free for the corpus") {
+    val docs = Seq((1L, ""), (2L, "x")).toDF("doc_id", "text")
+    val out = TA.bm25(docs, "doc_id", "text", Seq("x")).orderBy("id").collect()
+    assert(out(0).getDouble(2) == 0.0 && out(0).getLong(1) == 0)
+    assert(out(1).getDouble(2) > 0)
+    // structural: no window, no sort-merge join — stats meet the scan
+    // via a broadcast of one row
+    val plan = TA.bm25(docs, "doc_id", "text", Seq("x"))
+      .queryExecution.optimizedPlan.toString.toLowerCase
+    assert(!plan.contains("windowexpression"))
+  }
+}
