@@ -468,6 +468,57 @@ object StreamOps {
     }
   }
 
+  /** One surviving Misra-Gries counter: the bucket it lives in, the key,
+    * and its RESIDUAL count (a lower bound on the true count — see
+    * [[graft.functions.MisraGries]]). */
+  case class HHCandidate(bucket: Int, key: String, residual: Long)
+
+  /** Per-bucket Misra-Gries over `transformWithState` — the unbounded
+    * twin of [[graft.operators.TextAnalysis.heavyHitters]]' sketch pass.
+    * State per bucket is the SAME ≤k-entry MG buffer the batch aggregate
+    * carries; each trigger folds the bucket's new rows into it and emits
+    * the refreshed candidate snapshot (Update semantics downstream). */
+  class HeavyHittersProcessor(k: Int)
+    extends org.apache.spark.sql.streaming.StatefulProcessor[Int, (Int, String), HHCandidate] {
+    import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var state: ValueState[graft.functions.MGBuf] = _
+    @transient private lazy val agg = new graft.functions.MisraGries(k)
+
+    override def init(outputMode: org.apache.spark.sql.streaming.OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[graft.functions.MGBuf]("mg",
+        Encoders.product[graft.functions.MGBuf], TTLConfig.NONE)
+
+    override def handleInputRows(key: Int, rows: Iterator[(Int, String)],
+                                 timerValues: TimerValues): Iterator[HHCandidate] = {
+      var buf = Option(state.get()).getOrElse(agg.zero)
+      rows.foreach { case (_, k) => buf = agg.reduce(buf, k) }
+      state.update(buf) // ≤ k counters persist, never the stream
+      buf.keys.iterator.map { case (kk, c) => HHCandidate(key, kk, c) }
+    }
+  }
+
+  /** Streaming heavy-hitters candidates: keys are hash-routed to
+    * `buckets` MG sketches, state O(buckets·k) TOTAL however many rows
+    * stream through. The global guarantee SHARPENS under bucketing: a
+    * key's whole count lands in one bucket, and the bucket's survival
+    * threshold n_bucket/(k+1) ≤ n/(k+1), so the union of per-bucket
+    * survivors contains every key with true count > n/(k+1) — the same
+    * candidate-superset contract the batch operator finishes with an
+    * exact recount (do the same downstream of this stream: snapshot the
+    * candidates, exact-count them in micro-batch or at rest). */
+  def streamingHeavyHitters(keys: Dataset[String], k: Int,
+                            buckets: Int = 16): Dataset[HHCandidate] = {
+    import keys.sparkSession.implicits._
+    keys.map(s => (math.floorMod(s.hashCode, buckets), s))
+      .groupByKey(_._1)
+      .transformWithState(new HeavyHittersProcessor(k),
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        OutputMode.Update)
+  }
+
   /** [[FirstSeenDedupProcessor]] wired over (id, key) rows. */
   def firstSeenDedupTws(docs: Dataset[(Long, String)]): Dataset[(Long, String)] = {
     import docs.sparkSession.implicits._

@@ -633,6 +633,84 @@ class StreamingParitySpec extends AnyFunSuite {
     }
   }
 
+  test("parity across checkpoint restart: streamingHeavyHitters candidates finish to batch heavyHitters (RocksDB), state O(buckets)") {
+    implicit val sq = spark.sqlContext
+    // the streaming twin of q82's sketch pass: document tokens stream
+    // through 4 hash-routed Misra-Gries sketches (k=200 each), the query
+    // is killed mid-stream and resumed from the RocksDB checkpoint. The
+    // final candidate union must contain every true heavy hitter (the
+    // per-bucket threshold n_bucket/(k+1) only SHARPENS the global
+    // n/(k+1) bound), so exact-recounting the candidates must reproduce
+    // the batch operator's exact top-10 — and state must be one MG
+    // buffer per bucket, never the token stream.
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_hh_ckpt_").toString
+    try {
+      val toks = docs.select(posexplode(
+          graft.operators.TextAnalysis.tokens(col("text"))).as(Seq("p", "tok")),
+          col("doc_id"))
+        .orderBy(col("doc_id"), col("p"))
+        .collect().map(_.getString(1)).toSeq
+      val batch = graft.operators.TextAnalysis.heavyHitters(
+        docs.select(explode(graft.operators.TextAnalysis.tokens(col("text"))).as("tok")),
+        col("tok"), h = 10, k = 500)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toList
+      assert(batch.nonEmpty)
+
+      val mem = MemoryStream[String]
+      val out = StreamOps.streamingHeavyHitters(mem.toDS(), k = 200, buckets = 4)
+      val buf = new java.util.concurrent.ConcurrentLinkedQueue[(Long, StreamOps.HHCandidate)]()
+      val seq = new java.util.concurrent.atomic.AtomicLong()
+      def start() = out.writeStream.outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[StreamOps.HHCandidate], _: Long) =>
+          val stamp = seq.incrementAndGet()
+          df.collect().foreach(e => buf.add((stamp, e)))
+        }.start()
+
+      val half = toks.length / 2
+      val q1 = start()
+      replay(mem, toks.take(half), chunk = 5000, q1)
+      q1.stop()
+      val q2 = start() // MG buffers resume from the checkpoint
+      replay(mem, toks.drop(half), chunk = 5000, q2)
+      val stateRows = q2.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      q2.stop()
+
+      // candidate union = latest snapshot per bucket
+      val all = buf.toArray(Array.empty[(Long, StreamOps.HHCandidate)])
+      val candidates = all.groupBy(_._2.bucket).flatMap { case (_, es) =>
+        val top = es.map(_._1).max
+        es.filter(_._1 == top).map(_._2.key).toSeq
+      }.toSet
+      // superset contract: every batch top-10 key is a streamed candidate
+      val batchKeys = batch.map(_._2).toSet
+      assert(batchKeys.subsetOf(candidates),
+        s"missing hitters: ${batchKeys -- candidates}")
+      // finish the job exactly as the batch operator does: exact-count
+      // the candidates, rank (count desc, key asc), cut to 10
+      val exact = toks.filter(candidates).groupBy(identity)
+        .map { case (k, v) => (k, v.size.toLong) }
+      val finished = exact.toSeq.sortBy { case (k, n) => (-n, k) }.take(10)
+        .zipWithIndex.map { case ((k, n), i) => (i + 1L, k, n) }.toList
+      assert(finished == batch)
+      // O(buckets) state: one MG buffer row per bucket
+      assert(stateRows <= 4L,
+        s"state rows $stateRows > 4 buckets — state is not O(buckets)")
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(ckpt))
+    }
+  }
+
   test("parity: streamingRangeJoin ≡ batch rangeJoin (q51 shape), state evicted past the horizon") {
     implicit val sq = spark.sqlContext
     // the q51 shape: same-user event pairs within 10 minutes AFTER a

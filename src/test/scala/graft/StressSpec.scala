@@ -478,4 +478,62 @@ class StressSpec extends AnyFunSuite {
       assert(stats.getLong(2) == 1000000L && stats.getLong(3) == 1000000L)
     }
   }
+
+  test("pageRank: 200k-leaf hub graph — exact 2-state closed form", SlowStress) {
+    failAfter(Span(900, Seconds)) {
+      // the canonical web-graph killer: one page every doc links to.
+      // Symmetrized star, L = 200k leaves: the hub receives 200k
+      // contributions per round — partial aggregation bounds that at one
+      // row per (dst × task); a plan that collected in-edges whole would
+      // blow the bound. The graph is exactly 2-state symmetric, so the
+      // distributed result must match the scalar recurrence bit-close:
+      //   hub'  = (1-d)/N + d·L·leaf   (each leaf has out-degree 1)
+      //   leaf' = (1-d)/N + d·hub/L    (hub's rank splits L ways)
+      val L = 200000L
+      val fwd = spark.range(L).select(concat(lit("l"), col("id")).as("src"),
+        lit("hub").as("dst"))
+      val sym = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      val r = graft.operators.Graph.pageRank(sym, iters = 3)
+      val n = (L + 1).toDouble
+      var hub = 1.0 / n; var leaf = 1.0 / n
+      for (_ <- 0 until 3) {
+        val h2 = (1.0 - 0.85) / n + 0.85 * (L * leaf)
+        val l2 = (1.0 - 0.85) / n + 0.85 * (hub / L)
+        hub = h2; leaf = l2
+      }
+      val gotHub = r.filter(col("id") === "hub").collect()(0).getDouble(1)
+      assert(math.abs(gotHub - hub) < 1e-9, s"hub $gotHub vs $hub")
+      val leafStats = r.filter(col("id") =!= "hub")
+        .agg(min(col("rank")), max(col("rank")), count(lit(1))).collect()(0)
+      assert(leafStats.getLong(2) == L)
+      assert(math.abs(leafStats.getDouble(0) - leaf) < 1e-12)
+      assert(math.abs(leafStats.getDouble(1) - leaf) < 1e-12)
+    }
+  }
+
+  test("segment dedup: one boilerplate segment in all of 100k docs", SlowStress) {
+    failAfter(Span(900, Seconds)) {
+      // every doc opens with the same 3-token banner and ends with a
+      // unique 3-token body: the banner digest's frequency group holds
+      // 100k rows (partial-aggregated count-distinct, no window), the
+      // blocklist is ONE row, and the anti-join must strip exactly the
+      // banner from every doc
+      val docs = spark.range(100000).select(col("id").as("doc_id"),
+        concat(lit("terms of service apply unique body "), col("id")).as("text"))
+      val out = graft.operators.Dedup.segmentDedup(docs, "doc_id", "text",
+        segTokens = 3, maxDocs = 2)
+      val stats = out.agg(
+        sum(col("n_segments")), sum(col("n_kept")),
+        sum(when(col("kept_text").startsWith("apply unique body"), 1L)
+          .otherwise(0L)),
+        countDistinct(col("kept_text"))).collect()(0)
+      // 7 tokens → segments [terms of service][apply unique body][<id>]:
+      // the first two appear in every doc → blocked; the 1-token id
+      // tail survives, unique per doc
+      assert(stats.getLong(0) == 300000L)
+      assert(stats.getLong(1) == 100000L)
+      assert(stats.getLong(2) == 0L) // no kept text starts with a blocked segment
+      assert(stats.getLong(3) == 100000L) // every surviving tail is unique
+    }
+  }
 }
