@@ -376,11 +376,13 @@ object Dedup {
     val segArr = when(size(toks) === 0, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), nSegs - 1),
         i => array_join(slice(toks, i * segTokens + 1, lit(segTokens)), " ")))
-    // one scan shape: (id, n_segments map-side, exploded segments). The
-    // corpus is read twice total — once to COUNT segment frequencies,
-    // once to FILTER against the blocklist — the canonical two-pass
-    // CCNet shape (recomputing the cheap projection beats materializing
-    // a corpus-sized intermediate).
+    // The corpus is read twice at full segment cost — once to COUNT
+    // segment frequencies, once to FILTER against the blocklist — the
+    // canonical two-pass CCNet shape (recomputing the cheap projection
+    // beats materializing a corpus-sized intermediate) — plus one
+    // projection-only scan for per-doc totals (needed even for docs
+    // whose every segment is blocked), which computes ceil(n/seg)
+    // directly and never builds the segment array.
     val base = docs.select(col(idCol).as("id"), segArr.as("sa"))
     val segs = base
       .select(col("id"), posexplode(col("sa")).as(Seq("seg", "seg_text")))
@@ -398,7 +400,7 @@ object Dedup {
       array_join(
         transform(array_sort(collect_list(struct(col("seg"), col("seg_text")))),
           s => s.getField("seg_text")), " ").as("kept_text"))
-    base.select(col("id"), size(col("sa")).cast("long").as("n_segments"))
+    docs.select(col(idCol).as("id"), nSegs.cast("long").as("n_segments"))
       .join(agg, Seq("id"), "left")
       .select(col("id"),
         col("n_segments"),
