@@ -27,15 +27,24 @@ object Graph {
     * shuffle join (ranks meet edges on src) plus one partial-aggregated
     * groupBy (contributions meet on dst) — never an all-pairs form, and
     * per-round state is one (node, rank) row per node. The only driver
-    * scalar is N (node count). Hub nodes (a page every doc links to)
-    * produce a skewed dst groupBy — partial aggregation bounds it at
-    * one row per (dst × task).
+    * scalar is N (node count — free, counted off the already-checkpointed
+    * node blocks). Hub nodes (a page every doc links to) produce a
+    * skewed dst groupBy — partial aggregation bounds it at one row per
+    * (dst × task).
+    *
+    * Unlike connected components (unbounded rounds, per-round
+    * convergence probe), the iteration count here is FIXED, so rounds
+    * chain LAZILY into one job and only checkpoint every
+    * `checkpointEvery` rounds — shallow runs (iters < checkpointEvery)
+    * execute as a single action with no per-round driver round-trips,
+    * while deep runs keep lineage (and optimizer time) bounded.
     *
     * Returns (id, rank) for every node appearing in any edge. */
   def pageRank(edges: DataFrame, srcCol: String = "src",
                dstCol: String = "dst", iters: Int = 5,
-               damping: Double = 0.85): DataFrame = {
+               damping: Double = 0.85, checkpointEvery: Int = 7): DataFrame = {
     require(iters >= 0, "iters must be non-negative")
+    require(checkpointEvery > 0, "checkpointEvery must be positive")
     val e = edges.select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))
       .distinct()
@@ -48,8 +57,7 @@ object Graph {
     // (src, dst, deg) spine — reused by every round's join
     val spine = e.join(outDeg, "src").localCheckpoint()
     var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank"))
-      .localCheckpoint()
-    for (_ <- 0 until iters) {
+    for (round <- 0 until iters) {
       val contribs = spine
         .join(ranks.select(col("id").as("src"), col("rank")), "src")
         .groupBy(col("dst").as("id"))
@@ -58,9 +66,11 @@ object Graph {
         .select(col("id"),
           (lit((1.0 - damping) / n) +
             lit(damping) * coalesce(col("cin"), lit(0.0))).as("rank"))
-        // eager: materializes this round in ONE job and keeps lineage
-        // one-round deep (no convergence probe needed — fixed iters)
-        .localCheckpoint()
+      // periodic eager checkpoint: deep iteration counts keep lineage
+      // and planning time bounded; shallow runs stay one lazy chain
+      // executed by the caller's single action
+      if ((round + 1) % checkpointEvery == 0 && round + 1 < iters)
+        ranks = ranks.localCheckpoint()
     }
     ranks
   }

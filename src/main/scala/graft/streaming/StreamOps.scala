@@ -468,6 +468,52 @@ object StreamOps {
     }
   }
 
+  /** One BM25-scored document: id, number of query terms present, score. */
+  case class Bm25Scored(id: Long, nQueryHits: Long, score: Double)
+
+  /** Streaming BM25 scoring — the unbounded twin of
+    * [[graft.operators.TextAnalysis.bm25]]: corpus statistics (N, avgdl,
+    * per-term df) are computed ONCE from the static reference corpus and
+    * broadcast; each streamed doc is scored map-side against ITS OWN
+    * length and tfs — stateless, no state store, no shuffle. Same
+    * deployment trade as [[streamingLmScore]]: the model side is frozen
+    * at stream start (scores match the batch operator run against the
+    * same reference corpus; they are NOT re-normalized as the stream
+    * itself grows — that is the standard retrieval-filter contract). */
+  def streamingBm25(docs: Dataset[(Long, String)], corpus: DataFrame,
+                    corpusTextCol: String, terms: Seq[String],
+                    k1: Double = 1.2, b: Double = 0.75): Dataset[Bm25Scored] = {
+    import docs.sparkSession.implicits._
+    val toks = graft.operators.TextAnalysis.tokens(col(corpusTextCol))
+    val statAggs = count(lit(1)).cast("double").as("nn") +:
+      avg(size(toks).cast("double")).as("avgdl") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(when(array_contains(toks, t), 1.0).otherwise(0.0)).as(s"df$i")
+      }
+    val row = corpus.agg(statAggs.head, statAggs.tail: _*).head()
+    val nn = row.getDouble(0); val avgdl = row.getDouble(1)
+    val dfs = terms.indices.map(i => row.getDouble(2 + i)).toArray
+    val bc = docs.sparkSession.sparkContext.broadcast((terms.toArray, dfs))
+    docs.map { case (id, text) =>
+      val (ts, dfArr) = bc.value
+      // same tokenization as TextAnalysis.tokens: ASCII-ws runs
+      val tk = "[^ \t\n\u000B\f\r]+".r.findAllIn(text).toArray
+      val dl = tk.length.toDouble
+      var score = 0.0; var hits = 0L
+      var i = 0
+      while (i < ts.length) {
+        val tf = tk.count(_ == ts(i)).toDouble
+        if (tf > 0) hits += 1
+        if (dl > 0) {
+          val idf = math.log(1.0 + (nn - dfArr(i) + 0.5) / (dfArr(i) + 0.5))
+          score += idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        }
+        i += 1
+      }
+      Bm25Scored(id, hits, score)
+    }
+  }
+
   /** One surviving Misra-Gries counter: the bucket it lives in, the key,
     * and its RESIDUAL count (a lower bound on the true count — see
     * [[graft.functions.MisraGries]]). */

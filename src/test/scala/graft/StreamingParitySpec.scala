@@ -831,6 +831,38 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(stateRows == 0L, s"expected a stateless plan, got $stateRows state rows")
   }
 
+  test("parity: streamingBm25 ≡ batch bm25, stateless map-side scorer") {
+    implicit val sq = spark.sqlContext
+    // q85 shape: corpus stats (N, avgdl, df) frozen from the full
+    // sf0.001 corpus; the same docs stream through the broadcast-stats
+    // scorer
+    val terms = Seq("spark", "join", "window")
+    val batch = graft.operators.TextAnalysis.bm25(docs, "doc_id", "text", terms)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamOps.streamingBm25(mem.toDS(), docs, "text", terms)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("parity_bm25").start()
+    val rows = docs.select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    replay(mem, rows, chunk = 100, q)
+    val stateRows = Option(q.lastProgress)
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    q.stop()
+    val streamed = spark.table("parity_bm25")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(streamed.keySet == batch.keySet)
+    // hit counts exactly; scores to 1e-12 — every term is the same IEEE
+    // expression, only the corpus-stats aggregation order could differ
+    // by ulps between the two plans
+    streamed.foreach { case (id, (h, s)) =>
+      assert(h == batch(id)._1, s"doc $id hits $h vs ${batch(id)._1}")
+      assert(math.abs(s - batch(id)._2) < 1e-12, s"doc $id score $s vs ${batch(id)._2}")
+    }
+    assert(stateRows == 0L, s"expected a stateless plan, got $stateRows state rows")
+  }
+
   test("parity across checkpoint restart: streamingTokenBudget ≡ q66 batch mixing, state O(langs)") {
     implicit val sq = spark.sqlContext
     // the q66 curation shape as a stream: docs arrive in the epoch-
