@@ -408,4 +408,91 @@ object TextAnalysis {
       when(col(s"tf$i") > 0, 1L).otherwise(0L).cast("long")).reduce(_ + _)
     scored.select(col("id"), hits.as("n_query_hits"), termScore.as("score"))
   }
+
+  /** Greedy left-to-right adjacent merge of (a, b) → ab inside a symbol
+    * array — one `aggregate` HOF fold, map-side. The carry holds a
+    * pending `a` that may merge with a following `b`; with a == b the
+    * classic BPE greedy behavior falls out ("a a a" → ["aa", "a"]). */
+  private[operators] def mergeAdjacent(syms: Column, a: String, b: String): Column = {
+    val empty = array().cast("array<string>")
+    val noCarry = lit(null).cast("string")
+    aggregate(syms,
+      struct(empty.as("out"), noCarry.as("carry")),
+      (acc, x) => {
+        val out = acc.getField("out"); val carry = acc.getField("carry")
+        when(carry.isNull,
+          when(x === lit(a), struct(out.as("out"), x.as("carry")))
+            .otherwise(struct(concat(out, array(x)).as("out"), noCarry.as("carry"))))
+          .otherwise( // carry is always the pending `a`
+            when(x === lit(b),
+              struct(concat(out, array(lit(a + b))).as("out"), noCarry.as("carry")))
+              .when(x === lit(a),
+                struct(concat(out, array(carry)).as("out"), x.as("carry")))
+              .otherwise(struct(concat(out, array(carry, x)).as("out"),
+                noCarry.as("carry"))))
+      },
+      acc => when(acc.getField("carry").isNull, acc.getField("out"))
+        .otherwise(concat(acc.getField("out"), array(acc.getField("carry")))))
+  }
+
+  /** BPE merge training (Sennrich-style, no end-of-word marker — merges
+    * stay word-internal) — the tokenizer-training step of an LLM data
+    * pipeline, distributed the way the classic algorithm is actually
+    * cheap: train on the WORD-FREQUENCY DICTIONARY, not the corpus. The
+    * corpus is scanned ONCE (one groupBy to the vocab-sized (word,
+    * freq) frame); every subsequent round touches only that frame:
+    *
+    *   1. adjacent symbol pairs weighted by word freq — a map-side
+    *      zip_with + explode, partial-aggregated groupBy(pair);
+    *   2. the argmax pair (count desc, pair asc — deterministic
+    *      tie-break) — a 1-row driver collect;
+    *   3. the merge applied map-side to every word's symbols
+    *      ([[mergeAdjacent]]), then localCheckpoint-ed so round r+1
+    *      plans one pass, not r.
+    *
+    * Per-round driver traffic is ONE pair; per-round jobs are one
+    * vocab-sized aggregation + one vocab-sized materialization — at
+    * 100 TB the corpus cost is the single word count (and real
+    * trainers subsample even that). Stops early when no pair repeats.
+    *
+    * Returns (merges, vocabSyms): merges = (rank, left, right, pair,
+    * count) in merge order; vocabSyms = (word, freq, syms) after all
+    * merges — the trained segmentation of every word. */
+  def bpeTrain(docs: org.apache.spark.sql.DataFrame, textCol: String,
+               nMerges: Int): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    require(nMerges >= 0, "nMerges must be non-negative")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = docs.select(explode(tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    // split("") keeps a trailing empty field under Spark's limit=-1
+    // convention — drop empties so symbols are exactly the characters
+    var vocab = words.select(col("word"), col("freq"),
+        filter(split(col("word"), ""), x => x =!= "").as("syms"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
+    var round = 0
+    var exhausted = false
+    while (round < nMerges && !exhausted) {
+      val n1 = greatest(size(col("syms")) - 1, lit(0))
+      val best = vocab.select(col("freq"),
+          explode(zip_with(slice(col("syms"), lit(1), n1),
+            slice(col("syms"), lit(2), n1),
+            (x, y) => concat_ws(" ", x, y))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
+        .orderBy(col("n").desc, col("pair").asc)
+        .limit(1).collect()
+      if (best.isEmpty || best(0).getLong(1) < 2) exhausted = true
+      else {
+        val parts = best(0).getString(0).split(' ')
+        val a: String = parts(0); val b: String = parts(1)
+        merges += ((round + 1L, a, b, a + b, best(0).getLong(1)))
+        vocab = vocab.select(col("word"), col("freq"),
+            mergeAdjacent(col("syms"), a, b).as("syms"))
+          .localCheckpoint()
+        round += 1
+      }
+    }
+    (merges.toSeq.toDF("rank", "left", "right", "pair", "count"), vocab)
+  }
 }

@@ -139,6 +139,87 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r.getLong(1) == 2)
   }
 
+  // --- bpeTrain -------------------------------------------------------
+
+  /** Naive reference BPE (word-freq dict, greedy left-to-right merge,
+    * (count desc, pair asc) tie-break) — the in-test oracle. */
+  private def naiveBpe(wordFreq: Map[String, Long], nMerges: Int)
+  : (List[(String, String, Long)], Map[String, List[String]]) = {
+    var vocab = wordFreq.map { case (w, f) => w -> (f, w.map(_.toString).toList) }
+    val merges = scala.collection.mutable.ListBuffer.empty[(String, String, Long)]
+    var done = false
+    var i = 0
+    while (i < nMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.values.foreach { case (f, syms) =>
+        syms.zip(syms.drop(1)).foreach(p => counts(p) = counts.getOrElse(p, 0L) + f)
+      }
+      if (counts.isEmpty || counts.values.max < 2) done = true
+      else {
+        val ((a, b), n) = counts.toSeq.minBy { case ((x, y), c) => (-c, x + " " + y) }
+        merges += ((a, b, n))
+        vocab = vocab.map { case (w, (f, syms)) =>
+          val out = scala.collection.mutable.ListBuffer.empty[String]
+          var j = 0
+          while (j < syms.length) {
+            if (j + 1 < syms.length && syms(j) == a && syms(j + 1) == b) {
+              out += (a + b); j += 2
+            } else { out += syms(j); j += 1 }
+          }
+          w -> (f, out.toList)
+        }
+        i += 1
+      }
+    }
+    (merges.toList, vocab.map { case (w, (_, s)) => w -> s })
+  }
+
+  test("bpeTrain matches naive BPE on the classic corpus, incl. a==b merges") {
+    // Sennrich-flavored toy corpus plus an aaa-run word to force the
+    // greedy a==b case; freqs via repetition
+    val docs = Seq(
+      (1L, "low low low low low"),
+      (2L, "lower lower newest newest"),
+      (3L, "newest newest newest newest widest widest"),
+      (4L, "aaab aaab aaab")
+    ).toDF("doc_id", "text")
+    val wordFreq = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L,
+      "widest" -> 2L, "aaab" -> 3L)
+    val (expMerges, expVocab) = naiveBpe(wordFreq, 8)
+
+    val (merges, vocab) = TA.bpeTrain(docs, "text", 8)
+    val gotMerges = merges.orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(4))).toList
+    assert(gotMerges == expMerges)
+    val gotVocab = vocab.collect()
+      .map(r => r.getString(0) -> r.getSeq[String](2).toList).toMap
+    assert(gotVocab == expVocab)
+    // the aaa-run merged greedily: "aaab" under merge (a,a) keeps the
+    // odd 'a' separate (never ["a","aa",…] right-to-left)
+    assert(expVocab("aaab").mkString("|") == gotVocab("aaab").mkString("|"))
+  }
+
+  test("bpeTrain stops early when no pair repeats; empty corpus is empty") {
+    val docs = Seq((1L, "ab cd")).toDF("doc_id", "text")
+    val (merges, _) = TA.bpeTrain(docs, "text", 10)
+    assert(merges.count() == 0L) // every pair count is 1 — nothing to merge
+    val none = Seq((1L, "")).toDF("doc_id", "text")
+    val (m2, v2) = TA.bpeTrain(none, "text", 3)
+    assert(m2.count() == 0L && v2.count() == 0L)
+  }
+
+  test("bpeTrain plan: rounds run on the vocab frame, not the corpus") {
+    // after round 1 the lineage must be a checkpointed (vocab-sized)
+    // RDD scan — the corpus parquet/localtable never re-enters
+    val docs = Seq((1L, "xy xy xy zz")).toDF("doc_id", "text")
+    val (_, vocab) = TA.bpeTrain(docs, "text", 2)
+    val plan = vocab.queryExecution.optimizedPlan.toString
+    assert(plan.contains("LogicalRDD") || plan.contains("ExistingRDD"),
+      s"expected checkpointed vocab lineage:\n$plan")
+    assert(!plan.toLowerCase.contains("localrelation"),
+      s"corpus re-entered the round lineage:\n$plan")
+  }
+
   test("bm25: empty doc scores zero; plan is shuffle-free for the corpus") {
     val docs = Seq((1L, ""), (2L, "x")).toDF("doc_id", "text")
     val out = TA.bm25(docs, "doc_id", "text", Seq("x")).orderBy("id").collect()
