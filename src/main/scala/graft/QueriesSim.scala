@@ -15,6 +15,18 @@ object QueriesSim {
     s.read.parquet(s"$dir/$name.parquet")
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SemDeDup-style semantic dedup: IVF-cell coarse clustering, exact
+    // pairwise cosine only within a cell, pointer-jumped components,
+    // keep the min id per component
+    "q86_semantic_dedup" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s) // native graft_dot
+      Similarity.semanticDedup(tbl(s, dir, "embeddings"), "vec_id", "embedding",
+        nlist = 4, threshold = 0.4)
+        .select(col("id").as("vec_id"), col("cell"), col("canonical_id"),
+          col("keep"))
+        .orderBy(col("vec_id"))
+    }),
+
     // int8 scalar quantization: per-dim stats broadcast as literals,
     // map-side codes + reconstruction error; code sums are
     // integer-exact, error metrics rounded with both FP guards
@@ -265,6 +277,50 @@ object QueriesSim {
       |  FROM coded)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // replays semanticDedup: q48's cell assignment, within-cell raw
+    // cosine threshold (same sequential double sums both engines — the
+    // q40 precedent), transitive closure (q65's pattern), min-id labels
+    "q86_semantic_dedup" ->
+      """WITH RECURSIVE comps AS (
+        |  SELECT vec_id, unnest(embedding) AS comp,
+        |    generate_subscripts(embedding, 1) - 1 AS dim
+        |  FROM embeddings),
+        |projs AS (
+        |  SELECT vec_id, c.c AS cell,
+        |    sum(CAST(comp AS DOUBLE) *
+        |      (CASE WHEN substr(md5((c.c + 7919)::VARCHAR || '-' || dim::VARCHAR), 1, 1)
+        |        BETWEEN '8' AND 'f' THEN 1.0 ELSE -1.0 END)) AS proj
+        |  FROM comps, generate_series(0, 3) AS c(c)
+        |  GROUP BY vec_id, c.c),
+        |ranked AS (
+        |  SELECT vec_id, cell, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY proj DESC, cell ASC) AS rn
+        |  FROM projs),
+        |cells AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+        |v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS a, b.vec_id AS b
+        |  FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        |  JOIN v va ON va.vec_id = a.vec_id
+        |  JOIN v vb ON vb.vec_id = b.vec_id
+        |  WHERE list_sum(list_apply(range(1, len(va.e) + 1), i -> va.e[i] * vb.e[i]))
+        |      / (sqrt(list_sum(list_apply(va.e, x -> x * x)))
+        |         * sqrt(list_sum(list_apply(vb.e, x -> x * x)))) >= 0.4),
+        |edges AS (
+        |  SELECT a AS src, b AS dst FROM pairs
+        |  UNION SELECT b, a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM edges
+        |  UNION
+        |  SELECT e.src, rr.r FROM edges e JOIN reach rr ON rr.id = e.dst),
+        |lab AS (SELECT id, min(r) AS label FROM reach GROUP BY id)
+        |SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell,
+        |  CAST(coalesce(l.label, c.vec_id) AS BIGINT) AS canonical_id,
+        |  coalesce(l.label, c.vec_id) = c.vec_id AS keep
+        |FROM cells c LEFT JOIN lab l ON l.id = c.vec_id
+        |ORDER BY c.vec_id""".stripMargin,
     // floor-based code assignment (identical doubles floor identically;
     // round-half algorithms differ between engines), ordered list folds
     "q68_quantize_int8" ->

@@ -604,4 +604,41 @@ object Similarity {
     // bounded aggregate instead
     topKByQuery(scored, k, "cosine", "cosine")
   }
+
+  /** SemDeDup-style semantic dedup: coarse-cluster the embeddings into
+    * `nlist` IVF cells, take exact pairwise cosine ONLY within a cell
+    * (the published recipe: k-means the corpus, prune duplicates inside
+    * clusters — never all-pairs), consolidate the ≥ `threshold` pairs
+    * into components via pointer-jumped connected components, and keep
+    * the minimum id of each component.
+    *
+    * 100 TB shape: the cell id is a pure function of the vector,
+    * computed inline on each scan (no assignment shuffle); the
+    * quadratic step is bounded per cell (choose nlist so cells fit —
+    * the same knob the paper tunes); the component pass inherits
+    * [[Dedup.connectedComponents]]' O(log diameter) rounds and bounded
+    * lineage; the final labeling is one left join of ids against the
+    * (small) duplicate-pair node set.
+    *
+    * Returns one row per vector: (id, cell, canonical_id, keep). */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    nlist: Int, threshold: Double): DataFrame = {
+    val dims = vecDims(emb, vecCol)
+    val withCell = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+      .withColumn("norm", norm(col("vec")))
+      .withColumn("cell", cellExpr(col("vec"), nlist, dims))
+    val l = withCell.as("l"); val r = withCell.as("r")
+    val pairs = l.join(r,
+        col("l.cell") === col("r.cell") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"),
+        (dot(col("l.vec"), col("r.vec")) /
+          (col("l.norm") * col("r.norm"))).as("cosine"))
+      .filter(col("cosine") >= threshold)
+    val labels = Dedup.connectedComponents(pairs, "a", "b")
+    withCell.select(col("id"), col("cell"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), col("cell"),
+        coalesce(col("label"), col("id")).as("canonical_id"),
+        (coalesce(col("label"), col("id")) === col("id")).as("keep"))
+  }
 }

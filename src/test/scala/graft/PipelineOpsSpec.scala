@@ -139,6 +139,34 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(r.getLong(1) == 2)
   }
 
+  // --- semanticDedup --------------------------------------------------
+
+  test("semanticDedup merges planted duplicate groups, keeps min ids") {
+    // two planted duplicate groups (identical vectors → cosine 1, same
+    // cell by construction) + one singleton; orthogonal across groups so
+    // no cross-group pair can clear the threshold even if cells collide
+    val v = Array(1.0f, 0.0f, 0.0f, 0.0f)
+    val w = Array(0.0f, 1.0f, 0.0f, 0.0f)
+    val u = Array(0.0f, 0.0f, 1.0f, 0.0f)
+    val emb = Seq((1L, v), (2L, v), (3L, v), (10L, w), (11L, w), (20L, u))
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity
+      .semanticDedup(emb, "vec_id", "embedding", nlist = 4, threshold = 0.4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(1L) == ((1L, true)) && out(2L) == ((1L, false)) && out(3L) == ((1L, false)))
+    assert(out(10L) == ((10L, true)) && out(11L) == ((10L, false)))
+    assert(out(20L) == ((20L, true)))
+  }
+
+  test("semanticDedup plan: no corpus-wide cross join, no window") {
+    val emb = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val plan = graft.operators.Similarity
+      .semanticDedup(emb, "vec_id", "embedding", nlist = 2, threshold = 0.5)
+      .queryExecution.optimizedPlan.toString.toLowerCase
+    assert(!plan.contains("cartesian"), s"cartesian product in plan:\n$plan")
+    assert(!plan.contains("windowexpression"), s"window in plan:\n$plan")
+  }
+
   // --- bpeTrain -------------------------------------------------------
 
   /** Naive reference BPE (word-freq dict, greedy left-to-right merge,
