@@ -150,6 +150,20 @@ object QueriesText {
           round(col("score") + lit(1e-9), 4).as("bm25"))
         .orderBy(col("doc_id"))),
 
+    // dataset-card rollup: corpus composition stats at every (lang,
+    // source) aggregation level in ONE pass — Spark's rollup is the
+    // partial-aggregated GROUPING SETS plan, no per-level rescans
+    "q87_dataset_card" -> ((s, dir) =>
+      tbl(s, dir, "documents")
+        .rollup(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TA.tokenCount(col("text"))).as("n_tokens"),
+          round(avg(length(col("text"))) + lit(1e-9), 4).as("avg_chars"))
+        .select(coalesce(col("lang"), lit("<all>")).as("lang"),
+          coalesce(col("source"), lit("<all>")).as("source"),
+          col("n_docs"), col("n_tokens"), col("avg_chars"))
+        .orderBy(col("lang"), col("source"))),
+
     // charsequence scalar surface: ASCII-only case map, occurrence count,
     // affix tests (charsequence.h:844-1158)
     "q27_text_case" -> ((s, dir) =>
@@ -646,6 +660,16 @@ object QueriesText {
     markers.map(m => occ("' ' || text || ' '", s" $m ")).mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q87_dataset_card" ->
+      s"""SELECT coalesce(lang, '<all>') AS lang,
+         |  coalesce(source, '<all>') AS source,
+         |  count(*) AS n_docs,
+         |  CAST(sum(${nTokensSql("text")}) AS BIGINT) AS n_tokens,
+         |  round(avg(length(text)) + 1e-9, 4) AS avg_chars
+         |FROM documents
+         |GROUP BY ROLLUP (lang, source)
+         |ORDER BY lang, source""".stripMargin,
+
     // replays segmentDedup exactly: aligned 3-token segments, corpus
     // frequency on distinct docs, anti-join, ordered reassembly
     "q83_segment_dedup" ->

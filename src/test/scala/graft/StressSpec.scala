@@ -479,6 +479,52 @@ class StressSpec extends AnyFunSuite {
     }
   }
 
+  test("semanticDedup: 30k vectors, one 3k-dup pile — cell-bounded, exact", SlowStress) {
+    failAfter(Span(900, Seconds)) {
+      // the SemDeDup hot case: a 3k-copy embedding pile (one viral page
+      // embedded 3k times) inside 30k vectors. The pile's pairwise step
+      // is C(3000,2) ≈ 4.5M cheap dot products INSIDE one cell — the
+      // documented nlist knob — while the 27k distinct vectors must not
+      // cross-pair with it (orthogonal axes → cosine 0). Exactness: the
+      // pile collapses to canonical id 0. Volume sized for the local[4]
+      // test session (~50M total in-cell pairs); the knob argument is
+      // nlist scaling, not this constant.
+      // tail vectors: first component 0 (exactly orthogonal to the
+      // pile's axis — no tail-pile pair can ever clear the threshold),
+      // remaining components signed pseudo-random lattice points so
+      // tail-tail near-dups are sparse, not a dense blob
+      val emb = spark.range(30000).select(col("id").as("vec_id"),
+        when(col("id") < 3000,
+          array(lit(1.0f), lit(0.0f), lit(0.0f), lit(0.0f)))
+          .otherwise(array(lit(0.0f),
+            ((col("id") * 40503L) % 997L).cast("float") - 498f,
+            ((col("id") * 69069L) % 991L).cast("float") - 495f,
+            ((col("id") * 2654435761L) % 983L).cast("float") - 491f))
+          .as("embedding"))
+      val out = graft.operators.Similarity
+        .semanticDedup(emb, "vec_id", "embedding", nlist = 8, threshold = 0.9999)
+      val stats = out.agg(
+        sum(when(col("keep"), 1L).otherwise(0L)),
+        sum(when(col("canonical_id") === 0L && col("id") =!= 0L, 1L).otherwise(0L)),
+        count(lit(1)),
+        // the STRUCTURAL separation invariant: orthogonality means no
+        // tail row may ever be labeled into the pile (and vice versa) —
+        // a cross-cell or threshold bug shows here load or no load
+        sum(when(col("id") >= 3000L && col("canonical_id") < 3000L, 1L)
+          .otherwise(0L)),
+        sum(when(col("id") < 3000L && col("canonical_id") =!= 0L, 1L)
+          .otherwise(0L))).collect()(0)
+      assert(stats.getLong(2) == 30000L)
+      assert(stats.getLong(1) == 2999L) // pile: all 2999 dups point at 0
+      assert(stats.getLong(3) == 0L, "tail row labeled into the pile")
+      assert(stats.getLong(4) == 0L, "pile row escaped canonical 0")
+      // tail keepers: ≥1 and ≤ tail size (the exact count is lattice
+      // percolation analytics, deliberately NOT asserted — structured
+      // lattice directions merge far more than random ones)
+      assert(stats.getLong(0) >= 1L && stats.getLong(0) <= 27001L)
+    }
+  }
+
   test("pageRank: 200k-leaf hub graph — exact 2-state closed form", SlowStress) {
     failAfter(Span(900, Seconds)) {
       // the canonical web-graph killer: one page every doc links to.
