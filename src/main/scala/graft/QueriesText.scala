@@ -164,6 +164,35 @@ object QueriesText {
           col("n_docs"), col("n_tokens"), col("avg_chars"))
         .orderBy(col("lang"), col("source"))),
 
+    // BPE tokenizer round-trip: train 6 merges on the corpus's word-
+    // frequency dictionary, then ENCODE the same corpus and report
+    // per-doc token counts — the token-budgeting number packing, mixing
+    // and cost estimation all start from. Encode applies merges to the
+    // DISTINCT-word frame only (O(vocab·merges), not O(corpus·merges));
+    // the corpus is scanned once and joins the vocab-sized count dict
+    // broadcast-side, so it never shuffles by word
+    "q88_bpe_encode" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val (mergesDf, _) = TA.bpeTrain(docs, "text", 6)
+      val merges = mergesDf.orderBy(col("rank")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TA.bpeEncode(docs, "doc_id", "text", merges).orderBy(col("doc_id"))
+    }),
+
+    // DSIR importance weighting: hashed bag-of-unigrams log-likelihood
+    // ratio of the en-lang target model vs the full-corpus source model
+    // — the "select data that looks like the target" curation score.
+    // Model frames are 256 rows regardless of corpus size; the corpus
+    // scans twice map-side and never shuffles by token
+    "q89_dsir" -> ((s, dir) =>
+      graft.operators.Sampling.dsirLogRatio(
+        tbl(s, dir, "documents"), "doc_id", "text", col("lang") === "en")
+        .select(col("doc_id"), col("n_toks"),
+          // + 0.0 kills IEEE -0.0 (q20 convention): a near-zero negative
+          // sum rounds to -0.0, whose sign bit differs between engines
+          (round(col("logratio") + lit(1e-9), 4) + lit(0.0)).as("dsir_logratio"))
+        .orderBy(col("doc_id"))),
+
     // charsequence scalar surface: ASCII-only case map, occurrence count,
     // affix tests (charsequence.h:844-1158)
     "q27_text_case" -> ((s, dir) =>
@@ -659,7 +688,99 @@ object QueriesText {
   private def langHits(markers: Seq[String]): String =
     markers.map(m => occ("' ' || text || ' '", s" $m ")).mkString(" + ")
 
+  /** One unrolled BPE training round for the q88 oracle: re-derive pair
+    * counts from `seg(i-1)`'s delimited segmentation strings, pick the
+    * argmax pair with the trainer's exact tie-break (count desc, "a b"
+    * asc), and apply it via non-overlapping left-to-right `replace` on a
+    * DOUBLE-bar encoding ("||a||b||"): the pattern `|a||b|` consumes one
+    * bar from each side, so consecutive disjoint matches sharing a
+    * boundary still both rewrite (single-bar encodings miss every other
+    * match; one-sided bars false-match symbol prefixes/suffixes). The
+    * trainer's <2-count early stop is the CASE guard: once a round is a
+    * no-op every later round re-selects the same pair and no-ops too.
+    * CTEs are MATERIALIZED — inlined, the seg chain re-evaluates
+    * exponentially. */
+  private def bpeRoundCte(i: Int): String =
+    s"""bp$i AS MATERIALIZED (
+       |  SELECT sym AS a, lead(sym) OVER (PARTITION BY word ORDER BY pos) AS b,
+       |    freq
+       |  FROM (
+       |    SELECT word, freq,
+       |      unnest(list_filter(string_split(seg, '||'), x -> x <> '')) AS sym,
+       |      generate_subscripts(list_filter(string_split(seg, '||'), x -> x <> ''), 1) AS pos
+       |    FROM seg${i - 1})),
+       |best$i AS MATERIALIZED (
+       |  SELECT a, b, sum(freq) AS n FROM bp$i WHERE b IS NOT NULL
+       |  GROUP BY a, b ORDER BY n DESC, a || ' ' || b ASC LIMIT 1),
+       |seg$i AS MATERIALIZED (
+       |  SELECT word, freq,
+       |    CASE WHEN (SELECT n FROM best$i) >= 2
+       |      THEN replace(seg,
+       |        '|' || (SELECT a FROM best$i) || '||' || (SELECT b FROM best$i) || '|',
+       |        '|' || (SELECT a FROM best$i) || (SELECT b FROM best$i) || '|')
+       |      ELSE seg END AS seg
+       |  FROM seg${i - 1})""".stripMargin
+
+  private def bpeEncodeOracle(nMerges: Int): String = {
+    val rounds = (1 to nMerges).map(bpeRoundCte).mkString(",\n")
+    s"""WITH bwords AS MATERIALIZED (
+       |  SELECT doc_id, unnest(${toksSql("text")}) AS tok FROM documents),
+       |wfreq AS MATERIALIZED (
+       |  SELECT tok AS word, count(*) AS freq FROM bwords GROUP BY 1),
+       |seg0 AS MATERIALIZED (
+       |  SELECT word, freq,
+       |    '||' || array_to_string(string_split(word, ''), '||') || '||' AS seg
+       |  FROM wfreq),
+       |$rounds,
+       |dict AS (
+       |  SELECT word,
+       |    len(list_filter(string_split(seg, '||'), x -> x <> '')) AS n_syms
+       |  FROM seg$nMerges),
+       |perdoc AS (
+       |  SELECT w.doc_id, count(*) AS n_words, sum(d.n_syms) AS n_bpe
+       |  FROM bwords w JOIN dict d ON w.tok = d.word GROUP BY 1)
+       |SELECT d.doc_id,
+       |  CAST(coalesce(p.n_words, 0) AS BIGINT) AS n_words,
+       |  CAST(coalesce(p.n_bpe, 0) AS BIGINT) AS n_bpe_tokens
+       |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** ascii()-decoded hex nibble — the oracle twin of
+    * [[graft.operators.Sampling.hashBucket256]]'s nibble decode. */
+  private def nibSql(e: String): String =
+    s"(CASE WHEN ascii($e) <= 57 THEN ascii($e) - 48 ELSE ascii($e) - 87 END)"
+
   val oracles: Map[String, String] = Map(
+    "q88_bpe_encode" -> bpeEncodeOracle(6),
+
+    "q89_dsir" ->
+      s"""WITH dtoks AS MATERIALIZED (
+         |  SELECT doc_id, (lang = 'en') AS tgt, unnest(${toksSql("text")}) AS tok
+         |  FROM documents),
+         |bt AS MATERIALIZED (
+         |  SELECT doc_id, tgt,
+         |    ${nibSql("substr(md5(tok), 1, 1)")} * 16
+         |      + ${nibSql("substr(md5(tok), 2, 1)")} AS bk
+         |  FROM dtoks),
+         |model AS (
+         |  SELECT bk, count(*) AS src_n,
+         |    sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS tgt_n
+         |  FROM bt GROUP BY 1),
+         |tot AS (SELECT sum(src_n) AS src_t, sum(tgt_n) AS tgt_t FROM model),
+         |ratios AS (
+         |  SELECT bk,
+         |    ln(CAST(tgt_n + 1 AS DOUBLE) / (tgt_t + 256))
+         |      - ln(CAST(src_n + 1 AS DOUBLE) / (src_t + 256)) AS lr
+         |  FROM model, tot),
+         |perdoc AS (
+         |  SELECT doc_id, count(*) AS nt, sum(lr) AS s
+         |  FROM bt JOIN ratios USING (bk) GROUP BY 1)
+         |SELECT d.doc_id, CAST(coalesce(p.nt, 0) AS BIGINT) AS n_toks,
+         |  round(coalesce(p.s, 0.0) + 1e-9, 4) + 0.0 AS dsir_logratio
+         |FROM documents d LEFT JOIN perdoc p USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
     "q87_dataset_card" ->
       s"""SELECT coalesce(lang, '<all>') AS lang,
          |  coalesce(source, '<all>') AS source,

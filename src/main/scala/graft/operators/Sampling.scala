@@ -120,6 +120,60 @@ object Sampling {
     * stratum→threshold table rides a map literal (`element_at`, pure
     * codegen'd projection — no join, not even a broadcast). Strata
     * absent from `fractions` use `defaultFraction`. */
+  /** Hashed-unigram feature bucket in [0, 256) — the oracle-replayable
+    * feature hash behind [[dsirLogRatio]]: the first two hex chars of
+    * md5(token), each nibble decoded arithmetically from its ASCII code
+    * ('0'-'9' → 0-9, 'a'-'f' → 10-15) so DuckDB computes the identical
+    * bucket with its own ascii() (it has no hex→int conv). Pure
+    * codegen'd expressions. */
+  private[graft] def hashBucket256(tok: Column): Column = {
+    def nib(c: Column): Column =
+      when(ascii(c) <= 57, ascii(c) - 48).otherwise(ascii(c) - 87)
+    val h = md5(tok)
+    (nib(substring(h, 1, 1)) * 16 + nib(substring(h, 2, 1))).cast("int")
+  }
+
+  /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every doc by
+    * the log-likelihood ratio of a hashed bag-of-unigrams model of the
+    * TARGET distribution (rows matching `targetPred`) against the model
+    * of the full source corpus — the standard "select web data that
+    * looks like the high-quality target" curation gate. Resampling is
+    * composition: feed the returned score to
+    * [[topFractionPerGroup]] / a threshold filter.
+    *
+    * Scale shape: ONE corpus scan explodes tokens and map-side
+    * partial-aggregates them into the 256-bucket model frames (bounded
+    * rows regardless of corpus size); per-bucket add-1-smoothed log
+    * ratios broadcast back onto a second token scan; per-doc sum is one
+    * partial-aggregated groupBy(doc). No windows, no driver collect
+    * beyond the 256-row model. Docs with no tokens score 0 with
+    * n_toks=0. Returns (idCol, n_toks, logratio). */
+  def dsirLogRatio(docs: DataFrame, idCol: String, textCol: String,
+                   targetPred: Column): DataFrame = {
+    val b = 256
+    val toks = docs.select(col(idCol), targetPred.as("__tgt"),
+        explode(graft.operators.TextAnalysis.tokens(col(textCol))).as("__dsir_tok"))
+      .withColumn("__bk", hashBucket256(col("__dsir_tok")))
+    val model = toks.groupBy(col("__bk"))
+      .agg(count(lit(1)).as("__src_n"),
+        sum(when(col("__tgt"), 1L).otherwise(0L)).as("__tgt_n"))
+    // totals ride the same tiny frame (≤256 rows) — no extra corpus pass
+    val totals = model.agg(sum(col("__src_n")).as("__src_t"),
+      sum(col("__tgt_n")).as("__tgt_t"))
+    val ratios = model.crossJoin(broadcast(totals))
+      .select(col("__bk").as("__rbk"),
+        (log((col("__tgt_n") + 1).cast("double") / (col("__tgt_t") + b)) -
+          log((col("__src_n") + 1).cast("double") / (col("__src_t") + b))).as("__lr"))
+    val perDoc = toks.join(broadcast(ratios), col("__bk") === col("__rbk"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__nt"), sum(col("__lr")).as("__sum"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__nt"), lit(0L)).as("n_toks"),
+        coalesce(col("__sum"), lit(0.0)).as("logratio"))
+  }
+
   def stratified(df: DataFrame, idCol: String, strataCol: String,
                  fractions: Map[String, Double], defaultFraction: Double,
                  seed: Long): DataFrame = {

@@ -495,4 +495,49 @@ object TextAnalysis {
     }
     (merges.toSeq.toDF("rank", "left", "right", "pair", "count"), vocab)
   }
+
+  /** Apply a trained BPE merge list (rank order) to segment each word of
+    * a word-per-row frame — the ENCODE side of [[bpeTrain]], for any
+    * word set including OOV words the trainer never saw. Each merge is
+    * one map-side [[mergeAdjacent]] pass (the same greedy left-to-right
+    * non-overlapping semantics the trainer applied, so encoding the
+    * training corpus reproduces the trainer's own `vocabSyms` exactly).
+    * The fold is pure column expressions — nMerges nested `aggregate`
+    * calls — with a localCheckpoint every 8 merges to keep the
+    * expression tree (and codegen) bounded at large merge counts.
+    * Adds `syms` (array&lt;string&gt;). */
+  def bpeSegment(words: org.apache.spark.sql.DataFrame, wordCol: String,
+                 merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+    val init = words.withColumn("syms",
+      filter(split(col(wordCol), ""), x => x =!= ""))
+    merges.zipWithIndex.foldLeft(init) { case (d, ((a, b), i)) =>
+      val next = d.withColumn("syms", mergeAdjacent(col("syms"), a, b))
+      if ((i + 1) % 8 == 0 && i + 1 < merges.size) next.localCheckpoint() else next
+    }
+  }
+
+  /** BPE-encode a corpus against a trained merge list and report per-doc
+    * token counts — the tokenizer-application step of an LLM data
+    * pipeline (token budgeting, sequence packing, cost estimation all
+    * start from exactly this number). Same dictionary trick as the
+    * trainer: the corpus is scanned ONCE into (doc, word) rows; merges
+    * are applied to the DISTINCT-word frame only (O(vocab · nMerges),
+    * not O(corpus tokens · nMerges)); the per-word symbol counts join
+    * back on `word` — a vocab-sized build side the planner broadcasts,
+    * so the corpus never shuffles; Zipf-hot words are plain
+    * broadcast-probe skew, not a partition pin. Docs with no tokens
+    * survive with zero counts. Returns (idCol, n_words, n_bpe_tokens). */
+  def bpeEncode(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+                merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
+    val words = docs.select(col(idCol).as(idCol), explode(tokens(col(textCol))).as("__w"))
+    val dict = bpeSegment(words.select(col("__w").as("__word")).distinct(), "__word", merges)
+      .select(col("__word"), size(col("syms")).cast("long").as("__ns"))
+    val perDoc = words.join(dict, col("__w") === col("__word"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__nw"), sum(col("__ns")).as("__nb"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__nw"), lit(0L)).as("n_words"),
+        coalesce(col("__nb"), lit(0L)).as("n_bpe_tokens"))
+  }
 }

@@ -259,4 +259,106 @@ class PipelineOpsSpec extends AnyFunSuite {
       .queryExecution.optimizedPlan.toString.toLowerCase
     assert(!plan.contains("windowexpression"))
   }
+
+  // --- bpeSegment / bpeEncode ----------------------------------------
+
+  test("bpeSegment applies merges greedily in rank order, OOV included") {
+    val words = Seq("abcab", "zzz", "ab", "a", "").toDF("word")
+    val merges = Seq(("a", "b"), ("ab", "c"))
+    val got = TA.bpeSegment(words, "word", merges).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    // "abcab": (a,b) → [ab, c, ab]; (ab,c) → [abc, ab]
+    assert(got("abcab") == List("abc", "ab"))
+    assert(got("zzz") == List("z", "z", "z")) // untouched by either merge
+    assert(got("ab") == List("ab"))
+    assert(got("a") == List("a"))
+    assert(got("") == Nil)
+  }
+
+  test("bpeEncode on the training corpus reproduces the trainer's counts") {
+    val docs = Seq(
+      (1L, "low low low low low"),
+      (2L, "lower lower newest newest"),
+      (3L, "newest newest newest newest widest widest"),
+      (4L, "")
+    ).toDF("doc_id", "text")
+    val wordFreq = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L,
+      "widest" -> 2L)
+    val (expMerges, expVocab) = naiveBpe(wordFreq, 6)
+    val (mergesDf, _) = TA.bpeTrain(docs, "text", 6)
+    val merges = mergesDf.orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    assert(merges.toList == expMerges.map(m => (m._1, m._2)))
+    val got = TA.bpeEncode(docs, "doc_id", "text", merges)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    def enc(ws: Seq[String]) = (ws.size.toLong, ws.map(expVocab(_).size.toLong).sum)
+    val exp = List(
+      (1L, enc(Seq.fill(5)("low"))),
+      (2L, enc(Seq("lower", "lower", "newest", "newest"))),
+      (3L, enc(Seq.fill(4)("newest") ++ Seq.fill(2)("widest"))),
+      (4L, (0L, 0L))).map { case (id, (nw, nb)) => (id, nw, nb) }
+    assert(got == exp)
+  }
+
+  test("bpeEncode plan: merges run on the distinct-word frame, no window") {
+    val docs = Seq((1L, "xy xy zz")).toDF("doc_id", "text")
+    val df = TA.bpeEncode(docs, "doc_id", "text", Seq(("x", "y")))
+    val plan = df.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(!plan.contains("windowexpression"), s"window in plan:\n$plan")
+    assert(!plan.contains("cartesian"), s"cartesian in plan:\n$plan")
+  }
+
+  // --- dsirLogRatio ---------------------------------------------------
+
+  /** JVM twin of Sampling.hashBucket256: first two hex chars of md5. */
+  private def bucket256(tok: String): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(tok.getBytes("UTF-8"))
+    ((d(0) >> 4) & 0xf) * 16 + (d(0) & 0xf)
+  }
+
+  test("dsirLogRatio matches the closed-form hashed-unigram model") {
+    val docs = Seq(
+      (1L, "alpha beta alpha", "en"),
+      (2L, "gamma gamma delta", "de"),
+      (3L, "alpha delta", "en"),
+      (4L, "", "de")
+    ).toDF("doc_id", "text", "lang")
+    // independent replay: bucket counts over all tokens, target = en
+    val toks = Seq(
+      (1L, Seq("alpha", "beta", "alpha"), true),
+      (2L, Seq("gamma", "gamma", "delta"), false),
+      (3L, Seq("alpha", "delta"), true))
+    val src = scala.collection.mutable.Map.empty[Int, Long]
+    val tgt = scala.collection.mutable.Map.empty[Int, Long]
+    toks.foreach { case (_, ws, isT) => ws.foreach { w =>
+      val b = bucket256(w)
+      src(b) = src.getOrElse(b, 0L) + 1
+      if (isT) tgt(b) = tgt.getOrElse(b, 0L) + 1
+    }}
+    val srcT = src.values.sum; val tgtT = toks.filter(_._3).map(_._2.size).sum
+    def lr(b: Int) =
+      math.log((tgt.getOrElse(b, 0L) + 1).toDouble / (tgtT + 256)) -
+        math.log((src(b) + 1).toDouble / (srcT + 256))
+    val exp = toks.map { case (id, ws, _) => id -> ws.map(w => lr(bucket256(w))).sum }.toMap
+    val got = graft.operators.Sampling
+      .dsirLogRatio(docs, "doc_id", "text", col("lang") === "en")
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getLong(0)).toList == List(1L, 2L, 3L, 4L))
+    toks.foreach { case (id, ws, _) =>
+      val row = got(id.toInt - 1)
+      assert(row.getLong(1) == ws.size)
+      assert(math.abs(row.getDouble(2) - exp(id)) < 1e-9,
+        s"doc $id: got ${row.getDouble(2)}, expected ${exp(id)}")
+    }
+    assert(got(3).getLong(1) == 0L && got(3).getDouble(2) == 0.0)
+    // target-looking docs score above source-looking docs
+    assert(got(0).getDouble(2) > got(1).getDouble(2))
+    // structural: no window anywhere in the plan
+    val plan = graft.operators.Sampling
+      .dsirLogRatio(docs, "doc_id", "text", col("lang") === "en")
+      .queryExecution.optimizedPlan.toString.toLowerCase
+    assert(!plan.contains("windowexpression"), s"window in plan:\n$plan")
+  }
 }
