@@ -133,6 +133,44 @@ object Sampling {
     (nib(substring(h, 1, 1)) * 16 + nib(substring(h, 2, 1))).cast("int")
   }
 
+  /** The per-bucket log-ratio model behind [[dsirLogRatio]]: ≤256 rows
+    * (`__rbk`, `__lr`) — one corpus scan, map-side partial-aggregated
+    * into the bounded bucket frame. `modelSampleFraction < 1` estimates
+    * the model on a deterministic md5-keyed doc sample (the paper's own
+    * scale lever — at 100 TB the model pass reads the sample, only the
+    * scoring pass reads everything; smoothed ratios converge long before
+    * the full corpus is counted). */
+  private[graft] def dsirModel(docs: DataFrame, idCol: String, textCol: String,
+                               targetPred: Column,
+                               modelSampleFraction: Double = 1.0,
+                               seed: Long = 7L): DataFrame = {
+    val b = 256
+    val base =
+      if (modelSampleFraction >= 1.0) docs
+      else bernoulli(docs, idCol, modelSampleFraction, seed)
+    val toks = base.select(targetPred.as("__tgt"),
+        explode(graft.operators.TextAnalysis.tokens(col(textCol))).as("__dsir_tok"))
+      .withColumn("__bk", hashBucket256(col("__dsir_tok")))
+    val obs = toks.groupBy(col("__bk"))
+      .agg(count(lit(1)).as("__src_n"),
+        sum(when(col("__tgt"), 1L).otherwise(0L)).as("__tgt_n"))
+    // complete the frame to ALL b buckets: a bucket unseen by the (maybe
+    // sampled) model pass still has a well-defined smoothed ratio, and
+    // scoring must not silently drop its tokens
+    val model = docs.sparkSession.range(b)
+      .select(col("id").cast("int").as("__bk"))
+      .join(obs, Seq("__bk"), "left")
+      .select(col("__bk"), coalesce(col("__src_n"), lit(0L)).as("__src_n"),
+        coalesce(col("__tgt_n"), lit(0L)).as("__tgt_n"))
+    // totals ride the same tiny frame (≤b rows) — no extra corpus pass
+    val totals = model.agg(sum(col("__src_n")).as("__src_t"),
+      sum(col("__tgt_n")).as("__tgt_t"))
+    model.crossJoin(broadcast(totals))
+      .select(col("__bk").as("__rbk"),
+        (log((col("__tgt_n") + 1).cast("double") / (col("__tgt_t") + b)) -
+          log((col("__src_n") + 1).cast("double") / (col("__src_t") + b))).as("__lr"))
+  }
+
   /** DSIR-style importance weighting (Xie et al. 2023, "Data Selection
     * for Language Models via Importance Resampling"): score every doc by
     * the log-likelihood ratio of a hashed bag-of-unigrams model of the
@@ -142,29 +180,22 @@ object Sampling {
     * composition: feed the returned score to
     * [[topFractionPerGroup]] / a threshold filter.
     *
-    * Scale shape: ONE corpus scan explodes tokens and map-side
+    * Scale shape: the model pass explodes tokens and map-side
     * partial-aggregates them into the 256-bucket model frames (bounded
     * rows regardless of corpus size); per-bucket add-1-smoothed log
-    * ratios broadcast back onto a second token scan; per-doc sum is one
-    * partial-aggregated groupBy(doc). No windows, no driver collect
-    * beyond the 256-row model. Docs with no tokens score 0 with
-    * n_toks=0. Returns (idCol, n_toks, logratio). */
+    * ratios broadcast back onto the scoring token scan; per-doc sum is
+    * one partial-aggregated groupBy(doc). No windows, no driver collect
+    * beyond the 256-row model. `modelSampleFraction` shrinks the model
+    * pass to a deterministic doc sample (see [[dsirModel]]). Docs with
+    * no tokens score 0 with n_toks=0. Returns (idCol, n_toks,
+    * logratio). */
   def dsirLogRatio(docs: DataFrame, idCol: String, textCol: String,
-                   targetPred: Column): DataFrame = {
-    val b = 256
-    val toks = docs.select(col(idCol), targetPred.as("__tgt"),
+                   targetPred: Column,
+                   modelSampleFraction: Double = 1.0): DataFrame = {
+    val ratios = dsirModel(docs, idCol, textCol, targetPred, modelSampleFraction)
+    val toks = docs.select(col(idCol),
         explode(graft.operators.TextAnalysis.tokens(col(textCol))).as("__dsir_tok"))
       .withColumn("__bk", hashBucket256(col("__dsir_tok")))
-    val model = toks.groupBy(col("__bk"))
-      .agg(count(lit(1)).as("__src_n"),
-        sum(when(col("__tgt"), 1L).otherwise(0L)).as("__tgt_n"))
-    // totals ride the same tiny frame (≤256 rows) — no extra corpus pass
-    val totals = model.agg(sum(col("__src_n")).as("__src_t"),
-      sum(col("__tgt_n")).as("__tgt_t"))
-    val ratios = model.crossJoin(broadcast(totals))
-      .select(col("__bk").as("__rbk"),
-        (log((col("__tgt_n") + 1).cast("double") / (col("__tgt_t") + b)) -
-          log((col("__src_n") + 1).cast("double") / (col("__src_t") + b))).as("__lr"))
     val perDoc = toks.join(broadcast(ratios), col("__bk") === col("__rbk"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("__nt"), sum(col("__lr")).as("__sum"))

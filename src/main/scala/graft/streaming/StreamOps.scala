@@ -514,6 +514,46 @@ object StreamOps {
     }
   }
 
+  /** One DSIR-scored document: id, token count, hashed-unigram
+    * log-likelihood ratio. */
+  case class DsirScored(id: Long, nToks: Long, logratio: Double)
+
+  /** Streaming DSIR scoring — the unbounded twin of
+    * [[graft.operators.Sampling.dsirLogRatio]]: the ≤256-bucket
+    * target/source log-ratio model is computed ONCE from the static
+    * reference corpus (the batch operator's own model stage — identical
+    * smoothing and tie behavior), collected (256 rows), and broadcast;
+    * each streamed doc is scored map-side with the JVM twin of the
+    * md5-first-byte bucket hash. Stateless — no state store, no
+    * shuffle, model frozen at stream start (the deployment contract of
+    * an importance-resampling admission gate). */
+  def streamingDsir(docs: Dataset[(Long, String)], reference: DataFrame,
+                    refIdCol: String, refTextCol: String,
+                    targetPred: org.apache.spark.sql.Column): Dataset[DsirScored] = {
+    import docs.sparkSession.implicits._
+    val lrs = graft.operators.Sampling
+      .dsirModel(reference, refIdCol, refTextCol, targetPred)
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val bc = docs.sparkSession.sparkContext.broadcast(lrs)
+    docs.map { case (id, text) =>
+      val m = bc.value
+      // same tokenization as TextAnalysis.tokens: ASCII-ws runs
+      val tk = "[^ \t\n\u000B\f\r]+".r.findAllIn(text).toArray
+      var sum = 0.0
+      var i = 0
+      while (i < tk.length) {
+        // JVM twin of Sampling.hashBucket256: first md5 byte unsigned.
+        // The model frame is complete (all 256 buckets, smoothed), so
+        // the lookup is total.
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(tk(i).getBytes("UTF-8"))
+        sum += m(d(0) & 0xff)
+        i += 1
+      }
+      DsirScored(id, tk.length.toLong, sum)
+    }
+  }
+
   /** One surviving Misra-Gries counter: the bucket it lives in, the key,
     * and its RESIDUAL count (a lower bound on the true count — see
     * [[graft.functions.MisraGries]]). */

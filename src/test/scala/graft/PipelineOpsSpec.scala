@@ -361,4 +361,20 @@ class PipelineOpsSpec extends AnyFunSuite {
       .queryExecution.optimizedPlan.toString.toLowerCase
     assert(!plan.contains("windowexpression"), s"window in plan:\n$plan")
   }
+
+  test("dsirLogRatio sampled model: every token still scored, no drops") {
+    // with a sampled model pass, buckets unseen by the sample must still
+    // score via the completed (smoothed) model frame — n_toks may never
+    // shrink. 40 docs so some survive any md5-keyed half-sample.
+    val docs = (1L to 40L).map(i =>
+      (i, s"tok$i alpha tok${i + 100}", if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "text", "lang")
+    val got = graft.operators.Sampling
+      .dsirLogRatio(docs, "doc_id", "text", col("lang") === "en",
+        modelSampleFraction = 0.5)
+      .orderBy("doc_id").collect()
+    assert(got.length == 40)
+    got.foreach(r => assert(r.getLong(1) == 3L,
+      s"doc ${r.getLong(0)}: n_toks ${r.getLong(1)} — sampled model dropped tokens"))
+  }
 }

@@ -863,6 +863,39 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(stateRows == 0L, s"expected a stateless plan, got $stateRows state rows")
   }
 
+  test("parity: streamingDsir ≡ batch dsirLogRatio, stateless map-side model") {
+    implicit val sq = spark.sqlContext
+    // q89 shape: the 256-bucket target/source log-ratio model frozen
+    // from the full sf0.001 corpus; the same docs stream through the
+    // broadcast-model scorer
+    val batch = graft.operators.Sampling
+      .dsirLogRatio(docs, "doc_id", "text", col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamOps.streamingDsir(mem.toDS(), docs, "doc_id", "text",
+      col("lang") === "en")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("parity_dsir").start()
+    val rows = docs.select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    replay(mem, rows, chunk = 100, q)
+    val stateRows = Option(q.lastProgress)
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    q.stop()
+    val streamed = spark.table("parity_dsir")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(streamed.keySet == batch.keySet)
+    // token counts exactly; log-ratio sums to 1e-9 — the batch per-doc
+    // sum is a distributed reduction whose addition order differs from
+    // the scorer's sequential loop
+    streamed.foreach { case (id, (n, lr)) =>
+      assert(n == batch(id)._1, s"doc $id n_toks $n vs ${batch(id)._1}")
+      assert(math.abs(lr - batch(id)._2) < 1e-9, s"doc $id lr $lr vs ${batch(id)._2}")
+    }
+    assert(stateRows == 0L, s"expected a stateless plan, got $stateRows state rows")
+  }
+
   test("parity across checkpoint restart: streamingTokenBudget ≡ q66 batch mixing, state O(langs)") {
     implicit val sq = spark.sqlContext
     // the q66 curation shape as a stream: docs arrive in the epoch-
