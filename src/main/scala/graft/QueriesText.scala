@@ -193,6 +193,18 @@ object QueriesText {
           (round(col("logratio") + lit(1e-9), 4) + lit(0.0)).as("dsir_logratio"))
         .orderBy(col("doc_id"))),
 
+    // temperature-scaled mixture design: per-language sampling weights
+    // p ∝ n_tokens^0.5 and implied epochs at a 1M-token budget — one
+    // partial-aggregated groupBy + a 1-row normalizer broadcast
+    "q90_temperature_mix" -> ((s, dir) =>
+      graft.operators.Sampling.temperatureMix(
+        tbl(s, dir, "documents"), "lang", TA.tokenCount(col("text")),
+        alpha = 0.5, budgetTokens = 1000000L)
+        .select(col("lang"), col("n_tokens"),
+          round(col("p") + lit(1e-9), 6).as("p"),
+          round(col("epochs") + lit(1e-9), 4).as("epochs"))
+        .orderBy(col("lang"))),
+
     // charsequence scalar surface: ASCII-only case map, occurrence count,
     // affix tests (charsequence.h:844-1158)
     "q27_text_case" -> ((s, dir) =>
@@ -753,6 +765,16 @@ object QueriesText {
 
   val oracles: Map[String, String] = Map(
     "q88_bpe_encode" -> bpeEncodeOracle(6),
+
+    "q90_temperature_mix" ->
+      s"""WITH counts AS (
+         |  SELECT lang, CAST(sum(${nTokensSql("text")}) AS BIGINT) AS n_tokens
+         |  FROM documents GROUP BY 1),
+         |z AS (SELECT sum(pow(n_tokens, 0.5)) AS z FROM counts)
+         |SELECT lang, n_tokens,
+         |  round(pow(n_tokens, 0.5) / z + 1e-9, 6) AS p,
+         |  round(pow(n_tokens, 0.5) / z * 1000000 / n_tokens + 1e-9, 4) AS epochs
+         |FROM counts, z ORDER BY lang""".stripMargin,
 
     "q89_dsir" ->
       s"""WITH dtoks AS MATERIALIZED (

@@ -205,6 +205,30 @@ object Sampling {
         coalesce(col("__sum"), lit(0.0)).as("logratio"))
   }
 
+  /** Temperature-scaled mixture weights (the T5/LLaMA multilingual
+    * mixing recipe): per-group sampling probability p_i ∝ n_i^alpha,
+    * where n_i is the group's token count and alpha ∈ (0, 1] flattens
+    * the head (alpha = 1 → proportional, alpha → 0 → uniform). Also
+    * reports `epochs` = p_i · budget / n_i — the number of passes over
+    * group i the mix implies at `budgetTokens`, the over-epoching
+    * number a mix designer actually watches.
+    *
+    * Scale shape: ONE partial-aggregated groupBy over the corpus to the
+    * #groups-sized count frame; the normalizer is a 1-row broadcast.
+    * Returns (groupCol, n_tokens, p, epochs). */
+  def temperatureMix(docs: DataFrame, groupCol: String, nTokens: Column,
+                     alpha: Double, budgetTokens: Long): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, "alpha must be in (0, 1]")
+    require(budgetTokens >= 0, "budgetTokens must be non-negative")
+    val counts = docs.groupBy(col(groupCol))
+      .agg(sum(nTokens).cast("long").as("n_tokens"))
+    val z = counts.agg(sum(pow(col("n_tokens"), alpha)).as("__z"))
+    counts.crossJoin(broadcast(z))
+      .withColumn("p", pow(col("n_tokens"), alpha) / col("__z"))
+      .select(col(groupCol), col("n_tokens"), col("p"),
+        (col("p") * budgetTokens / col("n_tokens")).as("epochs"))
+  }
+
   def stratified(df: DataFrame, idCol: String, strataCol: String,
                  fractions: Map[String, Double], defaultFraction: Double,
                  seed: Long): DataFrame = {

@@ -362,6 +362,29 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!plan.contains("windowexpression"), s"window in plan:\n$plan")
   }
 
+  test("temperatureMix: closed-form weights, alpha=1 is proportional") {
+    // groups: a=900 tokens (9 docs x 100), b=100 (1 x 100)
+    val docs = ((1 to 9).map(i => (i.toLong, "a", 100L)) :+ (10L, "b", 100L))
+      .toDF("doc_id", "grp", "nt")
+    val half = graft.operators.Sampling
+      .temperatureMix(docs, "grp", col("nt"), alpha = 0.5, budgetTokens = 1000L)
+      .orderBy("grp").collect()
+    // p_a = 30/(30+10) = 0.75, p_b = 0.25
+    assert(half(0).getLong(1) == 900L && half(1).getLong(1) == 100L)
+    assert(math.abs(half(0).getDouble(2) - 0.75) < 1e-12)
+    assert(math.abs(half(1).getDouble(2) - 0.25) < 1e-12)
+    // epochs: a = 0.75*1000/900, b = 0.25*1000/100 = 2.5 (tail over-epochs)
+    assert(math.abs(half(0).getDouble(3) - 750.0 / 900) < 1e-12)
+    assert(math.abs(half(1).getDouble(3) - 2.5) < 1e-12)
+    val prop = graft.operators.Sampling
+      .temperatureMix(docs, "grp", col("nt"), alpha = 1.0, budgetTokens = 1000L)
+      .orderBy("grp").collect()
+    assert(math.abs(prop(0).getDouble(2) - 0.9) < 1e-12)
+    // alpha=1: every group runs exactly budget/corpus epochs
+    assert(math.abs(prop(0).getDouble(3) - 1.0) < 1e-12)
+    assert(math.abs(prop(1).getDouble(3) - 1.0) < 1e-12)
+  }
+
   test("dsirLogRatio sampled model: every token still scored, no drops") {
     // with a sampled model pass, buckets unseen by the sample must still
     // score via the completed (smoothed) model frame — n_toks may never
