@@ -205,6 +205,23 @@ object QueriesText {
           round(col("epochs") + lit(1e-9), 4).as("epochs"))
         .orderBy(col("lang"))),
 
+    // fasttext-style quality classifier: logistic regression on hashed
+    // unigram features (256 md5 buckets, length-normalized), 5 rounds
+    // of full-batch GD — model driver-side (257 doubles), data
+    // cluster-side; per round one colocated join + one ≤256-row
+    // partial-aggregated gradient
+    "q91_quality_classifier" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val pred = col("lang") === "en"
+      val C = graft.operators.Classifier
+      val (w, b) = C.logisticTrain(docs, "doc_id", "text", pred, iters = 5, lr = 0.5)
+      C.logisticScore(docs, "doc_id", pred,
+          C.hashedFeatures(docs, "doc_id", "text", pred), w, b)
+        .select(col("doc_id"), col("y"),
+          round(col("p") + lit(1e-9), 4).as("p"))
+        .orderBy(col("doc_id"))
+    }),
+
     // charsequence scalar surface: ASCII-only case map, occurrence count,
     // affix tests (charsequence.h:844-1158)
     "q27_text_case" -> ((s, dir) =>
@@ -763,8 +780,62 @@ object QueriesText {
   private def nibSql(e: String): String =
     s"(CASE WHEN ascii($e) <= 57 THEN ascii($e) - 48 ELSE ascii($e) - 87 END)"
 
+  /** One unrolled full-batch GD round for the q91 oracle: probabilities
+    * under (w{i-1}, b{i-1}) via a left join (feature-less docs get the
+    * bias alone), per-bucket mean gradient, update at lr = 0.5. */
+  private def gdRoundCte(i: Int): String =
+    s"""lp$i AS MATERIALIZED (
+       |  SELECT b.doc_id, b.y,
+       |    1.0 / (1.0 + exp(-(coalesce(d.dot, 0.0) + (SELECT bv FROM lb${i - 1})))) AS p
+       |  FROM lbase b LEFT JOIN (
+       |    SELECT f.doc_id, sum(f.x * w.wv) AS dot
+       |    FROM lfeat f JOIN lw${i - 1} w USING (bk) GROUP BY 1) d USING (doc_id)),
+       |lw$i AS MATERIALIZED (
+       |  SELECT w.bk, w.wv - 0.5 * coalesce(g.g, 0.0) AS wv
+       |  FROM lw${i - 1} w LEFT JOIN (
+       |    SELECT f.bk, sum((p.p - p.y) * f.x) / (SELECT n FROM ln0) AS g
+       |    FROM lfeat f JOIN lp$i p USING (doc_id) GROUP BY 1) g USING (bk)),
+       |lb$i AS MATERIALIZED (
+       |  SELECT (SELECT bv FROM lb${i - 1})
+       |    - 0.5 * (SELECT sum(p - y) / (SELECT n FROM ln0) FROM lp$i) AS bv)""".stripMargin
+
+  private def logisticOracle(iters: Int): String = {
+    val rounds = (1 to iters).map(gdRoundCte).mkString(",\n")
+    s"""WITH lbt AS MATERIALIZED (
+       |  SELECT doc_id, y,
+       |    ${nibSql("substr(md5(tok), 1, 1)")} * 16
+       |      + ${nibSql("substr(md5(tok), 2, 1)")} AS bk
+       |  FROM (
+       |    SELECT doc_id, CAST(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y,
+       |      unnest(${toksSql("text")}) AS tok
+       |    FROM documents)),
+       |lcnt AS (
+       |  SELECT doc_id, y, bk, CAST(count(*) AS DOUBLE) AS c
+       |  FROM lbt GROUP BY 1, 2, 3),
+       |llen AS (
+       |  SELECT doc_id, CAST(count(*) AS DOUBLE) AS nn FROM lbt GROUP BY 1),
+       |lfeat AS MATERIALIZED (
+       |  SELECT c.doc_id, c.y, c.bk, c.c / l.nn AS x
+       |  FROM lcnt c JOIN llen l USING (doc_id)),
+       |lbase AS MATERIALIZED (
+       |  SELECT doc_id, CAST(CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y
+       |  FROM documents),
+       |ln0 AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM lbase),
+       |lw0 AS (SELECT unnest(range(0, 256)) AS bk, 0.0 AS wv),
+       |lb0 AS (SELECT 0.0 AS bv),
+       |$rounds
+       |SELECT b.doc_id, b.y,
+       |  round(1.0 / (1.0 + exp(-(coalesce(d.dot, 0.0)
+       |    + (SELECT bv FROM lb$iters)))) + 1e-9, 4) AS p
+       |FROM lbase b LEFT JOIN (
+       |  SELECT f.doc_id, sum(f.x * w.wv) AS dot
+       |  FROM lfeat f JOIN lw$iters w USING (bk) GROUP BY 1) d USING (doc_id)
+       |ORDER BY b.doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q88_bpe_encode" -> bpeEncodeOracle(6),
+    "q91_quality_classifier" -> logisticOracle(5),
 
     "q90_temperature_mix" ->
       s"""WITH counts AS (

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Fasttext-style quality-classifier training and scoring — the
+  * "train a small classifier on exemplar data, score the crawl" gate
+  * of GPT-3/LLaMA-class curation pipelines, on the same hashed
+  * bag-of-unigrams features as [[Sampling.dsirLogRatio]] (256
+  * md5-derived buckets, so the DuckDB oracle replays the hash).
+  *
+  * Model: logistic regression, length-normalized bucket counts as
+  * features, trained by full-batch gradient descent for a fixed
+  * iteration count. Distribution shape mirrors k-means
+  * (graft.operators.Similarity): the MODEL is driver-side (257 doubles
+  * — bounded like the centroid list), the DATA never leaves the
+  * cluster. Per iteration: probabilities are one colocated
+  * features⋈probs join off a doc-hashed checkpoint of the feature
+  * frame, the gradient one partial-aggregated groupBy(bucket) down to
+  * ≤256 rows. Iterations cost O(corpus)/round with only 257 doubles of
+  * driver traffic each — at 100 TB you train on an exemplar SAMPLE
+  * (the deployed pattern) and only SCORING scans everything, one
+  * broadcast-weights map-side pass.
+  */
+object Classifier {
+
+  /** Hashed-unigram features: one row per (doc, bucket) — (idCol, `y`
+    * 0/1 from `labelPred`, `bk`, `x` = bucket count / doc token count).
+    * Zero-token docs contribute NO feature rows (their logit is the
+    * bias alone); [[logisticTrain]]/[[logisticScore]] re-attach them
+    * from the doc frame. */
+  def hashedFeatures(docs: DataFrame, idCol: String, textCol: String,
+                     labelPred: Column): DataFrame = {
+    val toks = docs.select(col(idCol),
+        when(labelPred, 1.0).otherwise(0.0).as("y"),
+        explode(graft.operators.TextAnalysis.tokens(col(textCol))).as("__tok"))
+      .withColumn("bk", Sampling.hashBucket256(col("__tok")))
+    val counts = toks.groupBy(col(idCol), col("y"), col("bk"))
+      .agg(count(lit(1)).cast("double").as("__c"))
+    val lens = toks.groupBy(col(idCol).as("__lid"))
+      .agg(count(lit(1)).cast("double").as("__n"))
+    counts.join(lens, col(idCol) === col("__lid"))
+      .select(col(idCol), col("y"), col("bk"), (col("__c") / col("__n")).as("x"))
+  }
+
+  /** Per-doc probabilities under (weights, bias): one broadcast join +
+    * one partial-aggregated groupBy(doc). `docs` re-attaches
+    * feature-less (zero-token) docs, whose p = sigmoid(bias). Returns
+    * (idCol, y, p). */
+  def logisticScore(docs: DataFrame, idCol: String, labelPred: Column,
+                    feats: DataFrame, weights: Array[Double],
+                    bias: Double): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = weights.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+      .toDF("__wbk", "__wv")
+    val logits = feats.join(broadcast(w), col("bk") === col("__wbk"))
+      .groupBy(col(idCol).as("__sid"))
+      .agg(sum(col("x") * col("__wv")).as("__dot"))
+    docs.select(col(idCol), when(labelPred, 1.0).otherwise(0.0).as("y"))
+      .join(logits, col(idCol) === col("__sid"), "left")
+      .select(col(idCol), col("y"),
+        (lit(1.0) / (lit(1.0) + exp(-(coalesce(col("__dot"), lit(0.0)) + bias))))
+          .as("p"))
+  }
+
+  /** Full-batch gradient-descent logistic regression over the hashed
+    * features. Deterministic: fixed iteration count, zero init,
+    * gradient = mean over ALL docs of (p − y)·x (bias: (p − y)), update
+    * w := w − lr·grad. Returns (weights[256], bias). The feature frame
+    * is localCheckpoint-ed once; each iteration runs two bounded
+    * aggregations over it (probs by doc, gradient by bucket) and moves
+    * 257 doubles to the driver. */
+  def logisticTrain(docs: DataFrame, idCol: String, textCol: String,
+                    labelPred: Column, iters: Int,
+                    lr: Double): (Array[Double], Double) = {
+    require(iters >= 0, "iters must be non-negative")
+    val feats = hashedFeatures(docs, idCol, textCol, labelPred).localCheckpoint()
+    val base = docs.select(col(idCol),
+      when(labelPred, 1.0).otherwise(0.0).as("y")).localCheckpoint()
+    val n = base.count().toDouble
+    val w = Array.fill(256)(0.0)
+    var bias = 0.0
+    var it = 0
+    while (it < iters && n > 0) {
+      val probs = logisticScore(base, idCol, col("y") === 1.0, feats, w, bias)
+        .select(col(idCol).as("__pid"), col("y").as("__py"), col("p").as("__pp"))
+      // bucket gradient: features join probs on the doc id (both sides
+      // hash on it), partial-aggregated to ≤256 rows
+      val grad = feats.join(probs, col(idCol) === col("__pid"))
+        .groupBy(col("bk"))
+        .agg((sum((col("__pp") - col("__py")) * col("x")) / n).as("g"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val biasGrad = probs.agg(sum(col("__pp") - col("__py")) / n).head().getDouble(0)
+      var i = 0
+      while (i < 256) { w(i) -= lr * grad.getOrElse(i, 0.0); i += 1 }
+      bias -= lr * biasGrad
+      it += 1
+    }
+    (w, bias)
+  }
+}

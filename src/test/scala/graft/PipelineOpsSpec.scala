@@ -362,6 +362,62 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!plan.contains("windowexpression"), s"window in plan:\n$plan")
   }
 
+  test("logisticTrain matches an independent GD replay; separates labels") {
+    val docs = Seq(
+      (1L, "good clean prose here", "en"),
+      (2L, "good solid prose indeed", "en"),
+      (3L, "zxq vvk qqj", "de"),
+      (4L, "vvk zxq zxq", "de"),
+      (5L, "", "de")
+    ).toDF("doc_id", "text", "lang")
+    // independent replay: features by JVM md5 bucket, 3 GD rounds
+    val corpus = Seq(
+      (1L, Seq("good", "clean", "prose", "here"), 1.0),
+      (2L, Seq("good", "solid", "prose", "indeed"), 1.0),
+      (3L, Seq("zxq", "vvk", "qqj"), 0.0),
+      (4L, Seq("vvk", "zxq", "zxq"), 0.0),
+      (5L, Seq.empty[String], 0.0))
+    val feats = corpus.map { case (id, ws, y) =>
+      val m = ws.groupBy(bucket256).view.mapValues(_.size.toDouble / ws.size).toMap
+      (id, y, m)
+    }
+    val w = Array.fill(256)(0.0); var b = 0.0
+    val n = corpus.size.toDouble
+    for (_ <- 1 to 3) {
+      val ps = feats.map { case (id, y, m) =>
+        (id, y, m, 1.0 / (1.0 + math.exp(-(m.map { case (k, x) => w(k) * x }.sum + b))))
+      }
+      val grad = Array.fill(256)(0.0)
+      ps.foreach { case (_, y, m, p) => m.foreach { case (k, x) => grad(k) += (p - y) * x } }
+      val bg = ps.map { case (_, y, _, p) => p - y }.sum / n
+      for (i <- 0 until 256) w(i) -= 0.5 * grad(i) / n
+      b -= 0.5 * bg
+    }
+    val expP = feats.map { case (id, _, m) =>
+      id -> 1.0 / (1.0 + math.exp(-(m.map { case (k, x) => w(k) * x }.sum + b)))
+    }.toMap
+
+    val C = graft.operators.Classifier
+    val (gw, gb) = C.logisticTrain(docs, "doc_id", "text", col("lang") === "en", 3, 0.5)
+    assert(math.abs(gb - b) < 1e-12)
+    (0 until 256).foreach(i => assert(math.abs(gw(i) - w(i)) < 1e-12,
+      s"w($i): ${gw(i)} vs ${w(i)}"))
+    val got = C.logisticScore(docs, "doc_id", col("lang") === "en",
+        C.hashedFeatures(docs, "doc_id", "text", col("lang") === "en"), gw, gb)
+      .orderBy("doc_id").collect()
+    got.foreach(r => assert(math.abs(r.getDouble(2) - expP(r.getLong(0))) < 1e-12))
+    // the classifier separates: every en doc scores above every de doc
+    val (en, de) = got.partition(_.getDouble(1) == 1.0)
+    assert(en.map(_.getDouble(2)).min > de.map(_.getDouble(2)).max)
+    // zero-token doc rides the bias alone
+    assert(math.abs(got(4).getDouble(2) - 1.0 / (1.0 + math.exp(-gb))) < 1e-12)
+    // structural: no windows in the scoring plan
+    val plan = C.logisticScore(docs, "doc_id", col("lang") === "en",
+        C.hashedFeatures(docs, "doc_id", "text", col("lang") === "en"), gw, gb)
+      .queryExecution.optimizedPlan.toString.toLowerCase
+    assert(!plan.contains("windowexpression"), s"window in plan:\n$plan")
+  }
+
   test("temperatureMix: closed-form weights, alpha=1 is proportional") {
     // groups: a=900 tokens (9 docs x 100), b=100 (1 x 100)
     val docs = ((1 to 9).map(i => (i.toLong, "a", 100L)) :+ (10L, "b", 100L))
