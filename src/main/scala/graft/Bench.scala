@@ -27,7 +27,12 @@ object Bench {
     // one-time plan/codegen compilation (which a long-lived cluster session
     // pays once, not per query) out of the steady-state medians.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional comma-separated allowlist for targeted re-measurement
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val results = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // warm-up
       System.gc() // keep collector pauses out of the timed window
       val times = (0 until runs).map { _ =>

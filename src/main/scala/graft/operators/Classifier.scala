@@ -75,28 +75,38 @@ object Classifier {
                     labelPred: Column, iters: Int,
                     lr: Double): (Array[Double], Double) = {
     require(iters >= 0, "iters must be non-negative")
-    val feats = hashedFeatures(docs, idCol, textCol, labelPred).localCheckpoint()
-    val base = docs.select(col(idCol),
-      when(labelPred, 1.0).otherwise(0.0).as("y")).localCheckpoint()
-    val n = base.count().toDouble
-    val w = Array.fill(256)(0.0)
-    var bias = 0.0
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // bias as an always-on feature at bk=256 (x=1 for EVERY doc, built
+    // from the doc frame so zero-token docs carry exactly that row):
+    // one joint (w, bias) vector means each round is ONE colocated
+    // join + ONE ≤257-row partial-aggregated gradient — no separate
+    // bias pass, no second evaluation of the probability frame
+    val full = hashedFeatures(docs, idCol, textCol, labelPred)
+      .unionByName(docs.select(col(idCol),
+        when(labelPred, 1.0).otherwise(0.0).as("y"),
+        lit(256).as("bk"), lit(1.0).as("x")))
+      .localCheckpoint()
+    val n = docs.count().toDouble
+    val w = Array.fill(257)(0.0)
     var it = 0
     while (it < iters && n > 0) {
-      val probs = logisticScore(base, idCol, col("y") === 1.0, feats, w, bias)
-        .select(col(idCol).as("__pid"), col("y").as("__py"), col("p").as("__pp"))
-      // bucket gradient: features join probs on the doc id (both sides
-      // hash on it), partial-aggregated to ≤256 rows
-      val grad = feats.join(probs, col(idCol) === col("__pid"))
+      val wDf = w.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
+        .toDF("__wbk", "__wv")
+      val probs = full.join(broadcast(wDf), col("bk") === col("__wbk"))
+        .groupBy(col(idCol).as("__pid"))
+        .agg(first(col("y")).as("__py"),
+          (lit(1.0) / (lit(1.0) + exp(-sum(col("x") * col("__wv"))))).as("__pp"))
+      // joint gradient: features join probs on the doc id (both sides
+      // hash on it — colocated), partial-aggregated to ≤257 rows
+      val grad = full.join(probs, col(idCol) === col("__pid"))
         .groupBy(col("bk"))
         .agg((sum((col("__pp") - col("__py")) * col("x")) / n).as("g"))
         .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
-      val biasGrad = probs.agg(sum(col("__pp") - col("__py")) / n).head().getDouble(0)
       var i = 0
-      while (i < 256) { w(i) -= lr * grad.getOrElse(i, 0.0); i += 1 }
-      bias -= lr * biasGrad
+      while (i < 257) { w(i) -= lr * grad.getOrElse(i, 0.0); i += 1 }
       it += 1
     }
-    (w, bias)
+    (w.take(256), w(256))
   }
 }
