@@ -554,6 +554,41 @@ object StreamOps {
     }
   }
 
+  /** One classifier-scored document: id, token count, P(label). */
+  case class QualityScored(id: Long, nToks: Long, p: Double)
+
+  /** Streaming quality-classifier scoring — the unbounded twin of
+    * [[graft.operators.Classifier.logisticScore]]: weights trained once
+    * (batch, on the exemplar corpus) are broadcast; each streamed doc
+    * is featurized and scored map-side with the JVM twin of the
+    * md5-bucket hash and the same length-normalized features.
+    * Stateless — the admission-gate deployment shape of a
+    * fasttext-style quality filter. */
+  def streamingQualityScore(docs: Dataset[(Long, String)],
+                            weights: Array[Double],
+                            bias: Double): Dataset[QualityScored] = {
+    import docs.sparkSession.implicits._
+    require(weights.length == 256, "expected 256 bucket weights")
+    val bc = docs.sparkSession.sparkContext.broadcast((weights, bias))
+    docs.map { case (id, text) =>
+      val (w, b) = bc.value
+      // same tokenization as TextAnalysis.tokens: ASCII-ws runs
+      val tk = "[^ \t\n\u000B\f\r]+".r.findAllIn(text).toArray
+      var dot = 0.0
+      var i = 0
+      while (i < tk.length) {
+        // JVM twin of Sampling.hashBucket256: first md5 byte unsigned
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(tk(i).getBytes("UTF-8"))
+        dot += w(d(0) & 0xff)
+        i += 1
+      }
+      // x_b = count_b / n sums to dot/n over per-token weights
+      val z = if (tk.isEmpty) b else dot / tk.length + b
+      QualityScored(id, tk.length.toLong, 1.0 / (1.0 + math.exp(-z)))
+    }
+  }
+
   /** One surviving Misra-Gries counter: the bucket it lives in, the key,
     * and its RESIDUAL count (a lower bound on the true count — see
     * [[graft.functions.MisraGries]]). */

@@ -896,6 +896,39 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(stateRows == 0L, s"expected a stateless plan, got $stateRows state rows")
   }
 
+  test("parity: streamingQualityScore ≡ batch logisticScore, stateless scorer") {
+    implicit val sq = spark.sqlContext
+    // q91 shape: weights trained batch-side on the full sf0.001 corpus,
+    // frozen and broadcast; the same docs stream through the scorer
+    val C = graft.operators.Classifier
+    val pred = col("lang") === "en"
+    val (w, b) = C.logisticTrain(docs, "doc_id", "text", pred, iters = 3, lr = 0.5)
+    val batch = C.logisticScore(docs, "doc_id", pred,
+        C.hashedFeatures(docs, "doc_id", "text", pred), w, b)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamOps.streamingQualityScore(mem.toDS(), w, b)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("parity_quality").start()
+    val rows = docs.select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    replay(mem, rows, chunk = 100, q)
+    val stateRows = Option(q.lastProgress)
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    q.stop()
+    val streamed = spark.table("parity_quality")
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toMap
+    assert(streamed.keySet == batch.keySet)
+    // probabilities to 1e-9: the batch dot groups per-bucket counts
+    // before multiplying, the scorer sums per-token weights — same
+    // value, different IEEE association
+    streamed.foreach { case (id, p) =>
+      assert(math.abs(p - batch(id)) < 1e-9, s"doc $id p $p vs ${batch(id)}")
+    }
+    assert(stateRows == 0L, s"expected a stateless plan, got $stateRows state rows")
+  }
+
   test("parity across checkpoint restart: streamingTokenBudget ≡ q66 batch mixing, state O(langs)") {
     implicit val sq = spark.sqlContext
     // the q66 curation shape as a stream: docs arrive in the epoch-
