@@ -45,7 +45,7 @@ object Similarity {
     * md5("p-j") is ≥ '8'. Computed on the driver; identical to the SQL
     * `substr(md5(p || '-' || j), 1, 1) BETWEEN '8' AND 'f'` the oracle
     * uses, so buckets match bit-for-bit. */
-  private[operators] def planeSign(plane: Int, dim: Int): Double = {
+  private[graft] def planeSign(plane: Int, dim: Int): Double = {
     val d = java.security.MessageDigest.getInstance("MD5")
       .digest(s"$plane-$dim".getBytes("UTF-8"))
     if (((d(0) >> 4) & 0xf) >= 8) 1.0 else -1.0

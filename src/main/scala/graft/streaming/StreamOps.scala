@@ -160,6 +160,44 @@ object StreamOps {
       }
   }
 
+  /** Streaming embedding near-dup candidates — the unbounded twin of
+    * [[graft.operators.Dedup.embeddingNearDups]]'s bucket stage: each
+    * incoming (id, vector) is random-hyperplane-bucketed MAP-SIDE with
+    * the batch operator's exact seeded planes (md5-derived signs); the
+    * only stateful op is a per-bucket first-seen register, so state is
+    * one id per observed bucket (≤ 2^planes rows, ever). Emits
+    * (id, firstSeenId) for every later arrival in a bucket; exact
+    * cosine verification of candidates happens downstream, exactly as
+    * in the batch operator. */
+  def streamingEmbeddingNearDupCandidates(vecs: Dataset[(Long, Seq[Float])],
+                                          planes: Int, dims: Int): Dataset[(Long, Long)] = {
+    import vecs.sparkSession.implicits._
+    val signs = Array.tabulate(planes, dims)((p, j) =>
+      graft.operators.Similarity.planeSign(p, j))
+    val bc = vecs.sparkSession.sparkContext.broadcast(signs)
+    val keyed: Dataset[(String, Long)] = vecs.map { case (id, v) =>
+      val s = bc.value
+      var bucket = 0L
+      var p = 0
+      while (p < planes) {
+        var d = 0.0; var j = 0
+        while (j < dims) { d += v(j) * s(p)(j); j += 1 }
+        if (d > 0) bucket |= (1L << p)
+        p += 1
+      }
+      (bucket.toString, id)
+    }
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, it, state: GroupState[Long]) =>
+          val ids = it.map(_._2).toSeq.distinct.sorted
+          val first = state.getOption.getOrElse(ids.head)
+          if (!state.exists) state.update(first)
+          ids.filterNot(_ == first).map(dup => (dup, first)).iterator
+      }
+  }
+
   /** [[runningStats]] rendered with transformWithState. */
   def runningStatsTws(events: Dataset[(String, Double)]): Dataset[RunningAgg] = {
     import events.sparkSession.implicits._

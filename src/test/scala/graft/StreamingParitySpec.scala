@@ -896,6 +896,42 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(stateRows == 0L, s"expected a stateless plan, got $stateRows state rows")
   }
 
+  test("parity: streamingEmbeddingNearDupCandidates ≡ batch hyperplane buckets") {
+    implicit val sq = spark.sqlContext
+    // batch truth: the same seeded hyperplane buckets over sf0.001
+    // embeddings; a k-vector bucket must stream as a star on its
+    // first-arrived (= smallest, ordered replay) id
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val planes = 6
+    val buckets = graft.operators.Similarity
+      .hyperplaneBuckets(emb, "vec_id", "embedding", planes)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = buckets.groupBy(_._2).values.flatMap { grp =>
+      val ids = grp.map(_._1).sorted
+      ids.tail.map(id => (id, ids.head))
+    }.toSet
+
+    val dims = emb.selectExpr("size(embedding)").first().getInt(0)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val out = StreamOps.streamingEmbeddingNearDupCandidates(mem.toDS(), planes, dims)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("parity_embdup").start()
+    val rows = emb.orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    replay(mem, rows, chunk = 100, q)
+    val stateRows = Option(q.lastProgress)
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    q.stop()
+    val streamed = spark.table("parity_embdup").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == expected,
+      s"pair sets differ: extra=${(streamed -- expected).take(5)} missing=${(expected -- streamed).take(5)}")
+    // state = one register per OBSERVED bucket
+    val nBuckets = buckets.map(_._2).distinct.length
+    assert(stateRows == nBuckets.toLong,
+      s"state rows $stateRows vs $nBuckets observed buckets")
+  }
+
   test("parity: streamingQualityScore ≡ batch logisticScore, stateless scorer") {
     implicit val sq = spark.sqlContext
     // q91 shape: weights trained batch-side on the full sf0.001 corpus,
