@@ -222,6 +222,25 @@ object QueriesText {
         .orderBy(col("doc_id"))
     }),
 
+    // tokenizer fertility: chars per BPE token by language — the
+    // tokenizer-fairness metric multilingual pipelines budget with.
+    // Rides the q88 train+encode; one extra broadcast-dict join + a
+    // #langs-row rollup
+    "q92_tokenizer_fertility" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val (mergesDf, _) = TA.bpeTrain(docs, "text", 6)
+      val merges = mergesDf.orderBy(col("rank")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      TA.bpeEncode(docs, "doc_id", "text", merges)
+        .join(docs.select(col("doc_id"), col("lang"), col("n_chars")), "doc_id")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_bpe_tokens")).as("n_bpe_tokens"),
+          round(sum(col("n_chars")).cast("double") / sum(col("n_bpe_tokens"))
+            + lit(1e-9), 4).as("chars_per_token"))
+        .orderBy(col("lang"))
+    }),
+
     // charsequence scalar surface: ASCII-only case map, occurrence count,
     // affix tests (charsequence.h:844-1158)
     "q27_text_case" -> ((s, dir) =>
@@ -750,9 +769,13 @@ object QueriesText {
        |      ELSE seg END AS seg
        |  FROM seg${i - 1})""".stripMargin
 
-  private def bpeEncodeOracle(nMerges: Int): String = {
+  /** Shared CTE chain for the BPE oracles (q88, q92): corpus words →
+    * word-frequency dictionary → `nMerges` unrolled training rounds →
+    * `dict` (word → trained symbol count) → `perdoc` (per-doc word and
+    * BPE-token counts). */
+  private def bpeDictCtes(nMerges: Int): String = {
     val rounds = (1 to nMerges).map(bpeRoundCte).mkString(",\n")
-    s"""WITH bwords AS MATERIALIZED (
+    s"""bwords AS MATERIALIZED (
        |  SELECT doc_id, unnest(${toksSql("text")}) AS tok FROM documents),
        |wfreq AS MATERIALIZED (
        |  SELECT tok AS word, count(*) AS freq FROM bwords GROUP BY 1),
@@ -767,13 +790,16 @@ object QueriesText {
        |  FROM seg$nMerges),
        |perdoc AS (
        |  SELECT w.doc_id, count(*) AS n_words, sum(d.n_syms) AS n_bpe
-       |  FROM bwords w JOIN dict d ON w.tok = d.word GROUP BY 1)
+       |  FROM bwords w JOIN dict d ON w.tok = d.word GROUP BY 1)""".stripMargin
+  }
+
+  private def bpeEncodeOracle(nMerges: Int): String =
+    s"""WITH ${bpeDictCtes(nMerges)}
        |SELECT d.doc_id,
        |  CAST(coalesce(p.n_words, 0) AS BIGINT) AS n_words,
        |  CAST(coalesce(p.n_bpe, 0) AS BIGINT) AS n_bpe_tokens
        |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
        |ORDER BY d.doc_id""".stripMargin
-  }
 
   /** ascii()-decoded hex nibble — the oracle twin of
     * [[graft.operators.Sampling.hashBucket256]]'s nibble decode. */
@@ -836,6 +862,15 @@ object QueriesText {
   val oracles: Map[String, String] = Map(
     "q88_bpe_encode" -> bpeEncodeOracle(6),
     "q91_quality_classifier" -> logisticOracle(5),
+
+    "q92_tokenizer_fertility" ->
+      s"""WITH ${bpeDictCtes(6)}
+         |SELECT d.lang, count(*) AS n_docs,
+         |  CAST(sum(coalesce(p.n_bpe, 0)) AS BIGINT) AS n_bpe_tokens,
+         |  round(CAST(sum(d.n_chars) AS DOUBLE) / sum(coalesce(p.n_bpe, 0))
+         |    + 1e-9, 4) AS chars_per_token
+         |FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
     "q90_temperature_mix" ->
       s"""WITH counts AS (
