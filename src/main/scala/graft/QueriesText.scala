@@ -599,6 +599,23 @@ object QueriesText {
           col("max_r"), col("max_g"), col("max_b"))
         .orderBy(col("id"))),
 
+    // REAL image resize: decode the patterned-PNG fixture, nearest-
+    // neighbor sample into an 8x6 bounding box (aspect preserved, never
+    // upscaled), re-encode + channel means of the RESIZED raster in one
+    // map-side pass. The oracle replays the sampled source pixels in
+    // closed form, so a green row proves real decode AND the exact
+    // sampling arithmetic
+    "q93_image_resize" -> ((s, dir) =>
+      Multimodal.imageResize(
+        Multimodal.syntheticPatternImages(tbl(s, dir, "documents"), "doc_id"),
+        "id", "img", maxW = 8, maxH = 6)
+        .toDF().select(col("id"), col("width"), col("height"),
+          col("target_w"), col("target_h"),
+          round(col("mean_r") + lit(1e-9), 4).as("mean_r"),
+          round(col("mean_g") + lit(1e-9), 4).as("mean_g"),
+          round(col("mean_b") + lit(1e-9), 4).as("mean_b"))
+        .orderBy(col("id"))),
+
     // REAL video FRAME content decode: deterministic MPNG-in-AVI
     // containers (1 + id%3 PNG frames, every pixel a closed form of
     // (4·id + frame, x, y)), RIFF-walked to the movi chunks and each
@@ -1424,6 +1441,36 @@ object QueriesText {
     // the Spark side must recover these statistics by RASTERIZING the
     // real PNG payload; the oracle replays the fixture's closed-form
     // pixel pattern (r=(id+3x+5y)%256, g=(2id+7x+y)%256, b=(5id+x+11y)%256)
+    // replays imageResize exactly: same bounding-box scale arithmetic
+    // (IEEE double div/mul/floor are exactly rounded, so both engines
+    // compute identical target dims) and the same integer NN sampling
+    // (x·w div tw, y·h div th) over the closed-form fixture pixels
+    "q93_image_resize" ->
+      """WITH p AS (
+        |  SELECT doc_id, 1 + doc_id % 16 AS w, 1 + doc_id % 12 AS h
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, w, h,
+        |    greatest(1, CAST(floor(w * least(8.0 / w, 6.0 / h, 1.0)) AS BIGINT)) AS tw,
+        |    greatest(1, CAST(floor(h * least(8.0 / w, 6.0 / h, 1.0)) AS BIGINT)) AS th
+        |  FROM p),
+        |xs AS (
+        |  SELECT doc_id, w, h, tw, th, unnest(range(0, tw)) AS x FROM t),
+        |px AS (
+        |  SELECT doc_id, w, h, tw, th, x, unnest(range(0, th)) AS y FROM xs),
+        |c AS (
+        |  SELECT doc_id, w, h, tw, th,
+        |    (doc_id + 3 * ((x * w) // tw) + 5 * ((y * h) // th)) % 256 AS r,
+        |    (2 * doc_id + 7 * ((x * w) // tw) + ((y * h) // th)) % 256 AS g,
+        |    (5 * doc_id + ((x * w) // tw) + 11 * ((y * h) // th)) % 256 AS b
+        |  FROM px)
+        |SELECT doc_id AS id,
+        |  CAST(max(w) AS BIGINT) AS width, CAST(max(h) AS BIGINT) AS height,
+        |  CAST(max(tw) AS BIGINT) AS target_w, CAST(max(th) AS BIGINT) AS target_h,
+        |  round(avg(r) + 1e-9, 4) AS mean_r, round(avg(g) + 1e-9, 4) AS mean_g,
+        |  round(avg(b) + 1e-9, 4) AS mean_b
+        |FROM c GROUP BY doc_id ORDER BY id""".stripMargin,
+
     "q72_image_pixels" ->
       """WITH p AS (
         |  SELECT doc_id, 1 + doc_id % 16 AS w, 1 + doc_id % 12 AS h

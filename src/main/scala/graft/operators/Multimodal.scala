@@ -494,6 +494,68 @@ object Multimodal {
     }(Encoders.product[ImagePixelStats])
   }
 
+  case class ResizedImage(id: Long, width: Long, height: Long,
+                          target_w: Long, target_h: Long,
+                          mean_r: Double, mean_g: Double, mean_b: Double,
+                          png: Array[Byte])
+
+  /** REAL image resize (pure JVM, no codec library): decode, sample a
+    * nearest-neighbor raster into a maxW×maxH bounding box (aspect
+    * preserved, never upscaled, floor dims clamped to ≥1; source pixel
+    * of output (x,y) is (x·w div tw, y·h div th) — integer arithmetic a
+    * SQL oracle can replay), re-encode as PNG, and reduce the RESIZED
+    * raster to per-channel means in the same pass. Map-side, one raster
+    * in memory at a time — the thumbnail/normalize step of a multimodal
+    * ingest pipeline; at 100 TB each image reduces to its resized bytes
+    * + 3 numbers with no shuffle. Undecodable payloads surface as a
+    * width = -1 sentinel row (NonFatal-caught, like
+    * [[imagePixelStats]]) rather than failing the task. */
+  def imageResize(df: DataFrame, idCol: String, binCol: String,
+                  maxW: Int, maxH: Int): Dataset[ResizedImage] = {
+    require(maxW >= 1 && maxH >= 1, "bounding box must be at least 1x1")
+    val src = df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+    src.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+        val img =
+          if (payload.isEmpty) null
+          else
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            catch { case scala.util.control.NonFatal(_) => null }
+        if (img == null)
+          ResizedImage(id, -1L, -1L, -1L, -1L, -1.0, -1.0, -1.0, null)
+        else {
+          val w = img.getWidth; val h = img.getHeight
+          val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+          val tw = math.max(1L, math.floor(w * scale).toLong).toInt
+          val th = math.max(1L, math.floor(h * scale).toLong).toInt
+          val out = new java.awt.image.BufferedImage(
+            tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var y = 0
+          while (y < th) {
+            val sy = (y.toLong * h / th).toInt
+            var x = 0
+            while (x < tw) {
+              val sx = (x.toLong * w / tw).toInt
+              val rgb = img.getRGB(sx, sy)
+              out.setRGB(x, y, rgb)
+              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          val n = tw.toLong * th
+          ResizedImage(id, w.toLong, h.toLong, tw.toLong, th.toLong,
+            sr.toDouble / n, sg.toDouble / n, sb.toDouble / n, bos.toByteArray)
+        }
+      }
+    }(Encoders.product[ResizedImage])
+  }
+
   /** Deterministic patterned-image fixture over any id column: each row
     * becomes a REAL encoded PNG of w×h = (1 + id%16)×(1 + id%12) whose
     * pixel (x,y) is the closed form r=(id+3x+5y)%256, g=(2id+7x+y)%256,

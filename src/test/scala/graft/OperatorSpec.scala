@@ -656,6 +656,45 @@ class OperatorSpec extends AnyFunSuite {
     assert(bad.width == -1L && bad.max_r == -1L)
   }
 
+  test("real image resize: NN round trip, no-upscale identity, sentinel") {
+    // id=47: 16x12 source → 8x6 box → scale 0.5 → 8x6 target. The
+    // returned PNG must RE-DECODE to exactly the NN-sampled closed-form
+    // pixels — proves the re-encode is real, not just the stats
+    val out = Multimodal.imageResize(
+      Multimodal.syntheticPatternImages(Seq(47L).toDF("doc_id"), "doc_id"),
+      "id", "img", maxW = 8, maxH = 6).collect().head
+    assert(out.width == 16 && out.height == 12)
+    assert(out.target_w == 8 && out.target_h == 6)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(out.png))
+    assert(img.getWidth == 8 && img.getHeight == 6)
+    var sr = 0L
+    for (y <- 0 until 6; x <- 0 until 8) {
+      val sx = x * 16 / 8; val sy = y * 12 / 6
+      val rgb = img.getRGB(x, y)
+      val er = (47 + 3 * sx + 5 * sy) % 256
+      val eg = (2 * 47 + 7 * sx + sy) % 256
+      val eb = (5 * 47 + sx + 11 * sy) % 256
+      assert(((rgb >> 16) & 0xff) == er && ((rgb >> 8) & 0xff) == eg &&
+        (rgb & 0xff) == eb, s"pixel ($x,$y)")
+      sr += er
+    }
+    assert(out.mean_r == sr.toDouble / 48)
+    // a source already inside the box passes through bit-identically
+    val small = Multimodal.syntheticPatternImages(Seq(2L).toDF("doc_id"), "doc_id")
+    val kept = Multimodal.imageResize(small, "id", "img", 16, 12).collect().head
+    assert(kept.target_w == 3 && kept.target_h == 3) // 3x3 source, untouched
+    val a = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(kept.png))
+    val b = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      small.collect().head.getAs[Array[Byte]](1)))
+    for (y <- 0 until 3; x <- 0 until 3)
+      assert(a.getRGB(x, y) == b.getRGB(x, y))
+    // undecodable bytes → sentinel row, not a dropped id or failed task
+    val bad = Multimodal.imageResize(
+      Seq((9L, "junk".getBytes)).toDF("id", "img"), "id", "img", 8, 6)
+      .collect().head
+    assert(bad.width == -1L && bad.target_w == -1L && bad.png == null)
+  }
+
   test("real video decode: ISO-BMFF box walk round trip, unknown and truncated bytes") {
     import graft.operators.Multimodal.MediaCodec
     // encode → decode round trip recovers brand/timescale/duration/dims
