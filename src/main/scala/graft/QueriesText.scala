@@ -616,6 +616,20 @@ object QueriesText {
           round(col("mean_b") + lit(1e-9), 4).as("mean_b"))
         .orderBy(col("id"))),
 
+    // REAL audio downsample: decode the ramp-PCM WAV fixture, keep
+    // every 2nd frame, re-encode at rate/2 + stats of the KEPT samples
+    // in one map-side pass. The oracle replays the decimated ramp
+    // sample-by-sample, so a green row proves real decode AND the
+    // exact frame-selection arithmetic
+    "q94_audio_decimate" -> ((s, dir) =>
+      Multimodal.audioDecimate(
+        Multimodal.syntheticAudio(tbl(s, dir, "documents"), "doc_id"),
+        "id", "wav", factor = 2)
+        .toDF().select(col("id"), col("in_frames"), col("out_frames"),
+          col("out_rate"),
+          round(col("mean_abs") + lit(1e-9), 4).as("mean_abs"), col("peak"))
+        .orderBy(col("id"))),
+
     // REAL video FRAME content decode: deterministic MPNG-in-AVI
     // containers (1 + id%3 PNG frames, every pixel a closed form of
     // (4·id + frame, x, y)), RIFF-walked to the movi chunks and each
@@ -1527,6 +1541,34 @@ object QueriesText {
     // WAV PCM payload; the oracle replays the fixture's deterministic
     // ramp (data byte i = (i % 251); little-endian 16-bit sample k =
     // (2k % 251) + 256·((2k+1) % 251), sign-extended) in closed form
+    // replays audioDecimate: kept frames f % 2 = 0 of the ramp fixture,
+    // same int16-LE sample closed form as q71, out_frames = ceil(fr/2),
+    // out_rate = rate/2
+    "q94_audio_decimate" ->
+      """WITH p AS (
+        |  SELECT doc_id, 8000 * (1 + doc_id % 5) AS rate,
+        |    1 + doc_id % 2 AS ch, 50 + doc_id % 200 AS fr
+        |  FROM documents),
+        |fs AS (
+        |  SELECT doc_id, rate, ch, fr, unnest(range(0, fr)) AS f FROM p),
+        |kf AS (SELECT * FROM fs WHERE f % 2 = 0),
+        |ks AS (
+        |  SELECT doc_id, rate, ch, fr, f * ch + unnest(range(0, ch)) AS k
+        |  FROM kf),
+        |s AS (
+        |  SELECT doc_id, rate, fr,
+        |    CASE WHEN ((2*k) % 251) + 256 * ((2*k+1) % 251) >= 32768
+        |      THEN ((2*k) % 251) + 256 * ((2*k+1) % 251) - 65536
+        |      ELSE ((2*k) % 251) + 256 * ((2*k+1) % 251) END AS amp
+        |  FROM ks)
+        |SELECT doc_id AS id,
+        |  CAST(max(fr) AS BIGINT) AS in_frames,
+        |  CAST((max(fr) + 1) // 2 AS BIGINT) AS out_frames,
+        |  CAST(max(rate) // 2 AS BIGINT) AS out_rate,
+        |  round(avg(abs(amp)) + 1e-9, 4) AS mean_abs,
+        |  CAST(max(abs(amp)) AS BIGINT) AS peak
+        |FROM s GROUP BY doc_id ORDER BY id""".stripMargin,
+
     "q71_audio_pcm" ->
       """WITH p AS (
         |  SELECT doc_id, 1 + doc_id % 2 AS ch, 50 + doc_id % 200 AS fr

@@ -439,6 +439,85 @@ object Multimodal {
     }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)).toDF("id", "wav")
   }
 
+  case class DecimatedAudio(id: Long, in_frames: Long, out_frames: Long,
+                            out_rate: Long, mean_abs: Double, peak: Long,
+                            wav: Array[Byte])
+
+  /** REAL audio downsample by integer decimation (pure JVM): decode
+    * 16-bit PCM, keep every `factor`-th frame (all channels), re-encode
+    * as a WAV at rate/factor, and reduce the KEPT samples to
+    * mean-|amplitude| and peak in the same pass — the sample-rate
+    * normalization step of an audio ingest pipeline (plain decimation,
+    * no anti-alias filter: the deterministic variant a SQL oracle can
+    * replay sample-by-sample; see the q94 oracle). Map-side; memory is
+    * O(clip) — inherent, since the decimated bytes are the output.
+    * Non-PCM-16 or undecodable payloads surface as a frames = -1
+    * sentinel row. */
+  def audioDecimate(df: DataFrame, idCol: String, binCol: String,
+                    factor: Int): Dataset[DecimatedAudio] = {
+    require(factor >= 1, "factor must be at least 1")
+    val src = df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+    src.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
+        val out =
+          try {
+            if (payload.isEmpty) None
+            else {
+              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+                new java.io.ByteArrayInputStream(payload))
+              try {
+                val fmt = ais.getFormat
+                if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+                  fmt.getSampleSizeInBits != 16) None
+                else {
+                  val ch = fmt.getChannels; val big = fmt.isBigEndian
+                  val frameBytes = ch * 2
+                  val pcm = ais.readAllBytes()
+                  val inFrames = pcm.length / frameBytes
+                  val kept = new java.io.ByteArrayOutputStream()
+                  var absSum = 0L; var peak = 0L; var nKeptSamples = 0L
+                  var f = 0
+                  while (f < inFrames) {
+                    if (f % factor == 0) {
+                      val off = f * frameBytes
+                      kept.write(pcm, off, frameBytes)
+                      var c = 0
+                      while (c < ch) {
+                        val i = off + c * 2
+                        val s = if (big) (pcm(i) << 8) | (pcm(i + 1) & 0xff)
+                                else (pcm(i + 1) << 8) | (pcm(i) & 0xff)
+                        val a = math.abs(s.toShort.toLong)
+                        absSum += a; if (a > peak) peak = a
+                        nKeptSamples += 1; c += 1
+                      }
+                    }
+                    f += 1
+                  }
+                  val outFrames = (inFrames + factor - 1) / factor
+                  val outRate = fmt.getSampleRate / factor
+                  val outFmt = new javax.sound.sampled.AudioFormat(
+                    outRate, 16, ch, true, big)
+                  val bos = new java.io.ByteArrayOutputStream()
+                  javax.sound.sampled.AudioSystem.write(
+                    new javax.sound.sampled.AudioInputStream(
+                      new java.io.ByteArrayInputStream(kept.toByteArray),
+                      outFmt, outFrames.toLong),
+                    javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+                  Some(DecimatedAudio(id, inFrames.toLong, outFrames.toLong,
+                    outRate.toLong,
+                    if (nKeptSamples == 0) 0.0 else absSum.toDouble / nKeptSamples,
+                    peak, bos.toByteArray))
+                }
+              } finally ais.close()
+            }
+          } catch { case scala.util.control.NonFatal(_) => None }
+        out.getOrElse(DecimatedAudio(id, -1L, -1L, -1L, -1.0, -1L, null))
+      }
+    }(Encoders.product[DecimatedAudio])
+  }
+
   case class ImagePixelStats(id: Long, width: Long, height: Long,
                              mean_r: Double, mean_g: Double, mean_b: Double,
                              max_r: Long, max_g: Long, max_b: Long)

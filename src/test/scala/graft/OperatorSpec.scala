@@ -695,6 +695,42 @@ class OperatorSpec extends AnyFunSuite {
     assert(bad.width == -1L && bad.target_w == -1L && bad.png == null)
   }
 
+  test("real audio decimate: output WAV re-decodes to the kept ramp frames") {
+    import graft.operators.Multimodal.MediaCodec
+    // stereo 101-frame ramp at 8000 Hz, factor 3 → frames 0,3,...,99 →
+    // 34 frames at 2666 Hz (float rate truncation is the operator's
+    // documented .toLong)
+    val wav = MediaCodec.encodeWav(8000, 2, 101)
+    val out = Multimodal.audioDecimate(
+      Seq((7L, wav)).toDF("id", "wav"), "id", "wav", factor = 3).collect().head
+    assert(out.in_frames == 101 && out.out_frames == 34 && out.out_rate == 2666)
+    // re-decode the RETURNED bytes: every kept sample must equal the
+    // closed-form ramp value of its ORIGINAL frame index
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(out.wav))
+    assert(ais.getFormat.getChannels == 2 && !ais.getFormat.isBigEndian)
+    val pcm = ais.readAllBytes()
+    assert(pcm.length == 34 * 4)
+    var absSum = 0L
+    for (of <- 0 until 34; c <- 0 until 2) {
+      val k = (of * 3) * 2 + c // original sample index
+      val lo = (2 * k) % 251; val hi = (2 * k + 1) % 251
+      val exp = ((hi << 8) | lo).toShort.toInt
+      val i = (of * 2 + c) * 2
+      val got = (((pcm(i + 1) & 0xff) << 8) | (pcm(i) & 0xff)).toShort.toInt
+      assert(got == exp, s"frame $of ch $c")
+      absSum += math.abs(exp)
+    }
+    assert(out.mean_abs == absSum.toDouble / 68)
+    // factor 1 is the identity on frames; garbage → sentinel
+    val id1 = Multimodal.audioDecimate(
+      Seq((1L, wav)).toDF("id", "wav"), "id", "wav", factor = 1).collect().head
+    assert(id1.out_frames == 101 && id1.out_rate == 8000)
+    val bad = Multimodal.audioDecimate(
+      Seq((2L, "junk".getBytes)).toDF("id", "wav"), "id", "wav", 2).collect().head
+    assert(bad.in_frames == -1L && bad.wav == null)
+  }
+
   test("real video decode: ISO-BMFF box walk round trip, unknown and truncated bytes") {
     import graft.operators.Multimodal.MediaCodec
     // encode → decode round trip recovers brand/timescale/duration/dims
