@@ -630,6 +630,20 @@ object QueriesText {
           round(col("mean_abs") + lit(1e-9), 4).as("mean_abs"), col("peak"))
         .orderBy(col("id"))),
 
+    // REAL strided frame sampling: decode only every 2nd container
+    // frame of the MPNG-AVI fixture — ImageIO cost scales with SAMPLED
+    // frames; emitted rows keep the original frame index
+    "q95_video_frame_sample" -> ((s, dir) =>
+      Multimodal.videoFrameSample(
+        Multimodal.syntheticPatternAvis(tbl(s, dir, "documents"), "doc_id"),
+        "id", "avi", stride = 2)
+        .toDF().select(col("id"), col("frame"), col("width"), col("height"),
+          round(col("mean_r"), 4).as("mean_r"),
+          round(col("mean_g"), 4).as("mean_g"),
+          round(col("mean_b"), 4).as("mean_b"),
+          col("max_r"), col("max_g"), col("max_b"))
+        .orderBy(col("id"), col("frame"))),
+
     // REAL video FRAME content decode: deterministic MPNG-in-AVI
     // containers (1 + id%3 PNG frames, every pixel a closed form of
     // (4·id + frame, x, y)), RIFF-walked to the movi chunks and each
@@ -1511,6 +1525,35 @@ object QueriesText {
     // RIFF/AVI container and RASTERIZING each PNG frame payload; the
     // oracle replays the fixture's per-frame closed-form pattern
     // (pid = 4·doc_id + frame; same pixel forms as q72)
+    // replays videoFrameSample(stride=2): q76's per-frame closed form
+    // restricted to container frame indices f % 2 = 0
+    "q95_video_frame_sample" ->
+      """WITH fr AS (
+        |  SELECT doc_id, unnest(range(0, 1 + doc_id % 3)) AS f
+        |  FROM documents),
+        |sf AS (SELECT * FROM fr WHERE f % 2 = 0),
+        |p AS (
+        |  SELECT doc_id, f, 4*doc_id + f AS pid,
+        |    1 + (4*doc_id + f) % 16 AS w, 1 + (4*doc_id + f) % 12 AS h
+        |  FROM sf),
+        |xs AS (
+        |  SELECT doc_id, f, pid, w, h, unnest(range(0, w)) AS x FROM p),
+        |px AS (
+        |  SELECT doc_id, f, pid, w, h, x, unnest(range(0, h)) AS y FROM xs),
+        |c AS (
+        |  SELECT doc_id, f, w, h,
+        |    (pid + 3*x + 5*y) % 256 AS r,
+        |    (2*pid + 7*x + y) % 256 AS g,
+        |    (5*pid + x + 11*y) % 256 AS b
+        |  FROM px)
+        |SELECT doc_id AS id, CAST(f AS BIGINT) AS frame,
+        |  CAST(max(w) AS BIGINT) AS width, CAST(max(h) AS BIGINT) AS height,
+        |  round(avg(r), 4) AS mean_r, round(avg(g), 4) AS mean_g,
+        |  round(avg(b), 4) AS mean_b,
+        |  CAST(max(r) AS BIGINT) AS max_r, CAST(max(g) AS BIGINT) AS max_g,
+        |  CAST(max(b) AS BIGINT) AS max_b
+        |FROM c GROUP BY doc_id, f ORDER BY id, frame""".stripMargin,
+
     "q76_video_frames" ->
       """WITH fr AS (
         |  SELECT doc_id, unnest(range(0, 1 + doc_id % 3)) AS f

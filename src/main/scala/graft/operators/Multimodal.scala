@@ -845,7 +845,19 @@ object Multimodal {
     * [[MediaCodec.decodeStub]] to codec-library formats (H.264/VP9/AV1):
     * container-parseable video is now content-decoded for real, like
     * images (q72) and audio (q71) before it. */
-  def videoFrameStats(df: DataFrame, idCol: String, binCol: String): Dataset[VideoFrameStats] = {
+  def videoFrameStats(df: DataFrame, idCol: String, binCol: String): Dataset[VideoFrameStats] =
+    videoFrameSample(df, idCol, binCol, stride = 1)
+
+  /** Strided REAL frame sampling — [[videoFrameStats]] decoding only
+    * every `stride`-th frame (by container frame index, which the
+    * emitted rows carry). Skipped frames are never rasterized: the RIFF
+    * walk touches every chunk header, but ImageIO cost — the dominant
+    * term — scales with SAMPLED frames only. This retires the
+    * metadata-only [[frameSamplePlan]] shape for container-parseable
+    * video: the fan-out is real decoded frames now. */
+  def videoFrameSample(df: DataFrame, idCol: String, binCol: String,
+                       stride: Int): Dataset[VideoFrameStats] = {
+    require(stride >= 1, "stride must be at least 1")
     val src = df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
     src.mapPartitions { rows =>
       rows.flatMap { r =>
@@ -856,7 +868,9 @@ object Multimodal {
           case None => Iterator.single(bad)
           case Some(frames) if frames.isEmpty => Iterator.single(bad)
           case Some(frames) =>
-            frames.iterator.zipWithIndex.map { case (bytes, i) =>
+            frames.iterator.zipWithIndex
+              .filter { case (_, i) => i % stride == 0 }
+              .map { case (bytes, i) =>
               val img =
                 // NonFatal (see imagePixelStats): a crafted frame payload
                 // must produce the frame = -1 sentinel, not a task failure

@@ -346,6 +346,32 @@ class OperatorSpec extends AnyFunSuite {
     assert(es.length == 1 && es.head.frame == -1L)
   }
 
+  test("real strided frame sampling: only every stride-th frame decoded") {
+    // id=5 → 3 frames; stride 2 keeps container indices 0 and 2 with
+    // their ORIGINAL frame numbers and exact closed-form stats
+    val out = Multimodal.videoFrameSample(
+      Multimodal.syntheticPatternAvis(Seq(5L).toDF("doc_id"), "doc_id"),
+      "id", "avi", stride = 2).collect().sortBy(_.frame)
+    assert(out.map(_.frame).toSeq == Seq(0L, 2L))
+    out.foreach { s =>
+      val pid = 4 * 5 + s.frame
+      val w = 1 + pid % 16; val h = 1 + pid % 12
+      assert(s.width == w && s.height == h)
+      val px = for { y <- 0 until h.toInt; x <- 0 until w.toInt }
+        yield (pid + 3 * x + 5 * y) % 256
+      assert(s.mean_r == px.sum.toDouble / px.size)
+    }
+    // stride past the frame count keeps exactly frame 0
+    val one = Multimodal.videoFrameSample(
+      Multimodal.syntheticPatternAvis(Seq(5L).toDF("doc_id"), "doc_id"),
+      "id", "avi", stride = 10).collect()
+    assert(one.map(_.frame).toSeq == Seq(0L))
+    // malformed containers still surface the sentinel row
+    val bad = Multimodal.videoFrameSample(
+      Seq((9L, "RIFFjunk".getBytes)).toDF("id", "avi"), "id", "avi", 2).collect()
+    assert(bad.length == 1 && bad.head.frame == -1L)
+  }
+
   test("capPerGroup: deterministic n-subset per group, window-free, seed-independent groups") {
     import graft.operators.Sampling
     // one mega-group (the domain-cap motivation) + small groups under n
