@@ -592,6 +592,53 @@ object StreamOps {
     }
   }
 
+  /** One BPE-counted document: id, word count, BPE token count. */
+  case class BpeCounted(id: Long, nWords: Long, nBpeTokens: Long)
+
+  /** Streaming BPE token counting — the unbounded twin of
+    * [[graft.operators.TextAnalysis.bpeEncode]]: trained merges are
+    * broadcast; each streamed doc is tokenized and every word segmented
+    * by the same greedy left-to-right merge loop, map-side and
+    * stateless. Where the batch operator amortizes merge application
+    * over the corpus-wide distinct-word dictionary, the stream cannot —
+    * a per-partition word→count memo amortizes the Zipf head within
+    * each task instead (unbounded only by the task's distinct words,
+    * cleared with the partition). */
+  def streamingBpeCount(docs: Dataset[(Long, String)],
+                        merges: Seq[(String, String)]): Dataset[BpeCounted] = {
+    import docs.sparkSession.implicits._
+    val bc = docs.sparkSession.sparkContext.broadcast(merges.toArray)
+    docs.mapPartitions { it =>
+      val ms = bc.value
+      val memo = new scala.collection.mutable.HashMap[String, Long]()
+      def symCount(word: String): Long = memo.getOrElseUpdate(word, {
+        var syms = word.map(_.toString).toArray
+        var m = 0
+        while (m < ms.length && syms.length > 1) {
+          val (a, b) = ms(m)
+          val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          syms = out.toArray
+          m += 1
+        }
+        syms.length.toLong
+      })
+      it.map { case (id, text) =>
+        // same tokenization as TextAnalysis.tokens: ASCII-ws runs
+        val tk = "[^ \t\n\u000B\f\r]+".r.findAllIn(text).toArray
+        var nb = 0L
+        var i = 0
+        while (i < tk.length) { nb += symCount(tk(i)); i += 1 }
+        BpeCounted(id, tk.length.toLong, nb)
+      }
+    }
+  }
+
   /** One classifier-scored document: id, token count, P(label). */
   case class QualityScored(id: Long, nToks: Long, p: Double)
 

@@ -932,6 +932,33 @@ class StreamingParitySpec extends AnyFunSuite {
       s"state rows $stateRows vs $nBuckets observed buckets")
   }
 
+  test("parity: streamingBpeCount ≡ batch bpeEncode, stateless memoized scorer") {
+    implicit val sq = spark.sqlContext
+    // q88 shape: merges trained batch-side on the full sf0.001 corpus,
+    // broadcast; the same docs stream through the greedy segmenter
+    val (mergesDf, _) = graft.operators.TextAnalysis.bpeTrain(docs, "text", 6)
+    val merges = mergesDf.orderBy("rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val batch = graft.operators.TextAnalysis
+      .bpeEncode(docs, "doc_id", "text", merges)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamOps.streamingBpeCount(mem.toDS(), merges)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("parity_bpe").start()
+    val rows = docs.select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    replay(mem, rows, chunk = 100, q)
+    val stateRows = Option(q.lastProgress)
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    q.stop()
+    val streamed = spark.table("parity_bpe")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(streamed == batch) // integer counts — exact equality
+    assert(stateRows == 0L, s"expected a stateless plan, got $stateRows state rows")
+  }
+
   test("parity: streamingQualityScore ≡ batch logisticScore, stateless scorer") {
     implicit val sq = spark.sqlContext
     // q91 shape: weights trained batch-side on the full sf0.001 corpus,

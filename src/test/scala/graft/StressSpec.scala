@@ -582,4 +582,31 @@ class StressSpec extends AnyFunSuite {
       assert(stats.getLong(3) == 100000L) // every surviving tail is unique
     }
   }
+
+  test("bpeEncode: one Zipf-head word owns 80% of 500k tokens", SlowStress) {
+    failAfter(Span(900, Seconds)) {
+      // the canonical tokenizer-apply skew: "the" dominates the corpus.
+      // The dictionary trick means the merge fold runs ~100k+1 times
+      // (distinct words), NOT 500k (corpus tokens); the count join's hot
+      // key is broadcast-probe skew, never a partition pin. Closed form:
+      // "the" → 1 symbol after merges (t+h, th+e); every zipfXXX word
+      // stays 1 symbol per char except the trained merges don't apply.
+      val docs = spark.range(100000).select(col("id").as("doc_id"),
+        concat(lit("the the the the "), // 4 hot tokens per doc
+          lit("zip"), col("id")).as("text")) // 1 unique cold token per doc
+      val merges = Seq(("t", "h"), ("th", "e")) // hand-trained: "the" → 1 sym
+      val out = graft.operators.TextAnalysis
+        .bpeEncode(docs, "doc_id", "text", merges)
+      // structural: window-free, and the merge fold's input is the
+      // DISTINCT-word frame (an Aggregate feeds the syms projection)
+      val plan = out.queryExecution.optimizedPlan.toString.toLowerCase
+      assert(!plan.contains("windowexpression"), s"window in plan:\n$plan")
+      val stats = out.agg(sum(col("n_words")), sum(col("n_bpe_tokens"))).head()
+      assert(stats.getLong(0) == 500000L)
+      // per doc: "the"×4 → 4 syms, "zipNNNNN" → 3 + len(id) syms
+      val expBpe = docs.select(sum(lit(4L) + lit(3L) +
+        length(col("doc_id").cast("string")))).head().getLong(0)
+      assert(stats.getLong(1) == expBpe)
+    }
+  }
 }
