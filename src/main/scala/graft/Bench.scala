@@ -42,6 +42,15 @@ object Bench {
       }.sorted
       name -> times(times.length / 2)
     }
+    // leak census: which queries leave blocks pinned for the session?
+    // (localCheckpoint RDDs that were never unpersisted). Dev-only.
+    if (sys.env.contains("SPARK_GRAFT_BENCH_DEBUG")) {
+      val rdds = spark.sparkContext.getPersistentRDDs
+      System.err.println(s"[bench-debug] persistent RDDs after suite: ${rdds.size}")
+      rdds.values.foreach { r =>
+        System.err.println(s"[bench-debug]   id=${r.id} ${r.getStorageLevel.description} ${r.name}")
+      }
+    }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0

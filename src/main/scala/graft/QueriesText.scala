@@ -173,9 +173,12 @@ object QueriesText {
     // broadcast-side, so it never shuffles by word
     "q88_bpe_encode" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
-      val (mergesDf, _) = TA.bpeTrain(docs, "text", 6)
+      val (mergesDf, vocabDf) = TA.bpeTrain(docs, "text", 6)
       val merges = mergesDf.orderBy(col("rank")).collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
+      // the trained segmentation frame is unused here — free its
+      // checkpoint instead of pinning it for the session
+      org.apache.spark.sql.GraftColumnShim.unpersistCheckpoint(vocabDf)
       TA.bpeEncode(docs, "doc_id", "text", merges).orderBy(col("doc_id"))
     }),
 
@@ -228,9 +231,12 @@ object QueriesText {
     // #langs-row rollup
     "q92_tokenizer_fertility" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
-      val (mergesDf, _) = TA.bpeTrain(docs, "text", 6)
+      val (mergesDf, vocabDf) = TA.bpeTrain(docs, "text", 6)
       val merges = mergesDf.orderBy(col("rank")).collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
+      // the trained segmentation frame is unused here — free its
+      // checkpoint instead of pinning it for the session
+      org.apache.spark.sql.GraftColumnShim.unpersistCheckpoint(vocabDf)
       TA.bpeEncode(docs, "doc_id", "text", merges)
         .join(docs.select(col("doc_id"), col("lang"), col("n_chars")), "doc_id")
         .groupBy(col("lang"))

@@ -107,6 +107,9 @@ object Classifier {
       while (i < 257) { w(i) -= lr * grad.getOrElse(i, 0.0); i += 1 }
       it += 1
     }
+    // the model is the return value — the feature checkpoint has no
+    // downstream consumers and must not stay pinned for the session
+    org.apache.spark.sql.GraftColumnShim.unpersistCheckpoint(full)
     (w.take(256), w(256))
   }
 }

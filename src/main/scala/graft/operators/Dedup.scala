@@ -216,7 +216,15 @@ object Dedup {
       .distinct()
       .localCheckpoint(false)
     val pairs = jaccard(cand, sh).filter(col("jaccard") >= threshold)
-    if (materialize) pairs.localCheckpoint() else pairs
+    if (materialize) {
+      // the eager pairs checkpoint materializes cand and sh transitively
+      // — their blocks are superseded the moment it exists; free them
+      // rather than pinning them behind the cached pairs for the session
+      val out = pairs.localCheckpoint()
+      Seq(cand, sh).foreach(
+        org.apache.spark.sql.GraftColumnShim.unpersistCheckpoint)
+      out
+    } else pairs
   }
 
   /** Connected components over an undirected edge list — the consolidation
@@ -276,9 +284,16 @@ object Dedup {
           col("prev"))
         .localCheckpoint(false)
       converged = next.filter(col("label") < col("prev")).count() == 0
+      // the count materialized `next` — the previous round's label
+      // blocks are superseded; free them instead of pinning every
+      // round's copy for the session (long-lived-session leak class)
+      org.apache.spark.sql.GraftColumnShim.unpersistCheckpoint(labels)
       labels = next.select(col("id"), col("label"))
       round += 1
     }
+    // sym is dead once the loop exits — the returned labels reference
+    // only the final round's checkpoint
+    org.apache.spark.sql.GraftColumnShim.unpersistCheckpoint(sym)
     (labels, round, converged)
   }
 

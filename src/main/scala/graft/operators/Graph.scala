@@ -57,6 +57,7 @@ object Graph {
     // (src, dst, deg) spine — reused by every round's join
     val spine = e.join(outDeg, "src").localCheckpoint()
     var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank"))
+    val intermediates = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (round <- 0 until iters) {
       val contribs = spine
         .join(ranks.select(col("id").as("src"), col("rank")), "src")
@@ -68,10 +69,21 @@ object Graph {
             lit(damping) * coalesce(col("cin"), lit(0.0))).as("rank"))
       // periodic eager checkpoint: deep iteration counts keep lineage
       // and planning time bounded; shallow runs stay one lazy chain
-      // executed by the caller's single action
-      if ((round + 1) % checkpointEvery == 0 && round + 1 < iters)
+      // into the final checkpoint below
+      if ((round + 1) % checkpointEvery == 0 && round + 1 < iters) {
         ranks = ranks.localCheckpoint()
+        intermediates += ranks
+      }
     }
-    ranks
+    // ONE eager checkpoint of the (node, rank)-sized result, then free
+    // every working block — nodes, spine, periodic round checkpoints.
+    // Without this the returned lazy chain re-runs all `iters` joins on
+    // EVERY caller action, and the working blocks stay pinned for the
+    // session (the long-lived-session leak class: a hundred queries of
+    // leaked spines eventually evict each other into disk thrash).
+    val out = ranks.localCheckpoint()
+    (Seq(nodes, spine) ++ intermediates).foreach(
+      org.apache.spark.sql.GraftColumnShim.unpersistCheckpoint)
+    out
   }
 }

@@ -487,9 +487,14 @@ object TextAnalysis {
         val parts = best(0).getString(0).split(' ')
         val a: String = parts(0); val b: String = parts(1)
         merges += ((round + 1L, a, b, a + b, best(0).getLong(1)))
+        val prev = vocab
         vocab = vocab.select(col("word"), col("freq"),
             mergeAdjacent(col("syms"), a, b).as("syms"))
           .localCheckpoint()
+        // the new eager checkpoint supersedes the previous round's
+        // blocks — free them now instead of pinning every round's
+        // vocab copy for the session (long-lived-session leak class)
+        org.apache.spark.sql.GraftColumnShim.unpersistCheckpoint(prev)
         round += 1
       }
     }
@@ -510,9 +515,16 @@ object TextAnalysis {
                  merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
     val init = words.withColumn("syms",
       filter(split(col(wordCol), ""), x => x =!= ""))
+    var lastCkpt: Option[org.apache.spark.sql.DataFrame] = None
     merges.zipWithIndex.foldLeft(init) { case (d, ((a, b), i)) =>
       val next = d.withColumn("syms", mergeAdjacent(col("syms"), a, b))
-      if ((i + 1) % 8 == 0 && i + 1 < merges.size) next.localCheckpoint() else next
+      if ((i + 1) % 8 == 0 && i + 1 < merges.size) {
+        val ck = next.localCheckpoint()
+        // the new eager checkpoint supersedes the previous one's blocks
+        lastCkpt.foreach(org.apache.spark.sql.GraftColumnShim.unpersistCheckpoint)
+        lastCkpt = Some(ck)
+        ck
+      } else next
     }
   }
 
