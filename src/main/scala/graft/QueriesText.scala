@@ -247,6 +247,22 @@ object QueriesText {
         .orderBy(col("lang"))
     }),
 
+    // cross-corpus near-dup pairs: even-id docs as the existing corpus,
+    // odd-id docs as the incoming batch — one shared minhash spine over
+    // the union, only cross-side pairs kept (the incremental-crawl /
+    // train-eval-overlap shape; never |A|x|B|)
+    "q96_cross_dedup" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      Dedup.crossCorpusNearDups(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", shingleWidth = 3, numHashes = 12, bands = 4,
+        threshold = 0.2, maxBucketSize = Some(64))
+        .select(col("a_id"), col("b_id"),
+          round(col("jaccard"), 4).as("jaccard")) // q32 rounding convention
+        .orderBy(col("a_id"), col("b_id"))
+    }),
+
     // charsequence scalar surface: ASCII-only case map, occurrence count,
     // affix tests (charsequence.h:844-1158)
     "q27_text_case" -> ((s, dir) =>
@@ -1101,6 +1117,17 @@ object QueriesText {
     "q32_minhash_pairs" ->
       s"""WITH $minhashPairCtes
          |SELECT a, b, jaccard FROM pairs ORDER BY a, b""".stripMargin,
+
+    // the SAME pair chain restricted to cross-parity pairs: id packing
+    // (2·id + side) is order-preserving, so the operator's pairs over
+    // the packed union are exactly these
+    "q96_cross_dedup" ->
+      s"""WITH $minhashPairCtes
+         |SELECT CASE WHEN a % 2 = 0 THEN a ELSE b END AS a_id,
+         |  CASE WHEN a % 2 = 0 THEN b ELSE a END AS b_id,
+         |  jaccard
+         |FROM pairs WHERE a % 2 <> b % 2
+         |ORDER BY a_id, b_id""".stripMargin,
 
     // transitive closure over the SAME pair set q32 verifies: cluster =
     // min reachable id (mirrors Dedup.connectedComponents' hash-min)

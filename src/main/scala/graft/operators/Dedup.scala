@@ -227,6 +227,36 @@ object Dedup {
     } else pairs
   }
 
+  /** Near-dup pairs ACROSS two corpora only — the incremental-crawl
+    * ("which new docs duplicate the existing corpus?") and train-eval
+    * overlap shape. Runs ONE shared minhash/banding spine over the
+    * union and keeps only cross-side candidate pairs, so the cost is
+    * one [[minhashNearDups]] pass, never |A|·|B|. Ids are packed as
+    * 2·id + side (requires non-negative ids < 2^62): packing is
+    * monotone per side and order-preserving overall, so banding caps —
+    * which select within a bucket by id order — behave exactly as over
+    * the raw ids, and a pair's orientation (smaller id first) survives.
+    * Returns (a_id from `a`, b_id from `b`, jaccard ≥ threshold). */
+  def crossCorpusNearDups(a: DataFrame, b: DataFrame, idCol: String,
+                          textCol: String, shingleWidth: Int = 3,
+                          numHashes: Int = 12, bands: Int = 4,
+                          threshold: Double = 0.7,
+                          maxBucketSize: Option[Int] = None): DataFrame = {
+    val ta = a.select((col(idCol).cast("long") * 2).as("__xid"),
+      col(textCol).as("__xtext"))
+    val tb = b.select((col(idCol).cast("long") * 2 + 1).as("__xid"),
+      col(textCol).as("__xtext"))
+    val pairs = minhashNearDups(ta.unionByName(tb), "__xid", "__xtext",
+      shingleWidth, numHashes, bands, threshold, maxBucketSize)
+    pairs.filter(pmod(col("a"), lit(2)) =!= pmod(col("b"), lit(2)))
+      .select(
+        shiftright(when(pmod(col("a"), lit(2)) === 0, col("a"))
+          .otherwise(col("b")), 1).as("a_id"),
+        shiftright(when(pmod(col("a"), lit(2)) === 0, col("b"))
+          .otherwise(col("a")), 1).as("b_id"),
+        col("jaccard"))
+  }
+
   /** Connected components over an undirected edge list — the consolidation
     * step that turns near-dup PAIRS into dedup CLUSTERS (each node gets
     * the minimum id reachable from it; keep one doc per label). Hash-min

@@ -260,6 +260,26 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(!plan.contains("windowexpression"))
   }
 
+  // --- crossCorpusNearDups --------------------------------------------
+
+  test("crossCorpusNearDups: cross-side pairs only, colliding ids safe") {
+    // doc 1 in A and doc 1 in B share an id but different text — the
+    // packed-id space keeps them distinct. A's two internal dups (1,2)
+    // must NOT pair; A1~B7 and A2~B7 must.
+    val t = "the quick brown fox jumps over the lazy dog again and again"
+    val a = Seq((1L, t), (2L, t), (3L, "completely different words here now ok"))
+      .toDF("doc_id", "text")
+    val b = Seq((1L, "unrelated corpus text that matches nothing at all"),
+      (7L, t)).toDF("doc_id", "text")
+    val got = Dedup.crossCorpusNearDups(a, b, "doc_id", "text",
+      shingleWidth = 3, numHashes = 12, bands = 4, threshold = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+      .sortBy(p => (p._1, p._2))
+    assert(got.map(p => (p._1, p._2)) == List((1L, 7L), (2L, 7L)),
+      s"got $got")
+    got.foreach(p => assert(p._3 == 1.0)) // identical text → jaccard 1
+  }
+
   // --- bpeSegment / bpeEncode ----------------------------------------
 
   test("bpeSegment applies merges greedily in rank order, OOV included") {
