@@ -198,6 +198,52 @@ object StreamOps {
       }
   }
 
+  /** Streaming cross-corpus dedup candidates — the admission gate "is
+    * this incoming doc a near-dup of the EXISTING corpus?", the
+    * unbounded twin of [[graft.operators.Dedup.crossCorpusNearDups]]'s
+    * candidate stage. The static corpus's LSH band keys are computed
+    * ONCE with the batch operators and eagerly checkpointed; each
+    * streamed doc is shingled/min-hashed/banded map-side (the exact
+    * batch construction) and meets them in a STATELESS stream-static
+    * equi-join on (band, key) — no state store at all, unlike the
+    * within-stream register of [[streamingNearDupCandidates]]. Emits
+    * (streamId, corpusId) once per shared band — dedup/verify
+    * downstream, as with every candidate stage. */
+  def streamingCrossDedupCandidates(docs: Dataset[(Long, String)],
+                                    corpus: DataFrame, idCol: String,
+                                    textCol: String, shingleWidth: Int = 3,
+                                    numHashes: Int = 12,
+                                    bands: Int = 4): DataFrame = {
+    import docs.sparkSession.implicits._
+    require(numHashes % bands == 0)
+    val rows = numHashes / bands
+    val staticKeys = graft.operators.Dedup.lshBands(
+        graft.operators.Dedup.minhashSignature(
+          corpus, idCol, textCol, shingleWidth, numHashes),
+        bands, rows)
+      .select(col("band"), col("key"), col("id").as("corpus_id"))
+      .localCheckpoint() // one batch computation, re-read per micro-batch
+    val streamKeys = docs.flatMap { case (id, text) =>
+      // lockstep with the batch tokenizer/banding (see
+      // streamingNearDupCandidates for the whitespace-class note)
+      val toks = "[^ \t\n\u000B\f\r]+".r.findAllIn(text).toSeq
+      if (toks.length < shingleWidth) Seq.empty[(Int, String, Long)]
+      else {
+        val shingles = toks.sliding(shingleWidth).map(_.mkString(" ")).toSeq.distinct
+        val numDigests = (numHashes + 3) / 4
+        val digests = shingles.map(s =>
+          (0 until numDigests).map(j => md5hex(s"$j#$s")))
+        val sig = (0 until numHashes).map(i =>
+          digests.map(_(i / 4).substring((i % 4) * 8, (i % 4) * 8 + 8)).min)
+        (0 until bands).map { b =>
+          (b, (0 until rows).map(r => sig(b * rows + r)).mkString("|"), id)
+        }
+      }
+    }.toDF("band", "key", "stream_id")
+    streamKeys.join(staticKeys, Seq("band", "key"))
+      .select(col("stream_id"), col("corpus_id"), col("band"))
+  }
+
   /** [[runningStats]] rendered with transformWithState. */
   def runningStatsTws(events: Dataset[(String, Double)]): Dataset[RunningAgg] = {
     import events.sparkSession.implicits._

@@ -932,6 +932,42 @@ class StreamingParitySpec extends AnyFunSuite {
       s"state rows $stateRows vs $nBuckets observed buckets")
   }
 
+  test("parity: streamingCrossDedupCandidates ≡ batch cross-side band keys, stateless") {
+    implicit val sq = spark.sqlContext
+    import graft.operators.Dedup
+    // static corpus = even ids, stream = odd ids. Expected candidates:
+    // every (odd, even) pair sharing a (band, key) — computed batch-side
+    // from the same banding the stream must reproduce
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val streamDocs = docs.filter(col("doc_id") % 2 === 1)
+    val keys = Dedup.lshBands(
+        Dedup.minhashSignature(docs, "doc_id", "text", 3, 12), 4, 3)
+    val byKey = keys.collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .groupBy(t => (t._1, t._2))
+    val expected = byKey.values.flatMap { grp =>
+      val (odd, even) = grp.map(_._3).toSeq.partition(_ % 2 == 1)
+      odd.flatMap(o => even.map(e => (o, e)))
+    }.toSet
+
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamOps.streamingCrossDedupCandidates(
+      mem.toDS(), corpus, "doc_id", "text")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("parity_crossdedup").start()
+    val rows = streamDocs.select(col("doc_id"), col("text"))
+      .orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    replay(mem, rows, chunk = 100, q)
+    val stateRows = Option(q.lastProgress)
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    q.stop()
+    val streamed = spark.table("parity_crossdedup").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == expected,
+      s"extra=${(streamed -- expected).take(5)} missing=${(expected -- streamed).take(5)}")
+    assert(stateRows == 0L, s"expected a stateless plan, got $stateRows state rows")
+  }
+
   test("parity: streamingBpeCount ≡ batch bpeEncode, stateless memoized scorer") {
     implicit val sq = spark.sqlContext
     // q88 shape: merges trained batch-side on the full sf0.001 corpus,
