@@ -244,6 +244,38 @@ object StreamOps {
       .select(col("stream_id"), col("corpus_id"), col("band"))
   }
 
+  /** Streaming benchmark-contamination tracking — the unbounded twin of
+    * [[graft.operators.Dedup.contamination]] with the roles arranged the
+    * way deployment actually runs them: the EVAL sets are static and
+    * small (benchmarks, by definition) so their distinct shingles are
+    * collected and broadcast; the TRAIN corpus is what streams. Each
+    * arriving train doc is shingled map-side; shingles hitting the
+    * broadcast eval index emit (eval_id, shingle), and a streaming
+    * dropDuplicates keeps only FIRST-TIME matches — state is bounded by
+    * the eval sets' total shingle count, never by the stream. Running
+    * per-eval-doc contamination is a downstream aggregation of these
+    * first-match rows over the (also broadcastable) per-doc totals. */
+  def streamingContamination(docs: Dataset[(Long, String)], eval: DataFrame,
+                             idCol: String, textCol: String, w: Int): DataFrame = {
+    import docs.sparkSession.implicits._
+    val evalIndex: Map[String, Seq[Long]] = eval.select(
+        col(idCol).cast("long").as("id"), col(textCol).as("t"))
+      .collect().flatMap { r =>
+        val toks = "[^ \t\n\u000B\f\r]+".r.findAllIn(r.getString(1)).toSeq
+        toks.sliding(w).filter(_.length == w).map(_.mkString(" "))
+          .toSeq.distinct.map(sh => sh -> r.getLong(0))
+      }.groupBy(_._1).map { case (sh, hits) => sh -> hits.map(_._2).toSeq }
+    val bc = docs.sparkSession.sparkContext.broadcast(evalIndex)
+    docs.flatMap { case (_, text) =>
+      val idx = bc.value
+      val toks = "[^ \t\n\u000B\f\r]+".r.findAllIn(text).toSeq
+      toks.sliding(w).filter(_.length == w).map(_.mkString(" "))
+        .toSeq.distinct
+        .flatMap(sh => idx.getOrElse(sh, Nil).map(id => (id, sh)))
+    }.toDF("eval_id", "shingle")
+      .dropDuplicates("eval_id", "shingle")
+  }
+
   /** [[runningStats]] rendered with transformWithState. */
   def runningStatsTws(events: Dataset[(String, Double)]): Dataset[RunningAgg] = {
     import events.sparkSession.implicits._

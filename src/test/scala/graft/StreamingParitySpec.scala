@@ -968,6 +968,40 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(stateRows == 0L, s"expected a stateless plan, got $stateRows state rows")
   }
 
+  test("parity: streamingContamination ≡ batch contamination, eval-bounded state") {
+    implicit val sq = spark.sqlContext
+    import graft.operators.{Dedup, TextAnalysis => TA}
+    // q55 shape: eval = every 25th doc truncated to 12 tokens; the TRAIN
+    // corpus streams against the broadcast eval shingle index
+    val eval = docs.filter(col("doc_id") % 25 === 0)
+      .select(col("doc_id"),
+        array_join(slice(TA.tokens(col("text")), 1, 12), " ").as("text"))
+    val batch = Dedup.contamination(docs, eval, "doc_id", "text", w = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamOps.streamingContamination(mem.toDS(), eval, "doc_id", "text", w = 3)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("parity_contam").start()
+    val rows = docs.select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    replay(mem, rows, chunk = 100, q)
+    val stateRows = Option(q.lastProgress)
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    q.stop()
+    val streamed = spark.table("parity_contam").collect()
+      .map(r => r.getLong(0)).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    // first-match rows per eval doc == the batch matched count; eval
+    // docs with zero matches emit nothing (batch reports matched=0)
+    batch.foreach { case (id, m) =>
+      assert(streamed.getOrElse(id, 0L) == m, s"eval $id: ${streamed.get(id)} vs $m")
+    }
+    assert(streamed.keySet.subsetOf(batch.keySet))
+    // state is bounded by the eval sets' matched-shingle count
+    assert(stateRows == batch.values.sum,
+      s"state rows $stateRows vs ${batch.values.sum} matched pairs")
+  }
+
   test("parity: streamingBpeCount ≡ batch bpeEncode, stateless memoized scorer") {
     implicit val sq = spark.sqlContext
     // q88 shape: merges trained batch-side on the full sf0.001 corpus,
