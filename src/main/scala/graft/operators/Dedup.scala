@@ -414,7 +414,10 @@ object Dedup {
   def segmentDedup(docs: DataFrame, idCol: String, textCol: String,
                    segTokens: Int = 3, maxDocs: Int = 2): DataFrame = {
     require(segTokens > 0, "segTokens must be positive")
-    val toks = TextAnalysis.tokens(col(textCol))
+    // null text tokenizes to null, not [] — coalesce so NULL-text rows
+    // keep the documented 0/0/0/"" contract instead of a null n_segments
+    val toks = coalesce(TextAnalysis.tokens(col(textCol)),
+      array().cast("array<string>"))
     // map-side segment array: slice the token array in strides — guard
     // the empty case (sequence(0,-1) would DESCEND, not produce empty)
     val nSegs = ceil(size(toks).cast("double") / lit(segTokens.toDouble)).cast("int")

@@ -115,11 +115,6 @@ object Sampling {
       .drop("__negs", "__rank", "__szg", "__n")
   }
 
-  /** Stratified sample: per-stratum fractions (the training-mix
-    * reweighting step — e.g. upweight low-resource languages). The
-    * stratum→threshold table rides a map literal (`element_at`, pure
-    * codegen'd projection — no join, not even a broadcast). Strata
-    * absent from `fractions` use `defaultFraction`. */
   /** Hashed-unigram feature bucket in [0, 256) — the oracle-replayable
     * feature hash behind [[dsirLogRatio]]: the first two hex chars of
     * md5(token), each nibble decoded arithmetically from its ASCII code
@@ -229,6 +224,11 @@ object Sampling {
         (col("p") * budgetTokens / col("n_tokens")).as("epochs"))
   }
 
+  /** Stratified sample: per-stratum fractions (the training-mix
+    * reweighting step — e.g. upweight low-resource languages). The
+    * stratum→threshold table rides a map literal (`element_at`, pure
+    * codegen'd projection — no join, not even a broadcast). Strata
+    * absent from `fractions` use `defaultFraction`. */
   def stratified(df: DataFrame, idCol: String, strataCol: String,
                  fractions: Map[String, Double], defaultFraction: Double,
                  seed: Long): DataFrame = {

@@ -407,31 +407,47 @@ object Similarity {
              trainedBooks: Option[Array[Array[Array[Double]]]] = None): DataFrame = {
     val books = trainedBooks.getOrElse(pqSeedBooks(corpus, idCol, vecCol, m, ksub))
     require(books.length == m && books.forall(_.length == ksub))
-    val dsub = books(0)(0).length
-    val qRows = queries.select(col(idCol).cast("long"), col(vecCol)).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
-    val lutMap: Map[Long, Seq[Double]] = qRows.map { case (qid, qv) =>
-      qid -> (0 until m).flatMap { j =>
-        val qsub = qv.slice(j * dsub, (j + 1) * dsub)
-        books(j).toSeq.map(cv => -2.0 * dotSeq(qsub, cv) + sqNormSeq(cv))
-      }
-    }.toMap
     val coded = corpus.select(col(idCol).as("nid"),
       pqCodesExpr(col(vecCol), books).as("__codes"))
+    val pairs = coded.crossJoin(broadcast(
+      queries.select(col(idCol).cast("long").as("qid"))))
+    adcRank(pairs, pqLut(queries, idCol, vecCol, books, m), ksub, k)
+  }
+
+  /** Query-side ADC lookup tables: per query id, the m·ksub flattened
+    * `-2·q_sub·c + |c|²` terms (the query-dependent half of the ADC
+    * distance decomposition). Collected driver-side — queries are
+    * broadcast-sized by contract. Shared by [[pqTopK]]/[[ivfPqTopK]] so
+    * the LUT layout can never drift between them. */
+  private def pqLut(queries: DataFrame, idCol: String, vecCol: String,
+                    books: Array[Array[Array[Double]]],
+                    m: Int): Map[Long, Seq[Double]] = {
+    val dsub = books(0)(0).length
+    queries.select(col(idCol).cast("long"), col(vecCol)).collect()
+      .map { r =>
+        val qv = r.getSeq[Float](1).toArray.map(_.toDouble)
+        r.getLong(0) -> (0 until m).flatMap { j =>
+          val qsub = qv.slice(j * dsub, (j + 1) * dsub)
+          books(j).toSeq.map(cv => -2.0 * dotSeq(qsub, cv) + sqNormSeq(cv))
+        }
+      }.toMap
+  }
+
+  /** Shared ADC score + rank tail of [[pqTopK]]/[[ivfPqTopK]]: fold each
+    * candidate's m-byte code against the inlined LUT, round (+0.0
+    * normalizes IEEE −0.0 — engines disagree on its sign bit, not its
+    * value), and rank distance ASC through the (score desc, id asc)
+    * bounded aggregate on the negated rounded distance (negation of a
+    * rounded double is exact). `pairs` carries (qid, nid, __codes). */
+  private def adcRank(pairs: DataFrame, lutMap: Map[Long, Seq[Double]],
+                      ksub: Int, k: Int): DataFrame = {
     val lut = element_at(typedLit(lutMap), col("qid"))
     val contrib = transform(col("__codes"),
       (c, j) => element_at(lut, j * lit(ksub) + c.cast("int") + lit(1)))
-    val scored = coded.crossJoin(broadcast(
-        queries.select(col(idCol).cast("long").as("qid"))))
-      .filter(col("nid") =!= col("qid"))
+    val scored = pairs.filter(col("nid") =!= col("qid"))
       .select(col("qid"), col("nid"),
-        // +0.0 normalizes IEEE −0.0 after rounding (engines disagree on
-        // its sign bit, not its value)
         (round(aggregate(contrib, lit(0.0), (a, x) => a + x), 4) + lit(0.0))
           .as("adc"))
-    // distance ASC through the (score desc, id asc) bounded aggregate:
-    // rank on the negated rounded distance (negation of a rounded double
-    // is exact), display the positive distance
     topKByQuery(scored.withColumn("__neg", negate(col("adc"))), k, "__neg", "__neg")
       .select(col("qid"), col("rank"), col("nid"),
         (negate(col("__neg")) + lit(0.0)).as("adc"))
@@ -453,31 +469,13 @@ object Similarity {
     val books = trainedBooks.getOrElse(pqSeedBooks(corpus, idCol, vecCol, m, ksub))
     require(books.length == m && books.forall(_.length == ksub))
     val dims = vecDims(corpus, vecCol)
-    val dsub = books(0)(0).length
-    val qRows = queries.select(col(idCol).cast("long"), col(vecCol)).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
-    val lutMap: Map[Long, Seq[Double]] = qRows.map { case (qid, qv) =>
-      qid -> (0 until m).flatMap { j =>
-        val qsub = qv.slice(j * dsub, (j + 1) * dsub)
-        books(j).toSeq.map(cv => -2.0 * dotSeq(qsub, cv) + sqNormSeq(cv))
-      }
-    }.toMap
     val c = corpus.select(col(idCol).as("nid"),
       cellExpr(col(vecCol), nlist, dims).as("cell"),
       pqCodesExpr(col(vecCol), books).as("__codes"))
     val q = queries.select(col(idCol).cast("long").as("qid"),
       cellExpr(col(vecCol), nlist, dims).as("cell"))
-    val lut = element_at(typedLit(lutMap), col("qid"))
-    val contrib = transform(col("__codes"),
-      (code, j) => element_at(lut, j * lit(ksub) + code.cast("int") + lit(1)))
-    val scored = c.join(broadcast(q), "cell")
-      .filter(col("nid") =!= col("qid"))
-      .select(col("qid"), col("nid"),
-        (round(aggregate(contrib, lit(0.0), (a, x) => a + x), 4) + lit(0.0))
-          .as("adc"))
-    topKByQuery(scored.withColumn("__neg", negate(col("adc"))), k, "__neg", "__neg")
-      .select(col("qid"), col("rank"), col("nid"),
-        (negate(col("__neg")) + lit(0.0)).as("adc"))
+    val pairs = c.join(broadcast(q), "cell")
+    adcRank(pairs, pqLut(queries, idCol, vecCol, books, m), ksub, k)
   }
 
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus

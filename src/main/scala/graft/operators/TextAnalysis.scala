@@ -287,14 +287,19 @@ object TextAnalysis {
     val c2 = bigramCounts(train, textCol)
     val c1 = c2.groupBy(substring_index(col("bigram"), " ", 1).as("__w1"))
       .agg(sum(col("n")).as("c1"))
-    val model = c2.withColumn("__w1", substring_index(col("bigram"), " ", 1))
-      .join(c1, "__w1")
-      .select(col("bigram"), col("n").as("c2"), col("c1"))
+    val model = c2.select(col("bigram"), col("n").as("c2"))
     val vocab = train.select(explode(tokens(col(textCol))).as("tok"))
       .agg(countDistinct(col("tok")).as("v"))
     val db = docs.select(col(idCol).as("id"),
       explode(Dedup.shingleArray(col(textCol), 2)).as("bigram"))
+      .withColumn("__w1", substring_index(col("bigram"), " ", 1))
+    // c1 joins on the DOC bigram's first token, independently of whether
+    // the bigram itself is in the model: a doc bigram "a c" unseen in
+    // train must score (0+1)/(c1(a)+V), not (0+1)/(0+V) — carrying c1
+    // only on matched model rows breaks P(.|w1) normalization and
+    // diverges from streamingLmScore's independent m1 lookup
     val scored = db.join(model, Seq("bigram"), "left")
+      .join(c1, Seq("__w1"), "left")
       .crossJoin(broadcast(vocab))
       .select(col("id"),
         negate(log((coalesce(col("c2"), lit(0L)) + lit(1.0)) /
@@ -348,8 +353,17 @@ object TextAnalysis {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= h)
     val floorRow = ranked.agg(min(col("n_key"))).head()
+    // exactness needs BOTH: every returned count clears the MG survival
+    // threshold n/(k+1) AND the list actually has h rows (every
+    // candidate occurs, so #rows = min(h, #candidates)) — with fewer
+    // candidates than h the tail ranks are unproven even when the floor
+    // clears, since non-candidates may hold any count ≤ n/(k+1).
+    // (Conservative when the corpus has < h distinct keys: proving THAT
+    // would cost the vocabulary-wide distinct count this operator
+    // exists to avoid — raise k or fall back to a plain groupBy there.)
     val guaranteed = !floorRow.isNullAt(0) &&
-      floorRow.getLong(0).toDouble > n.toDouble / (k + 1)
+      floorRow.getLong(0).toDouble > n.toDouble / (k + 1) &&
+      cand.size >= h
     ranked.select(col("rank"), col("key"), col("n_key"),
       lit(guaranteed).as("hh_guaranteed"))
   }

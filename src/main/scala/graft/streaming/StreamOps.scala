@@ -600,6 +600,10 @@ object StreamOps {
                     corpusTextCol: String, terms: Seq[String],
                     k1: Double = 1.2, b: Double = 0.75): Dataset[Bm25Scored] = {
     import docs.sparkSession.implicits._
+    // same input contract as the batch twin — divergent validation would
+    // let duplicate terms double-count here while batch rejects them
+    require(terms.nonEmpty && terms.distinct.size == terms.size,
+      "terms must be non-empty and distinct")
     val toks = graft.operators.TextAnalysis.tokens(col(corpusTextCol))
     val statAggs = count(lit(1)).cast("double").as("nn") +:
       avg(size(toks).cast("double")).as("avgdl") +:
@@ -607,7 +611,11 @@ object StreamOps {
         sum(when(array_contains(toks, t), 1.0).otherwise(0.0)).as(s"df$i")
       }
     val row = corpus.agg(statAggs.head, statAggs.tail: _*).head()
-    val nn = row.getDouble(0); val avgdl = row.getDouble(1)
+    // an empty reference corpus has no avgdl (null aggregate) — every
+    // doc then scores 0 via the dl>0 ∧ avgdl>0 guard below, the same
+    // degenerate-input behavior as the batch operator, not an NPE
+    val nn = row.getDouble(0)
+    val avgdl = if (row.isNullAt(1)) 0.0 else row.getDouble(1)
     val dfs = terms.indices.map(i => row.getDouble(2 + i)).toArray
     val bc = docs.sparkSession.sparkContext.broadcast((terms.toArray, dfs))
     docs.map { case (id, text) =>
@@ -620,7 +628,7 @@ object StreamOps {
       while (i < ts.length) {
         val tf = tk.count(_ == ts(i)).toDouble
         if (tf > 0) hits += 1
-        if (dl > 0) {
+        if (dl > 0 && avgdl > 0) {
           val idf = math.log(1.0 + (nn - dfArr(i) + 0.5) / (dfArr(i) + 0.5))
           score += idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
         }
@@ -651,22 +659,26 @@ object StreamOps {
       .dsirModel(reference, refIdCol, refTextCol, targetPred)
       .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
     val bc = docs.sparkSession.sparkContext.broadcast(lrs)
-    docs.map { case (id, text) =>
+    docs.mapPartitions { it =>
       val m = bc.value
-      // same tokenization as TextAnalysis.tokens: ASCII-ws runs
-      val tk = "[^ \t\n\u000B\f\r]+".r.findAllIn(text).toArray
-      var sum = 0.0
-      var i = 0
-      while (i < tk.length) {
-        // JVM twin of Sampling.hashBucket256: first md5 byte unsigned.
-        // The model frame is complete (all 256 buckets, smoothed), so
-        // the lookup is total.
-        val d = java.security.MessageDigest.getInstance("MD5")
-          .digest(tk(i).getBytes("UTF-8"))
-        sum += m(d(0) & 0xff)
-        i += 1
+      // ONE digest per partition, not per token — getInstance is a JCA
+      // provider lookup; digest() resets the instance between calls
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { case (id, text) =>
+        // same tokenization as TextAnalysis.tokens: ASCII-ws runs
+        val tk = "[^ \t\n\u000B\f\r]+".r.findAllIn(text).toArray
+        var sum = 0.0
+        var i = 0
+        while (i < tk.length) {
+          // JVM twin of Sampling.hashBucket256: first md5 byte unsigned.
+          // The model frame is complete (all 256 buckets, smoothed), so
+          // the lookup is total.
+          val d = md.digest(tk(i).getBytes("UTF-8"))
+          sum += m(d(0) & 0xff)
+          i += 1
+        }
+        DsirScored(id, tk.length.toLong, sum)
       }
-      DsirScored(id, tk.length.toLong, sum)
     }
   }
 
@@ -733,22 +745,25 @@ object StreamOps {
     import docs.sparkSession.implicits._
     require(weights.length == 256, "expected 256 bucket weights")
     val bc = docs.sparkSession.sparkContext.broadcast((weights, bias))
-    docs.map { case (id, text) =>
+    docs.mapPartitions { it =>
       val (w, b) = bc.value
+      // ONE digest per partition, not per token (see streamingDsir)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      it.map { case (id, text) =>
       // same tokenization as TextAnalysis.tokens: ASCII-ws runs
       val tk = "[^ \t\n\u000B\f\r]+".r.findAllIn(text).toArray
       var dot = 0.0
       var i = 0
       while (i < tk.length) {
         // JVM twin of Sampling.hashBucket256: first md5 byte unsigned
-        val d = java.security.MessageDigest.getInstance("MD5")
-          .digest(tk(i).getBytes("UTF-8"))
+        val d = md.digest(tk(i).getBytes("UTF-8"))
         dot += w(d(0) & 0xff)
         i += 1
       }
       // x_b = count_b / n sums to dot/n over per-token weights
       val z = if (tk.isEmpty) b else dot / tk.length + b
       QualityScored(id, tk.length.toLong, 1.0 / (1.0 + math.exp(-z)))
+      }
     }
   }
 

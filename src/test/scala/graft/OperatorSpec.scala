@@ -555,6 +555,14 @@ class OperatorSpec extends AnyFunSuite {
     assert(got.map(r => (r.getString(1), r.getLong(2))).toSeq == brute)
     assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
     assert(got.forall(_.getBoolean(3)), "hot counts are far above n/(k+1)")
+    // a starved sketch must NOT claim exactness: [a,a,a,b,c] with k=2
+    // can decrement b and c away, leaving one candidate for h=2 — the
+    // floor (3 > 5/3) clears, but the missing second row means the
+    // top-2 list is unproven
+    val starved = Seq("a", "a", "a", "b", "c").toDF("key")
+    val g2 = TextAnalysis.heavyHitters(starved, col("key"), h = 2, k = 2).collect()
+    if (g2.length < 2) assert(g2.forall(!_.getBoolean(3)),
+      s"claimed exact top-2 with ${g2.length} rows")
   }
 
   test("MisraGries law: keys above n/(k+1) survive any chunking and merge order") {
@@ -598,6 +606,13 @@ class OperatorSpec extends AnyFunSuite {
       docs.filter(col("doc_id") =!= 3L), Seq((9L, t)).toDF("doc_id", "text"),
       "doc_id", "text").collect().head.getDouble(2)
     assert(scoreIt("a b a b") < scoreIt("q z q z"))
+    // cross-corpus unseen bigram keeps the w1 MARGINAL: "a c" is not in
+    // the doc-1/doc-2 model but c1(a)=3 and V={a,b}=2, so P(c|a) =
+    // (0+1)/(3+2) — NOT (0+1)/(0+2), which would break P(.|a)
+    // normalization (the c1-only-via-model-row bug this case pins down)
+    assert(math.abs(scoreIt("a c") - -math.log(1.0 / 5)) < 1e-12)
+    // and an unseen w1 falls back to the pure smoothing mass (0+1)/(0+V)
+    assert(math.abs(scoreIt("z c") - -math.log(1.0 / 2)) < 1e-12)
   }
 
   test("topKPerGroup: window-free plan, bit-identical to the row_number window") {
