@@ -17,11 +17,15 @@ object QueriesSim {
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(
     // SemDeDup-style semantic dedup: IVF-cell coarse clustering, exact
     // pairwise cosine only within a cell, pointer-jumped components,
-    // keep the min id per component
+    // keep the min id per component. The cell cap guards the adversarial
+    // mass-duplicated-embedding case (one cell going quadratic); 4096 is
+    // provably inert here — the embeddings table tops out at 2,000 rows
+    // TOTAL at sf0.1 (max cell asserted < 4096 in OperatorSpec), so
+    // results are bit-identical to the uncapped run.
     "q86_semantic_dedup" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s) // native graft_dot
       Similarity.semanticDedup(tbl(s, dir, "embeddings"), "vec_id", "embedding",
-        nlist = 4, threshold = 0.4)
+        nlist = 4, threshold = 0.4, maxCellSize = Some(4096))
         .select(col("id").as("vec_id"), col("cell"), col("canonical_id"),
           col("keep"))
         .orderBy(col("vec_id"))

@@ -777,9 +777,18 @@ object QueriesText {
        |  SELECT id, CAST(floor(i / 3) AS INT) AS band,
        |    string_agg(h, '|' ORDER BY i) AS key
        |  FROM sig GROUP BY id, CAST(floor(i / 3) AS INT)),
+       |cbands AS (
+       |  -- replay the operator's maxBucketSize=64 cap exactly: only the
+       |  -- 64 smallest ids of an oversized band bucket generate pairs.
+       |  -- Inert at tested SFs (max bucket is 4 — OperatorSpec), but the
+       |  -- oracle must diverge in lockstep if a larger SF crosses 64.
+       |  SELECT band, key, id FROM (
+       |    SELECT band, key, id,
+       |      row_number() OVER (PARTITION BY band, key ORDER BY id) AS rn
+       |    FROM bands) WHERE rn <= 64),
        |cand AS (
        |  SELECT DISTINCT l.id AS a, r.id AS b
-       |  FROM bands l JOIN bands r ON l.band = r.band AND l.key = r.key
+       |  FROM cbands l JOIN cbands r ON l.band = r.band AND l.key = r.key
        |    AND l.id < r.id),
        |sizes AS (SELECT id, count(*) AS sz FROM shingles GROUP BY id),
        |inter AS (

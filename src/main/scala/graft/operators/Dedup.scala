@@ -22,16 +22,22 @@ object Dedup {
 
   /** Exact dedup: canonical (min-id) row per identical text. Returns
     * (id, canonical_id, group_size); a row is a duplicate iff
-    * id != canonical_id. ONE scan (each document hashed once), ONE
-    * digest-keyed shuffle: the per-group min/count are unbounded-frame
-    * window aggregates over the digest partition — no join back to a
-    * second scan of the source. Shuffles a 32-byte digest, not the
-    * document. */
+    * id != canonical_id. Shape: `groupBy(digest).agg(min, count)` + join
+    * back on digest — MAP-SIDE partial aggregation reduces even a
+    * mass-duplicated digest to one row per task before its exchange, and
+    * the join back is a streaming probe (sort-merge/hash, AQE
+    * skew-splittable), so no task ever materializes a duplicate GROUP.
+    * (The previous window formulation — min/count over
+    * `Window.partitionBy(digest)` — saved the second digest scan but
+    * pinned a digest's entire group to one window task: a boilerplate
+    * page duplicated 10⁸× at 100 TB is one 10⁸-row partition. The second
+    * scan recomputes only a projection + md5 — cheap; the exchange still
+    * carries a 32-byte digest, never the document.) */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(col("digest"))
-    df.select(col(idCol).as("id"), md5(col(textCol)).as("digest"))
-      .withColumn("canonical_id", min(col("id")).over(w))
-      .withColumn("group_size", count(lit(1)).over(w))
+    val d = df.select(col(idCol).as("id"), md5(col(textCol)).as("digest"))
+    val g = d.groupBy(col("digest"))
+      .agg(min(col("id")).as("canonical_id"), count(lit(1)).as("group_size"))
+    d.join(g, "digest")
       .select(col("id"), col("canonical_id"), col("group_size"))
   }
 
@@ -236,16 +242,27 @@ object Dedup {
     * monotone per side and order-preserving overall, so banding caps —
     * which select within a bucket by id order — behave exactly as over
     * the raw ids, and a pair's orientation (smaller id first) survives.
+    * The bound is ENFORCED per row (a codegen'd map-side check, no extra
+    * job): a null/non-numeric id or one ≥ 2^62 raises rather than
+    * silently packing to null or overflowing into wrong pairs.
     * Returns (a_id from `a`, b_id from `b`, jaccard ≥ threshold). */
   def crossCorpusNearDups(a: DataFrame, b: DataFrame, idCol: String,
                           textCol: String, shingleWidth: Int = 3,
                           numHashes: Int = 12, bands: Int = 4,
                           threshold: Double = 0.7,
                           maxBucketSize: Option[Int] = None): DataFrame = {
-    val ta = a.select((col(idCol).cast("long") * 2).as("__xid"),
-      col(textCol).as("__xtext"))
-    val tb = b.select((col(idCol).cast("long") * 2 + 1).as("__xid"),
-      col(textCol).as("__xtext"))
+    def packed(df: DataFrame, side: Int): DataFrame = {
+      val id = col(idCol).cast("long")
+      df.select(
+        when(id.isNotNull && id >= 0 && id < (1L << 62), id * 2 + side)
+          .otherwise(raise_error(concat(
+            lit("crossCorpusNearDups: id must be a non-negative integer" +
+              " < 2^62 (2*id+side packing); got "),
+            coalesce(col(idCol).cast("string"), lit("null"))))).as("__xid"),
+        col(textCol).as("__xtext"))
+    }
+    val ta = packed(a, 0)
+    val tb = packed(b, 1)
     val pairs = minhashNearDups(ta.unionByName(tb), "__xid", "__xtext",
       shingleWidth, numHashes, bands, threshold, maxBucketSize)
     pairs.filter(pmod(col("a"), lit(2)) =!= pmod(col("b"), lit(2)))
@@ -290,9 +307,13 @@ object Dedup {
     val sym = edges.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .union(edges.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
       .localCheckpoint()
-    var labels = sym.groupBy(col("src")).agg(min(col("dst")).as("nmin"))
+    // labelsCkpt is ALWAYS the checkpointed frame itself (plan root =
+    // LogicalRDD) — unpersistCheckpoint deliberately frees only root
+    // checkpoints, so a derived projection must never be what we free
+    var labelsCkpt = sym.groupBy(col("src")).agg(min(col("dst")).as("nmin"))
       .select(col("src").as("id"), least(col("src"), col("nmin")).as("label"))
       .localCheckpoint()
+    var labels = labelsCkpt
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -317,7 +338,8 @@ object Dedup {
       // the count materialized `next` — the previous round's label
       // blocks are superseded; free them instead of pinning every
       // round's copy for the session (long-lived-session leak class)
-      org.apache.spark.sql.GraftColumnShim.unpersistCheckpoint(labels)
+      org.apache.spark.sql.GraftColumnShim.unpersistCheckpoint(labelsCkpt)
+      labelsCkpt = next
       labels = next.select(col("id"), col("label"))
       round += 1
     }

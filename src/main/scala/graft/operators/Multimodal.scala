@@ -482,10 +482,14 @@ object Multimodal {
                   while (f < inFrames) {
                     if (f % factor == 0) {
                       val off = f * frameBytes
-                      kept.write(pcm, off, frameBytes)
                       var c = 0
                       while (c < ch) {
                         val i = off + c * 2
+                        // the output WAV is ALWAYS little-endian (WAV is
+                        // LE by spec, and platform writers may reject BE
+                        // PCM-16 streams) — swap bytes from BE sources
+                        if (big) { kept.write(pcm(i + 1)); kept.write(pcm(i)) }
+                        else kept.write(pcm, i, 2)
                         val s = if (big) (pcm(i) << 8) | (pcm(i + 1) & 0xff)
                                 else (pcm(i + 1) << 8) | (pcm(i) & 0xff)
                         val a = math.abs(s.toShort.toLong)
@@ -498,7 +502,7 @@ object Multimodal {
                   val outFrames = (inFrames + factor - 1) / factor
                   val outRate = fmt.getSampleRate / factor
                   val outFmt = new javax.sound.sampled.AudioFormat(
-                    outRate, 16, ch, true, big)
+                    outRate, 16, ch, true, false)
                   val bos = new java.io.ByteArrayOutputStream()
                   javax.sound.sampled.AudioSystem.write(
                     new javax.sound.sampled.AudioInputStream(

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TopKByScore
 
@@ -618,14 +619,34 @@ object Similarity {
     * lineage; the final labeling is one left join of ids against the
     * (small) duplicate-pair node set.
     *
+    * `maxCellSize` guards the adversarial case nlist cannot: a
+    * mass-duplicated embedding (one viral page embedded 10⁸×) collapses
+    * into ONE cell regardless of nlist, and the within-cell self-join
+    * goes quadratic. With a cap, only the `cap` smallest ids of an
+    * oversized cell generate pairs — the same deterministic id-order
+    * semantics as [[Dedup.lshCandidates]]' maxBucketSize (the capping
+    * row_number sorts the cell: linearithmic, never quadratic). Rows
+    * beyond the cap stay in the OUTPUT (labeled keep=true, their own
+    * canonical) — mass duplicates still dedup among the surviving ids,
+    * and byte-identical copies belong to [[Dedup.exact]] anyway.
+    *
     * Returns one row per vector: (id, cell, canonical_id, keep). */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
-                    nlist: Int, threshold: Double): DataFrame = {
+                    nlist: Int, threshold: Double,
+                    maxCellSize: Option[Int] = None): DataFrame = {
     val dims = vecDims(emb, vecCol)
     val withCell = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("norm", norm(col("vec")))
       .withColumn("cell", cellExpr(col("vec"), nlist, dims))
-    val l = withCell.as("l"); val r = withCell.as("r")
+    val capped = maxCellSize match {
+      case Some(cap) =>
+        require(cap >= 2, s"maxCellSize=$cap: need at least 2 ids to form a pair")
+        val w = Window.partitionBy(col("cell")).orderBy(col("id"))
+        withCell.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= cap).drop("__rn")
+      case None => withCell
+    }
+    val l = capped.as("l"); val r = capped.as("r")
     val pairs = l.join(r,
         col("l.cell") === col("r.cell") && col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b"),

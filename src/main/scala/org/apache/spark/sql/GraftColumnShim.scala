@@ -28,10 +28,16 @@ object GraftColumnShim {
     * its analyzed plan is a `LogicalRDD` over the checkpointed
     * (persisted) RDD, so unpersist that RDD directly —
     * `Dataset.unpersist` only touches `CacheManager` entries and would
-    * leave localCheckpoint blocks orphaned. No-op for other plans;
+    * leave localCheckpoint blocks orphaned. Matches ONLY the plan ROOT
+    * (the frame `localCheckpoint()` itself returned): walking the whole
+    * plan would also free any still-shared UPSTREAM checkpoint a derived
+    * frame happens to reference (e.g. a frame built on the cached q32
+    * pairs spine), and localCheckpoint blocks are unrecoverable by
+    * design. Callers therefore keep a handle to the checkpointed frame
+    * itself, never a projection of it. No-op for other plans;
     * non-blocking. */
   def unpersistCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
+    df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
       case _ => ()
     }

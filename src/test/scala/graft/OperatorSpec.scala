@@ -763,6 +763,34 @@ class OperatorSpec extends AnyFunSuite {
       absSum += math.abs(exp)
     }
     assert(out.mean_abs == absSum.toDouble / 68)
+    // BIG-ENDIAN source (AIFF carries BE PCM-16): the decoded samples
+    // must be byte-swapped into the LE output WAV — a pass-through of BE
+    // bytes under an LE header would corrupt every sample
+    val beFrames = 10
+    val bePcm = new Array[Byte](beFrames * 2)
+    for (f <- 0 until beFrames) {
+      val v = (f * 257 - 500).toShort
+      bePcm(2 * f) = (v >> 8).toByte; bePcm(2 * f + 1) = (v & 0xff).toByte
+    }
+    val beFmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+    val beBos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(bePcm), beFmt, beFrames.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, beBos)
+    val be = Multimodal.audioDecimate(
+      Seq((3L, beBos.toByteArray)).toDF("id", "wav"), "id", "wav", 2).collect().head
+    assert(be.in_frames == 10 && be.out_frames == 5, s"be: $be")
+    val bais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(be.wav))
+    assert(!bais.getFormat.isBigEndian) // LE by spec, whatever the source
+    val bpcm = bais.readAllBytes()
+    assert(bpcm.length == 5 * 2)
+    for (of <- 0 until 5) {
+      val exp = of * 2 * 257 - 500
+      val got = (((bpcm(2 * of + 1) & 0xff) << 8) | (bpcm(2 * of) & 0xff)).toShort.toInt
+      assert(got == exp, s"be frame $of: $got != $exp")
+    }
     // factor 1 is the identity on frames; garbage → sentinel
     val id1 = Multimodal.audioDecimate(
       Seq((1L, wav)).toDF("id", "wav"), "id", "wav", factor = 1).collect().head
@@ -1428,6 +1456,46 @@ class OperatorSpec extends AnyFunSuite {
         .agg(max("count")).collect()(0).getLong(0)
       assert(maxBucket < 64, s"$sf max band bucket $maxBucket !< 64")
     }
+  }
+
+  test("q86's cell cap (4096) is provably inert at every oracle scale") {
+    // the cap only truncates cells LARGER than it; assert no IVF cell at
+    // any oracle SF comes close, so capped ≡ uncapped results
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val emb = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
+      val dims = emb.select(size(col("embedding"))).head().getInt(0)
+      val maxCell = emb
+        .select(Similarity.cellExpr(col("embedding"), 4, dims).as("cell"))
+        .groupBy("cell").count()
+        .agg(max("count")).collect()(0).getLong(0)
+      assert(maxCell < 4096, s"$sf max IVF cell $maxCell !< 4096")
+    }
+  }
+
+  test("semanticDedup cell cap bounds a mega-cell without losing dedup") {
+    // 300 byte-identical embeddings (one viral page embedded 300×) all
+    // land in ONE cell regardless of nlist. Uncapped that cell's
+    // self-join is C(300,2) = 44,850 pairs; the cap bounds it to
+    // C(10,2) = 45 from the 10 smallest ids — which still collapse to
+    // canonical 0 — while rows past the cap stay in the OUTPUT as their
+    // own keepers (the lshCandidates maxBucketSize semantics exactly).
+    val emb = spark.range(300).select(col("id").as("vec_id"),
+      array(lit(1.0f), lit(0.5f), lit(0.25f), lit(0.125f)).as("embedding"))
+    val out = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      nlist = 8, threshold = 0.99, maxCellSize = Some(10))
+    val rows = out.collect()
+    assert(rows.length == 300)
+    val collapsed = rows.filter(r => r.getAs[Long]("canonical_id") == 0L)
+    assert(collapsed.length == 10 && collapsed.forall(_.getAs[Long]("id") < 10))
+    assert(rows.filter(_.getAs[Long]("id") >= 10).forall(r =>
+      r.getAs[Boolean]("keep") && r.getAs[Long]("canonical_id") == r.getAs[Long]("id")))
+    // an inert cap is bit-identical to the uncapped run
+    val uncapped = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      nlist = 8, threshold = 0.99, maxCellSize = Some(300))
+    val full = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      nlist = 8, threshold = 0.99)
+    assert(uncapped.exceptAll(full).count() == 0L)
+    assert(full.exceptAll(uncapped).count() == 0L)
   }
 
   test("minhashNearDups duplicate bomb: capped banding stays linearithmic") {

@@ -49,12 +49,19 @@ class StressSpec extends AnyFunSuite {
 
   test("exact dedup: one text duplicated 10k× among 100k docs", SlowStress) {
     failAfter(Span(900, Seconds)) {
-      // digest-keyed window: the hot group holds 10k rows of 32-byte
-      // digests — a shuffle-partition-sized skew, not a quadratic one
+      // digest-keyed groupBy + join back: map-side partials bound the hot
+      // digest at one row per task, and the probe-side join streams —
+      // no task ever holds the 10k-row duplicate group
       val docs = spark.range(100000).select(col("id").as("doc_id"),
         when(col("id") < 10000, lit("the mass duplicated crawl page body"))
           .otherwise(concat(lit("unique text "), col("id"))).as("text"))
       val out = graft.operators.Dedup.exact(docs, "doc_id", "text")
+      // the operator-library plan-shape invariant (round-9 verdict #1):
+      // no window anywhere in the plan — the old formulation's
+      // Window.partitionBy(digest) pinned a mass-dup group to one task
+      val plan = out.queryExecution.optimizedPlan.toString.toLowerCase
+      assert(!plan.contains("windowexpression"),
+        s"exact dedup must be window-free:\n$plan")
       val dupGroup = out.filter(col("group_size") === 10000L)
       assert(dupGroup.count() == 10000L)
       assert(dupGroup.agg(min(col("canonical_id"))).collect()(0).getLong(0) == 0L)
@@ -522,6 +529,30 @@ class StressSpec extends AnyFunSuite {
       // percolation analytics, deliberately NOT asserted — structured
       // lattice directions merge far more than random ones)
       assert(stats.getLong(0) >= 1L && stats.getLong(0) <= 27001L)
+    }
+  }
+
+  test("semanticDedup: 100k identical embeddings — cap keeps the cell linearithmic", SlowStress) {
+    failAfter(Span(900, Seconds)) {
+      // the bomb nlist cannot defuse: 100k byte-identical embeddings all
+      // land in ONE cell whatever nlist is. Uncapped, the within-cell
+      // self-join is C(100k,2) = 5·10⁹ pairs — fatal; capped at 64, the
+      // 64 smallest ids pair (C(64,2) = 2016 — they still collapse to
+      // canonical 0) and the other 99,936 rows pass through as their own
+      // keepers. The capping row_number SORTS the cell (linearithmic);
+      // nothing quadratic survives in the plan.
+      val emb = spark.range(100000).select(col("id").as("vec_id"),
+        array(lit(1.0f), lit(0.0f), lit(0.0f), lit(0.0f)).as("embedding"))
+      val out = graft.operators.Similarity.semanticDedup(
+        emb, "vec_id", "embedding", nlist = 8, threshold = 0.9999,
+        maxCellSize = Some(64))
+      val stats = out.agg(
+        count(lit(1)),
+        sum(when(col("canonical_id") === 0L && col("id") =!= 0L, 1L).otherwise(0L)),
+        sum(when(col("keep"), 1L).otherwise(0L))).collect()(0)
+      assert(stats.getLong(0) == 100000L)
+      assert(stats.getLong(1) == 63L)     // the capped survivors dedup to 0
+      assert(stats.getLong(2) == 100000L - 63L) // everyone else keeps itself
     }
   }
 
