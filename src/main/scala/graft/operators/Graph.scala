@@ -48,14 +48,19 @@ object Graph {
     val e = edges.select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))
       .distinct()
-    val nodes = e.select(col("src").as("id"))
-      .union(e.select(col("dst").as("id")))
-      .distinct()
-      .localCheckpoint()
-    val n = nodes.count() // one driver scalar, not data
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    // (src, dst, deg) spine — reused by every round's join
+    // (src, dst, deg) spine — reused by every round's join. Checkpointed
+    // FIRST so the node set derives from its (already materialized)
+    // blocks instead of re-scanning the raw edge input a second time.
     val spine = e.join(outDeg, "src").localCheckpoint()
+    // LAZY checkpoint + count in ONE job (the count materializes the
+    // blocks) — the fixed per-run driver-job tally is 2 (spine, nodes),
+    // not the former 3 (nodes ckpt, nodes count, spine ckpt).
+    val nodes = spine.select(col("src").as("id"))
+      .union(spine.select(col("dst").as("id")))
+      .distinct()
+      .localCheckpoint(false)
+    val n = nodes.count() // one driver scalar, not data
     var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank"))
     val intermediates = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (round <- 0 until iters) {

@@ -198,6 +198,49 @@ object StreamOps {
       }
   }
 
+  /** Streaming SemDeDup candidates — the unbounded twin of
+    * [[graft.operators.Similarity.semanticDedup]]'s cell stage: each
+    * incoming (id, vector) is assigned its IVF cell MAP-SIDE with the
+    * batch operator's exact deterministic pseudo-centroids (argmax of
+    * the md5-derived ±1 projections, first-max tie-break — the scalar
+    * replay of `cellExpr`, planes offset by 7919 exactly as batch); the
+    * only stateful op is a per-cell first-seen register, so state is
+    * one id per observed cell — ≤ nlist rows EVER, the tightest state
+    * bound of any twin here. Emits (id, firstSeenId, cell) for every
+    * later arrival in a cell; exact cosine verification of candidates
+    * happens downstream, exactly as the batch operator's within-cell
+    * pairwise step (a capped batch run verifies only the cap's
+    * survivors — the register's first-id star is the streaming
+    * counterpart of that bound). */
+  def streamingSemanticDedupCandidates(vecs: Dataset[(Long, Seq[Float])],
+                                       nlist: Int, dims: Int): Dataset[(Long, Long, Long)] = {
+    import vecs.sparkSession.implicits._
+    val signs = Array.tabulate(nlist, dims)((c, j) =>
+      graft.operators.Similarity.planeSign(c + 7919, j))
+    val bc = vecs.sparkSession.sparkContext.broadcast(signs)
+    val keyed: Dataset[(Long, Long)] = vecs.map { case (id, v) =>
+      val s = bc.value
+      var best = 0; var bestD = Double.NegativeInfinity
+      var c = 0
+      while (c < nlist) {
+        var d = 0.0; var j = 0
+        while (j < dims) { d += v(j) * s(c)(j); j += 1 }
+        if (d > bestD) { bestD = d; best = c } // strict > keeps the FIRST max
+        c += 1
+      }
+      (best.toLong, id)
+    }
+    keyed.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (cell, it, state: GroupState[Long]) =>
+          val ids = it.map(_._2).toSeq.distinct.sorted
+          val first = state.getOption.getOrElse(ids.head)
+          if (!state.exists) state.update(first)
+          ids.filterNot(_ == first).map(dup => (dup, first, cell)).iterator
+      }
+  }
+
   /** Streaming cross-corpus dedup candidates — the admission gate "is
     * this incoming doc a near-dup of the EXISTING corpus?", the
     * unbounded twin of [[graft.operators.Dedup.crossCorpusNearDups]]'s

@@ -932,6 +932,58 @@ class StreamingParitySpec extends AnyFunSuite {
       s"state rows $stateRows vs $nBuckets observed buckets")
   }
 
+  test("parity across checkpoint restart: streamingSemanticDedupCandidates ≡ batch IVF cells") {
+    implicit val sq = spark.sqlContext
+    // batch truth: the same deterministic pseudo-centroid cells over
+    // sf0.001 embeddings (semanticDedup's coarse stage); a k-vector cell
+    // must stream as a star on its first-arrived (= smallest, ordered
+    // replay) id — and that register must SURVIVE a hard restart
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val nlist = 8
+    val cells = graft.operators.Similarity.ivfAssign(emb, "vec_id", "embedding", nlist)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val expected = cells.groupBy(_._2).toSeq.flatMap { case (cell, grp) =>
+      val ids = grp.map(_._1).sorted
+      ids.tail.map(id => (id, ids.head, cell))
+    }.toSet
+
+    val dims = emb.selectExpr("size(embedding)").first().getInt(0)
+    val rows = emb.orderBy(col("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt_").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sink_").toString
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val out = StreamOps.streamingSemanticDedupCandidates(mem.toDS(), nlist, dims)
+      .toDF("id", "first_id", "cell")
+
+    // first half, fully committed, then a hard stop
+    val q1 = out.writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt).start()
+    replay(mem, rows.take(250), chunk = 50, q1)
+    val stateRows1 = Option(q1.lastProgress)
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    q1.stop()
+
+    // restart FROM THE CHECKPOINT: the per-cell first-seen registers
+    // must come back, or post-restart arrivals elect NEW firsts
+    val q2 = out.writeStream.outputMode("append").format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt).start()
+    replay(mem, rows.drop(250), chunk = 50, q2)
+    val stateRows2 = Option(q2.lastProgress)
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    q2.stop()
+
+    val streamed = spark.read.parquet(outDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == expected,
+      s"extra=${(streamed -- expected).take(5)} missing=${(expected -- streamed).take(5)}")
+    // state = one register per OBSERVED cell, bounded by nlist ever
+    val nCells = cells.map(_._2).distinct.length
+    assert(stateRows2 == nCells.toLong,
+      s"state rows $stateRows2 vs $nCells observed cells")
+    assert(stateRows1 <= nlist.toLong && stateRows2 <= nlist.toLong)
+  }
+
   test("parity: streamingCrossDedupCandidates ≡ batch cross-side band keys, stateless") {
     implicit val sq = spark.sqlContext
     import graft.operators.Dedup
