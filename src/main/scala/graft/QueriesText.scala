@@ -177,6 +177,55 @@ object QueriesText {
           round(col("score") + lit(1e-9), 4).as("bm25"))
         .orderBy(col("doc_id"))),
 
+    // Gopher-style rule battery (word-count band, mean word length,
+    // alpha-word fraction, stopword hits → pass bit): one codegen'd
+    // map-side projection per doc, no explode, no shuffle
+    "q97_gopher_rules" -> ((s, dir) =>
+      TA.gopherQuality(tbl(s, dir, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_words"), col("mean_word_len"),
+          col("frac_alpha_words"), col("n_stopword_hits"), col("pass"))
+        .orderBy(col("doc_id"))),
+
+    // TF-IDF retrieval scores against a fixed term set: map-side tf
+    // folds + one 1-row (N, df) broadcast — the q85 shape with the
+    // linear scorer
+    "q98_tfidf" -> ((s, dir) =>
+      TA.tfidf(tbl(s, dir, "documents"), "doc_id", "text",
+        Seq("spark", "join", "window"))
+        .select(col("id").as("doc_id"), col("n_query_hits"),
+          round(col("score") + lit(1e-9), 4).as("tfidf"))
+        .orderBy(col("doc_id"))),
+
+    // production dedup policy: near-dup clusters (the SAME verified pair
+    // spine q32/q65 share) keep their LONGEST doc, ties to the smaller
+    // id — survivor election is a partial-aggregated min_by per cluster,
+    // never a window
+    "q99_canonical_survivors" -> ((s, dir) =>
+      Dedup.canonicalByScore(tbl(s, dir, "documents"), "doc_id",
+        col("n_chars").cast("long"), verifiedPairs(s, dir))
+        .select(col("id").as("doc_id"), col("cluster"),
+          col("score").as("n_chars"), col("keep"))
+        .orderBy(col("doc_id"))),
+
+    // edit-distance verification of the near-dup candidates: exact
+    // Levenshtein over the (tiny) verified pair spine joined back to the
+    // docs — the character-level second opinion on the shingle Jaccard
+    "q100_edit_verify" -> ((s, dir) => {
+      val docs = tbl(s, dir, "documents")
+      val pairs = verifiedPairs(s, dir)
+      val ta = docs.select(col("doc_id").as("a"), col("text").as("__ta"),
+        col("n_chars").cast("long").as("__la"))
+      val tb = docs.select(col("doc_id").as("b"), col("text").as("__tb"),
+        col("n_chars").cast("long").as("__lb"))
+      pairs.join(ta, "a").join(tb, "b")
+        .select(col("a"), col("b"),
+          levenshtein(col("__ta"), col("__tb")).cast("long").as("lev"),
+          round(lit(1.0) - levenshtein(col("__ta"), col("__tb")).cast("double") /
+            greatest(col("__la"), col("__lb")).cast("double") + lit(1e-9), 4)
+            .as("lev_sim"))
+        .orderBy(col("a"), col("b"))
+    }),
+
     // dataset-card rollup: corpus composition stats at every (lang,
     // source) aggregation level in ONE pass — Spark's rollup is the
     // partial-aggregated GROUPING SETS plan, no per-level rescans
@@ -1086,6 +1135,94 @@ object QueriesText {
          |FROM base b CROSS JOIN stats
          |ORDER BY doc_id""".stripMargin
     },
+
+    "q97_gopher_rules" ->
+      s"""WITH m AS (
+         |  SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         |s AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+         |    CASE WHEN len(toks) = 0 THEN 0.0
+         |      ELSE CAST(list_aggregate(list_transform(toks, x -> len(x)),
+         |        'sum') AS DOUBLE) / len(toks) END AS ml,
+         |    CASE WHEN len(toks) = 0 THEN 0.0
+         |      ELSE CAST(len(list_filter(toks,
+         |        x -> regexp_matches(x, '[a-zA-Z]'))) AS DOUBLE) / len(toks)
+         |      END AS af,
+         |    CAST(len(list_filter(toks, x -> list_contains(
+         |      ['the','be','to','of','and','that','have','with'], x)))
+         |      AS BIGINT) AS n_stop
+         |  FROM m)
+         |SELECT doc_id, n_words,
+         |  round(ml + 1e-9, 4) + 0.0 AS mean_word_len,
+         |  round(af + 1e-9, 4) + 0.0 AS frac_alpha_words,
+         |  n_stop AS n_stopword_hits,
+         |  (n_words >= 50 AND n_words <= 100000 AND ml >= 3.0 AND ml <= 10.0
+         |    AND af > 0.8 AND n_stop >= 2) AS pass
+         |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q98_tfidf" -> {
+      val terms = Seq("spark", "join", "window")
+      val tfSel = terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf$i"
+      }.mkString(",\n         |    ")
+      val dfSel = terms.indices.map(i =>
+        s"sum(CASE WHEN tf$i > 0 THEN 1.0 ELSE 0.0 END) AS df$i")
+        .mkString(", ")
+      val score = terms.indices.map(i =>
+        s"tf$i * (ln((nn + 1.0) / (df$i + 1.0)) + 1.0)").mkString(" + ")
+      val hits = terms.indices.map(i =>
+        s"(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH tk AS (
+         |  SELECT doc_id, ${toksSql("text")} AS toks FROM documents),
+         |base AS (
+         |  SELECT doc_id,
+         |    $tfSel
+         |  FROM tk),
+         |stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS nn, $dfSel
+         |  FROM base)
+         |SELECT b.doc_id, CAST($hits AS BIGINT) AS n_query_hits,
+         |  round($score + 1e-9, 4) AS tfidf
+         |FROM base b CROSS JOIN stats
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // clusters from the SAME recursive closure as q65; survivor = max
+    // n_chars then min doc_id, elected with a window rank the operator
+    // deliberately avoids (the oracle may be naive — it runs on DuckDB)
+    "q99_canonical_survivors" ->
+      s"""WITH RECURSIVE $minhashPairCtes,
+         |edges AS (
+         |  SELECT a AS src, b AS dst FROM pairs
+         |  UNION SELECT b, a FROM pairs),
+         |reach(id, r) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, rr.r FROM edges e JOIN reach rr ON rr.id = e.dst),
+         |clusters AS (
+         |  SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+         |labeled AS (
+         |  SELECT d.doc_id, coalesce(c.cluster, d.doc_id) AS cluster,
+         |    CAST(d.n_chars AS BIGINT) AS n_chars
+         |  FROM documents d LEFT JOIN clusters c ON c.id = d.doc_id),
+         |ranked AS (
+         |  SELECT doc_id, cluster, n_chars,
+         |    row_number() OVER (PARTITION BY cluster
+         |      ORDER BY n_chars DESC, doc_id ASC) AS rn
+         |  FROM labeled)
+         |SELECT doc_id, cluster, n_chars, (rn = 1) AS keep
+         |FROM ranked ORDER BY doc_id""".stripMargin,
+
+    "q100_edit_verify" ->
+      s"""WITH $minhashPairCtes
+         |SELECT p.a, p.b,
+         |  CAST(levenshtein(da.text, db.text) AS BIGINT) AS lev,
+         |  round(1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE) /
+         |    greatest(da.n_chars, db.n_chars) + 1e-9, 4) AS lev_sim
+         |FROM pairs p
+         |JOIN documents da ON da.doc_id = p.a
+         |JOIN documents db ON db.doc_id = p.b
+         |ORDER BY p.a, p.b""".stripMargin,
 
     "q27_text_case" ->
       s"""SELECT doc_id,

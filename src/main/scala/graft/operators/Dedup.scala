@@ -349,6 +349,43 @@ object Dedup {
     (labels, round, converged)
   }
 
+  /** Cluster-aware canonical-survivor selection: consolidate near-dup
+    * PAIRS into clusters ([[connectedComponents]]) and keep the BEST
+    * row of each cluster by (score desc, id asc) — the production dedup
+    * policy ("keep the longest / highest-quality copy"), where
+    * [[exact]]'s min-id canonical is only the byte-identical special
+    * case. Docs in no pair are their own single-row cluster and always
+    * survive.
+    *
+    * 100 TB shape: clustering inherits the pointer-jumped O(log
+    * diameter) rounds; the labeling is one left join of the corpus
+    * against the (pairs-sized) label set; survivor election is a
+    * partial-aggregated `min_by` over (cluster) — one row per (cluster
+    * × task) crosses the exchange, so a 10⁸-row dup cluster never
+    * gathers anywhere; the keep bit joins back on the cluster id,
+    * AQE-splittable. No windows.
+    *
+    * Returns one row per input doc: (id, cluster, score, keep). */
+  def canonicalByScore(df: DataFrame, idCol: String, scoreCol: Column,
+                       pairs: DataFrame, aCol: String = "a",
+                       bCol: String = "b"): DataFrame = {
+    val labels = connectedComponents(pairs, aCol, bCol)
+      .withColumnRenamed("id", "__lid")
+    val labeled = df.select(col(idCol).cast("long").as("id"), scoreCol.as("score"))
+      .join(labels, col("id") === col("__lid"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("cluster"),
+        col("score"))
+    // min_by over struct(-score, id): lexicographic struct order makes
+    // the minimum the (max score, then min id) row — one hash-aggregate
+    // with map-side partials, never a window over the cluster
+    val best = labeled.groupBy(col("cluster").as("__bc"))
+      .agg(min_by(col("id"), struct(negate(col("score")), col("id")))
+        .as("__survivor"))
+    labeled.join(best, col("cluster") === col("__bc"))
+      .select(col("id"), col("cluster"), col("score"),
+        (col("id") === col("__survivor")).as("keep"))
+  }
+
   /** Benchmark-contamination check: for each EVAL document, the fraction
     * of its distinct word w-shingles that appear anywhere in the TRAIN
     * corpus. The eval set (benchmarks are small by definition) is

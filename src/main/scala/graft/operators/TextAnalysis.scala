@@ -135,6 +135,74 @@ object TextAnalysis {
         size(array_distinct(sh)).cast("double") / size(sh).cast("double"))
   }
 
+  /** Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1, the
+    * standard pre-filter battery of LLM curation pipelines), restricted
+    * to the deterministic SQL-mirrorable subset: word count band, mean
+    * word length band, alphabetic-word fraction, and minimum stopword
+    * hits. Every metric is ONE codegen'd map-side projection over the
+    * token array — no explode, no shuffle, linear in text size: at
+    * 100 TB this is a pure scan the optimizer can fuse with whatever
+    * runs next (the `pass` bit prunes the corpus before anything
+    * heavier). Empty docs report 0 metrics and fail.
+    *
+    * Returns (id, n_words, mean_word_len, frac_alpha_words, n_stopword
+    * _hits, pass). */
+  def gopherQuality(df: org.apache.spark.sql.DataFrame, idCol: String,
+                    textCol: String, minWords: Long = 50,
+                    maxWords: Long = 100000, minMeanLen: Double = 3.0,
+                    maxMeanLen: Double = 10.0, minAlphaFrac: Double = 0.8,
+                    minStopHits: Long = 2): org.apache.spark.sql.DataFrame = {
+    val stops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val toks = tokens(col(textCol))
+    val nWords = size(toks).cast("long")
+    val meanLen = when(nWords === 0, lit(0.0)).otherwise(
+      aggregate(transform(toks, t => length(t).cast("long")), lit(0L),
+        (acc, x) => acc + x).cast("double") / nWords.cast("double"))
+    val alphaFrac = when(nWords === 0, lit(0.0)).otherwise(
+      size(filter(toks, t => t.rlike("[a-zA-Z]"))).cast("double") /
+        nWords.cast("double"))
+    val stopHits = size(filter(toks, t => t.isin(stops: _*))).cast("long")
+    df.select(col(idCol).as("id"),
+      nWords.as("n_words"),
+      (round(meanLen + lit(1e-9), 4) + lit(0.0)).as("mean_word_len"),
+      (round(alphaFrac + lit(1e-9), 4) + lit(0.0)).as("frac_alpha_words"),
+      stopHits.as("n_stopword_hits"),
+      (nWords >= minWords && nWords <= maxWords &&
+        meanLen >= minMeanLen && meanLen <= maxMeanLen &&
+        alphaFrac > minAlphaFrac && stopHits >= minStopHits).as("pass"))
+  }
+
+  /** TF-IDF relevance against a fixed query-term set — the linear
+    * retrieval scorer beside [[bm25]] (smooth sklearn idf:
+    * `ln((N+1)/(df+1)) + 1`), and the classic feature map for the
+    * quality classifiers. Identical 100 TB shape as bm25: per-term tf is
+    * a MAP-SIDE token-array fold on the single corpus scan, the corpus
+    * statistics (N, per-term df) reduce to ONE row broadcast back via
+    * crossJoin, the corpus itself never shuffles. Returns
+    * (id, n_query_hits, score); empty docs score 0. */
+  def tfidf(docs: org.apache.spark.sql.DataFrame, idCol: String,
+            textCol: String, terms: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(terms.nonEmpty, "need at least one query term")
+    require(terms.distinct.size == terms.size, "query terms must be unique")
+    val toks = tokens(col(textCol))
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      size(filter(toks, x => x === lit(t))).cast("double").as(s"tf$i")
+    }
+    val base = docs.select((col(idCol).as("id") +: tfCols): _*)
+    val statAggs = count(lit(1)).cast("double").as("nn") +:
+      terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1.0).otherwise(0.0)).as(s"df$i"))
+    val stats = base.agg(statAggs.head, statAggs.tail: _*)
+    val scored = base.crossJoin(broadcast(stats))
+    val termScore = terms.indices.map { i =>
+      val idf = log((col("nn") + lit(1.0)) / (col(s"df$i") + lit(1.0))) + lit(1.0)
+      col(s"tf$i") * idf
+    }.reduce(_ + _)
+    val hits = terms.indices.map(i =>
+      when(col(s"tf$i") > 0, 1L).otherwise(0L).cast("long")).reduce(_ + _)
+    scored.select(col("id"), hits.as("n_query_hits"), termScore.as("score"))
+  }
+
   /** PII patterns, deliberately restricted to the regex subset where
     * Java (Spark codegen) and RE2 (DuckDB, Go, many scrubbing services)
     * agree byte-for-byte: ASCII classes, bounded repetition, \b/\d in

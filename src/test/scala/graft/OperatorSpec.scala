@@ -1426,6 +1426,65 @@ class OperatorSpec extends AnyFunSuite {
     assert(out == Seq((100L, 1L), (100L, 2L), (200L, 3L)))
   }
 
+  test("gopherQuality: rule battery on crafted pass/fail docs") {
+    import graft.operators.TextAnalysis
+    val pass = (("the word " * 20) + ("of and that have with " * 6)).trim // 70 words, stops, alpha
+    val docs = Seq(
+      (1L, pass),
+      (2L, ""),                                  // empty: 0 metrics, fail
+      (3L, "short doc with the and of"),         // 6 words < 50 → fail
+      (4L, Seq.fill(60)("12345").mkString(" "))  // no alpha, no stops → fail
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.gopherQuality(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("pass"))
+    assert(out(1L).getAs[Long]("n_words") == 70)
+    assert(!out(2L).getAs[Boolean]("pass"))
+    assert(out(2L).getAs[Long]("n_words") == 0 &&
+      out(2L).getAs[Double]("mean_word_len") == 0.0)
+    assert(!out(3L).getAs[Boolean]("pass"))
+    assert(out(3L).getAs[Long]("n_stopword_hits") == 4) // with, the, and, of
+    assert(!out(4L).getAs[Boolean]("pass"))
+    assert(out(4L).getAs[Double]("frac_alpha_words") == 0.0)
+  }
+
+  test("tfidf matches the closed-form smooth-idf score") {
+    import graft.operators.TextAnalysis
+    val docs = Seq((1L, "spark spark join"), (2L, "join window"),
+      (3L, "nothing here")).toDF("doc_id", "text")
+    val got = TextAnalysis.tfidf(docs, "doc_id", "text",
+      Seq("spark", "join", "window"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    def idf(df: Double) = math.log(4.0 / (df + 1.0)) + 1.0
+    val exp1 = 2 * idf(1) + 1 * idf(2) // spark tf=2 df=1; join tf=1 df=2
+    val exp2 = 1 * idf(2) + 1 * idf(1) // join + window
+    assert(got(1L)._1 == 2 && math.abs(got(1L)._2 - exp1) < 1e-12)
+    assert(got(2L)._1 == 2 && math.abs(got(2L)._2 - exp2) < 1e-12)
+    assert(got(3L) == ((0L, 0.0)))
+  }
+
+  test("canonicalByScore keeps the best-scoring doc per cluster") {
+    import graft.operators.Dedup
+    // cluster {1,2,3} via chain pairs, singleton 9; best score in the
+    // cluster is doc 2 (longest); tie case: {5,6} equal scores → min id
+    val docs = Seq((1L, 10L), (2L, 50L), (3L, 20L), (9L, 5L),
+      (5L, 7L), (6L, 7L)).toDF("doc_id", "n_chars")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("a", "b")
+    val out = Dedup.canonicalByScore(docs, "doc_id", col("n_chars"), pairs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(1L) == ((1L, 10L, false)))
+    assert(out(2L) == ((1L, 50L, true)))  // longest survives, not min id
+    assert(out(3L) == ((1L, 20L, false)))
+    assert(out(9L) == ((9L, 5L, true)))   // singleton survives
+    assert(out(5L) == ((5L, 7L, true)))   // tie → smaller id
+    assert(out(6L) == ((5L, 7L, false)))
+    // plan shape: survivor election is an aggregate, never a window
+    val plan = Dedup.canonicalByScore(docs, "doc_id", col("n_chars"), pairs)
+      .queryExecution.optimizedPlan.toString.toLowerCase
+    assert(!plan.contains("windowexpression"), "canonicalByScore must be window-free")
+  }
+
   test("lshCandidates caps a pathological mega-bucket without losing dedup") {
     import graft.operators.Dedup
     // one band bucket with 200 ids (a mass-duplicated page) + a normal

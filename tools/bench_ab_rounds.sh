@@ -13,11 +13,14 @@ mkdir -p "$OUT"
 SF=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}
 export SPARK_GRAFT_CPUS=${SPARK_GRAFT_CPUS:-32}
 export SPARK_GRAFT_BENCH_RUNS=${SPARK_GRAFT_BENCH_RUNS:-1}
+# HEAP=8g reproduces driver-record conditions (the driver runs 8 GB);
+# the default stays the harness's generous 48g
+HEAP=${HEAP:-48g}
 for i in $(seq 1 "$ROUNDS"); do
   for v in A B; do
     cls=$([ "$v" = A ] && echo "$A_CLASSES" || echo "$B_CLASSES")
     SPARK_GRAFT_SF_DIR=$SF \
-      java -cp "/opt/spark/jars/*:$cls" -Xmx48g -XX:+UseG1GC graft.Bench \
+      java -cp "/opt/spark/jars/*:$cls" "-Xmx$HEAP" -XX:+UseG1GC graft.Bench \
       2>"$OUT/${v}_$i.err" | tail -1 >"$OUT/${v}_$i.json"
     echo "round $i variant $v done: $(cut -c1-60 "$OUT/${v}_$i.json")"
   done
