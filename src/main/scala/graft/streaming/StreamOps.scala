@@ -681,6 +681,84 @@ object StreamOps {
     }
   }
 
+  /** One TF-IDF-scored document: id, query hits, smooth-idf score. */
+  case class TfidfScored(id: Long, nQueryHits: Long, score: Double)
+
+  /** Streaming TF-IDF scoring — the unbounded twin of
+    * [[graft.operators.TextAnalysis.tfidf]]: corpus statistics (N,
+    * per-term df — smooth sklearn idf) come from the STATIC reference
+    * corpus in one batch aggregate, are broadcast, and each streamed
+    * doc is scored map-side. Stateless — no state store, no shuffle,
+    * model frozen at stream start, exactly the [[streamingBm25]]
+    * deployment contract. */
+  def streamingTfidf(docs: Dataset[(Long, String)], corpus: DataFrame,
+                     corpusTextCol: String, terms: Seq[String]): Dataset[TfidfScored] = {
+    import docs.sparkSession.implicits._
+    require(terms.nonEmpty && terms.distinct.size == terms.size,
+      "terms must be non-empty and distinct")
+    val toks = graft.operators.TextAnalysis.tokens(col(corpusTextCol))
+    val statAggs = count(lit(1)).cast("double").as("nn") +:
+      terms.zipWithIndex.map { case (t, i) =>
+        sum(when(array_contains(toks, t), 1.0).otherwise(0.0)).as(s"df$i")
+      }
+    val row = corpus.agg(statAggs.head, statAggs.tail: _*).head()
+    val nn = row.getDouble(0)
+    val dfs = terms.indices.map(i => row.getDouble(1 + i)).toArray
+    val bc = docs.sparkSession.sparkContext.broadcast((terms.toArray, dfs))
+    docs.map { case (id, text) =>
+      val (ts, dfArr) = bc.value
+      val tk = "[^ \t\n\u000B\f\r]+".r.findAllIn(text).toArray
+      var score = 0.0; var hits = 0L
+      var i = 0
+      while (i < ts.length) {
+        val tf = tk.count(_ == ts(i)).toDouble
+        if (tf > 0) hits += 1
+        score += tf * (math.log((nn + 1.0) / (dfArr(i) + 1.0)) + 1.0)
+        i += 1
+      }
+      TfidfScored(id, hits, score)
+    }
+  }
+
+  /** One Gopher-rule-scored document. */
+  case class GopherScored(id: Long, nWords: Long, meanWordLen: Double,
+                          fracAlphaWords: Double, nStopwordHits: Long,
+                          pass: Boolean)
+
+  /** Streaming Gopher-rule filtering — the unbounded twin of
+    * [[graft.operators.TextAnalysis.gopherQuality]]. The batch operator
+    * is a pure per-row projection (no corpus statistics at all), so the
+    * twin is the same arithmetic as a map over the stream: fully
+    * stateless, the admission-gate shape — score-and-drop before
+    * anything stateful sees the doc. Metric rounding matches the batch
+    * column form (4 decimals, 1e-9 nudge, -0.0 normalized). */
+  def streamingGopherQuality(docs: Dataset[(Long, String)],
+                             minWords: Long = 50, maxWords: Long = 100000,
+                             minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+                             minAlphaFrac: Double = 0.8,
+                             minStopHits: Long = 2): Dataset[GopherScored] = {
+    import docs.sparkSession.implicits._
+    val stops = Set("the", "be", "to", "of", "and", "that", "have", "with")
+    def r4(v: Double): Double = {
+      val r = BigDecimal(v + 1e-9)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (r == 0.0) 0.0 else r // normalize -0.0 like the batch `+ 0.0`
+    }
+    docs.map { case (id, text) =>
+      val tk = "[^ \t\n\u000B\f\r]+".r.findAllIn(text).toArray
+      val n = tk.length.toLong
+      val meanLen = if (n == 0) 0.0 else tk.map(_.length.toLong).sum.toDouble / n
+      val alphaFrac = if (n == 0) 0.0
+        else tk.count(_.exists(c => (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')))
+          .toDouble / n
+      val stopHits = tk.count(stops.contains).toLong
+      GopherScored(id, n, r4(meanLen), r4(alphaFrac), stopHits,
+        n >= minWords && n <= maxWords && meanLen >= minMeanLen &&
+          meanLen <= maxMeanLen && alphaFrac > minAlphaFrac &&
+          stopHits >= minStopHits)
+    }
+  }
+
   /** One DSIR-scored document: id, token count, hashed-unigram
     * log-likelihood ratio. */
   case class DsirScored(id: Long, nToks: Long, logratio: Double)

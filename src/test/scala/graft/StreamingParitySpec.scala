@@ -863,6 +863,61 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(stateRows == 0L, s"expected a stateless plan, got $stateRows state rows")
   }
 
+  test("parity: streamingTfidf ≡ batch tfidf, stateless map-side scorer") {
+    implicit val sq = spark.sqlContext
+    // q98 shape: (N, df) frozen from the full sf0.001 corpus; the same
+    // docs stream through the broadcast-stats scorer
+    val terms = Seq("spark", "join", "window")
+    val batch = graft.operators.TextAnalysis.tfidf(docs, "doc_id", "text", terms)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamOps.streamingTfidf(mem.toDS(), docs, "text", terms)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("parity_tfidf").start()
+    val rows = docs.select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    replay(mem, rows, chunk = 100, q)
+    val stateRows = Option(q.lastProgress)
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    q.stop()
+    val streamed = spark.table("parity_tfidf")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (id, (h, s)) =>
+      assert(h == batch(id)._1, s"doc $id hits $h vs ${batch(id)._1}")
+      assert(math.abs(s - batch(id)._2) < 1e-12, s"doc $id score $s vs ${batch(id)._2}")
+    }
+    assert(stateRows == 0L, s"expected a stateless plan, got $stateRows state rows")
+  }
+
+  test("parity: streamingGopherQuality ≡ batch gopherQuality, stateless") {
+    implicit val sq = spark.sqlContext
+    // no corpus statistics at all — the twin must be BIT-equal per row,
+    // rounding included
+    val batch = graft.operators.TextAnalysis.gopherQuality(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4), r.getBoolean(5)))
+      .toMap
+
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamOps.streamingGopherQuality(mem.toDS())
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("parity_gopher").start()
+    val rows = docs.select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    replay(mem, rows, chunk = 100, q)
+    val stateRows = Option(q.lastProgress)
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    q.stop()
+    val streamed = spark.table("parity_gopher")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4), r.getBoolean(5)))
+      .toMap
+    assert(streamed == batch)
+    assert(stateRows == 0L, s"expected a stateless plan, got $stateRows state rows")
+  }
+
   test("parity: streamingDsir ≡ batch dsirLogRatio, stateless map-side model") {
     implicit val sq = spark.sqlContext
     // q89 shape: the 256-bucket target/source log-ratio model frozen
