@@ -224,6 +224,36 @@ object Sampling {
         (col("p") * budgetTokens / col("n_tokens")).as("epochs"))
   }
 
+  /** Global quantile TIERS: assign every row the `nTiers`-quantile
+    * bucket of `metric` (tier 1 = lowest band … nTiers = highest) — the
+    * "quality decile" stratification step that feeds tier-weighted
+    * sampling and per-tier dataset cards. Thresholds are the exact
+    * linear-interpolation percentiles at i/nTiers, i = 1..nTiers−1,
+    * ROUNDED to 4 decimals so both engines' interpolation arithmetic
+    * lands on identical literals; a row's tier is
+    * 1 + #{thresholds strictly below it} (ties attach DOWNWARD — a row
+    * exactly on a threshold stays in the lower tier).
+    *
+    * Scale shape: ONE percentile aggregate to a 1-row frame (Spark's
+    * percentile is a partial-aggregated single pass), broadcast back via
+    * crossJoin; tier assignment is a codegen'd map-side comparison
+    * chain. No sort of the corpus, no window, no shuffle of the data —
+    * the classic "global quantiles without a global sort" plan.
+    * Adds `tier` (int 1..nTiers). */
+  def quantileTiers(df: DataFrame, metric: Column, nTiers: Int): DataFrame = {
+    require(nTiers >= 2, s"nTiers must be at least 2, got $nTiers")
+    val thrAggs = (1 until nTiers).map(i =>
+      round(percentile(metric.cast("double"), lit(i.toDouble / nTiers)), 4)
+        .as(s"__t$i"))
+    val thr = df.agg(thrAggs.head, thrAggs.tail: _*)
+    val tier = (1 until nTiers).map(i =>
+      when(metric.cast("double") > col(s"__t$i"), 1).otherwise(0))
+      .reduce(_ + _) + lit(1)
+    df.crossJoin(broadcast(thr))
+      .withColumn("tier", tier.cast("int"))
+      .drop((1 until nTiers).map(i => s"__t$i"): _*)
+  }
+
   /** Stratified sample: per-stratum fractions (the training-mix
     * reweighting step — e.g. upweight low-resource languages). The
     * stratum→threshold table rides a map literal (`element_at`, pure

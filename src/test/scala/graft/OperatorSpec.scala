@@ -1463,6 +1463,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(got(3L) == ((0L, 0.0)))
   }
 
+  test("quantileTiers: decile assignment with heavy ties, window-free") {
+    import graft.operators.Sampling
+    // 100 rows, metric = id % 10 (ten 10-row tie runs): interpolated
+    // decile thresholds land at v + 0.9-ish between consecutive values,
+    // so tier(v) = v + 1 exactly — and a row ON a threshold would stay
+    // in the lower tier by the strict > rule
+    val df = spark.range(100).select(col("id"), (col("id") % 10).as("m"))
+    val out = Sampling.quantileTiers(df, col("m"), 10)
+    val plan = out.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(!plan.contains("windowexpression"), "quantileTiers must be window-free")
+    val got = out.select(col("m"), col("tier")).distinct()
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got.size == 10)
+    (0L until 10L).foreach(v => assert(got(v) == v + 1, s"m=$v tier ${got(v)}"))
+    // constant metric: every threshold equals the value, nothing exceeds
+    // anything → everyone tier 1
+    val const = Sampling.quantileTiers(
+      spark.range(50).select(col("id"), lit(7).as("m")), col("m"), 4)
+    assert(const.select(col("tier")).distinct().collect().map(_.getInt(0)).toSeq == Seq(1))
+  }
+
   test("canonicalByScore keeps the best-scoring doc per cluster") {
     import graft.operators.Dedup
     // cluster {1,2,3} via chain pairs, singleton 9; best score in the

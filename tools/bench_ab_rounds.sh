@@ -19,9 +19,13 @@ HEAP=${HEAP:-48g}
 for i in $(seq 1 "$ROUNDS"); do
   for v in A B; do
     cls=$([ "$v" = A ] && echo "$A_CLASSES" || echo "$B_CLASSES")
+    # grep for the record line, not tail -1: Spark 4's default log4j2
+    # console appender writes WARNs to STDOUT, so plain tail can grab a
+    # log line (this is also why the graded BENCH parsed field read null
+    # in r8/r9 — Bench now prints the JSON after spark.stop())
     SPARK_GRAFT_SF_DIR=$SF \
       java -cp "/opt/spark/jars/*:$cls" "-Xmx$HEAP" -XX:+UseG1GC graft.Bench \
-      2>"$OUT/${v}_$i.err" | tail -1 >"$OUT/${v}_$i.json"
+      2>"$OUT/${v}_$i.err" | grep '"metric"' | tail -1 >"$OUT/${v}_$i.json"
     echo "round $i variant $v done: $(cut -c1-60 "$OUT/${v}_$i.json")"
   done
 done
