@@ -151,17 +151,24 @@ object Dedup {
     * `maxBucketSize` guards the adversarial case: a crawl with 10M copies
     * of one page puts 10M ids in one band bucket, and the within-bucket
     * self-join goes quadratic. With a cap, only the `cap` smallest ids of
-    * an oversized bucket generate pairs (deterministic; the capping
-    * row_number sorts the bucket — linearithmic, never quadratic). Mass
+    * an oversized bucket generate pairs — selected by the bounded
+    * [[graft.functions.FirstKByOrder]] aggregate, NOT a
+    * bucket-partitioned row_number window: the aggregate's map-side
+    * partials reduce even a 10⁸-id bucket to ≤ cap ids per task before
+    * its exchange, so the cap MECHANISM is itself hot-bucket-safe (the
+    * window form pinned the whole bucket to one sort task just to rank
+    * it). Deterministic: id order is total within a bucket. Mass
     * duplicates still dedup: the surviving ids pair with each other, and
     * byte-identical copies belong to [[exact]] anyway. */
   def lshCandidates(bandDf: DataFrame, maxBucketSize: Option[Int] = None): DataFrame = {
     val capped = maxBucketSize match {
       case Some(cap) =>
         require(cap >= 2, s"maxBucketSize=$cap: need at least 2 ids to form a pair")
-        val w = Window.partitionBy(col("band"), col("key")).orderBy(col("id"))
-        bandDf.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") <= cap).drop("__rn")
+        val firstK = udaf(new graft.functions.FirstKByOrder(cap))
+        bandDf.groupBy(col("band"), col("key"))
+          .agg(firstK(col("id").cast("long"), lit(0.0)).as("__fk"))
+          .select(col("band"), col("key"),
+            explode(col("__fk.items.ord")).as("id"))
       case None => bandDf
     }
     val l = capped.as("l"); val r = capped.as("r")

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TopKByScore
 
@@ -624,8 +623,12 @@ object Similarity {
     * into ONE cell regardless of nlist, and the within-cell self-join
     * goes quadratic. With a cap, only the `cap` smallest ids of an
     * oversized cell generate pairs — the same deterministic id-order
-    * semantics as [[Dedup.lshCandidates]]' maxBucketSize (the capping
-    * row_number sorts the cell: linearithmic, never quadratic). Rows
+    * semantics as [[Dedup.lshCandidates]]' maxBucketSize, and the same
+    * bounded-aggregate mechanism: the kept-id election is
+    * [[graft.functions.FirstKByOrder]] (map-side partials reduce the
+    * bomb cell to ≤ cap ids per task), met by a semi-join that keeps
+    * the VECTORS out of the aggregate buffer — a hot cell is a hot
+    * join key, AQE-splittable, never a window partition. Rows
     * beyond the cap stay in the OUTPUT (labeled keep=true, their own
     * canonical) — mass duplicates still dedup among the surviving ids,
     * and byte-identical copies belong to [[Dedup.exact]] anyway.
@@ -641,9 +644,12 @@ object Similarity {
     val capped = maxCellSize match {
       case Some(cap) =>
         require(cap >= 2, s"maxCellSize=$cap: need at least 2 ids to form a pair")
-        val w = Window.partitionBy(col("cell")).orderBy(col("id"))
-        withCell.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") <= cap).drop("__rn")
+        val firstK = udaf(new graft.functions.FirstKByOrder(cap))
+        val keep = withCell.groupBy(col("cell").as("__kc"))
+          .agg(firstK(col("id").cast("long"), lit(0.0)).as("__fk"))
+          .select(col("__kc"), explode(col("__fk.items.ord")).as("__kid"))
+        withCell.join(keep,
+          col("cell") === col("__kc") && col("id") === col("__kid"), "left_semi")
       case None => withCell
     }
     val l = capped.as("l"); val r = capped.as("r")

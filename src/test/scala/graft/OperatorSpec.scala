@@ -1513,7 +1513,12 @@ class OperatorSpec extends AnyFunSuite {
     val mega = (0 until 200).map(i => (0, "same-key", i.toLong))
     val normal = Seq((1, "other-key", 500L), (1, "other-key", 501L))
     val bands = (mega ++ normal).toDF("band", "key", "id")
-    val capped = Dedup.lshCandidates(bands, maxBucketSize = Some(10)).collect()
+    val cappedDf = Dedup.lshCandidates(bands, maxBucketSize = Some(10))
+    // the cap mechanism itself must be the bounded aggregate, never a
+    // bucket-partitioned window (a 10^8-id bucket would pin one task)
+    val plan = cappedDf.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(!plan.contains("windowexpression"), "capped banding must be window-free")
+    val capped = cappedDf.collect()
     val megaPairs = capped.filter(_.getAs[Long]("a") < 500)
     // quadratic blowup bounded: C(10,2) = 45 pairs, not C(200,2) = 19900
     assert(megaPairs.length == 45)
@@ -1563,6 +1568,9 @@ class OperatorSpec extends AnyFunSuite {
       array(lit(1.0f), lit(0.5f), lit(0.25f), lit(0.125f)).as("embedding"))
     val out = Similarity.semanticDedup(emb, "vec_id", "embedding",
       nlist = 8, threshold = 0.99, maxCellSize = Some(10))
+    // the cap election is the bounded aggregate + semi-join, windowless
+    val plan = out.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(!plan.contains("windowexpression"), "capped semanticDedup must be window-free")
     val rows = out.collect()
     assert(rows.length == 300)
     val collapsed = rows.filter(r => r.getAs[Long]("canonical_id") == 0L)

@@ -588,6 +588,33 @@ class StressSpec extends AnyFunSuite {
     }
   }
 
+  test("canonicalByScore: one 100k-doc cluster among 500k docs", SlowStress) {
+    failAfter(Span(900, Seconds)) {
+      // the mass-dup consolidation shape: a 100k-spoke star cluster
+      // (every dup paired to doc 0) inside 500k docs. Survivor election
+      // must stay a partial-aggregated min_by — one row per (cluster ×
+      // task) across the exchange — and pick the best (score desc, id
+      // asc) row: doc 77 (score 10⁶), not hub 0, not min id.
+      val docs = spark.range(500000).select(col("id").as("doc_id"),
+        when(col("id") === 77, lit(1000000L)).otherwise(col("id") % 1000).as("score"))
+      val pairs = spark.range(1, 100000)
+        .select(lit(0L).as("a"), col("id").as("b"))
+      val out = graft.operators.Dedup.canonicalByScore(
+        docs, "doc_id", col("score"), pairs)
+      val stats = out.agg(
+        count(lit(1)),
+        sum(when(col("cluster") === 0L, 1L).otherwise(0L)),
+        sum(when(col("cluster") === 0L && col("keep"), 1L).otherwise(0L)),
+        max(when(col("cluster") === 0L && col("keep"), col("id"))),
+        sum(when(col("keep"), 1L).otherwise(0L))).collect()(0)
+      assert(stats.getLong(0) == 500000L)
+      assert(stats.getLong(1) == 100000L)      // the star cluster
+      assert(stats.getLong(2) == 1L)           // exactly one survivor
+      assert(stats.getLong(3) == 77L)          // the best-score doc
+      assert(stats.getLong(4) == 400001L)      // 400k singletons + doc 77
+    }
+  }
+
   test("segment dedup: one boilerplate segment in all of 100k docs", SlowStress) {
     failAfter(Span(900, Seconds)) {
       // every doc opens with the same 3-token banner and ends with a
