@@ -239,13 +239,31 @@ object Sampling {
     * crossJoin; tier assignment is a codegen'd map-side comparison
     * chain. No sort of the corpus, no window, no shuffle of the data —
     * the classic "global quantiles without a global sort" plan.
+    *
+    * `approx = true` is the 100 TB lever: the exact percentile's buffer
+    * grows with DISTINCT metric values (fine for bounded metrics like
+    * quality scores, unbounded for, say, raw byte lengths over a whole
+    * crawl) — the approx path runs `approx_percentile`'s GK sketch
+    * (O(accuracy) memory, rank error ≤ n/accuracy) and returns dataset
+    * values instead of interpolated ones, so tier BOUNDARIES can shift
+    * by the rank tolerance while the tier semantics (monotone in the
+    * metric, ties attach downward) are unchanged.
     * Adds `tier` (int 1..nTiers). */
-  def quantileTiers(df: DataFrame, metric: Column, nTiers: Int): DataFrame = {
+  def quantileTiers(df: DataFrame, metric: Column, nTiers: Int,
+                    approx: Boolean = false, accuracy: Int = 10000): DataFrame = {
     require(nTiers >= 2, s"nTiers must be at least 2, got $nTiers")
-    val thrAggs = (1 until nTiers).map(i =>
-      round(percentile(metric.cast("double"), lit(i.toDouble / nTiers)), 4)
-        .as(s"__t$i"))
-    val thr = df.agg(thrAggs.head, thrAggs.tail: _*)
+    val thr =
+      if (approx) {
+        val ps = array((1 until nTiers).map(i => lit(i.toDouble / nTiers)): _*)
+        df.agg(approx_percentile(metric.cast("double"), ps, lit(accuracy)).as("__ta"))
+          .select((1 until nTiers).map(i =>
+            round(element_at(col("__ta"), i), 4).as(s"__t$i")): _*)
+      } else {
+        val thrAggs = (1 until nTiers).map(i =>
+          round(percentile(metric.cast("double"), lit(i.toDouble / nTiers)), 4)
+            .as(s"__t$i"))
+        df.agg(thrAggs.head, thrAggs.tail: _*)
+      }
     val tier = (1 until nTiers).map(i =>
       when(metric.cast("double") > col(s"__t$i"), 1).otherwise(0))
       .reduce(_ + _) + lit(1)

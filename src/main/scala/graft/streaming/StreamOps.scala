@@ -759,6 +759,48 @@ object StreamOps {
     }
   }
 
+  /** One tier-assigned row: id, metric value, quantile tier. */
+  case class TierAssigned(id: Long, metric: Double, tier: Int)
+
+  /** Streaming quantile-tier assignment — the unbounded twin of
+    * [[graft.operators.Sampling.quantileTiers]]: the nTiers−1 rounded
+    * thresholds are computed ONCE from the static reference corpus with
+    * the batch operator's own aggregate (exact or approx — the same
+    * `approx` scale lever), collected (nTiers−1 doubles) and broadcast;
+    * each streamed (id, metric) is tier-assigned map-side with the
+    * identical strict-> comparison chain. Stateless — no state store,
+    * no shuffle, thresholds frozen at stream start (the deployment
+    * contract of a tier-stratified admission gate). */
+  def streamingQuantileTiers(rows: Dataset[(Long, Double)], corpus: DataFrame,
+                             metric: Column, nTiers: Int,
+                             approx: Boolean = false,
+                             accuracy: Int = 10000): Dataset[TierAssigned] = {
+    import rows.sparkSession.implicits._
+    require(nTiers >= 2, s"nTiers must be at least 2, got $nTiers")
+    val thrRow =
+      if (approx) {
+        val ps = array((1 until nTiers).map(i => lit(i.toDouble / nTiers)): _*)
+        corpus.agg(approx_percentile(metric.cast("double"), ps, lit(accuracy))
+            .as("__ta"))
+          .select((1 until nTiers).map(i =>
+            round(element_at(col("__ta"), i), 4).as(s"__t$i")): _*)
+          .head()
+      } else {
+        val thrAggs = (1 until nTiers).map(i =>
+          round(percentile(metric.cast("double"), lit(i.toDouble / nTiers)), 4)
+            .as(s"__t$i"))
+        corpus.agg(thrAggs.head, thrAggs.tail: _*).head()
+      }
+    val thresholds = (0 until nTiers - 1).map(thrRow.getDouble).toArray
+    val bc = rows.sparkSession.sparkContext.broadcast(thresholds)
+    rows.map { case (id, m) =>
+      val ts = bc.value
+      var tier = 1; var i = 0
+      while (i < ts.length) { if (m > ts(i)) tier += 1; i += 1 }
+      TierAssigned(id, m, tier)
+    }
+  }
+
   /** One DSIR-scored document: id, token count, hashed-unigram
     * log-likelihood ratio. */
   case class DsirScored(id: Long, nToks: Long, logratio: Double)

@@ -1482,6 +1482,14 @@ class OperatorSpec extends AnyFunSuite {
     val const = Sampling.quantileTiers(
       spark.range(50).select(col("id"), lit(7).as("m")), col("m"), 4)
     assert(const.select(col("tier")).distinct().collect().map(_.getInt(0)).toSeq == Seq(1))
+    // approx scale path (GK sketch thresholds — dataset values, not
+    // interpolations): on the tie-run fixture the rank-10·i boundary
+    // element is value i−1, so tiers still come out v+1 exactly
+    val approx = Sampling.quantileTiers(df, col("m"), 10, approx = true)
+      .select(col("m"), col("tier")).distinct()
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(approx.size == 10)
+    (0L until 10L).foreach(v => assert(approx(v) == v + 1, s"approx m=$v tier ${approx(v)}"))
   }
 
   test("canonicalByScore keeps the best-scoring doc per cluster") {

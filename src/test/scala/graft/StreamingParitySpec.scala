@@ -918,6 +918,32 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(stateRows == 0L, s"expected a stateless plan, got $stateRows state rows")
   }
 
+  test("parity: streamingQuantileTiers ≡ batch quantileTiers, stateless") {
+    implicit val sq = spark.sqlContext
+    // q101 shape: decile thresholds of n_chars frozen from the full
+    // sf0.001 corpus; the same rows stream through the broadcast
+    // comparison chain — tier assignment must be bit-equal
+    val src = docs.select(col("doc_id"),
+      col("n_chars").cast("double").as("m"))
+    val batch = graft.operators.Sampling.quantileTiers(src, col("m"), 10)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+
+    val mem = MemoryStream[(Long, Double)]
+    val out = StreamOps.streamingQuantileTiers(mem.toDS(), src, col("m"), 10)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("parity_tiers").start()
+    val rows = src.orderBy(col("doc_id")).collect()
+      .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    replay(mem, rows, chunk = 100, q)
+    val stateRows = Option(q.lastProgress)
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    q.stop()
+    val streamed = spark.table("parity_tiers")
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(streamed == batch)
+    assert(stateRows == 0L, s"expected a stateless plan, got $stateRows state rows")
+  }
+
   test("parity: streamingDsir ≡ batch dsirLogRatio, stateless map-side model") {
     implicit val sq = spark.sqlContext
     // q89 shape: the 256-bucket target/source log-ratio model frozen
