@@ -227,6 +227,16 @@ object QueriesText {
         .orderBy(col("a"), col("b"))
     }),
 
+    // content-defined chunking dedup: variable chunks at md5-anchored
+    // token boundaries (insertion-shift robust, unlike q83's fixed
+    // stride); per-doc fraction of chunks appearing in other docs
+    "q102_cdc_dedup" -> ((s, dir) =>
+      Dedup.cdcChunkDedup(tbl(s, dir, "documents"), "doc_id", "text",
+        boundaryHexFirst = 1)
+        .select(col("id").as("doc_id"), col("n_chunks"), col("n_dup_chunks"),
+          col("dup_ratio"))
+        .orderBy(col("doc_id"))),
+
     // global quality deciles WITHOUT a global sort: one percentile
     // aggregate → 1-row broadcast → codegen'd map-side tier assignment
     "q101_quality_tiers" -> ((s, dir) =>
@@ -1146,6 +1156,37 @@ object QueriesText {
          |FROM base b CROSS JOIN stats
          |ORDER BY doc_id""".stripMargin
     },
+
+    "q102_cdc_dedup" ->
+      s"""WITH $wordsCte,
+         |b AS (
+         |  SELECT doc_id, pos, tok,
+         |    CASE WHEN substr(md5(tok), 1, 1) = '0' THEN 1 ELSE 0 END AS bnd
+         |  FROM words),
+         |c AS (
+         |  SELECT doc_id, pos, tok,
+         |    coalesce(sum(bnd) OVER (PARTITION BY doc_id ORDER BY pos
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk
+         |  FROM b),
+         |chunks AS (
+         |  SELECT doc_id, chunk,
+         |    md5(string_agg(tok, ' ' ORDER BY pos)) AS dig
+         |  FROM c GROUP BY doc_id, chunk),
+         |freq AS (
+         |  SELECT dig, count(DISTINCT doc_id) AS nd FROM chunks GROUP BY dig),
+         |per AS (
+         |  SELECT ch.doc_id, count(*) AS n_chunks,
+         |    sum(CASE WHEN f.nd > 1 THEN 1 ELSE 0 END) AS n_dup
+         |  FROM chunks ch JOIN freq f ON f.dig = ch.dig
+         |  GROUP BY ch.doc_id)
+         |SELECT d.doc_id,
+         |  CAST(coalesce(p.n_chunks, 0) AS BIGINT) AS n_chunks,
+         |  CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup_chunks,
+         |  CASE WHEN coalesce(p.n_chunks, 0) = 0 THEN 0.0
+         |    ELSE round(CAST(p.n_dup AS DOUBLE) / p.n_chunks + 1e-9, 4) + 0.0
+         |    END AS dup_ratio
+         |FROM documents d LEFT JOIN per p ON p.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q101_quality_tiers" -> {
       val thrSel = (1 until 10).map(i =>

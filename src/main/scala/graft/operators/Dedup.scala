@@ -356,6 +356,57 @@ object Dedup {
     (labels, round, converged)
   }
 
+  /** Content-defined chunking (CDC) dedup report: split each doc into
+    * variable-length chunks at CONTENT-DEFINED boundaries — a token
+    * whose md5 starts with one of `boundaryHexFirst` hex chars ends its
+    * chunk (probability h/16 per token → mean chunk ≈ 16/h tokens) —
+    * and report, per doc, how many of its chunks appear verbatim in
+    * OTHER documents. This is the storage-dedup/FastCDC idea applied at
+    * token level: unlike [[segmentDedup]]'s fixed stride, a one-token
+    * insertion shifts only the chunk it lands in (boundaries re-anchor
+    * on content), so shared passages still align across edited copies.
+    *
+    * 100 TB shape: the boundary flag is a pure token function; the chunk
+    * id is an exclusive prefix count over a per-DOC window (bounded by
+    * DOCUMENT length, the [[wordShingles]] class — never a corpus-keyed
+    * partition); chunk reassembly is a per-(doc, chunk) aggregate
+    * bounded by chunk length; corpus-wide frequency groups md5 digests
+    * (map-side partials); the dup bit joins back on the digest,
+    * AQE-splittable. Returns one row per doc:
+    * (id, n_chunks, n_dup_chunks, dup_ratio) — empty docs 0/0/0.0. */
+  def cdcChunkDedup(docs: DataFrame, idCol: String, textCol: String,
+                    boundaryHexFirst: Int = 1): DataFrame = {
+    require(boundaryHexFirst >= 1 && boundaryHexFirst <= 15,
+      s"boundaryHexFirst must be in [1,15], got $boundaryHexFirst")
+    val boundaryChars = "0123456789abcdef".take(boundaryHexFirst).map(_.toString)
+    val toks = docs.select(col(idCol).as("id"),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val bnd = when(substring(md5(col("tok")), 1, 1).isin(boundaryChars: _*), 1L)
+      .otherwise(0L)
+    val win = Window.partitionBy(col("id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withChunk = toks.withColumn("chunk", coalesce(sum(bnd).over(win), lit(0L)))
+    val chunks = withChunk.groupBy(col("id"), col("chunk"))
+      .agg(md5(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ")).as("dig"))
+    val freq = chunks.groupBy(col("dig").as("fdig"))
+      .agg(countDistinct(col("id")).as("nd"))
+    val per = chunks.join(freq, col("dig") === col("fdig"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+    docs.select(col(idCol).as("id"))
+      .join(per, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_dup_chunks"), lit(0L)).as("n_dup_chunks"),
+        when(coalesce(col("n_chunks"), lit(0L)) === 0, lit(0.0))
+          .otherwise(round(col("n_dup_chunks").cast("double") /
+            col("n_chunks").cast("double") + lit(1e-9), 4) + lit(0.0))
+          .as("dup_ratio"))
+  }
+
   /** Cluster-aware canonical-survivor selection: consolidate near-dup
     * PAIRS into clusters ([[connectedComponents]]) and keep the BEST
     * row of each cluster by (score desc, id asc) — the production dedup

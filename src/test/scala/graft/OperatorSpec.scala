@@ -1492,6 +1492,28 @@ class OperatorSpec extends AnyFunSuite {
     (0L until 10L).foreach(v => assert(approx(v) == v + 1, s"approx m=$v tier ${approx(v)}"))
   }
 
+  test("cdcChunkDedup: content-defined boundaries survive an insertion shift") {
+    import graft.operators.Dedup
+    // md5("w18") starts with '0' → "w18" is a boundary token; w0..w5
+    // are not. Doc A = [w0 w1 w18][w2 w3 w4 w5]; doc B inserts "w9"
+    // BEFORE the boundary: [w9 w0 w1 w18][w2 w3 w4 w5] — the first
+    // chunk changes but the post-boundary chunk re-anchors and matches
+    // verbatim. A fixed-stride segmenter (q83's shape) would misalign
+    // everything after the insertion. Doc C is unrelated.
+    val docs = Seq(
+      (1L, "w0 w1 w18 w2 w3 w4 w5"),
+      (2L, "w9 w0 w1 w18 w2 w3 w4 w5"),
+      (3L, "w6 w7 w8"),
+      (4L, "")).toDF("doc_id", "text")
+    val out = Dedup.cdcChunkDedup(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((2L, 1L, 0.5)))  // [w0 w1 w18] unique, tail shared
+    assert(out(2L) == ((2L, 1L, 0.5)))  // [w9 w0 w1 w18] unique, tail shared
+    assert(out(3L) == ((1L, 0L, 0.0)))
+    assert(out(4L) == ((0L, 0L, 0.0)))  // empty doc: 0/0/0.0
+  }
+
   test("canonicalByScore keeps the best-scoring doc per cluster") {
     import graft.operators.Dedup
     // cluster {1,2,3} via chain pairs, singleton 9; best score in the
