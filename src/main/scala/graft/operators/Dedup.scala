@@ -376,20 +376,7 @@ object Dedup {
     * (id, n_chunks, n_dup_chunks, dup_ratio) — empty docs 0/0/0.0. */
   def cdcChunkDedup(docs: DataFrame, idCol: String, textCol: String,
                     boundaryHexFirst: Int = 1): DataFrame = {
-    require(boundaryHexFirst >= 1 && boundaryHexFirst <= 15,
-      s"boundaryHexFirst must be in [1,15], got $boundaryHexFirst")
-    val boundaryChars = "0123456789abcdef".take(boundaryHexFirst).map(_.toString)
-    val toks = docs.select(col(idCol).as("id"),
-      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
-    val bnd = when(substring(md5(col("tok")), 1, 1).isin(boundaryChars: _*), 1L)
-      .otherwise(0L)
-    val win = Window.partitionBy(col("id")).orderBy(col("pos"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val withChunk = toks.withColumn("chunk", coalesce(sum(bnd).over(win), lit(0L)))
-    val chunks = withChunk.groupBy(col("id"), col("chunk"))
-      .agg(md5(array_join(
-        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
-          s => s.getField("tok")), " ")).as("dig"))
+    val chunks = cdcChunkDigests(docs, idCol, textCol, boundaryHexFirst)
     val freq = chunks.groupBy(col("dig").as("fdig"))
       .agg(countDistinct(col("id")).as("nd"))
     val per = chunks.join(freq, col("dig") === col("fdig"))
@@ -405,6 +392,29 @@ object Dedup {
           .otherwise(round(col("n_dup_chunks").cast("double") /
             col("n_chunks").cast("double") + lit(1e-9), 4) + lit(0.0))
           .as("dup_ratio"))
+  }
+
+  /** The chunk stage of [[cdcChunkDedup]], exposed for pipelines (and
+    * the streaming twin's parity harness) that consume the chunk
+    * digests directly: one row per (doc, chunk) with the chunk's md5.
+    * Boundary flag = pure token function; chunk id = exclusive prefix
+    * count over a per-DOC window (bounded by document length). */
+  def cdcChunkDigests(docs: DataFrame, idCol: String, textCol: String,
+                      boundaryHexFirst: Int = 1): DataFrame = {
+    require(boundaryHexFirst >= 1 && boundaryHexFirst <= 15,
+      s"boundaryHexFirst must be in [1,15], got $boundaryHexFirst")
+    val boundaryChars = "0123456789abcdef".take(boundaryHexFirst).map(_.toString)
+    val toks = docs.select(col(idCol).as("id"),
+      posexplode(TextAnalysis.tokens(col(textCol))).as(Seq("pos", "tok")))
+    val bnd = when(substring(md5(col("tok")), 1, 1).isin(boundaryChars: _*), 1L)
+      .otherwise(0L)
+    val win = Window.partitionBy(col("id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks.withColumn("chunk", coalesce(sum(bnd).over(win), lit(0L)))
+      .groupBy(col("id"), col("chunk"))
+      .agg(md5(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          s => s.getField("tok")), " ")).as("dig"))
   }
 
   /** Cluster-aware canonical-survivor selection: consolidate near-dup

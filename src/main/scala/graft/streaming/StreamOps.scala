@@ -241,6 +241,55 @@ object StreamOps {
       }
   }
 
+  /** Streaming CDC chunk-dedup candidates — the unbounded twin of
+    * [[graft.operators.Dedup.cdcChunkDedup]]'s frequency stage: each
+    * incoming (id, text) is chunked MAP-SIDE at the batch operator's
+    * exact content-defined boundaries (a token whose md5 first hex char
+    * falls under `boundaryHexFirst` ends its chunk), and each chunk
+    * digest meets a per-digest first-seen register. Emits
+    * (id, firstSeenId, digest) for every chunk whose digest an EARLIER
+    * doc already produced — the prefix-causal face of the batch
+    * operator's "appears in >1 distinct doc" bit (a batch pair (a,b)
+    * surfaces when the later side arrives). Within-doc repeats do not
+    * self-collide (the register stores the doc id). State is one id per
+    * DISTINCT chunk digest — production runs should bound it with a
+    * TTL matched to their duplication horizon, exactly as
+    * [[streamingNearDupCandidates]] documents. */
+  def streamingCdcChunkCandidates(docs: Dataset[(Long, String)],
+                                  boundaryHexFirst: Int = 1): Dataset[(Long, Long, String)] = {
+    import docs.sparkSession.implicits._
+    require(boundaryHexFirst >= 1 && boundaryHexFirst <= 15,
+      s"boundaryHexFirst must be in [1,15], got $boundaryHexFirst")
+    val boundarySet = "0123456789abcdef".take(boundaryHexFirst).toSet
+    val chunked: Dataset[(String, Long)] = docs.flatMap { case (id, text) =>
+      // lockstep with the batch tokenizer (explicit ASCII ws class)
+      val toks = "[^ \t\n\u000B\f\r]+".r.findAllIn(text).toSeq
+      if (toks.isEmpty) Seq.empty[(String, Long)]
+      else {
+        val chunks = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+        var cur = scala.collection.mutable.ArrayBuffer.empty[String]
+        toks.foreach { t =>
+          cur += t
+          if (boundarySet.contains(md5hex(t).charAt(0))) {
+            chunks += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer.empty
+          }
+        }
+        if (cur.nonEmpty) chunks += cur.toSeq
+        // distinct digests per doc: within-doc repeats are not dups here
+        chunks.map(c => md5hex(c.mkString(" "))).distinct.map(d => (d, id)).toSeq
+      }
+    }
+    chunked.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long, String)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (dig, it, state: GroupState[Long]) =>
+          val ids = it.map(_._2).toSeq.distinct.sorted
+          val first = state.getOption.getOrElse(ids.head)
+          if (!state.exists) state.update(first)
+          ids.filterNot(_ == first).map(dup => (dup, first, dig)).iterator
+      }
+  }
+
   /** Streaming cross-corpus dedup candidates — the admission gate "is
     * this incoming doc a near-dup of the EXISTING corpus?", the
     * unbounded twin of [[graft.operators.Dedup.crossCorpusNearDups]]'s

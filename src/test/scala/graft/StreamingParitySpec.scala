@@ -1065,6 +1065,41 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(stateRows1 <= nlist.toLong && stateRows2 <= nlist.toLong)
   }
 
+  test("parity: streamingCdcChunkCandidates ≡ batch CDC chunk digests") {
+    implicit val sq = spark.sqlContext
+    import graft.operators.Dedup
+    // batch truth: the operator's OWN chunk stage over sf0.001 docs; a
+    // digest shared by k docs must stream as a star on its
+    // first-arrived (= smallest, ordered replay) doc id
+    val chunks = Dedup.cdcChunkDigests(docs, "doc_id", "text")
+      .select(col("id"), col("dig")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val expected = chunks.groupBy(_._2).toSeq.flatMap { case (dig, grp) =>
+      val ids = grp.map(_._1).distinct.sorted
+      ids.tail.map(id => (id, ids.head, dig))
+    }.toSet
+    assert(expected.nonEmpty, "fixture must produce cross-doc chunk dups")
+
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamOps.streamingCdcChunkCandidates(mem.toDS())
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("parity_cdc").start()
+    val rows = docs.select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    replay(mem, rows, chunk = 50, q)
+    val stateRows = Option(q.lastProgress)
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    q.stop()
+    val streamed = spark.table("parity_cdc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(streamed == expected,
+      s"extra=${(streamed -- expected).take(3)} missing=${(expected -- streamed).take(3)}")
+    // state = one register per DISTINCT chunk digest
+    val nDigests = chunks.map(_._2).distinct.length
+    assert(stateRows == nDigests.toLong,
+      s"state rows $stateRows vs $nDigests distinct digests")
+  }
+
   test("parity: streamingCrossDedupCandidates ≡ batch cross-side band keys, stateless") {
     implicit val sq = spark.sqlContext
     import graft.operators.Dedup
