@@ -227,6 +227,15 @@ object QueriesText {
         .orderBy(col("a"), col("b"))
     }),
 
+    // Gopher repetition battery: top n-gram occurrence counts +
+    // duplicate-n-gram character fractions, all in-row (one map-side
+    // projection, no explode/shuffle/window)
+    "q103_repetition_battery" -> ((s, dir) =>
+      TA.repetitionSignals(tbl(s, dir, "documents"), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("top2_cnt"), col("top3_cnt"),
+          col("dup2_char_frac"), col("dup3_char_frac"), col("dup4_char_frac"))
+        .orderBy(col("doc_id"))),
+
     // content-defined chunking dedup: variable chunks at md5-anchored
     // token boundaries (insertion-shift robust, unlike q83's fixed
     // stride); per-doc fraction of chunks appearing in other docs
@@ -1155,6 +1164,40 @@ object QueriesText {
          |  + 1e-9, 4) AS bm25
          |FROM base b CROSS JOIN stats
          |ORDER BY doc_id""".stripMargin
+    },
+
+    "q103_repetition_battery" -> {
+      def gramCte(n: Int): String = {
+        val parts = ("tok" +: (1 until n).map(i =>
+          s"lead(tok, $i) OVER (PARTITION BY doc_id ORDER BY pos)")).mkString(" || ' ' || ")
+        s"""g$n AS (
+           |  SELECT doc_id, $parts AS g FROM words),
+           |gs$n AS (
+           |  SELECT doc_id, g, count(*) AS c FROM g$n WHERE g IS NOT NULL
+           |  GROUP BY doc_id, g),
+           |m$n AS (
+           |  SELECT doc_id, max(c) AS top$n,
+           |    sum(CASE WHEN c >= 2 THEN c * length(g) ELSE 0 END) AS dup$n
+           |  FROM gs$n GROUP BY doc_id)""".stripMargin
+      }
+      s"""WITH $wordsCte,
+         |${gramCte(2)},
+         |${gramCte(3)},
+         |${gramCte(4)}
+         |SELECT d.doc_id,
+         |  CAST(coalesce(m2.top2, 0) AS BIGINT) AS top2_cnt,
+         |  CAST(coalesce(m3.top3, 0) AS BIGINT) AS top3_cnt,
+         |  round(CAST(coalesce(m2.dup2, 0) AS DOUBLE)
+         |    / greatest(length(d.text), 1) + 1e-9, 4) + 0.0 AS dup2_char_frac,
+         |  round(CAST(coalesce(m3.dup3, 0) AS DOUBLE)
+         |    / greatest(length(d.text), 1) + 1e-9, 4) + 0.0 AS dup3_char_frac,
+         |  round(CAST(coalesce(m4.dup4, 0) AS DOUBLE)
+         |    / greatest(length(d.text), 1) + 1e-9, 4) + 0.0 AS dup4_char_frac
+         |FROM documents d
+         |LEFT JOIN m2 ON m2.doc_id = d.doc_id
+         |LEFT JOIN m3 ON m3.doc_id = d.doc_id
+         |LEFT JOIN m4 ON m4.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
     },
 
     "q102_cdc_dedup" ->

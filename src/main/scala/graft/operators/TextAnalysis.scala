@@ -203,6 +203,47 @@ object TextAnalysis {
     scored.select(col("id"), hits.as("n_query_hits"), termScore.as("score"))
   }
 
+  /** Within-document repetition-signal battery — the duplicate-n-gram
+    * half of the Gopher/MassiveText filter set (Rae et al. 2021 §A1.1),
+    * beside [[repetitionRatio]]: per doc, the occurrence count of the
+    * most frequent 2-/3-gram (`top2_cnt`, `top3_cnt` — loops and
+    * keyword stuffing spike these) and, for n = 2,3,4, the fraction of
+    * characters covered by n-grams occurring ≥ 2× (`dupN_char_frac` =
+    * Σ over distinct repeated n-grams of count·len(gram) / len(text) —
+    * a pure sum, so no argmax tie-break enters the contract).
+    *
+    * Everything is computed IN-ROW over [[Dedup.shingleArray]] slices
+    * (higher-order functions — O(k²) in the doc's token count, linear
+    * across the corpus, no explode/shuffle/window): the 100 TB shape is
+    * one map-side projection the optimizer fuses with the scan. */
+  def repetitionSignals(df: org.apache.spark.sql.DataFrame, idCol: String,
+                        textCol: String): org.apache.spark.sql.DataFrame = {
+    def counts(n: Int): Column = {
+      val sh = Dedup.shingleArray(col(textCol), n)
+      transform(array_distinct(sh),
+        x => struct(size(filter(sh, y => y === x)).cast("long").as("c"),
+          length(x).cast("long").as("l")))
+    }
+    def topCnt(n: Int): Column = {
+      val cs = counts(n)
+      when(size(cs) === 0, lit(0L))
+        .otherwise(array_max(transform(cs, s => s.getField("c"))))
+    }
+    def dupFrac(n: Int): Column = {
+      val cs = counts(n)
+      val dupChars = aggregate(
+        filter(cs, s => s.getField("c") >= 2), lit(0L),
+        (acc, s) => acc + s.getField("c") * s.getField("l"))
+      round(dupChars.cast("double") /
+        greatest(length(col(textCol)), lit(1)).cast("double") + lit(1e-9), 4) +
+        lit(0.0)
+    }
+    df.select(col(idCol).as("id"),
+      topCnt(2).as("top2_cnt"), topCnt(3).as("top3_cnt"),
+      dupFrac(2).as("dup2_char_frac"), dupFrac(3).as("dup3_char_frac"),
+      dupFrac(4).as("dup4_char_frac"))
+  }
+
   /** PII patterns, deliberately restricted to the regex subset where
     * Java (Spark codegen) and RE2 (DuckDB, Go, many scrubbing services)
     * agree byte-for-byte: ASCII classes, bounded repetition, \b/\d in

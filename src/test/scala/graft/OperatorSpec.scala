@@ -1492,6 +1492,25 @@ class OperatorSpec extends AnyFunSuite {
     (0L until 10L).foreach(v => assert(approx(v) == v + 1, s"approx m=$v tier ${approx(v)}"))
   }
 
+  test("repetitionSignals: closed-form loop doc, clean doc, empty doc") {
+    import graft.operators.TextAnalysis
+    // "a b a b a b" (len 11): 2-grams "a b"×3 + "b a"×2 → top2 = 3,
+    // dup2 chars = 3·3 + 2·3 = 15 → 15/11; 3-grams "a b a"×2 +
+    // "b a b"×2 → top3 = 2, dup3 = 2·5 + 2·5 = 20 → 20/11; 4-grams
+    // "a b a b"×2 + "b a b a"×1 → dup4 = 2·7 = 14 → 14/11
+    val docs = Seq((1L, "a b a b a b"), (2L, "x y z"), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionSignals(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    def r4(v: Double) = BigDecimal(v + 1e-9)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L) == ((3L, 2L, r4(15.0 / 11), r4(20.0 / 11), r4(14.0 / 11))))
+    assert(out(2L) == ((1L, 1L, 0.0, 0.0, 0.0))) // no repeats
+    assert(out(3L) == ((0L, 0L, 0.0, 0.0, 0.0))) // empty doc
+  }
+
   test("cdcChunkDedup: content-defined boundaries survive an insertion shift") {
     import graft.operators.Dedup
     // md5("w18") starts with '0' → "w18" is a boundary token; w0..w5
