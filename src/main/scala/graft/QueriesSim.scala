@@ -31,6 +31,17 @@ object QueriesSim {
         .orderBy(col("vec_id"))
     }),
 
+    // IVF ANN with the nprobe recall knob: each query probes its 2
+    // nearest cells (query side fans out ×2; corpus side keeps one cell
+    // per vector inline on its scan), bounded top-k ranking
+    "q104_ivf_nprobe" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s) // native graft_dot
+      val emb = tbl(s, dir, "embeddings")
+      Similarity.ivfTopKProbed(emb, emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 5, nlist = 4, nprobe = 2)
+        .orderBy(col("qid"), col("rank"))
+    }),
+
     // int8 scalar quantization: per-dim stats broadcast as literals,
     // map-side codes + reconstruction error; code sums are
     // integer-exact, error metrics rounded with both FP guards
@@ -629,6 +640,48 @@ object QueriesSim {
         |  FROM cand c
         |  JOIN v vq ON vq.vec_id = c.qid
         |  JOIN v vn ON vn.vec_id = c.nid),
+        |ranked AS (
+        |  SELECT qid, nid, cosine, CAST(row_number() OVER (
+        |    PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS BIGINT) AS rank
+        |  FROM scored)
+        |SELECT qid, rank, nid, cosine FROM ranked WHERE rank <= 5
+        |ORDER BY qid, rank""".stripMargin,
+
+    // same cell projections as q48; queries take rn <= 2 (nprobe = 2),
+    // corpus keeps rn = 1 — the operator's exact probe semantics
+    "q104_ivf_nprobe" ->
+      """WITH v AS (
+        |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+        |  FROM embeddings),
+        |comps AS (
+        |  SELECT vec_id, unnest(embedding) AS comp,
+        |    generate_subscripts(embedding, 1) - 1 AS dim
+        |  FROM embeddings),
+        |projs AS (
+        |  SELECT vec_id, c.c AS cell,
+        |    sum(CAST(comp AS DOUBLE) *
+        |      (CASE WHEN substr(md5((c.c + 7919)::VARCHAR || '-' || dim::VARCHAR), 1, 1)
+        |        BETWEEN '8' AND 'f' THEN 1.0 ELSE -1.0 END)) AS proj
+        |  FROM comps, generate_series(0, 3) AS c(c)
+        |  GROUP BY vec_id, c.c),
+        |pranked AS (
+        |  SELECT vec_id, cell, row_number() OVER (
+        |    PARTITION BY vec_id ORDER BY proj DESC, cell ASC) AS rn
+        |  FROM projs),
+        |cells AS (SELECT vec_id, cell FROM pranked WHERE rn = 1),
+        |qcells AS (
+        |  SELECT vec_id AS qid, cell FROM pranked
+        |  WHERE rn <= 2 AND vec_id < 10),
+        |scored AS (
+        |  SELECT qc.qid, ce.vec_id AS nid,
+        |    round(list_sum(list_apply(range(1, len(vq.e) + 1),
+        |            i -> vq.e[i] * vn.e[i]))
+        |      / (sqrt(list_sum(list_apply(vq.e, x -> x * x)))
+        |         * sqrt(list_sum(list_apply(vn.e, x -> x * x)))), 4) AS cosine
+        |  FROM cells ce
+        |  JOIN qcells qc ON ce.cell = qc.cell AND ce.vec_id <> qc.qid
+        |  JOIN v vq ON vq.vec_id = qc.qid
+        |  JOIN v vn ON vn.vec_id = ce.vec_id),
         |ranked AS (
         |  SELECT qid, nid, cosine, CAST(row_number() OVER (
         |    PARTITION BY qid ORDER BY cosine DESC, nid ASC) AS BIGINT) AS rank

@@ -545,6 +545,48 @@ object Similarity {
     topKByQuery(scored, k, "cosine", "cosine")
   }
 
+  /** The `nprobe` NEAREST pseudo-centroid cells of a vector, as an
+    * in-row array expression — [[cellExpr]]'s top-1 generalized to the
+    * IVF recall knob (proj desc, cell asc on ties; nprobe = 1 picks
+    * exactly cellExpr's cell). Pure expression: consumers attach it to
+    * their own scan, no join back, no second read. */
+  def probeCellsExpr(vec: Column, nlist: Int, nprobe: Int, dims: Int): Column = {
+    val entries = array((0 until nlist).map { c =>
+      val signs = array((0 until dims).map(j => lit(planeSign(c + 7919, j))): _*)
+      struct(negate(dot(vec, signs)).as("np"), lit(c.toLong).as("cell"))
+    }: _*)
+    transform(slice(array_sort(entries), 1, nprobe), s => s.getField("cell"))
+  }
+
+  /** IVF ANN top-k with `nprobe` > 1 — the standard IVF recall lever:
+    * each query probes its `nprobe` nearest cells instead of one, so
+    * recall rises with candidate volume (≈ nprobe/nlist of the corpus
+    * per query) while the plan stays the same cell-equality join —
+    * never a wider scan. The corpus side keeps ONE cell per vector
+    * (inline on its scan); only the QUERY side fans out ×nprobe (ids +
+    * vectors of the small side). Ranking is the bounded [[TopKByScore]]
+    * aggregate — a hot cell is a hot join key, AQE-splittable, never a
+    * window partition. nprobe = 1 reproduces [[ivfTopK]] exactly. */
+  def ivfTopKProbed(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int, nlist: Int, nprobe: Int): DataFrame = {
+    require(nprobe >= 1 && nprobe <= nlist,
+      s"nprobe must be in [1, nlist=$nlist], got $nprobe")
+    val dims = vecDims(corpus, vecCol)
+    val c = corpus.select(col(idCol).as("nid"), col(vecCol).as("nvec"))
+      .withColumn("nnorm", norm(col("nvec")))
+      .withColumn("cell", cellExpr(col("nvec"), nlist, dims))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).as("qvec"))
+      .withColumn("qnorm", norm(col("qvec")))
+      .withColumn("cell",
+        explode(probeCellsExpr(col("qvec"), nlist, nprobe, dims)))
+    val scored = c.join(q, "cell")
+      .filter(col("nid") =!= col("qid"))
+      .select(col("qid"), col("nid"),
+        round(dot(col("qvec"), col("nvec")) / (col("qnorm") * col("nnorm")), 4)
+          .as("cosine"))
+    topKByQuery(scored, k, "cosine", "cosine")
+  }
+
   /** Multi-table LSH ANN top-k: `tables` independent hyperplane tables
     * (disjoint md5 plane families via `planeOffset = t·planes`);
     * candidates are bucket-mates in ANY table, so recall compounds as

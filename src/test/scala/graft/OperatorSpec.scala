@@ -1652,6 +1652,36 @@ class OperatorSpec extends AnyFunSuite {
     assert(pairs.forall(_.getAs[Double]("jaccard") == 1.0))
   }
 
+  test("ivfTopKProbed: nprobe=1 ≡ ivfTopK; nprobe=nlist ≡ brute force") {
+    val vecs = (0 until 60).map { i =>
+      (i.toLong, Array.tabulate(8)(j => math.cos(i * 0.9 + j * 0.3).toFloat))
+    }.toDF("vec_id", "embedding")
+    val queries = vecs.filter(col("vec_id") < 4)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("qid"), col("rank"), col("nid"), col("cosine"))
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).sorted.toSeq
+    // probe-1 is exactly the single-cell operator
+    assert(rows(Similarity.ivfTopKProbed(vecs, queries, "vec_id", "embedding",
+        k = 3, nlist = 4, nprobe = 1)) ==
+      rows(Similarity.ivfTopK(vecs, queries, "vec_id", "embedding",
+        k = 3, nlist = 4)))
+    // probing EVERY cell is full recall: identical to brute-force cosine
+    assert(rows(Similarity.ivfTopKProbed(vecs, queries, "vec_id", "embedding",
+        k = 3, nlist = 4, nprobe = 4)) ==
+      rows(Similarity.cosineTopK(vecs, queries, "vec_id", "embedding", k = 3)))
+    // recall is monotone in nprobe: every probe-1 neighbor set is a
+    // subset of the probe-2 candidate universe (rank order may shift)
+    val p1 = Similarity.ivfTopKProbed(vecs, queries, "vec_id", "embedding",
+      k = 3, nlist = 4, nprobe = 1)
+    val p2 = Similarity.ivfTopKProbed(vecs, queries, "vec_id", "embedding",
+      k = 60, nlist = 4, nprobe = 2)
+    assert(p1.join(p2, Seq("qid", "nid"), "left_anti").count() == 0L)
+    // window-free ranking, like every ANN entry point here
+    assert(!p2.queryExecution.optimizedPlan.toString.toLowerCase
+      .contains("windowexpression"))
+  }
+
   test("annTopKBucketed agrees with brute force within shared buckets") {
     val vecs = (0 until 40).map { i =>
       (i.toLong, Array.tabulate(8)(j => math.sin(i * 0.7 + j).toFloat))
