@@ -944,6 +944,37 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(stateRows == 0L, s"expected a stateless plan, got $stateRows state rows")
   }
 
+  test("parity: repetitionSignals applies to a stream verbatim, stateless") {
+    implicit val sq = spark.sqlContext
+    // the battery is a pure per-row projection (Column expressions
+    // only), so the BATCH OPERATOR ITSELF is its streaming twin — no
+    // scalar re-implementation to drift. Assert it runs on an unbounded
+    // frame and is bit-equal to the batch pass over the same rows.
+    val batch = graft.operators.TextAnalysis
+      .repetitionSignals(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.operators.TextAnalysis.repetitionSignals(
+      mem.toDF().toDF("doc_id", "text"), "doc_id", "text")
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("parity_repsig").start()
+    val rows = docs.select(col("doc_id"), col("text")).orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    replay(mem, rows, chunk = 100, q)
+    val stateRows = Option(q.lastProgress)
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(0L)
+    q.stop()
+    val streamed = spark.table("parity_repsig")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    assert(streamed == batch)
+    assert(stateRows == 0L, s"expected a stateless plan, got $stateRows state rows")
+  }
+
   test("parity: streamingDsir ≡ batch dsirLogRatio, stateless map-side model") {
     implicit val sq = spark.sqlContext
     // q89 shape: the 256-bucket target/source log-ratio model frozen
