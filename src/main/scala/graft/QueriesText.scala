@@ -227,6 +227,15 @@ object QueriesText {
         .orderBy(col("a"), col("b"))
     }),
 
+    // SimHash near-dup pairs: pigeonhole banding on the 16-bit
+    // fingerprint (hamming <= 2 must agree on one of 3 segments), exact
+    // popcount verify on candidates only — the bit-fingerprint dedup
+    // modality beside q32's shingle-MinHash
+    "q105_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashNearDups(tbl(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 2)
+        .orderBy(col("a"), col("b"))),
+
     // Gopher repetition battery: top n-gram occurrence counts +
     // duplicate-n-gram character fractions, all in-row (one map-side
     // projection, no explode/shuffle/window)
@@ -1165,6 +1174,30 @@ object QueriesText {
          |FROM base b CROSS JOIN stats
          |ORDER BY doc_id""".stripMargin
     },
+
+    // the oracle may be naive (it runs on DuckDB): brute-force popcount
+    // over all id<id pairs of the q33 fingerprints
+    "q105_simhash_pairs" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id AS id,
+         |    unnest(${toksSql("text")}) AS tok
+         |  FROM documents),
+         |bits AS (
+         |  SELECT id, i.i,
+         |    sum(CASE WHEN substr(md5(tok), i.i + 1, 1) BETWEEN '8' AND 'f'
+         |      THEN 1 ELSE -1 END) AS s
+         |  FROM toks, generate_series(0, 15) AS i(i)
+         |  GROUP BY id, i.i),
+         |fp AS (
+         |  SELECT id,
+         |    CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, i) AS BIGINT) ELSE 0 END)
+         |      AS BIGINT) AS simhash
+         |  FROM bits GROUP BY id)
+         |SELECT l.id AS a, r.id AS b,
+         |  CAST(bit_count(xor(l.simhash, r.simhash)) AS BIGINT) AS hamming
+         |FROM fp l JOIN fp r ON l.id < r.id
+         |WHERE bit_count(xor(l.simhash, r.simhash)) <= 2
+         |ORDER BY a, b""".stripMargin,
 
     "q103_repetition_battery" -> {
       def gramCte(n: Int): String = {

@@ -498,6 +498,42 @@ object Dedup {
     agg.select(col("id"), fp.as("simhash"))
   }
 
+  /** SimHash near-dup PAIRS: (a, b, hamming) with
+    * hamming(simhash16(a), simhash16(b)) ≤ maxHamming — the
+    * bit-fingerprint dedup modality beside shingle-MinHash (robust to
+    * small token substitutions rather than reorderings). Candidate
+    * generation is PIGEONHOLE banding: the 16 fingerprint bits split
+    * into maxHamming+1 contiguous segments, and any pair within the
+    * hamming budget must agree EXACTLY on at least one segment — so
+    * candidates come from an equi-join on (segment index, segment
+    * value), never an all-pairs scan, and the exact popcount verify
+    * runs on candidates only. Same scale shape as [[lshCandidates]]:
+    * short-key buckets, map-side fingerprints, AQE-splittable joins.
+    * Docs with no tokens have no fingerprint and emit no pairs. */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      maxHamming: Int = 2): DataFrame = {
+    require(maxHamming >= 1 && maxHamming < 16,
+      s"maxHamming must be in [1,15], got $maxHamming")
+    val nSeg = maxHamming + 1
+    val bounds = (0 to nSeg).map(j => 16 * j / nSeg)
+    val fps = simhash16(df, idCol, textCol)
+    val segs = (0 until nSeg).map { j =>
+      val lo = bounds(j); val w = bounds(j + 1) - lo
+      shiftright(col("simhash"), lo).bitwiseAND(lit((1L << w) - 1))
+    }
+    val banded = fps.select(col("id"), col("simhash"),
+      posexplode(array(segs: _*)).as(Seq("band", "key")))
+    val l = banded.as("l"); val r = banded.as("r")
+    l.join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
+        col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"),
+        col("l.simhash").bitwiseXOR(col("r.simhash")).as("__x"))
+      .distinct() // a pair may agree on several segments
+      .withColumn("hamming", expr("bit_count(__x)").cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
+  }
+
   /** Embedding cosine near-dup: pairs with cosine ≥ threshold. Brute-force
     * within LSH sign-buckets (see [[Similarity.hyperplaneBuckets]]) to
     * avoid the full cross join. */

@@ -1511,6 +1511,33 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(3L) == ((0L, 0L, 0.0, 0.0, 0.0))) // empty doc
   }
 
+  test("simhashNearDups: pigeonhole banding loses no pair vs brute force") {
+    import graft.operators.Dedup
+    // 40 docs over a small shared vocab → heavily correlated
+    // fingerprints: the banding must return EXACTLY the brute-force
+    // hamming<=k set (pigeonhole is lossless by construction — any pair
+    // within budget agrees on >= 1 of k+1 segments)
+    val docs = (0 until 40).map(i =>
+      (i.toLong, (0 until 12).map(j => s"w${(i * 7 + j * 3) % 20}").mkString(" ")))
+      .toDF("doc_id", "text")
+    for (k <- Seq(1, 2, 3)) {
+      val banded = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val fps = Dedup.simhash16(docs, "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val brute = (for {
+        a <- fps.keys; b <- fps.keys if a < b
+        h = java.lang.Long.bitCount(fps(a) ^ fps(b)).toLong if h <= k
+      } yield (a, b, h)).toSet
+      assert(banded == brute, s"k=$k: banding diverges from brute force " +
+        s"(missing=${(brute -- banded).take(3)} extra=${(banded -- brute).take(3)})")
+    }
+    // an empty doc has no fingerprint and pairs with nothing
+    val withEmpty = docs.union(Seq((99L, "")).toDF("doc_id", "text"))
+    assert(Dedup.simhashNearDups(withEmpty, "doc_id", "text", 2)
+      .filter(col("a") === 99L || col("b") === 99L).count() == 0L)
+  }
+
   test("cdcChunkDedup: content-defined boundaries survive an insertion shift") {
     import graft.operators.Dedup
     // md5("w18") starts with '0' → "w18" is a boundary token; w0..w5
