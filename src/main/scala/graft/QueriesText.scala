@@ -227,6 +227,12 @@ object QueriesText {
         .orderBy(col("a"), col("b"))
     }),
 
+    // Zipf head fit: ln(freq) ~ ln(rank) over the top-100 vocabulary —
+    // top-k via TakeOrderedAndProject (no full sort, no giant tie
+    // window), regression as one 1-row reduce
+    "q106_zipf_head" -> ((s, dir) =>
+      TA.zipfHeadFit(tbl(s, dir, "documents"), "doc_id", "text", k = 100)),
+
     // SimHash near-dup pairs: pigeonhole banding on the 16-bit
     // fingerprint (hamming <= 2 must agree on one of 3 segments), exact
     // popcount verify on candidates only — the bit-fingerprint dedup
@@ -1174,6 +1180,36 @@ object QueriesText {
          |FROM base b CROSS JOIN stats
          |ORDER BY doc_id""".stripMargin
     },
+
+    "q106_zipf_head" ->
+      s"""WITH toks AS (
+         |  SELECT unnest(${toksSql("text")}) AS token FROM documents),
+         |head AS (
+         |  SELECT token, count(*) AS freq FROM toks GROUP BY token
+         |  ORDER BY freq DESC, token ASC LIMIT 100),
+         |pts AS (
+         |  SELECT ln(CAST(row_number() OVER (ORDER BY freq DESC, token ASC)
+         |      AS DOUBLE)) AS x,
+         |    ln(CAST(freq AS DOUBLE)) AS y
+         |  FROM head),
+         |s AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+         |    sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+         |  FROM pts),
+         |d AS (
+         |  SELECT n, sx, sy,
+         |    n * sxx - sx * sx AS dxx, n * syy - sy * sy AS dyy,
+         |    n * sxy - sx * sy AS dxy
+         |  FROM s)
+         |SELECT CAST(n AS BIGINT) AS n_head,
+         |  round(-(CASE WHEN dxx = 0 THEN 0.0 ELSE dxy / dxx END) + 1e-9, 4)
+         |    + 0.0 AS alpha,
+         |  round((CASE WHEN n = 0 THEN 0.0
+         |    ELSE (sy - (CASE WHEN dxx = 0 THEN 0.0 ELSE dxy / dxx END) * sx) / n
+         |    END) + 1e-9, 4) + 0.0 AS intercept,
+         |  round((CASE WHEN dxx = 0 OR dyy = 0 THEN 0.0
+         |    ELSE dxy * dxy / (dxx * dyy) END) + 1e-9, 4) + 0.0 AS r2
+         |FROM d""".stripMargin,
 
     // the oracle may be naive (it runs on DuckDB): brute-force popcount
     // over all id<id pairs of the q33 fingerprints

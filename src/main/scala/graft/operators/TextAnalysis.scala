@@ -203,6 +203,51 @@ object TextAnalysis {
     scored.select(col("id"), hits.as("n_query_hits"), termScore.as("score"))
   }
 
+  /** Zipf HEAD fit: least-squares regression of ln(freq) on ln(rank)
+    * over the top-`k` vocabulary — the corpus-health diagnostic (natural
+    * text fits alpha ≈ 1; TOO clean a fit flags template/boilerplate
+    * corpora, a flat head flags shuffled or synthetic text). The head is
+    * what Zipf's law describes, and restricting to it is also what makes
+    * the operator scale-exact: ranking a FULL vocabulary needs a global
+    * sort whose freq-1 tail is one giant unsplittable tie, while the
+    * top-k by (freq desc, token asc) compiles to TakeOrderedAndProject —
+    * per-partition top-k, driver merge of k rows, no full sort, no
+    * data-sized window (the k-row rank window is bounded by k).
+    *
+    * Returns ONE row: (n_head, alpha, intercept, r2), alpha = −slope,
+    * all rounded to 4. Degenerate corpora (fewer than 2 distinct
+    * tokens) return alpha = 0, r2 = 0. */
+  def zipfHeadFit(df: org.apache.spark.sql.DataFrame, idCol: String,
+                  textCol: String, k: Int = 100): org.apache.spark.sql.DataFrame = {
+    require(k >= 2, s"k must be at least 2, got $k")
+    val head = df.select(explode(tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(k)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("freq").desc, col("token").asc) // ≤ k rows — bounded
+    val pts = head.withColumn("rank", row_number().over(w))
+      .select(log(col("rank").cast("double")).as("x"),
+        log(col("freq").cast("double")).as("y"))
+    val s = pts.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"))
+    val dxx = col("n") * col("sxx") - col("sx") * col("sx")
+    val dyy = col("n") * col("syy") - col("sy") * col("sy")
+    val dxy = col("n") * col("sxy") - col("sx") * col("sy")
+    val slope = when(dxx === 0, lit(0.0)).otherwise(dxy / dxx)
+    val r2 = when(dxx === 0 || dyy === 0, lit(0.0))
+      .otherwise(dxy * dxy / (dxx * dyy))
+    s.select(col("n").cast("long").as("n_head"),
+      (round(negate(slope) + lit(1e-9), 4) + lit(0.0)).as("alpha"),
+      (round(when(col("n") === 0, lit(0.0))
+        .otherwise((col("sy") - slope * col("sx")) / col("n")) + lit(1e-9), 4)
+        + lit(0.0)).as("intercept"),
+      (round(r2 + lit(1e-9), 4) + lit(0.0)).as("r2"))
+  }
+
   /** Within-document repetition-signal battery — the duplicate-n-gram
     * half of the Gopher/MassiveText filter set (Rae et al. 2021 §A1.1),
     * beside [[repetitionRatio]]: per doc, the occurrence count of the

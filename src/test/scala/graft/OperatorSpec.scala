@@ -1511,6 +1511,31 @@ class OperatorSpec extends AnyFunSuite {
     assert(out(3L) == ((0L, 0L, 0.0, 0.0, 0.0))) // empty doc
   }
 
+  test("zipfHeadFit: exact power law fits alpha=1 r2=1; top-k plan shape") {
+    import graft.operators.TextAnalysis
+    // freq_r = 12/r for ranks 1..4 (12, 6, 4, 3) is EXACTLY Zipfian:
+    // ln f = ln 12 − 1·ln r, so alpha = 1, r2 = 1, intercept = ln 12
+    val text = Seq.fill(12)("a") ++ Seq.fill(6)("b") ++
+      Seq.fill(4)("c") ++ Seq.fill(3)("d")
+    val docs = Seq((1L, text.mkString(" "))).toDF("doc_id", "text")
+    val fit = TextAnalysis.zipfHeadFit(docs, "doc_id", "text", k = 100)
+    // the vocabulary ranking must be TakeOrderedAndProject (distributed
+    // per-partition top-k), never a full global sort
+    assert(fit.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "zipf head must rank via TakeOrderedAndProject")
+    val r = fit.collect().head
+    assert(r.getLong(0) == 4)
+    assert(r.getDouble(1) == 1.0, s"alpha ${r.getDouble(1)}")
+    assert(r.getDouble(2) == BigDecimal(math.log(12.0) + 1e-9)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getDouble(3) == 1.0, s"r2 ${r.getDouble(3)}")
+    // degenerate: single-token corpus → slope undefined → alpha 0, r2 0
+    val one = TextAnalysis.zipfHeadFit(
+      Seq((1L, "x x x")).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().head
+    assert(one.getLong(0) == 1 && one.getDouble(1) == 0.0 && one.getDouble(3) == 0.0)
+  }
+
   test("simhashNearDups: pigeonhole banding loses no pair vs brute force") {
     import graft.operators.Dedup
     // 40 docs over a small shared vocab → heavily correlated
