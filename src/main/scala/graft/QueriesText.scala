@@ -236,10 +236,14 @@ object QueriesText {
     // SimHash near-dup pairs: pigeonhole banding on the 16-bit
     // fingerprint (hamming <= 2 must agree on one of 3 segments), exact
     // popcount verify on candidates only — the bit-fingerprint dedup
-    // modality beside q32's shingle-MinHash
+    // modality beside q32's shingle-MinHash. The bucket cap guards the
+    // mass-duplicate bomb (identical fingerprints collapse into one
+    // bucket of every segment); 4096 is provably inert here — the max
+    // segment bucket across SFs is 1,476 (asserted in OperatorSpec), so
+    // results are bit-identical to the uncapped (= oracle's brute) run
     "q105_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashNearDups(tbl(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 2)
+        maxHamming = 2, maxBucketSize = Some(4096))
         .orderBy(col("a"), col("b"))),
 
     // Gopher repetition battery: top n-gram occurrence counts +

@@ -508,10 +508,18 @@ object Dedup {
     * candidates come from an equi-join on (segment index, segment
     * value), never an all-pairs scan, and the exact popcount verify
     * runs on candidates only. Same scale shape as [[lshCandidates]]:
-    * short-key buckets, map-side fingerprints, AQE-splittable joins.
-    * Docs with no tokens have no fingerprint and emit no pairs. */
+    * short-key buckets, map-side fingerprints, AQE-splittable joins —
+    * and the same `maxBucketSize` guard: a corpus with 10⁵ byte-similar
+    * copies of one page puts every copy in ONE bucket of every segment
+    * (identical fingerprints), and the within-bucket self-join goes
+    * quadratic; with a cap, only the cap smallest ids of an oversized
+    * bucket generate pairs, elected by the bounded
+    * [[graft.functions.FirstKByOrder]] aggregate (map-side partials —
+    * the cap mechanism is itself hot-bucket-safe). Docs with no tokens
+    * have no fingerprint and emit no pairs. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 2): DataFrame = {
+                      maxHamming: Int = 2,
+                      maxBucketSize: Option[Int] = None): DataFrame = {
     require(maxHamming >= 1 && maxHamming < 16,
       s"maxHamming must be in [1,15], got $maxHamming")
     val nSeg = maxHamming + 1
@@ -521,8 +529,24 @@ object Dedup {
       val lo = bounds(j); val w = bounds(j + 1) - lo
       shiftright(col("simhash"), lo).bitwiseAND(lit((1L << w) - 1))
     }
-    val banded = fps.select(col("id"), col("simhash"),
+    val uncapped = fps.select(col("id"), col("simhash"),
       posexplode(array(segs: _*)).as(Seq("band", "key")))
+    val banded = maxBucketSize match {
+      case Some(cap) =>
+        require(cap >= 2, s"maxBucketSize=$cap: need at least 2 ids to form a pair")
+        val firstK = udaf(new graft.functions.FirstKByOrder(cap))
+        // keep the fingerprint through the election: pack it as the
+        // payload (16 bits — exact in the double payload), so the kept
+        // rows need no join back to the fingerprint frame
+        uncapped.groupBy(col("band"), col("key"))
+          .agg(firstK(col("id").cast("long"), col("simhash").cast("double"))
+            .as("__fk"))
+          .select(col("band"), col("key"), explode(col("__fk.items")).as("__it"))
+          .select(col("__it.ord").as("id"),
+            col("__it.payload").cast("long").as("simhash"),
+            col("band"), col("key"))
+      case None => uncapped
+    }
     val l = banded.as("l"); val r = banded.as("r")
     l.join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
         col("l.id") < col("r.id"))

@@ -1561,6 +1561,41 @@ class OperatorSpec extends AnyFunSuite {
     val withEmpty = docs.union(Seq((99L, "")).toDF("doc_id", "text"))
     assert(Dedup.simhashNearDups(withEmpty, "doc_id", "text", 2)
       .filter(col("a") === 99L || col("b") === 99L).count() == 0L)
+    // the bucket cap bounds a mass-dup bomb: 300 identical docs share
+    // every segment bucket — capped at 10, only the 10 smallest ids
+    // pair (C(10,2), hamming 0), elected window-free
+    val bomb = (0 until 300).map(i => (i.toLong, "same text every time here"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.simhashNearDups(bomb, "doc_id", "text",
+      maxHamming = 2, maxBucketSize = Some(10))
+    assert(!capped.queryExecution.optimizedPlan.toString.toLowerCase
+      .contains("windowexpression"))
+    val pairs = capped.collect()
+    assert(pairs.length == 45)
+    assert(pairs.forall(r => r.getLong(0) < 10 && r.getLong(1) < 10 &&
+      r.getLong(2) == 0L))
+  }
+
+  test("q105's bucket cap (4096) is provably inert at every oracle scale") {
+    import graft.operators.Dedup
+    // mirror of the q32/q86 inertness asserts: no simhash segment
+    // bucket at any oracle SF comes close to the cap, so capped ≡
+    // uncapped ≡ the oracle's brute-force pair set
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val docs = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
+      val fps = Dedup.simhash16(docs, "doc_id", "text")
+      val nSeg = 3
+      val bounds = (0 to nSeg).map(j => 16 * j / nSeg)
+      val segs = (0 until nSeg).map { j =>
+        val lo = bounds(j); val w = bounds(j + 1) - lo
+        shiftright(col("simhash"), lo).bitwiseAND(lit((1L << w) - 1))
+      }
+      val maxBucket = fps
+        .select(posexplode(array(segs: _*)).as(Seq("band", "key")))
+        .groupBy("band", "key").count()
+        .agg(max("count")).collect()(0).getLong(0)
+      assert(maxBucket < 4096, s"$sf max segment bucket $maxBucket !< 4096")
+    }
   }
 
   test("cdcChunkDedup: content-defined boundaries survive an insertion shift") {
