@@ -33,11 +33,15 @@ object QueriesChar {
         .orderBy(col("doc_id"))
     }),
 
-    // embedding-cosine near-dup pairs inside hyperplane-LSH buckets
+    // embedding-cosine near-dup pairs inside hyperplane-LSH buckets.
+    // The bucket cap guards the mass-duplicated-embedding bomb; 4096 is
+    // provably inert here — the embeddings table tops out at 2,000 rows
+    // TOTAL at sf0.1 (max bucket asserted < 4096 in OperatorSpec), so
+    // results are bit-identical to the uncapped run
     "q40_embedding_neardup" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s) // native graft_dot
       Dedup.embeddingNearDups(tbl(s, dir, "embeddings"), "vec_id", "embedding",
-        planes = 4, threshold = 0.4)
+        planes = 4, threshold = 0.4, maxBucketSize = Some(4096))
         .select(col("a"), col("b"), round(col("cosine"), 4).as("cosine"))
         .orderBy(col("a"), col("b"))
     })

@@ -560,15 +560,32 @@ object Dedup {
 
   /** Embedding cosine near-dup: pairs with cosine ≥ threshold. Brute-force
     * within LSH sign-buckets (see [[Similarity.hyperplaneBuckets]]) to
-    * avoid the full cross join. */
+    * avoid the full cross join. `maxBucketSize` is the mass-duplicate
+    * guard shared by every candidate generator here (a viral page
+    * embedded 10⁸× collapses into one bucket whatever `planes` is):
+    * kept ids are elected by the bounded [[graft.functions.FirstKByOrder]]
+    * aggregate and met in a semi-join, so neither the election nor the
+    * pairing ever pins the bomb bucket to one task. */
   def embeddingNearDups(emb: DataFrame, idCol: String, vecCol: String,
-                        planes: Int, threshold: Double): DataFrame = {
+                        planes: Int, threshold: Double,
+                        maxBucketSize: Option[Int] = None): DataFrame = {
     val dims = Similarity.vecDims(emb, vecCol)
     // bucket computed inline on the single scan — a hyperplaneBuckets
     // frame joined back by id would read and shuffle the corpus twice
-    val withB = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val uncapped = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("norm", Similarity.norm(col("vec")))
       .withColumn("bucket", Similarity.bucketExpr(col("vec"), planes, dims))
+    val withB = maxBucketSize match {
+      case Some(cap) =>
+        require(cap >= 2, s"maxBucketSize=$cap: need at least 2 ids to form a pair")
+        val firstK = udaf(new graft.functions.FirstKByOrder(cap))
+        val keep = uncapped.groupBy(col("bucket").as("__kb"))
+          .agg(firstK(col("id").cast("long"), lit(0.0)).as("__fk"))
+          .select(col("__kb"), explode(col("__fk.items.ord")).as("__kid"))
+        uncapped.join(keep,
+          col("bucket") === col("__kb") && col("id") === col("__kid"), "left_semi")
+      case None => uncapped
+    }
     val l = withB.as("l"); val r = withB.as("r")
     l.join(r, col("l.bucket") === col("r.bucket") && col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b"),

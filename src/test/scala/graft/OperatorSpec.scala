@@ -1576,6 +1576,27 @@ class OperatorSpec extends AnyFunSuite {
       r.getLong(2) == 0L))
   }
 
+  test("embeddingNearDups bucket cap bounds an identical-embedding bomb") {
+    import graft.operators.Dedup
+    // 200 identical embeddings land in ONE hyperplane bucket whatever
+    // planes is; capped at 10, only the 10 smallest ids pair (C(10,2),
+    // cosine 1), elected window-free; rows past the cap emit nothing
+    val emb = spark.range(200).select(col("id").as("vec_id"),
+      array(lit(1.0f), lit(0.25f), lit(0.5f), lit(0.125f)).as("embedding"))
+    val out = Dedup.embeddingNearDups(emb, "vec_id", "embedding",
+      planes = 4, threshold = 0.9, maxBucketSize = Some(10))
+    assert(!out.queryExecution.optimizedPlan.toString.toLowerCase
+      .contains("windowexpression"))
+    val pairs = out.collect()
+    assert(pairs.length == 45)
+    assert(pairs.forall(r => r.getLong(0) < 10 && r.getLong(1) < 10))
+    // q40's 4096 cap is inert at every oracle SF (≤ 2,000 vectors total)
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val e = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
+      assert(e.count() < 4096, s"$sf embeddings outgrew the inertness argument")
+    }
+  }
+
   test("q105's bucket cap (4096) is provably inert at every oracle scale") {
     import graft.operators.Dedup
     // mirror of the q32/q86 inertness asserts: no simhash segment
