@@ -20,6 +20,23 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Id column prepared for a capped-bucket election
+    * ([[graft.functions.FirstKByOrder]] orders by a long): cast to long,
+    * RAISING on ids the cast silently nulls out (non-numeric strings,
+    * null ids). Without the guard a string-keyed corpus fed through a
+    * capped path would corrupt every elected id to null while the
+    * uncapped paths — which keep ids opaque — accept it fine; failing
+    * loudly mirrors [[crossCorpusNearDups]]' packing guard. */
+  private[operators] def electionId(id: Column): Column = {
+    // try_cast, not cast: under ANSI a bad cast throws Spark's generic
+    // CAST_INVALID_INPUT mid-task, under non-ANSI it silently nulls —
+    // try_cast makes both configs land on the one contract error below
+    val asLong = id.try_cast("long")
+    when(asLong.isNotNull, asLong).otherwise(raise_error(concat(
+      lit("capped-bucket election requires a numeric (long-castable) id; got "),
+      coalesce(id.cast("string"), lit("null")))))
+  }
+
   /** Exact dedup: canonical (min-id) row per identical text. Returns
     * (id, canonical_id, group_size); a row is a duplicate iff
     * id != canonical_id. Shape: `groupBy(digest).agg(min, count)` + join
@@ -32,12 +49,20 @@ object Dedup {
     * pinned a digest's entire group to one window task: a boilerplate
     * page duplicated 10⁸× at 100 TB is one 10⁸-row partition. The second
     * scan recomputes only a projection + md5 — cheap; the exchange still
-    * carries a 32-byte digest, never the document.) */
+    * carries a 32-byte digest, never the document.)
+    *
+    * Null-text rows: `md5(null)` is null, and a plain equi-join would
+    * silently DROP those rows (null keys never match) — neither flagged
+    * duplicate nor kept. The join is therefore null-SAFE (`<=>`, still an
+    * extractable equi-join key, so the hash/sort-merge plan is
+    * unchanged): all null-text rows form one group, exactly as
+    * `groupBy(digest)` already groups them on the build side. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val d = df.select(col(idCol).as("id"), md5(col(textCol)).as("digest"))
     val g = d.groupBy(col("digest"))
       .agg(min(col("id")).as("canonical_id"), count(lit(1)).as("group_size"))
-    d.join(g, "digest")
+      .withColumnRenamed("digest", "__gdigest")
+    d.join(g, col("digest") <=> col("__gdigest"))
       .select(col("id"), col("canonical_id"), col("group_size"))
   }
 
@@ -166,7 +191,7 @@ object Dedup {
         require(cap >= 2, s"maxBucketSize=$cap: need at least 2 ids to form a pair")
         val firstK = udaf(new graft.functions.FirstKByOrder(cap))
         bandDf.groupBy(col("band"), col("key"))
-          .agg(firstK(col("id").cast("long"), lit(0.0)).as("__fk"))
+          .agg(firstK(electionId(col("id")), lit(0.0)).as("__fk"))
           .select(col("band"), col("key"),
             explode(col("__fk.items.ord")).as("id"))
       case None => bandDf
@@ -445,9 +470,15 @@ object Dedup {
         col("score"))
     // min_by over struct(-score, id): lexicographic struct order makes
     // the minimum the (max score, then min id) row — one hash-aggregate
-    // with map-side partials, never a window over the cluster
+    // with map-side partials, never a window over the cluster. A null
+    // score must LOSE to every real score (null sorts smallest in struct
+    // order, so un-coalesced it would WIN the election): coalesce to
+    // -Inf, which negates to +Inf and sorts last; an all-null cluster
+    // degrades to min-id survivor.
     val best = labeled.groupBy(col("cluster").as("__bc"))
-      .agg(min_by(col("id"), struct(negate(col("score")), col("id")))
+      .agg(min_by(col("id"), struct(
+        negate(coalesce(col("score").cast("double"),
+          lit(Double.NegativeInfinity))), col("id")))
         .as("__survivor"))
     labeled.join(best, col("cluster") === col("__bc"))
       .select(col("id"), col("cluster"), col("score"),
@@ -539,7 +570,7 @@ object Dedup {
         // payload (16 bits — exact in the double payload), so the kept
         // rows need no join back to the fingerprint frame
         uncapped.groupBy(col("band"), col("key"))
-          .agg(firstK(col("id").cast("long"), col("simhash").cast("double"))
+          .agg(firstK(electionId(col("id")), col("simhash").cast("double"))
             .as("__fk"))
           .select(col("band"), col("key"), explode(col("__fk.items")).as("__it"))
           .select(col("__it.ord").as("id"),
@@ -580,7 +611,7 @@ object Dedup {
         require(cap >= 2, s"maxBucketSize=$cap: need at least 2 ids to form a pair")
         val firstK = udaf(new graft.functions.FirstKByOrder(cap))
         val keep = uncapped.groupBy(col("bucket").as("__kb"))
-          .agg(firstK(col("id").cast("long"), lit(0.0)).as("__fk"))
+          .agg(firstK(electionId(col("id")), lit(0.0)).as("__fk"))
           .select(col("__kb"), explode(col("__fk.items.ord")).as("__kid"))
         uncapped.join(keep,
           col("bucket") === col("__kb") && col("id") === col("__kid"), "left_semi")

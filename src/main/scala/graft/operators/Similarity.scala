@@ -688,7 +688,7 @@ object Similarity {
         require(cap >= 2, s"maxCellSize=$cap: need at least 2 ids to form a pair")
         val firstK = udaf(new graft.functions.FirstKByOrder(cap))
         val keep = withCell.groupBy(col("cell").as("__kc"))
-          .agg(firstK(col("id").cast("long"), lit(0.0)).as("__fk"))
+          .agg(firstK(Dedup.electionId(col("id")), lit(0.0)).as("__fk"))
           .select(col("__kc"), explode(col("__fk.items.ord")).as("__kid"))
         withCell.join(keep,
           col("cell") === col("__kc") && col("id") === col("__kid"), "left_semi")

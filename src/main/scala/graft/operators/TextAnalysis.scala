@@ -229,11 +229,17 @@ object TextAnalysis {
     val pts = head.withColumn("rank", row_number().over(w))
       .select(log(col("rank").cast("double")).as("x"),
         log(col("freq").cast("double")).as("y"))
+    // sums coalesced to 0.0: an EMPTY corpus yields null sums, which
+    // would make dxx null — the when(dxx === 0) degenerate guard never
+    // fires on null, and alpha/intercept/r2 come back null instead of
+    // the documented 0s. With the coalesce, zero points → dxx = 0 → the
+    // guards fire and the degenerate contract holds for empty input too.
     val s = pts.agg(count(lit(1)).cast("double").as("n"),
-      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-      sum(col("x") * col("y")).as("sxy"),
-      sum(col("x") * col("x")).as("sxx"),
-      sum(col("y") * col("y")).as("syy"))
+      coalesce(sum(col("x")), lit(0.0)).as("sx"),
+      coalesce(sum(col("y")), lit(0.0)).as("sy"),
+      coalesce(sum(col("x") * col("y")), lit(0.0)).as("sxy"),
+      coalesce(sum(col("x") * col("x")), lit(0.0)).as("sxx"),
+      coalesce(sum(col("y") * col("y")), lit(0.0)).as("syy"))
     val dxx = col("n") * col("sxx") - col("sx") * col("sx")
     val dyy = col("n") * col("syy") - col("sy") * col("sy")
     val dxy = col("n") * col("sxy") - col("sx") * col("sy")

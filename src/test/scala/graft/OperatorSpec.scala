@@ -1663,6 +1663,72 @@ class OperatorSpec extends AnyFunSuite {
     assert(!plan.contains("windowexpression"), "canonicalByScore must be window-free")
   }
 
+  test("exact dedup returns null-text rows as one group (null-safe join)") {
+    import graft.operators.Dedup
+    // md5(null) is null; a plain equi-join would silently DROP these
+    // rows from the dedup report (neither flagged duplicate nor kept)
+    val docs = Seq((1L, "same"), (2L, null), (3L, "same"), (4L, null),
+      (5L, null)).toDF("doc_id", "text")
+    val out = Dedup.exact(docs, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.size == 5, "no row may be dropped")
+    // null-text rows form ONE group with min-id canonical, exactly as
+    // the build-side groupBy already groups them
+    assert(out(2L) == ((2L, 3L)))
+    assert(out(4L) == ((2L, 3L)))
+    assert(out(5L) == ((2L, 3L)))
+    assert(out(1L) == ((1L, 2L)))
+    assert(out(3L) == ((1L, 2L)))
+  }
+
+  test("capped election raises on non-numeric ids instead of nulling them") {
+    import graft.operators.Dedup
+    val bands = Seq((0, "k", "docA"), (0, "k", "docB"), (0, "k", "docC"))
+      .toDF("band", "key", "id")
+    // uncapped path keeps ids opaque — strings are fine
+    assert(Dedup.lshCandidates(bands).count() == 3)
+    // capped path orders by long — a silent cast would corrupt every
+    // elected id to null; it must fail loudly instead
+    val ex = intercept[Exception] {
+      Dedup.lshCandidates(bands, maxBucketSize = Some(2)).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(ex).exists(_.contains("numeric")), s"got: $ex")
+    // numeric STRINGS cast cleanly and must still work
+    val numeric = Seq((0, "k", "7"), (0, "k", "3"), (0, "k", "5"))
+      .toDF("band", "key", "id")
+    val pairs = Dedup.lshCandidates(numeric, maxBucketSize = Some(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((3L, 5L)))
+  }
+
+  test("canonicalByScore: null scores lose the election, never win it") {
+    import graft.operators.Dedup
+    // null sorts SMALLEST in struct order, so an un-coalesced
+    // struct(-score, id) would make the null-score row the survivor
+    val docs = Seq((1L, Some(10.0)), (2L, None), (3L, Some(4.0)),
+      (7L, None), (8L, None)).toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("a", "b")
+    val out = Dedup.canonicalByScore(docs, "doc_id", col("score"), pairs)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out(1L), "real score must beat null")
+    assert(!out(2L) && !out(3L))
+    // all-null cluster degrades to min-id survivor
+    assert(out(7L) && !out(8L))
+  }
+
+  test("zipfHeadFit: empty corpus returns the documented zeros, not nulls") {
+    import graft.operators.TextAnalysis
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val r = TextAnalysis.zipfHeadFit(empty, "doc_id", "text", k = 50).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) == 0L)
+    assert(r(0).getDouble(1) == 0.0, "alpha")
+    assert(r(0).getDouble(2) == 0.0, "intercept")
+    assert(r(0).getDouble(3) == 0.0, "r2")
+  }
+
   test("lshCandidates caps a pathological mega-bucket without losing dedup") {
     import graft.operators.Dedup
     // one band bucket with 200 ids (a mass-duplicated page) + a normal
