@@ -51,21 +51,38 @@ object Bench {
         System.err.println(s"[bench-debug]   id=${r.id} ${r.getStorageLevel.description} ${r.name}")
       }
     }
-    // millisecond precision keeps the one-line JSON short enough to
-    // survive the driver's bounded stdout tail intact (r8/r9's full-
-    // precision doubles pushed the line past the captured window, so the
-    // graded record's `parsed` field read null)
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // a targeted SPARK_GRAFT_BENCH_ONLY re-measurement must be
     // distinguishable from (and never mistaken for) a full-board result
     val partial = only.map(o =>
       s""","partial":true,"only":"${o.toSeq.sorted.mkString(",")}"""").getOrElse("")
+    def line(qs: Map[String, Double]): String = {
+      val m = qs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$m,"sf":"$sfDir","runs":$runs$partial}"""
+    }
+    // FULL-name record → repo-root file (overwritten per run): the
+    // harness captures only a bounded stdout TAIL (~2000 chars), and the
+    // 106-query full-name line is ~2.6 KB — it can NEVER fit, which is
+    // why three rounds of graded records read `parsed: null` with a
+    // truncated query map. The durable full record lives here.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_latest.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
+      (line(results.toMap) + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outFile: $e") }
+    // stdout gets a COMPACT line that fits the bounded tail whole: qNN
+    // prefixes (unique by construction — q02..q106 + q1_agg→q1) instead
+    // of full names, ~1.4 KB for 106 queries, leaving headroom for sbt's
+    // trailing [success] line inside the captured window.
+    val compact = results.map { case (k, v) => k.split('_')(0) -> v }.toMap
+    // a prefix collision would silently drop a query from the stdout
+    // record — fall back to full names (truncated tail beats lost data)
+    val stdoutQs = if (compact.size == results.size) compact else results.toMap
     spark.stop()
     // the bench record is the FINAL stdout line (after Spark shutdown)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs$partial}""")
+    println(line(stdoutQs))
   }
 }
