@@ -116,13 +116,23 @@ object StreamOps {
     * first-seen register, so state is one id per observed band key.
     * Emits (id, firstSeenId) for every later doc that collides with a
     * key's first document — the same pair may arrive via several bands;
-    * dedup downstream if exact pairs are needed. Production runs should
-    * bound state with a timeout/TTL policy appropriate to their
-    * duplication horizon (candidates, like the batch LSH stage, are
-    * subject to exact verification anyway). */
+    * dedup downstream if exact pairs are needed.
+    *
+    * State is one register row per DISTINCT band key — which grows with
+    * distinct content, i.e. contractually unbounded over an endless
+    * corpus stream. `ttl` bounds it: a processing-time duration (e.g.
+    * "24 hours") after which a band key that has stayed QUIET (no
+    * arrivals) is evicted; the clock refreshes on every arrival, so the
+    * TTL is the operator's duplication horizon — a near-dup arriving
+    * within `ttl` of its bucket's last sighting is still caught, a
+    * later one re-registers as first-seen (exactly the horizon contract
+    * of [[streamingDedup]]'s watermark, in processing time because this
+    * register keys on content, not event time). `None` keeps the full
+    * register (parity with the batch candidate stage over any replay). */
   def streamingNearDupCandidates(docs: Dataset[(Long, String)],
                                  shingleWidth: Int = 3, numHashes: Int = 12,
-                                 bands: Int = 4): Dataset[(Long, Long)] = {
+                                 bands: Int = 4,
+                                 ttl: Option[String] = None): Dataset[(Long, Long)] = {
     import docs.sparkSession.implicits._
     require(numHashes % bands == 0)
     val rows = numHashes / bands
@@ -151,14 +161,24 @@ object StreamOps {
     }
     banded.groupByKey(_._1)
       .flatMapGroupsWithState[Long, (Long, Long)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, registerTimeout(ttl)) {
+        case (_, _, state: GroupState[Long]) if state.hasTimedOut =>
+          state.remove(); Iterator.empty
         case (_, it, state: GroupState[Long]) =>
           val ids = it.map(_._2).toSeq.distinct.sorted
           val first = state.getOption.getOrElse(ids.head)
-          if (!state.exists) state.update(first)
+          state.update(first) // unconditional: a TTL refresh needs a write
+          ttl.foreach(state.setTimeoutDuration)
           ids.filterNot(_ == first).map(dup => (dup, first)).iterator
       }
   }
+
+  /** Timeout conf for the first-seen registers: a `ttl` opts into
+    * processing-time expiry (the register's eviction knob), `None`
+    * keeps the register for the life of the query. */
+  private def registerTimeout(ttl: Option[String]): GroupStateTimeout =
+    if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+    else GroupStateTimeout.NoTimeout
 
   /** Streaming embedding near-dup candidates — the unbounded twin of
     * [[graft.operators.Dedup.embeddingNearDups]]'s bucket stage: each
@@ -252,11 +272,16 @@ object StreamOps {
     * operator's "appears in >1 distinct doc" bit (a batch pair (a,b)
     * surfaces when the later side arrives). Within-doc repeats do not
     * self-collide (the register stores the doc id). State is one id per
-    * DISTINCT chunk digest — production runs should bound it with a
-    * TTL matched to their duplication horizon, exactly as
-    * [[streamingNearDupCandidates]] documents. */
+    * DISTINCT chunk digest — at 100 TB of streamed corpus the register
+    * IS the distinct-chunk set, so production runs must bound it: `ttl`
+    * is the processing-time duplication horizon (quiet digests are
+    * evicted after it, the clock refreshing on every sighting; a chunk
+    * recurring after eviction re-registers as first-seen), with the
+    * same contract as [[streamingNearDupCandidates]]. `None` keeps the
+    * full register — batch-parity over any replay, bounded runs only. */
   def streamingCdcChunkCandidates(docs: Dataset[(Long, String)],
-                                  boundaryHexFirst: Int = 1): Dataset[(Long, Long, String)] = {
+                                  boundaryHexFirst: Int = 1,
+                                  ttl: Option[String] = None): Dataset[(Long, Long, String)] = {
     import docs.sparkSession.implicits._
     require(boundaryHexFirst >= 1 && boundaryHexFirst <= 15,
       s"boundaryHexFirst must be in [1,15], got $boundaryHexFirst")
@@ -281,11 +306,14 @@ object StreamOps {
     }
     chunked.groupByKey(_._1)
       .flatMapGroupsWithState[Long, (Long, Long, String)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, registerTimeout(ttl)) {
+        case (_, _, state: GroupState[Long]) if state.hasTimedOut =>
+          state.remove(); Iterator.empty
         case (dig, it, state: GroupState[Long]) =>
           val ids = it.map(_._2).toSeq.distinct.sorted
           val first = state.getOption.getOrElse(ids.head)
-          if (!state.exists) state.update(first)
+          state.update(first) // unconditional: a TTL refresh needs a write
+          ttl.foreach(state.setTimeoutDuration)
           ids.filterNot(_ == first).map(dup => (dup, first, dig)).iterator
       }
   }

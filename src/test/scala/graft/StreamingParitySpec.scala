@@ -1131,6 +1131,85 @@ class StreamingParitySpec extends AnyFunSuite {
       s"state rows $stateRows vs $nDigests distinct digests")
   }
 
+  /** Poll until `cond` holds. A TTL'd register (ProcessingTimeTimeout)
+    * keeps the engine running no-data batches for timeout processing —
+    * `shouldRunAnotherBatch` is always true under that conf, so
+    * `processAllAvailable()` NEVER returns on these queries; progress
+    * metrics are the only safe synchronization. */
+  private def await(what: String, timeoutMs: Long = 90000)(cond: => Boolean): Unit = {
+    val t0 = System.currentTimeMillis
+    while (!cond) {
+      assert(System.currentTimeMillis - t0 < timeoutMs, s"timed out awaiting: $what")
+      Thread.sleep(200)
+    }
+  }
+
+  private def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+    Option(q.lastProgress).map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+
+  test("TTL: streamingCdcChunkCandidates evicts quiet digests after the horizon") {
+    implicit val sq = spark.sqlContext
+    import graft.operators.Dedup
+    // distinct digest count per doc, from the batch operator itself (no
+    // hardcoded chunking assumptions)
+    def nDigests(text: String): Long = Dedup.cdcChunkDigests(
+      Seq((1L, text)).toDF("doc_id", "text"), "doc_id", "text")
+      .select(col("dig")).distinct().count()
+    val textA = "alpha beta gamma delta epsilon"
+    val na = nDigests(textA)
+    assert(na > 0)
+
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamOps.streamingCdcChunkCandidates(mem.toDS(),
+      ttl = Some("10 seconds"))
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("cdc_ttl").start()
+    try {
+      mem.addData((1L, textA))
+      await(s"doc 1's $na digest registers")(stateRows(q) == na)
+      // the horizon lapses with NO further sightings → registers decay
+      // to zero (without eviction they'd hold the distinct-digest set
+      // forever — the 100 TB state bomb this knob exists for)
+      await("state decay to 0")(stateRows(q) == 0L)
+      // a dup arriving AFTER eviction re-registers as first-seen: doc 3
+      // repeats doc 1's text and must emit NO candidate pairs
+      mem.addData((3L, textA))
+      await("doc 3 re-registered")(stateRows(q) == na)
+      assert(spark.table("cdc_ttl").isEmpty,
+        "post-eviction replay must re-register, not emit")
+      // WITHIN the horizon the register still catches dups: doc 4
+      // repeats the text while doc 3's registers are live
+      mem.addData((4L, textA))
+      await("dup within horizon emitted")(
+        spark.table("cdc_ttl").collect()
+          .exists(r => r.getLong(0) == 4L && r.getLong(1) == 3L))
+    } finally q.stop()
+  }
+
+  test("TTL: streamingNearDupCandidates evicts quiet band keys after the horizon") {
+    implicit val sq = spark.sqlContext
+    val textA = "aa bb cc dd ee ff gg hh"
+    val mem = MemoryStream[(Long, String)]
+    val out = StreamOps.streamingNearDupCandidates(mem.toDS(),
+      ttl = Some("10 seconds"))
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("neardup_ttl").start()
+    try {
+      mem.addData((1L, textA))
+      await("doc 1's 4 band registers")(stateRows(q) == 4L)
+      await("state decay to 0")(stateRows(q) == 0L)
+      // post-eviction identical doc re-registers as first-seen
+      mem.addData((3L, textA))
+      await("doc 3 re-registered")(stateRows(q) == 4L)
+      assert(spark.table("neardup_ttl").isEmpty,
+        "post-eviction replay must re-register, not emit")
+      mem.addData((4L, textA))
+      await("dup within horizon emitted")(
+        spark.table("neardup_ttl").collect()
+          .exists(r => r.getLong(0) == 4L && r.getLong(1) == 3L))
+    } finally q.stop()
+  }
+
   test("parity: streamingCrossDedupCandidates ≡ batch cross-side band keys, stateless") {
     implicit val sq = spark.sqlContext
     import graft.operators.Dedup
