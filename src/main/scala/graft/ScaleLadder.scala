@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-ladder measurement main (dev tool): times the dedup/ANN/graph
+  * cost centers on ONE [[GenScale]] fixture dir and emits a JSON line,
+  * so exponents can be fitted across ×1/×3/×10 (SCALE.md). Protocol
+  * matches Bench — one untimed warm-up, median of `runs` timed runs,
+  * one JVM per dir (no cross-scale cache bleed).
+  *
+  * Beyond the 8 bench queries (run with their EXACT bench knobs — fixed
+  * nlist/caps/thresholds, so the ladder measures what the bench
+  * measures), three scale-path variants:
+  *
+  *   - q86_scaled_nlist: SemDeDup with nlist grown ∝ corpus (cells stay
+  *     ~500 vectors) — the 100 TB configuration, vs q86's oracle-pinned
+  *     nlist=4 whose cells grow with N and the within-cell verify with
+  *     them (quadratic by construction).
+  *   - q32_natural / q105_natural: MinHash-LSH and SimHash on the
+  *     natural-vocab corpus (fingerprint entropy grows with N, bucket
+  *     sizes stay O(1)) vs the closed-vocab corpus where buckets — and
+  *     the verified-pair OUTPUT — grow with N.
+  *
+  * A query whose warm-up exceeds SPARK_GRAFT_LADDER_MAXSEC (default
+  * 600) records that single time flagged `"capped":true` and skips its
+  * timed runs — a blow-up at ×10 is itself the measurement.
+  *
+  * Usage: runMain graft.ScaleLadder <fixtureDir> [outJsonPath] */
+object ScaleLadder {
+
+  private val benchNames = Seq(
+    "q31_dedup_exact", "q32_minhash_pairs", "q65_neardup_clusters",
+    "q84_pagerank", "q86_semantic_dedup", "q96_cross_dedup",
+    "q102_cdc_dedup", "q105_simhash_pairs")
+
+  private def extras: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q86_scaled_nlist" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val n = emb.count()
+      val nlist = math.max(4, (n / 500).toInt)
+      graft.operators.Similarity.semanticDedup(emb, "vec_id", "embedding",
+        nlist = nlist, threshold = 0.4, maxCellSize = Some(4096))
+    }),
+    "q32_natural" -> ((s, dir) =>
+      graft.operators.Dedup.minhashNearDups(
+        s.read.parquet(s"$dir/documents_nat.parquet"), "doc_id", "text",
+        shingleWidth = 3, numHashes = 12, bands = 4, threshold = 0.2,
+        maxBucketSize = Some(64))),
+    "q105_natural" -> ((s, dir) =>
+      graft.operators.Dedup.simhashNearDups(
+        s.read.parquet(s"$dir/documents_nat.parquet"), "doc_id", "text",
+        maxHamming = 2, maxBucketSize = Some(4096))))
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: ScaleLadder <fixtureDir> [outJsonPath]")
+    val dir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val maxSec = sys.env.getOrElse("SPARK_GRAFT_LADDER_MAXSEC", "600").toDouble
+    val only = sys.env.get("SPARK_GRAFT_LADDER_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.functions.GraftFunctions.register(spark)
+
+    val all: Seq[(String, (SparkSession, String) => DataFrame)] =
+      benchNames.map(n => n -> SparkEntry.queries(n)) ++ extras.toSeq
+    val results = all
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        System.gc()
+        val t0 = System.nanoTime()
+        try { fn(spark, dir).count() } catch { case e: Throwable =>
+          System.err.println(s"[ladder] $name failed: $e") }
+        val warm = (System.nanoTime() - t0) / 1e9
+        if (warm > maxSec) {
+          System.err.println(f"[ladder] $name warm-up $warm%.1f s > $maxSec — capped")
+          name -> (warm, true)
+        } else {
+          val times = (0 until runs).map { _ =>
+            val s0 = System.nanoTime()
+            try { fn(spark, dir).count() } catch { case _: Throwable => () }
+            (System.nanoTime() - s0) / 1e9
+          }.sorted
+          name -> (times(times.length / 2), false)
+        }
+      }
+    def fmt(v: Double): String = BigDecimal(v)
+      .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, (v, capped)) =>
+      s"\"$k\":{\"sec\":${fmt(v)},\"capped\":$capped}"
+    }.mkString("{", ",", "}")
+    val line = s"""{"dir":"$dir","runs":$runs,"queries":$qs}"""
+    if (args.length > 1)
+      java.nio.file.Files.write(java.nio.file.Paths.get(args(1)),
+        (line + "\n").getBytes("UTF-8"))
+    spark.stop()
+    println(line)
+  }
+}
