@@ -100,12 +100,20 @@ object GenScale {
     val bc = spark.sparkContext.broadcast(centers)
     spark.range(n).map { boxed =>
       val id: Long = boxed
-      val label = (unif(id, 6) * labels).toInt
-      // ~1% near-dup pairs: vector derived from a donor id's noise seed
+      // ~1% near-dup pairs: the donor (id-1) supplies the label AND the
+      // noise draw, so every donor pair shares both center and noise and
+      // differs only in a 10x-smaller own-id jitter (cosine ≈ 0.999,
+      // near but never exact). Label from the recipient's own id would
+      // make pairs near-dups only on the ~10% label coincidence — a
+      // 10x-lower real rate than claimed.
       val noiseSeed = if (id % 101 == 11) id - 1 else id
+      val label = (unif(noiseSeed, 6) * labels).toInt
       val c = bc.value(label)
-      val v = Array.tabulate(dims)(j =>
-        c(j) * 0.8f + ((unif(noiseSeed * 31 + 17, j) - 0.5) * 0.4).toFloat)
+      val v = Array.tabulate(dims) { j =>
+        val jitter = if (noiseSeed != id)
+          ((unif(id * 31 + 17, j) - 0.5) * 0.04).toFloat else 0f
+        c(j) * 0.8f + ((unif(noiseSeed * 31 + 17, j) - 0.5) * 0.4).toFloat + jitter
+      }
       (id, v.toSeq, label)
     }.toDF("vec_id", "embedding", "label")
   }

@@ -1463,13 +1463,18 @@ object QueriesText {
          |    AS prefix_fp
          |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // LEFT JOIN + COALESCE = the operator's null-text singleton
+    // contract (missing text is never "identical content"); inert when
+    // the corpus has no null texts, as at the oracle SFs
     "q31_dedup_exact" ->
       """WITH g AS (
         |  SELECT md5(text) AS digest, min(doc_id) AS canonical_id,
         |    count(*) AS group_size
-        |  FROM documents GROUP BY 1)
-        |SELECT d.doc_id AS id, g.canonical_id, g.group_size
-        |FROM documents d JOIN g ON md5(d.text) = g.digest
+        |  FROM documents WHERE text IS NOT NULL GROUP BY 1)
+        |SELECT d.doc_id AS id,
+        |  coalesce(g.canonical_id, d.doc_id) AS canonical_id,
+        |  coalesce(g.group_size, 1) AS group_size
+        |FROM documents d LEFT JOIN g ON md5(d.text) = g.digest
         |ORDER BY id""".stripMargin,
 
     "q32_minhash_pairs" ->

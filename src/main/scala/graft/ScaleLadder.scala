@@ -76,26 +76,30 @@ object ScaleLadder {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         System.gc()
-        val t0 = System.nanoTime()
-        try { fn(spark, dir).count() } catch { case e: Throwable =>
-          System.err.println(s"[ladder] $name failed: $e") }
-        val warm = (System.nanoTime() - t0) / 1e9
-        if (warm > maxSec) {
+        // a throw anywhere (warm-up or timed) marks the query FAILED —
+        // its fast-fail elapsed time must never enter an exponent fit
+        var failed = false
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          try { fn(spark, dir).count() } catch { case e: Throwable =>
+            failed = true
+            System.err.println(s"[ladder] $name failed: $e") }
+          (System.nanoTime() - t0) / 1e9
+        }
+        val warm = once()
+        if (failed) name -> (warm, false, true)
+        else if (warm > maxSec) {
           System.err.println(f"[ladder] $name warm-up $warm%.1f s > $maxSec — capped")
-          name -> (warm, true)
+          name -> (warm, true, false)
         } else {
-          val times = (0 until runs).map { _ =>
-            val s0 = System.nanoTime()
-            try { fn(spark, dir).count() } catch { case _: Throwable => () }
-            (System.nanoTime() - s0) / 1e9
-          }.sorted
-          name -> (times(times.length / 2), false)
+          val times = (0 until runs).map(_ => once()).sorted
+          name -> (times(times.length / 2), false, failed)
         }
       }
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, (v, capped)) =>
-      s"\"$k\":{\"sec\":${fmt(v)},\"capped\":$capped}"
+    val qs = results.map { case (k, (v, capped, failed)) =>
+      s"\"$k\":{\"sec\":${fmt(v)},\"capped\":$capped,\"failed\":$failed}"
     }.mkString("{", ",", "}")
     val line = s"""{"dir":"$dir","runs":$runs,"queries":$qs}"""
     if (args.length > 1)

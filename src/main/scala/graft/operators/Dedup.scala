@@ -53,17 +53,22 @@ object Dedup {
     *
     * Null-text rows: `md5(null)` is null, and a plain equi-join would
     * silently DROP those rows (null keys never match) — neither flagged
-    * duplicate nor kept. The join is therefore null-SAFE (`<=>`, still an
-    * extractable equi-join key, so the hash/sort-merge plan is
-    * unchanged): all null-text rows form one group, exactly as
-    * `groupBy(digest)` already groups them on the build side. */
+    * duplicate nor kept. They are instead emitted as SINGLETON groups
+    * (canonical_id = id, group_size = 1): missing text is missing, not
+    * identical content, so a downstream keep-canonical filter never
+    * discards a document merely because its text is null. The split also
+    * keeps null rows out of the shuffle entirely — a null-safe join
+    * would funnel every null-text row at 100 TB into one join bucket. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val d = df.select(col(idCol).as("id"), md5(col(textCol)).as("digest"))
-    val g = d.groupBy(col("digest"))
+    val nn = d.filter(col("digest").isNotNull)
+    val g = nn.groupBy(col("digest"))
       .agg(min(col("id")).as("canonical_id"), count(lit(1)).as("group_size"))
       .withColumnRenamed("digest", "__gdigest")
-    d.join(g, col("digest") <=> col("__gdigest"))
+    nn.join(g, col("digest") === col("__gdigest"))
       .select(col("id"), col("canonical_id"), col("group_size"))
+      .unionByName(d.filter(col("digest").isNull).select(
+        col("id"), col("id").as("canonical_id"), lit(1L).as("group_size")))
   }
 
   /** Canonical (min-id) row per identical text, in ONE scan and ONE
@@ -74,15 +79,22 @@ object Dedup {
     * partial `min_by` reduces each partition to one candidate row per
     * digest BEFORE the shuffle, so at 100 TB the exchange carries a
     * 32-byte digest + one payload struct per distinct document, not the
-    * corpus. Returns (id, payloadCols..., group_size). */
+    * corpus. Returns (id, payloadCols..., group_size).
+    *
+    * Null-text rows survive as SINGLETONS (same contract as [[exact]]):
+    * grouping them under the null digest would silently drop all but one
+    * missing-text document — and skew one reducer with every null row. */
   def exactCanonical(df: DataFrame, idCol: String, textCol: String,
                      payloadCols: Seq[String]): DataFrame = {
     val row = struct((col(idCol).as("id") +: payloadCols.map(col)): _*)
-    df.select(md5(col(textCol)).as("digest"), col(idCol).as("id"), row.as("row"))
+    val d = df.select(md5(col(textCol)).as("digest"), col(idCol).as("id"), row.as("row"))
+    d.filter(col("digest").isNotNull)
       .groupBy(col("digest"))
       .agg(min_by(col("row"), col("id")).as("row"),
         count(lit(1)).as("group_size"))
       .select(col("row.*"), col("group_size"))
+      .unionByName(d.filter(col("digest").isNull)
+        .select(col("row.*"), lit(1L).as("group_size")))
   }
 
   /** Word w-shingles: (id, shingle) distinct. The shingle is the joined

@@ -1663,22 +1663,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(!plan.contains("windowexpression"), "canonicalByScore must be window-free")
   }
 
-  test("exact dedup returns null-text rows as one group (null-safe join)") {
+  test("exact dedup returns null-text rows as singleton groups") {
     import graft.operators.Dedup
     // md5(null) is null; a plain equi-join would silently DROP these
-    // rows from the dedup report (neither flagged duplicate nor kept)
+    // rows from the dedup report (neither flagged duplicate nor kept).
+    // Missing text is missing, NOT identical content: each null-text row
+    // must survive as its own group so a downstream keep-canonical
+    // filter never discards a document for having no text
     val docs = Seq((1L, "same"), (2L, null), (3L, "same"), (4L, null),
       (5L, null)).toDF("doc_id", "text")
     val out = Dedup.exact(docs, "doc_id", "text").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(out.size == 5, "no row may be dropped")
-    // null-text rows form ONE group with min-id canonical, exactly as
-    // the build-side groupBy already groups them
-    assert(out(2L) == ((2L, 3L)))
-    assert(out(4L) == ((2L, 3L)))
-    assert(out(5L) == ((2L, 3L)))
+    assert(out(2L) == ((2L, 1L)))
+    assert(out(4L) == ((4L, 1L)))
+    assert(out(5L) == ((5L, 1L)))
     assert(out(1L) == ((1L, 2L)))
     assert(out(3L) == ((1L, 2L)))
+    // exactCanonical: same contract — every null-text row survives
+    val surv = Dedup.exactCanonical(docs, "doc_id", "text", Seq("text"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(surv == Map(1L -> 2L, 2L -> 1L, 4L -> 1L, 5L -> 1L))
   }
 
   test("capped election raises on non-numeric ids instead of nulling them") {

@@ -1171,18 +1171,19 @@ class StreamingParitySpec extends AnyFunSuite {
       // to zero (without eviction they'd hold the distinct-digest set
       // forever — the 100 TB state bomb this knob exists for)
       await("state decay to 0")(stateRows(q) == 0L)
-      // a dup arriving AFTER eviction re-registers as first-seen: doc 3
-      // repeats doc 1's text and must emit NO candidate pairs
-      mem.addData((3L, textA))
-      await("doc 3 re-registered")(stateRows(q) == na)
-      assert(spark.table("cdc_ttl").isEmpty,
-        "post-eviction replay must re-register, not emit")
-      // WITHIN the horizon the register still catches dups: doc 4
-      // repeats the text while doc 3's registers are live
-      mem.addData((4L, textA))
-      await("dup within horizon emitted")(
+      // Post-eviction, docs 3 and 4 (both repeating doc 1's text) arrive
+      // in ONE micro-batch — same addData call, so no wall-clock race
+      // against the TTL on a loaded host: doc 3 must RE-REGISTER as
+      // first-seen (not emit as a dup of evicted doc 1) and doc 4 must
+      // dup against doc 3 within the same horizon.
+      mem.addData((3L, textA), (4L, textA))
+      await("post-eviction re-register + within-horizon dup")(
         spark.table("cdc_ttl").collect()
           .exists(r => r.getLong(0) == 4L && r.getLong(1) == 3L))
+      assert(!spark.table("cdc_ttl").collect().exists(_.getLong(0) == 3L),
+        "doc 3 must re-register as first-seen, not emit as a dup")
+      assert(stateRows(q) == na,
+        s"re-registered state rows ${stateRows(q)} vs $na digests")
     } finally q.stop()
   }
 
@@ -1198,15 +1199,16 @@ class StreamingParitySpec extends AnyFunSuite {
       mem.addData((1L, textA))
       await("doc 1's 4 band registers")(stateRows(q) == 4L)
       await("state decay to 0")(stateRows(q) == 0L)
-      // post-eviction identical doc re-registers as first-seen
-      mem.addData((3L, textA))
-      await("doc 3 re-registered")(stateRows(q) == 4L)
-      assert(spark.table("neardup_ttl").isEmpty,
-        "post-eviction replay must re-register, not emit")
-      mem.addData((4L, textA))
-      await("dup within horizon emitted")(
+      // post-eviction: docs 3 and 4 in ONE micro-batch (no wall-clock
+      // race vs the TTL) — 3 re-registers, 4 dups against it
+      mem.addData((3L, textA), (4L, textA))
+      await("post-eviction re-register + within-horizon dup")(
         spark.table("neardup_ttl").collect()
           .exists(r => r.getLong(0) == 4L && r.getLong(1) == 3L))
+      assert(!spark.table("neardup_ttl").collect().exists(_.getLong(0) == 3L),
+        "doc 3 must re-register as first-seen, not emit as a dup")
+      assert(stateRows(q) == 4L,
+        s"re-registered state rows ${stateRows(q)} vs 4 band keys")
     } finally q.stop()
   }
 
