@@ -46,6 +46,17 @@ object QueriesText {
       .sorted.mkString(";")
   }
 
+  /** Count of live memoized frames for (session, dir) — the INTENTIONAL
+    * pinned set. The leak-census spec compares this against the
+    * context's persistent-RDD count after a full query sweep, so an
+    * operator that checkpoints without `unpersistCheckpoint` fails a
+    * test instead of surfacing as a multi-× bench cliff rounds later. */
+  private[graft] def liveCachedFrames(s: SparkSession, dir: String): Int =
+    pairsCache.synchronized {
+      val m = pairsCache.get(s)
+      if (m == null) 0 else m.keys.count(_.startsWith(s"$dir#"))
+    }
+
   /** Drop every cached spine, unpersisting its checkpoint blocks. */
   private[graft] def resetPairsCache(): Unit = pairsCache.synchronized {
     val it = pairsCache.values.iterator()

@@ -559,7 +559,23 @@ object Dedup {
     * bucket generate pairs, elected by the bounded
     * [[graft.functions.FirstKByOrder]] aggregate (map-side partials —
     * the cap mechanism is itself hot-bucket-safe). Docs with no tokens
-    * have no fingerprint and emit no pairs. */
+    * have no fingerprint and emit no pairs.
+    *
+    * OUTPUT-DENSITY contract: the dominant cost is the verified-pair
+    * VOLUME, ≈ Σ_buckets C(n_b, 2) candidate pairs before the popcount
+    * filter. With only 2^16 fingerprints, bucket sizes are driven by
+    * fingerprint ENTROPY: a closed-vocab corpus (boilerplate-heavy
+    * crawl shards, synthetic fixtures) correlates fingerprints and the
+    * result is dense — every pair it emits is a true ≤ maxHamming pair,
+    * but there are genuinely many of them. At web-corpus entropy the
+    * density collapses (the x10 natural-vocab ladder rung measures
+    * this). `maxBucketSize` already bounds the per-bucket budget at
+    * C(cap, 2); a separate membership-only emission mode (each id
+    * paired to its bucket's min) was considered and DECLINED — star
+    * pairs that fail the hamming verify would disconnect members whose
+    * pairwise distance passes, silently changing cluster semantics.
+    * Pipelines that need clusters, not pairs, should feed these pairs
+    * to the connected-components clusterer, capped. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 2,
                       maxBucketSize: Option[Int] = None): DataFrame = {

@@ -667,4 +667,49 @@ class StressSpec extends AnyFunSuite {
       assert(stats.getLong(1) == expBpe)
     }
   }
+
+  test("leak census: full query sweep pins ONLY the intentional cached frames",
+       SlowStress) {
+    failAfter(Span(900, Seconds)) {
+      // Every memoized spine/fixture frame is session-listener-managed
+      // (QueriesText.cachedFrame) and owns exactly one localCheckpoint
+      // RDD. An operator that checkpoints outside that discipline — or a
+      // cachedFrame entry that forgets unpersistCheckpoint on eviction —
+      // leaks blocks that accrete for the life of a long-lived session:
+      // a 7× bench cliff two rounds later. Catch it here instead.
+      val dir = "/root/testdata/sf0.001"
+      // MUST materialize fresh Int sets: `getPersistentRDDs.keySet` is a
+      // VIEW holding the backing map whose VALUES are the RDDs — keeping
+      // it across the sweep pins every RDD and blocks the very reaping
+      // this test asserts (found the hard way, via an hprof root trace:
+      // ROOT_JAVA_FRAME -> ObjectRef -> ImmutableKeySet.$outer -> RDD).
+      def pinnedIds: Set[Int] =
+        spark.sparkContext.getPersistentRDDs.keysIterator.toSet
+      val before = pinnedIds
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+        try fn(spark, dir).count()
+        catch { case e: Throwable => fail(s"$name failed during sweep: $e") }
+      }
+      // Two tiers of pins are legitimate: the session-managed frame memo
+      // (strong refs held for the session) and TRANSIENT per-call spine
+      // checkpoints, which the returned frame references and the
+      // ContextCleaner unpersists once that frame is unreachable — the
+      // standard localCheckpoint lifecycle. Force GC and wait for the
+      // reaper: everything must converge down to exactly the memo set.
+      // An operator holding a stray strong reference never converges.
+      val intentional = QueriesText.liveCachedFrames(spark, dir)
+      assert(intentional > 0, "sweep should have populated the frame memo")
+      val deadline = System.nanoTime + 120L * 1000 * 1000 * 1000
+      var leakedIds = (pinnedIds -- before).toSeq.sorted
+      while (leakedIds.size > intentional && System.nanoTime < deadline) {
+        System.gc(); Thread.sleep(1000)
+        leakedIds = (pinnedIds -- before).toSeq.sorted
+      }
+      assert(leakedIds.size == intentional,
+        s"persistent RDDs still pinned 2 min after the sweep (ids " +
+          s"${leakedIds.mkString(",")}): ${leakedIds.size}, but the " +
+          s"session-managed frame memo owns only $intentional — an " +
+          "operator is holding a checkpoint the ContextCleaner can't reap")
+    }
+  }
 }
