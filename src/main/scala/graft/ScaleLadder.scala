@@ -51,7 +51,14 @@ object ScaleLadder {
     "q105_natural" -> ((s, dir) =>
       graft.operators.Dedup.simhashNearDups(
         s.read.parquet(s"$dir/documents_nat.parquet"), "doc_id", "text",
-        maxHamming = 2, maxBucketSize = Some(4096))))
+        maxHamming = 2, maxBucketSize = Some(4096))),
+    "q105_natural64" -> ((s, dir) =>
+      // the bits = 64 scale path: ~21-bit band keys instead of ~5-bit,
+      // so bucket occupancy — and the Θ(N²/64) 16-bit pair volume —
+      // collapses to the corpus's true near-dup density
+      graft.operators.Dedup.simhashNearDups(
+        s.read.parquet(s"$dir/documents_nat.parquet"), "doc_id", "text",
+        maxHamming = 2, maxBucketSize = Some(4096), bits = 64)))
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: ScaleLadder <fixtureDir> [outJsonPath]")
@@ -79,27 +86,31 @@ object ScaleLadder {
         // a throw anywhere (warm-up or timed) marks the query FAILED —
         // its fast-fail elapsed time must never enter an exponent fit
         var failed = false
+        // result-row count from the last successful run: the OUTPUT
+        // VOLUME curve is the evidence behind density claims (q105's
+        // 16- vs 64-bit pair counts), not just the wall-time curve
+        var rows = -1L
         def once(): Double = {
           val t0 = System.nanoTime()
-          try { fn(spark, dir).count() } catch { case e: Throwable =>
+          try { rows = fn(spark, dir).count() } catch { case e: Throwable =>
             failed = true
             System.err.println(s"[ladder] $name failed: $e") }
           (System.nanoTime() - t0) / 1e9
         }
         val warm = once()
-        if (failed) name -> (warm, false, true)
+        if (failed) name -> (warm, rows, false, true)
         else if (warm > maxSec) {
           System.err.println(f"[ladder] $name warm-up $warm%.1f s > $maxSec — capped")
-          name -> (warm, true, false)
+          name -> (warm, rows, true, false)
         } else {
           val times = (0 until runs).map(_ => once()).sorted
-          name -> (times(times.length / 2), false, failed)
+          name -> (times(times.length / 2), rows, false, failed)
         }
       }
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val qs = results.map { case (k, (v, capped, failed)) =>
-      s"\"$k\":{\"sec\":${fmt(v)},\"capped\":$capped,\"failed\":$failed}"
+    val qs = results.map { case (k, (v, rows, capped, failed)) =>
+      s"\"$k\":{\"sec\":${fmt(v)},\"rows\":$rows,\"capped\":$capped,\"failed\":$failed}"
     }.mkString("{", ",", "}")
     val line = s"""{"dir":"$dir","runs":$runs,"queries":$qs}"""
     if (args.length > 1)

@@ -541,6 +541,34 @@ object Dedup {
     agg.select(col("id"), fp.as("simhash"))
   }
 
+  /** 64-bit SimHash fingerprint — the SCALE-PATH twin of [[simhash16]].
+    * Same majority-vote construction, but each bit comes from the native
+    * codegen'd `xxhash64` of the token instead of an md5 hex digit, so
+    * the fingerprint carries 64 bits of entropy. Why it exists: with a
+    * 16-bit fingerprint, pigeonhole banding at maxHamming = 2 gives
+    * segments of ~5 bits — at most ~64 distinct keys per band — so the
+    * candidate-pair volume is Θ(N²/64) for ANY corpus, closed or open
+    * vocab (the x10 scale ladder measures exactly this). At 64 bits the
+    * segments carry ~21 bits (~2M keys), and bucket occupancy — hence
+    * candidate volume — collapses to near-linear at web-corpus
+    * fingerprint entropy. Kept separate from [[simhash16]] because the
+    * 16-bit construction is oracle-pinned (DuckDB reproduces the md5
+    * hex-digit votes bit-for-bit in q33/q105's SQL). */
+  def simhash64(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        explode(TextAnalysis.tokens(col(textCol))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val bitSums = (0 until 64).map { i =>
+      sum(shiftright(col("h"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$i")
+    }
+    val agg = toks.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
+    // disjoint bit patterns: summing == OR-ing, and the i = 63 term wraps
+    // to Long.MinValue exactly as a sign-bit pattern should
+    val fp = (0 until 64).map(i =>
+      when(col(s"s$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    agg.select(col("id"), fp.as("simhash"))
+  }
+
   /** SimHash near-dup PAIRS: (a, b, hamming) with
     * hamming(simhash16(a), simhash16(b)) ≤ maxHamming — the
     * bit-fingerprint dedup modality beside shingle-MinHash (robust to
@@ -563,27 +591,35 @@ object Dedup {
     *
     * OUTPUT-DENSITY contract: the dominant cost is the verified-pair
     * VOLUME, ≈ Σ_buckets C(n_b, 2) candidate pairs before the popcount
-    * filter. With only 2^16 fingerprints, bucket sizes are driven by
-    * fingerprint ENTROPY: a closed-vocab corpus (boilerplate-heavy
-    * crawl shards, synthetic fixtures) correlates fingerprints and the
-    * result is dense — every pair it emits is a true ≤ maxHamming pair,
-    * but there are genuinely many of them. At web-corpus entropy the
-    * density collapses (the x10 natural-vocab ladder rung measures
-    * this). `maxBucketSize` already bounds the per-bucket budget at
-    * C(cap, 2); a separate membership-only emission mode (each id
-    * paired to its bucket's min) was considered and DECLINED — star
-    * pairs that fail the hamming verify would disconnect members whose
-    * pairwise distance passes, silently changing cluster semantics.
-    * Pipelines that need clusters, not pairs, should feed these pairs
-    * to the connected-components clusterer, capped. */
+    * filter. At the default `bits = 16` this volume is quadratic BY
+    * CONSTRUCTION, for any corpus: banding at maxHamming = 2 splits the
+    * fingerprint into ~5-bit segments — at most ~2^6 distinct keys per
+    * band — so n_b ≥ N/64 and candidates are Θ(N²/64) even at perfect
+    * fingerprint entropy (the x10 scale ladder measured the natural- and
+    * closed-vocab corpora within 25% of each other; the key space, not
+    * the vocab, is the bound). The 16-bit default exists for the DuckDB
+    * oracle parity of q33/q105; pipelines at scale should pass
+    * `bits = 64` ([[simhash64]]): ~21-bit segments (~2M keys per band)
+    * collapse the bucket occupancy, and the pair volume with it, to the
+    * corpus's true near-dup density. `maxBucketSize` bounds the
+    * per-bucket budget at C(cap, 2) in either width; a membership-only
+    * emission mode (each id paired to its bucket's min) was considered
+    * and DECLINED — star pairs that fail the hamming verify would
+    * disconnect members whose pairwise distance passes, silently
+    * changing cluster semantics. Pipelines that need clusters, not
+    * pairs, should feed these pairs to the connected-components
+    * clusterer, capped. */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 2,
-                      maxBucketSize: Option[Int] = None): DataFrame = {
-    require(maxHamming >= 1 && maxHamming < 16,
-      s"maxHamming must be in [1,15], got $maxHamming")
+                      maxBucketSize: Option[Int] = None,
+                      bits: Int = 16): DataFrame = {
+    require(bits == 16 || bits == 64, s"bits must be 16 or 64, got $bits")
+    require(maxHamming >= 1 && maxHamming < bits,
+      s"maxHamming must be in [1,${bits - 1}], got $maxHamming")
     val nSeg = maxHamming + 1
-    val bounds = (0 to nSeg).map(j => 16 * j / nSeg)
-    val fps = simhash16(df, idCol, textCol)
+    val bounds = (0 to nSeg).map(j => bits * j / nSeg)
+    val fps = if (bits == 16) simhash16(df, idCol, textCol)
+              else simhash64(df, idCol, textCol)
     val segs = (0 until nSeg).map { j =>
       val lo = bounds(j); val w = bounds(j + 1) - lo
       shiftright(col("simhash"), lo).bitwiseAND(lit((1L << w) - 1))
@@ -591,7 +627,7 @@ object Dedup {
     val uncapped = fps.select(col("id"), col("simhash"),
       posexplode(array(segs: _*)).as(Seq("band", "key")))
     val banded = maxBucketSize match {
-      case Some(cap) =>
+      case Some(cap) if bits <= 52 =>
         require(cap >= 2, s"maxBucketSize=$cap: need at least 2 ids to form a pair")
         val firstK = udaf(new graft.functions.FirstKByOrder(cap))
         // keep the fingerprint through the election: pack it as the
@@ -604,6 +640,18 @@ object Dedup {
           .select(col("__it.ord").as("id"),
             col("__it.payload").cast("long").as("simhash"),
             col("band"), col("key"))
+      case Some(cap) =>
+        require(cap >= 2, s"maxBucketSize=$cap: need at least 2 ids to form a pair")
+        // a 64-bit fingerprint does NOT round-trip the double payload
+        // (53-bit mantissa): elect ids only, meet in a semi-join — the
+        // same shape as embeddingNearDups' cap, still never pinning the
+        // bomb bucket to one task
+        val firstK = udaf(new graft.functions.FirstKByOrder(cap))
+        val keep = uncapped.groupBy(col("band").as("__b"), col("key").as("__k"))
+          .agg(firstK(electionId(col("id")), lit(0.0)).as("__fk"))
+          .select(col("__b"), col("__k"), explode(col("__fk.items.ord")).as("__kid"))
+        uncapped.join(keep, col("band") === col("__b") &&
+          col("key") === col("__k") && col("id") === col("__kid"), "left_semi")
       case None => uncapped
     }
     val l = banded.as("l"); val r = banded.as("r")

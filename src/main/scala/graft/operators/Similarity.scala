@@ -500,17 +500,46 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"), col("cosine"))
   }
 
-  /** The IVF cell id as a pure column expression: argmax projection onto
-    * `nlist` deterministic pseudo-centroids (md5-derived ±1 direction
-    * vectors — same family as the hyperplanes); same rationale as
-    * [[bucketExpr]]. */
-  def cellExpr(vec: Column, nlist: Int, dims: Int): Column = {
-    val projs = array((0 until nlist).map { c =>
-      val signs = array((0 until dims).map(j => lit(planeSign(c + 7919, j))): _*)
+  /** Above this, [[cellExpr]] switches from flat argmax (O(nlist·dims)
+    * per row) to the two-level product assignment (O(√nlist·dims)).
+    * Every oracle-pinned query uses nlist = 4, far below the switch, so
+    * the flat path — and its DuckDB parity — is untouched. */
+  private[graft] val FlatNlistMax = 16
+
+  private def bankArgmax(vec: Column, planes: Int, dims: Int,
+                         seedBase: Int): Column = {
+    val projs = array((0 until planes).map { c =>
+      val signs = array((0 until dims).map(j => lit(planeSign(c + seedBase, j))): _*)
       dot(vec, signs)
     }: _*)
     (array_position(projs, array_max(projs)) - 1).cast("long")
   }
+
+  /** The IVF cell id as a pure column expression: argmax projection onto
+    * `nlist` deterministic pseudo-centroids (md5-derived ±1 direction
+    * vectors — same family as the hyperplanes); same rationale as
+    * [[bucketExpr]].
+    *
+    * SCALE PATH: flat argmax costs O(nlist·dims) PER ROW, and the
+    * SemDeDup configuration grows nlist ∝ corpus (cells stay
+    * ~constant-sized) — so assignment alone would be O(N²·dims/cell)
+    * across the corpus, a quadratic term the x10 scale ladder exposed
+    * before any join ran. Above [[FlatNlistMax]] the cell is therefore a
+    * PRODUCT of two independent ⌈√nlist⌉-plane banks
+    * (cell = argmax₁·side + argmax₂): O(√nlist·dims) per row, cell space
+    * side² ≥ nlist, still a pure function of the vector (no assignment
+    * shuffle, no trained state). The trade is partition granularity, not
+    * correctness — every consumer treats the cell as an opaque
+    * partitioner and [[probeCellsExpr]] ranks the same product space, so
+    * nprobe = 1 keeps picking exactly this cell (the combo score is a
+    * SEPARABLE sum, so its argmax is the pair of bank argmaxes). */
+  def cellExpr(vec: Column, nlist: Int, dims: Int): Column =
+    if (nlist <= FlatNlistMax) bankArgmax(vec, nlist, dims, 7919)
+    else {
+      val side = math.ceil(math.sqrt(nlist.toDouble)).toInt
+      bankArgmax(vec, side, dims, 7919) * side +
+        bankArgmax(vec, side, dims, 104729)
+    }
 
   def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,
                 nlist: Int): DataFrame = {
@@ -550,13 +579,34 @@ object Similarity {
     * IVF recall knob (proj desc, cell asc on ties; nprobe = 1 picks
     * exactly cellExpr's cell). Pure expression: consumers attach it to
     * their own scan, no join back, no second read. */
-  def probeCellsExpr(vec: Column, nlist: Int, nprobe: Int, dims: Int): Column = {
-    val entries = array((0 until nlist).map { c =>
-      val signs = array((0 until dims).map(j => lit(planeSign(c + 7919, j))): _*)
-      struct(negate(dot(vec, signs)).as("np"), lit(c.toLong).as("cell"))
-    }: _*)
-    transform(slice(array_sort(entries), 1, nprobe), s => s.getField("cell"))
-  }
+  def probeCellsExpr(vec: Column, nlist: Int, nprobe: Int, dims: Int): Column =
+    if (nlist <= FlatNlistMax) {
+      val entries = array((0 until nlist).map { c =>
+        val signs = array((0 until dims).map(j => lit(planeSign(c + 7919, j))): _*)
+        struct(negate(dot(vec, signs)).as("np"), lit(c.toLong).as("cell"))
+      }: _*)
+      transform(slice(array_sort(entries), 1, nprobe), s => s.getField("cell"))
+    } else {
+      // two-level product space (see cellExpr): rank (c1, c2) combos by
+      // the SEPARABLE sum proj₁(c1) + proj₂(c2) — its argmax is the pair
+      // of bank argmaxes, so nprobe = 1 is exactly cellExpr's cell. The
+      // O(side²) enumeration lives on the QUERY side only (consumers
+      // keep the corpus on the O(√nlist) cellExpr); the two bank arrays
+      // are deterministic repeated subtrees, which whole-stage codegen's
+      // common-subexpression elimination evaluates once per row.
+      val side = math.ceil(math.sqrt(nlist.toDouble)).toInt
+      def bankProjs(seedBase: Int): Column = array((0 until side).map { c =>
+        val signs = array((0 until dims).map(j => lit(planeSign(c + seedBase, j))): _*)
+        dot(vec, signs)
+      }: _*)
+      val p1 = bankProjs(7919); val p2 = bankProjs(104729)
+      val combos = array((for {
+        c1 <- 0 until side; c2 <- 0 until side
+      } yield struct(
+        negate(element_at(p1, c1 + 1) + element_at(p2, c2 + 1)).as("np"),
+        lit(c1.toLong * side + c2).as("cell"))): _*)
+      transform(slice(array_sort(combos), 1, nprobe), s => s.getField("cell"))
+    }
 
   /** IVF ANN top-k with `nprobe` > 1 — the standard IVF recall lever:
     * each query probes its `nprobe` nearest cells instead of one, so

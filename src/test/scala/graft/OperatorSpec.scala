@@ -1576,6 +1576,82 @@ class OperatorSpec extends AnyFunSuite {
       r.getLong(2) == 0L))
   }
 
+  test("simhashNearDups bits=64: banding lossless; capped path window-free") {
+    import graft.operators.Dedup
+    // same correlated corpus as the 16-bit spec: the 64-bit banding must
+    // return EXACTLY the brute-force hamming<=k set over simhash64
+    val docs = (0 until 40).map(i =>
+      (i.toLong, (0 until 12).map(j => s"w${(i * 7 + j * 3) % 20}").mkString(" ")))
+      .toDF("doc_id", "text")
+    val fps = Dedup.simhash64(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (k <- Seq(1, 2, 3)) {
+      val banded = Dedup.simhashNearDups(docs, "doc_id", "text",
+        maxHamming = k, bits = 64)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val brute = (for {
+        a <- fps.keys; b <- fps.keys if a < b
+        h = java.lang.Long.bitCount(fps(a) ^ fps(b)).toLong if h <= k
+      } yield (a, b, h)).toSet
+      assert(banded == brute, s"k=$k: 64-bit banding diverges from brute " +
+        s"force (missing=${(brute -- banded).take(3)} extra=${(banded -- brute).take(3)})")
+    }
+    // the wide-fingerprint capped path (ids elected, fingerprints met in
+    // a semi-join — a 64-bit fp doesn't round-trip the double payload):
+    // 300 identical docs capped at 10 → C(10,2) hamming-0 pairs, and the
+    // election is the bounded aggregate, never a window
+    val bomb = (0 until 300).map(i => (i.toLong, "same text every time here"))
+      .toDF("doc_id", "text")
+    val capped = Dedup.simhashNearDups(bomb, "doc_id", "text",
+      maxHamming = 2, maxBucketSize = Some(10), bits = 64)
+    assert(!capped.queryExecution.optimizedPlan.toString.toLowerCase
+      .contains("windowexpression"))
+    val pairs = capped.collect()
+    assert(pairs.length == 45)
+    assert(pairs.forall(r => r.getLong(0) < 10 && r.getLong(1) < 10 &&
+      r.getLong(2) == 0L))
+  }
+
+  test("two-level cellExpr above FlatNlistMax: probe-consistent, dedups exactly") {
+    import graft.operators.{Dedup, Similarity}
+    val dims = 8
+    val nlist = 25 // > FlatNlistMax → the O(√nlist) product assignment
+    assert(nlist > Similarity.FlatNlistMax)
+    // (id + 1): id = 0 would be the all-zero vector, whose cosine with
+    // its own copies is NaN — copies would never dedup
+    val emb = spark.range(400).select(col("id").as("vec_id"),
+      array((0 until dims).map(j =>
+        sin((col("id") + 1) * lit(0.37 * (j + 1))).cast("float")): _*).as("embedding"))
+    // contract 1: nprobe = 1 picks EXACTLY cellExpr's cell (the combo
+    // score is a separable sum, so its argmax is the pair of bank
+    // argmaxes) — the same consistency the flat path guarantees
+    val both = emb.select(
+      Similarity.cellExpr(col("embedding"), nlist, dims).as("cell"),
+      element_at(Similarity.probeCellsExpr(col("embedding"), nlist, 1, dims), 1)
+        .as("probed"))
+    assert(both.filter(col("cell") =!= col("probed")).count() == 0L)
+    // contract 2: identical vectors ALWAYS share a cell (pure function of
+    // the vector), so a 3-copy group dedups to one canonical under the
+    // two-level assignment exactly as under the flat one
+    val tripled = emb.union(emb.filter(col("vec_id") < 3)
+        .withColumn("vec_id", col("vec_id") + 1000))
+      .union(emb.filter(col("vec_id") < 3)
+        .withColumn("vec_id", col("vec_id") + 2000))
+    val out = Similarity.semanticDedup(tripled, "vec_id", "embedding",
+      nlist = nlist, threshold = 0.999)
+    assert(out.count() == 406L)
+    val groups = out.filter(col("id") % 1000 < 3)
+      .groupBy(col("id") % 1000).agg(
+        countDistinct(col("canonical_id")).as("nc"),
+        min(col("canonical_id")).as("mc"))
+      .collect()
+    assert(groups.length == 3)
+    groups.foreach { r =>
+      assert(r.getLong(1) == 1L, s"copies of ${r.get(0)} split canonicals")
+      assert(r.getLong(2) == r.getLong(0), "canonical must be the min id")
+    }
+  }
+
   test("embeddingNearDups bucket cap bounds an identical-embedding bomb") {
     import graft.operators.Dedup
     // 200 identical embeddings land in ONE hyperplane bucket whatever
