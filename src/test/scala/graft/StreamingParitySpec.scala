@@ -1160,8 +1160,13 @@ class StreamingParitySpec extends AnyFunSuite {
     assert(na > 0)
 
     val mem = MemoryStream[(Long, String)]
+    // 30 s, not 10: the TTL is processing-time, so every observation
+    // below races wall-clock against it — stateRows(q) reads
+    // lastProgress, and under a GC-heavy full-suite session the na-rows
+    // window can slip past a 10 s horizon before the poller sees it
+    // (flaked under `sbt test`, passed alone). 3× margin instead.
     val out = StreamOps.streamingCdcChunkCandidates(mem.toDS(),
-      ttl = Some("10 seconds"))
+      ttl = Some("30 seconds"))
     val q = out.writeStream.outputMode("append").format("memory")
       .queryName("cdc_ttl").start()
     try {
@@ -1182,8 +1187,9 @@ class StreamingParitySpec extends AnyFunSuite {
           .exists(r => r.getLong(0) == 4L && r.getLong(1) == 3L))
       assert(!spark.table("cdc_ttl").collect().exists(_.getLong(0) == 3L),
         "doc 3 must re-register as first-seen, not emit as a dup")
-      assert(stateRows(q) == na,
-        s"re-registered state rows ${stateRows(q)} vs $na digests")
+      // await, not assert: observing na re-registered rows ONCE proves
+      // the contract; a subsequent eviction is the knob working
+      await(s"re-registered state rows == $na")(stateRows(q) == na)
     } finally q.stop()
   }
 
@@ -1191,8 +1197,10 @@ class StreamingParitySpec extends AnyFunSuite {
     implicit val sq = spark.sqlContext
     val textA = "aa bb cc dd ee ff gg hh"
     val mem = MemoryStream[(Long, String)]
+    // 30 s TTL: same wall-clock-observation margin rationale as the CDC
+    // TTL test above
     val out = StreamOps.streamingNearDupCandidates(mem.toDS(),
-      ttl = Some("10 seconds"))
+      ttl = Some("30 seconds"))
     val q = out.writeStream.outputMode("append").format("memory")
       .queryName("neardup_ttl").start()
     try {
@@ -1207,8 +1215,9 @@ class StreamingParitySpec extends AnyFunSuite {
           .exists(r => r.getLong(0) == 4L && r.getLong(1) == 3L))
       assert(!spark.table("neardup_ttl").collect().exists(_.getLong(0) == 3L),
         "doc 3 must re-register as first-seen, not emit as a dup")
-      assert(stateRows(q) == 4L,
-        s"re-registered state rows ${stateRows(q)} vs 4 band keys")
+      // await, not assert: once 4 rows are observed the contract is
+      // proven; a later eviction is the knob working
+      await("re-registered state rows == 4")(stateRows(q) == 4L)
     } finally q.stop()
   }
 

@@ -685,6 +685,14 @@ class StressSpec extends AnyFunSuite {
       // ROOT_JAVA_FRAME -> ObjectRef -> ImmutableKeySet.$outer -> RDD).
       def pinnedIds: Set[Int] =
         spark.sparkContext.getPersistentRDDs.keysIterator.toSet
+      // ORDER-INDEPENDENCE: suites share the session, so an earlier
+      // suite may already have populated the frame memo — its pins
+      // would land in `before`, the sweep would add fewer NEW ids than
+      // `intentional`, and the strict equality below would fail even
+      // with zero leaks (exactly how this spec fails under `sbt test`
+      // but passes alone). Drop the memo (unpersisting its checkpoint
+      // blocks) so the sweep repopulates it from scratch.
+      QueriesText.resetPairsCache()
       val before = pinnedIds
       SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
         try fn(spark, dir).count()
