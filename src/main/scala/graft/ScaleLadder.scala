@@ -43,6 +43,36 @@ object ScaleLadder {
       graft.operators.Similarity.semanticDedup(emb, "vec_id", "embedding",
         nlist = nlist, threshold = 0.4, maxCellSize = Some(4096))
     }),
+    "q86_scaled_tight_cap" -> ((s, dir) => {
+      // the cap-plateau probe: GenScale embeddings have ~10 intrinsic
+      // label clusters, and a pseudo-centroid (direction-argmax)
+      // partitioner cannot split a tight cluster — so cells bottom out
+      // at the cluster mass whatever nlist is, and the within-cell
+      // verify is quadratic in that mass UNTIL maxCellSize binds. With
+      // a cap that binds at every rung (1024 < cluster mass from x3 on),
+      // per-cell cost is C(cap,2) and the total tracks occupied cells —
+      // the curve must flatten where the 4096-cap variant still grows.
+      graft.functions.GraftFunctions.register(s)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val n = emb.count()
+      val nlist = math.max(4, (n / 500).toInt)
+      graft.operators.Similarity.semanticDedup(emb, "vec_id", "embedding",
+        nlist = nlist, threshold = 0.4, maxCellSize = Some(1024))
+    }),
+    "q86_scaled_refined" -> ((s, dir) => {
+      // the round-12 scale configuration: nlist ∝ corpus AND oversized
+      // cells (intrinsic clusters the pseudo-centroids cannot split)
+      // recursively peeled by data-dependent Voronoi pivots with star
+      // edges — bounded per-cell cost like the tight cap, but EVERY row
+      // keeps deduping instead of only the cap's elected ids
+      graft.functions.GraftFunctions.register(s)
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val n = emb.count()
+      val nlist = math.max(4, (n / 500).toInt)
+      graft.operators.Similarity.semanticDedup(emb, "vec_id", "embedding",
+        nlist = nlist, threshold = 0.4, maxCellSize = Some(4096),
+        refineTarget = Some(1024))
+    }),
     "q32_natural" -> ((s, dir) =>
       graft.operators.Dedup.minhashNearDups(
         s.read.parquet(s"$dir/documents_nat.parquet"), "doc_id", "text",

@@ -541,6 +541,17 @@ object Similarity {
         bankArgmax(vec, side, dims, 104729)
     }
 
+  /** Size of [[cellExpr]]'s id domain: cell ids fall in [0, cellDomain).
+    * Refinement needs it to allocate COLLISION-FREE child-cell ids —
+    * `cell * fanout + idx` alone would let a child id land on another
+    * ORIGINAL cell's id and silently merge their members. */
+  private[graft] def cellDomain(nlist: Int): Long =
+    if (nlist <= FlatNlistMax) nlist.toLong
+    else {
+      val side = math.ceil(math.sqrt(nlist.toDouble)).toLong
+      side * side
+    }
+
   def ivfAssign(emb: DataFrame, idCol: String, vecCol: String,
                 nlist: Int): DataFrame = {
     val dims = vecDims(emb, vecCol)
@@ -725,14 +736,137 @@ object Similarity {
     * canonical) — mass duplicates still dedup among the surviving ids,
     * and byte-identical copies belong to [[Dedup.exact]] anyway.
     *
-    * Returns one row per vector: (id, cell, canonical_id, keep). */
+    * `refineTarget` closes the gap `maxCellSize` leaves: a pseudo-
+    * centroid (direction-argmax) partitioner CANNOT split a tight
+    * cluster — near-identical vectors share every bank's argmax — so
+    * cells bottom out at the corpus's intrinsic cluster mass no matter
+    * how large nlist grows (the ×30 scale ladder measured exactly this:
+    * mass label-clusters held the within-cell verify quadratic until
+    * the cap bound it, and the cap forfeits dedup among beyond-cap
+    * rows). With `refineTarget = Some(t)`, cells still larger than `t`
+    * are recursively split by DATA-DEPENDENT Voronoi boundaries: elect
+    * `refineFanout` pivot ids per oversized cell (the bounded
+    * [[graft.functions.FirstKByOrder]] aggregate again), pack each
+    * cell's ≤ fanout pivot vectors into ONE array row (bounded
+    * aggregate, broadcast-shaped join key = the cell), and assign each
+    * member in-row (no explode, no window): max-cosine pivot if that
+    * cosine meets `threshold` (COVERED), else a dedicated per-cell
+    * UNCOVERED bucket. Repeat on cells still above `t`
+    * (≤ `refineMaxRounds` rounds, each one checkpointed pass over the
+    * oversized slice — the [[Dedup.connectedComponents]] block
+    * lifecycle, superseded rounds freed). Because pivots inside a
+    * near-dup cluster are themselves mutual near-dups, the assignment
+    * pass also EMITS the member→pivot pairs that meet `threshold`
+    * (≤ fanout per member per round): those STAR EDGES reconnect the
+    * sub-cells through the pivot graph, so splitting a mass cluster
+    * never splits its component. The uncovered bucket is what makes
+    * this hold for MIXED cells (pseudo-centroid ties put several
+    * distinct clusters in one cell): a cluster whose ids lost every
+    * pivot seat concentrates there and the next round elects pivots
+    * from ITS members — iterative peeling, one dominant cluster per
+    * round — instead of Voronoi-scattering edge-less across sub-cells.
+    * Net: the within-cell join stays linear in `t` while ALL rows keep
+    * deduping, where the cap alone would keep only its elected ids.
+    * Identical-vector bombs tie every pivot cosine and refuse to split
+    * (rounds burn, deterministically): the star edges still connect the
+    * whole bomb to one component, and `maxCellSize` remains the cost
+    * guard for its pair join — the two knobs compose.
+    *
+    * Returns one row per vector: (id, cell, canonical_id, keep) — with
+    * refinement, `cell` is the final refined cell. */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
                     nlist: Int, threshold: Double,
-                    maxCellSize: Option[Int] = None): DataFrame = {
+                    maxCellSize: Option[Int] = None,
+                    refineTarget: Option[Int] = None,
+                    refineFanout: Int = 16,
+                    refineMaxRounds: Int = 4): DataFrame = {
     val dims = vecDims(emb, vecCol)
-    val withCell = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val base = emb.select(col(idCol).as("id"), col(vecCol).as("vec"))
       .withColumn("norm", norm(col("vec")))
       .withColumn("cell", cellExpr(col("vec"), nlist, dims))
+    val (withCell, starEdges, edgeCkpts) = refineTarget match {
+      case None => (base, None, List.empty[DataFrame])
+      case Some(t) =>
+        require(t >= 2, s"refineTarget=$t: need at least 2 rows to pair")
+        require(refineFanout >= 2 && refineMaxRounds >= 1,
+          s"refineFanout=$refineFanout / refineMaxRounds=$refineMaxRounds")
+        val firstK = udaf(new graft.functions.FirstKByOrder(refineFanout))
+        // eager checkpoint: the loop re-reads the frame every round
+        // (counts + splits); without it each round re-runs the scan +
+        // cell assignment
+        var cur = base.localCheckpoint()
+        var edges: Option[DataFrame] = None
+        var ckpts = List.empty[DataFrame]
+        // child-cell ids live in [idLo, idLo + idLo*fanout) each round —
+        // disjoint from every id already in play (all < idLo). Without
+        // the offset, cell 3's round-2 grandchild (3·f+3)·f+2 collides
+        // with original cell (3·f+3)'s members and silently merges
+        // unrelated components (caught by the ground-truth spec).
+        var idLo = cellDomain(nlist)
+        var round = 0
+        var done = false
+        while (!done && round < refineMaxRounds) {
+          val over = cur.groupBy(col("cell")).count()
+            .filter(col("count") > t).select(col("cell").as("__oc"))
+          if (over.isEmpty) done = true
+          else {
+            val members = cur.join(over, col("cell") === col("__oc"), "left_semi")
+            val rest = cur.join(over, col("cell") === col("__oc"), "left_anti")
+            val pivIds = members.groupBy(col("cell"))
+              .agg(firstK(Dedup.electionId(col("id")), lit(0.0)).as("__fk"))
+              .select(col("cell"),
+                posexplode(col("__fk.items.ord")).as(Seq("pidx", "pid")))
+            // one row per oversized cell holding its ≤ fanout pivots —
+            // a bounded aggregate, never a per-member fan-out
+            val pivArr = pivIds
+              .join(members.select(col("cell"), col("id").as("pid"),
+                col("vec").as("pvec"), col("norm").as("pnorm")), Seq("cell", "pid"))
+              .groupBy(col("cell"))
+              .agg(collect_list(struct(col("pidx"), col("pid"),
+                col("pvec"), col("pnorm"))).as("__piv"))
+            val joined = members.join(pivArr, "cell")
+            val cos = (p: Column) => dot(col("vec"), p.getField("pvec")) /
+              (col("norm") * p.getField("pnorm"))
+            val best = array_max(transform(col("__piv"),
+              p => struct(cos(p).as("c"), p.getField("pidx").as("i"))))
+            // COVERED members (≥ threshold of their best pivot) split by
+            // Voronoi; UNCOVERED members — a co-resident cluster whose
+            // ids lost every pivot seat to another cluster's smaller ids
+            // — all land in one dedicated child bucket. If that bucket
+            // is still oversized, the NEXT round elects pivots from its
+            // own members (now the minimum ids present), covering the
+            // cluster that was shut out: iterative peeling, one dominant
+            // cluster per round, so star-edge connectivity holds for
+            // every cluster that gets a round — without this, a minority
+            // cluster Voronoi-scatters across sub-cells it shares no
+            // passing edge with, and its component silently splits
+            // (caught by the ground-truth spec).
+            val subIdx = when(best.getField("c") >= lit(threshold),
+              best.getField("i")).otherwise(lit(refineFanout))
+            val assigned = joined.select(col("id"), col("vec"), col("norm"),
+              (lit(idLo) + col("cell") * (refineFanout + 1) + subIdx)
+                .as("cell"))
+            // star edges (eager checkpoint: they must survive the
+            // superseded round's unpersist below)
+            val roundEdges = joined.select(col("id"),
+                explode(filter(col("__piv"), p =>
+                  p.getField("pid") =!= col("id") && cos(p) >= lit(threshold)))
+                  .as("__p"))
+              .select(col("id").as("a"), col("__p.pid").as("b"))
+              .localCheckpoint()
+            edges = Some(edges.map(_.unionByName(roundEdges)).getOrElse(roundEdges))
+            ckpts = roundEdges :: ckpts
+            val next = rest.unionByName(assigned).localCheckpoint()
+            org.apache.spark.sql.GraftColumnShim.unpersistCheckpoint(cur)
+            cur = next
+            // child ids occupied [idLo, idLo + idLo*(fanout+1)); next
+            // round's range starts past them
+            idLo += idLo * (refineFanout + 1)
+            round += 1
+          }
+        }
+        (cur, edges, ckpts)
+    }
     val capped = maxCellSize match {
       case Some(cap) =>
         require(cap >= 2, s"maxCellSize=$cap: need at least 2 ids to form a pair")
@@ -751,7 +885,14 @@ object Similarity {
         (dot(col("l.vec"), col("r.vec")) /
           (col("l.norm") * col("r.norm"))).as("cosine"))
       .filter(col("cosine") >= threshold)
-    val labels = Dedup.connectedComponents(pairs, "a", "b")
+    val ccInput = starEdges match {
+      case Some(e) => pairs.select(col("a"), col("b")).unionByName(e)
+      case None => pairs
+    }
+    val labels = Dedup.connectedComponents(ccInput, "a", "b")
+    // connectedComponents eagerly checkpoints its symmetrized edge list
+    // on entry, so the per-round star-edge checkpoints are dead here
+    edgeCkpts.foreach(org.apache.spark.sql.GraftColumnShim.unpersistCheckpoint)
     withCell.select(col("id"), col("cell"))
       .join(labels, Seq("id"), "left")
       .select(col("id"), col("cell"),

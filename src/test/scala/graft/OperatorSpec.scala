@@ -1890,6 +1890,66 @@ class OperatorSpec extends AnyFunSuite {
     assert(full.exceptAll(uncapped).count() == 0L)
   }
 
+  test("semanticDedup refineTarget: splits mass cells, star edges keep components") {
+    // two tight 300-vector clusters (near-identical within, orthogonal-ish
+    // across) — a direction-argmax partitioner can NOT split them however
+    // large nlist is, so without refinement their cells verify C(300,2)
+    // pairs each. refineTarget splits them by data-dependent Voronoi
+    // pivots; the star edges must keep each cluster ONE component.
+    val dims = 8
+    def cluster(base: Long, center: Int, n: Int) =
+      spark.range(n).select((col("id") + base).as("vec_id"),
+        array((0 until dims).map(j =>
+          (when(lit(j == center), lit(1.0f)).otherwise(lit(0.0f)) +
+            sin((col("id") + base + 1) * lit(0.13 * (j + 1))).cast("float") * lit(0.01f))
+            .cast("float")): _*).as("embedding"))
+    val emb = cluster(0L, 0, 300).unionByName(cluster(1000L, 3, 300))
+    val nlist = 32 // > FlatNlistMax: exercises the two-level path too
+    val refined = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      nlist = nlist, threshold = 0.99,
+      refineTarget = Some(50), refineFanout = 4, refineMaxRounds = 4)
+    val plan = refined.queryExecution.optimizedPlan.toString.toLowerCase
+    assert(!plan.contains("windowexpression"), "refinement must be window-free")
+    val rows = refined.collect()
+    assert(rows.length == 600)
+    // the mass cells actually split: no refined cell exceeds the target
+    val cellSizes = rows.groupBy(_.getAs[Long]("cell")).map(_._2.length)
+    assert(cellSizes.max <= 50,
+      s"refined max cell ${cellSizes.max} exceeds refineTarget")
+    // ground truth: the unrefined run (all within-cell pairs) — on
+    // all-mutual clusters the star edges must reproduce its components
+    val full = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      nlist = nlist, threshold = 0.99)
+      .select(col("id"), col("canonical_id"))
+    val refinedLabels = refined.select(col("id"), col("canonical_id"))
+    assert(refinedLabels.exceptAll(full).count() == 0L)
+    assert(full.exceptAll(refinedLabels).count() == 0L)
+    // sanity on top of the equality: cross-cluster cosine ≈ 0, so a
+    // canonical must never cross the cluster boundary (a star edge to a
+    // sub-threshold pivot would show up exactly here)
+    assert(rows.forall(r =>
+      (r.getAs[Long]("id") < 1000L) == (r.getAs[Long]("canonical_id") < 1000L)))
+  }
+
+  test("semanticDedup refine + cap: identical-vector bomb dedups FULLY via star edges") {
+    // 1000 byte-identical embeddings: Voronoi refinement cannot split
+    // them (every pivot cosine ties), so the cap bounds the pair join —
+    // but the star edges connect EVERY member to the elected pivots, so
+    // the whole bomb still collapses to one canonical. Cap alone would
+    // leave rows past the cap as their own keepers; refine + cap keeps
+    // the cost bound AND the full dedup.
+    val emb = spark.range(1000).select(col("id").as("vec_id"),
+      array(lit(1.0f), lit(0.5f), lit(0.25f), lit(0.125f)).as("embedding"))
+    val out = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      nlist = 8, threshold = 0.99, maxCellSize = Some(16),
+      refineTarget = Some(64), refineFanout = 4, refineMaxRounds = 3)
+    val rows = out.collect()
+    assert(rows.length == 1000)
+    assert(rows.forall(_.getAs[Long]("canonical_id") == 0L),
+      "star edges must label every identical copy with the min id")
+    assert(rows.count(_.getAs[Boolean]("keep")) == 1)
+  }
+
   test("minhashNearDups duplicate bomb: capped banding stays linearithmic") {
     import graft.operators.Dedup
     // 10k byte-identical copies of one page: identical signatures put all
