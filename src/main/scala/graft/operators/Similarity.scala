@@ -600,22 +600,28 @@ object Similarity {
     } else {
       // two-level product space (see cellExpr): rank (c1, c2) combos by
       // the SEPARABLE sum proj₁(c1) + proj₂(c2) — its argmax is the pair
-      // of bank argmaxes, so nprobe = 1 is exactly cellExpr's cell. The
-      // O(side²) enumeration lives on the QUERY side only (consumers
-      // keep the corpus on the O(√nlist) cellExpr); the two bank arrays
-      // are deterministic repeated subtrees, which whole-stage codegen's
-      // common-subexpression elimination evaluates once per row.
+      // of bank argmaxes, so nprobe = 1 is exactly cellExpr's cell.
+      // PRUNING: a combo in the global top-p must draw each index from
+      // its bank's top-p — if c1 ranks below p in bank 1 (np asc, idx
+      // asc), the p better (c1', c2) combos all rank before (c1, c2),
+      // ties included (equal np ⇒ smaller cell id ranks first). So sort
+      // each bank once (O(side log side)) and enumerate only
+      // min(p, side)² combos, instead of sorting all side² — the
+      // difference between a query-side convenience and an expression
+      // that still works at a 100 TB nlist (side ~10³).
       val side = math.ceil(math.sqrt(nlist.toDouble)).toInt
-      def bankProjs(seedBase: Int): Column = array((0 until side).map { c =>
-        val signs = array((0 until dims).map(j => lit(planeSign(c + seedBase, j))): _*)
-        dot(vec, signs)
-      }: _*)
-      val p1 = bankProjs(7919); val p2 = bankProjs(104729)
-      val combos = array((for {
-        c1 <- 0 until side; c2 <- 0 until side
-      } yield struct(
-        negate(element_at(p1, c1 + 1) + element_at(p2, c2 + 1)).as("np"),
-        lit(c1.toLong * side + c2).as("cell"))): _*)
+      val p = math.min(nprobe, side)
+      def bankTop(seedBase: Int): Column = {
+        val entries = array((0 until side).map { c =>
+          val signs = array((0 until dims).map(j => lit(planeSign(c + seedBase, j))): _*)
+          struct(negate(dot(vec, signs)).as("np"), lit(c.toLong).as("c"))
+        }: _*)
+        slice(array_sort(entries), 1, p)
+      }
+      val t1 = bankTop(7919); val t2 = bankTop(104729)
+      val combos = flatten(transform(t1, a => transform(t2, b =>
+        struct((a.getField("np") + b.getField("np")).as("np"),
+          (a.getField("c") * side + b.getField("c")).as("cell")))))
       transform(slice(array_sort(combos), 1, nprobe), s => s.getField("cell"))
     }
 

@@ -1995,6 +1995,17 @@ class OperatorSpec extends AnyFunSuite {
     // window-free ranking, like every ANN entry point here
     assert(!p2.queryExecution.optimizedPlan.toString.toLowerCase
       .contains("windowexpression"))
+    // the SAME laws hold on the two-level product path (nlist = 25 >
+    // FlatNlistMax, side = 5, cell space = 25): probe-1 ≡ top-1 cell,
+    // and probing all side² cells is full recall — this exercises the
+    // pruned combo enumeration (each bank's top-p only) end to end
+    assert(rows(Similarity.ivfTopKProbed(vecs, queries, "vec_id", "embedding",
+        k = 3, nlist = 25, nprobe = 1)) ==
+      rows(Similarity.ivfTopK(vecs, queries, "vec_id", "embedding",
+        k = 3, nlist = 25)))
+    assert(rows(Similarity.ivfTopKProbed(vecs, queries, "vec_id", "embedding",
+        k = 3, nlist = 25, nprobe = 25)) ==
+      rows(Similarity.cosineTopK(vecs, queries, "vec_id", "embedding", k = 3)))
   }
 
   test("annTopKBucketed agrees with brute force within shared buckets") {
