@@ -32,7 +32,12 @@ object ScaleLadder {
   private val benchNames = Seq(
     "q31_dedup_exact", "q32_minhash_pairs", "q65_neardup_clusters",
     "q84_pagerank", "q86_semantic_dedup", "q96_cross_dedup",
-    "q102_cdc_dedup", "q105_simhash_pairs")
+    "q102_cdc_dedup", "q105_simhash_pairs",
+    // round-12 widening: every other LLM-pipeline cost center whose
+    // inputs GenScale reproduces (documents/embeddings only)
+    "q40_embedding_neardup", "q45_pipeline", "q55_contamination",
+    "q66_token_budget_mix", "q82_heavy_hitters", "q88_bpe_encode",
+    "q91_quality_classifier", "q98_tfidf", "q99_canonical_survivors")
 
   private def extras: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q86_scaled_nlist" -> ((s, dir) => {
