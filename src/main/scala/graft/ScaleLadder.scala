@@ -103,9 +103,14 @@ object ScaleLadder {
     val maxSec = sys.env.getOrElse("SPARK_GRAFT_LADDER_MAXSEC", "600").toDouble
     val only = sys.env.get("SPARK_GRAFT_LADDER_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    // independent of cpus: big rungs need more (smaller) shuffle
+    // partitions exactly as a real cluster sizes them — x100's 60M-edge
+    // pagerank OOMs the per-partition hash agg at 32 partitions on the
+    // 8 GB rig, and runs clean at 256
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -45,30 +45,42 @@ object Graph {
                damping: Double = 0.85, checkpointEvery: Int = 7): DataFrame = {
     require(iters >= 0, "iters must be non-negative")
     require(checkpointEvery > 0, "checkpointEvery must be positive")
-    val e = edges.select(col(srcCol).cast("string").as("src"),
+    val eStr = edges.select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))
       .distinct()
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    // (src, dst, deg) spine — reused by every round's join. Checkpointed
-    // FIRST so the node set derives from its (already materialized)
-    // blocks instead of re-scanning the raw edge input a second time.
-    val spine = e.join(outDeg, "src").localCheckpoint()
-    // LAZY checkpoint + count in ONE job (the count materializes the
-    // blocks) — the fixed per-run driver-job tally is 2 (spine, nodes),
-    // not the former 3 (nodes ckpt, nodes count, spine ckpt).
-    val nodes = spine.select(col("src").as("id"))
-      .union(spine.select(col("dst").as("id")))
+    // RELABEL to dense longs before iterating — the standard engine move
+    // (GraphX, GraphFrames, every native graph engine run on integer
+    // vertex ids). The spine re-enters every round's join and lives in
+    // block storage for the whole run; carrying the caller's string ids
+    // through it costs ~3-4× the memory of two longs (measured: the ×100
+    // ladder rung, 120M symmetrized edges, OOMed the 8 GB rig's
+    // aggregates under a ~12 GB deserialized string spine and thrashed
+    // at 24 GB; the long spine is ~3.8 GB). monotonically_increasing_id
+    // is partition-dependent, so the dictionary is FROZEN by an eager-
+    // via-count localCheckpoint before anything reads it — downstream
+    // determinism comes from the materialized blocks, and the public
+    // output maps back to the caller's ids regardless.
+    val dict = eStr.select(col("src").as("name"))
+      .union(eStr.select(col("dst").as("name")))
       .distinct()
+      .select(col("name"), monotonically_increasing_id().as("nid"))
       .localCheckpoint(false)
-    val n = nodes.count() // one driver scalar, not data
-    var ranks = nodes.select(col("id"), lit(1.0 / n).as("rank"))
+    val n = dict.count() // materializes dict; one driver scalar, not data
+    val e = eStr
+      .join(dict.select(col("name").as("src"), col("nid").as("srcId")), "src")
+      .join(dict.select(col("name").as("dst"), col("nid").as("dstId")), "dst")
+      .select(col("srcId").as("src"), col("dstId").as("dst"))
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // (src, dst, deg) long-keyed spine — reused by every round's join
+    val spine = e.join(outDeg, "src").localCheckpoint()
+    var ranks = dict.select(col("nid").as("id"), lit(1.0 / n).as("rank"))
     val intermediates = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (round <- 0 until iters) {
       val contribs = spine
         .join(ranks.select(col("id").as("src"), col("rank")), "src")
         .groupBy(col("dst").as("id"))
         .agg(sum(col("rank") / col("deg")).as("cin"))
-      ranks = nodes.join(contribs, Seq("id"), "left")
+      ranks = dict.select(col("nid").as("id")).join(contribs, Seq("id"), "left")
         .select(col("id"),
           (lit((1.0 - damping) / n) +
             lit(damping) * coalesce(col("cin"), lit(0.0))).as("rank"))
@@ -80,14 +92,17 @@ object Graph {
         intermediates += ranks
       }
     }
-    // ONE eager checkpoint of the (node, rank)-sized result, then free
-    // every working block — nodes, spine, periodic round checkpoints.
-    // Without this the returned lazy chain re-runs all `iters` joins on
-    // EVERY caller action, and the working blocks stay pinned for the
-    // session (the long-lived-session leak class: a hundred queries of
-    // leaked spines eventually evict each other into disk thrash).
-    val out = ranks.localCheckpoint()
-    (Seq(nodes, spine) ++ intermediates).foreach(
+    // ONE eager checkpoint of the (node, rank)-sized result — mapped
+    // back to the CALLER's node ids — then free every working block:
+    // dict, spine, periodic round checkpoints. Without this the
+    // returned lazy chain re-runs all `iters` joins on EVERY caller
+    // action, and the working blocks stay pinned for the session (the
+    // long-lived-session leak class: a hundred queries of leaked spines
+    // eventually evict each other into disk thrash).
+    val out = ranks.join(dict, ranks("id") === dict("nid"))
+      .select(col("name").as("id"), col("rank"))
+      .localCheckpoint()
+    (Seq(dict, spine) ++ intermediates).foreach(
       org.apache.spark.sql.GraftColumnShim.unpersistCheckpoint)
     out
   }
