@@ -899,10 +899,22 @@ object Similarity {
     // connectedComponents eagerly checkpoints its symmetrized edge list
     // on entry, so the per-round star-edge checkpoints are dead here
     edgeCkpts.foreach(org.apache.spark.sql.GraftColumnShim.unpersistCheckpoint)
-    withCell.select(col("id"), col("cell"))
+    val out = withCell.select(col("id"), col("cell"))
       .join(labels, Seq("id"), "left")
       .select(col("id"), col("cell"),
         coalesce(col("label"), col("id")).as("canonical_id"),
         (coalesce(col("label"), col("id")) === col("id")).as("keep"))
+    if (refineTarget.isEmpty) out
+    else {
+      // the refine loop left `withCell` (= the final round's corpus-sized
+      // (id, vec, norm, cell) checkpoint, embedding vectors included)
+      // pinned in block storage; the pageRank lifecycle applies — ONE
+      // eager checkpoint of the COMPACT output (4 narrow columns), then
+      // free the working blocks so nothing corpus-sized outlives the call
+      // (labels' final round stays on connectedComponents' own lifecycle)
+      val outCkpt = out.localCheckpoint()
+      org.apache.spark.sql.GraftColumnShim.unpersistCheckpoint(withCell)
+      outCkpt
+    }
   }
 }

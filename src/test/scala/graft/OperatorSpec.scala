@@ -1908,7 +1908,13 @@ class OperatorSpec extends AnyFunSuite {
     val refined = Similarity.semanticDedup(emb, "vec_id", "embedding",
       nlist = nlist, threshold = 0.99,
       refineTarget = Some(50), refineFanout = 4, refineMaxRounds = 4)
-    val plan = refined.queryExecution.optimizedPlan.toString.toLowerCase
+    // the refined result is returned as a compact checkpoint (leak
+    // lifecycle), so its own plan is a LogicalRDD scan — assert
+    // window-freedom on the unrefined construction, whose plan IS the
+    // shared cell/pair machinery the refinement builds on
+    val plan = Similarity.semanticDedup(emb, "vec_id", "embedding",
+        nlist = nlist, threshold = 0.99)
+      .queryExecution.optimizedPlan.toString.toLowerCase
     assert(!plan.contains("windowexpression"), "refinement must be window-free")
     val rows = refined.collect()
     assert(rows.length == 600)
@@ -1948,6 +1954,53 @@ class OperatorSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Long]("canonical_id") == 0L),
       "star edges must label every identical copy with the min id")
     assert(rows.count(_.getAs[Boolean]("keep")) == 1)
+  }
+
+  test("semanticDedup refineTarget: no corpus-sized block outlives the call") {
+    // the refine loop eagerly checkpoints the corpus-sized
+    // (id, vec, norm, cell) frame every round — vectors included. The
+    // contract (pageRank lifecycle) is: ONE compact output checkpoint may
+    // stay pinned while the caller holds the result; every working block
+    // (final refine round, CC labels) is freed or ContextCleaner-reapable
+    // once the local refs die. Regression here = the long-lived-session
+    // leak class: ScaleLadder's warm-up + 3 timed runs in one JVM would
+    // pin 4 corpus-sized block sets and skew the very rung that measures
+    // this path.
+    def pinnedIds: Set[Int] =
+      spark.sparkContext.getPersistentRDDs.keysIterator.toSet
+    val dims = 6
+    val emb = spark.range(400).select(col("id").as("vec_id"),
+      array((0 until dims).map(j =>
+        (lit(if (j == 0) 1.0f else 0.0f) +
+          sin((col("id") + 1) * lit(0.11 * (j + 1))).cast("float") * lit(0.01f))
+          .cast("float")): _*).as("embedding"))
+    val before = pinnedIds
+    var out = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      nlist = 8, threshold = 0.99,
+      refineTarget = Some(40), refineFanout = 4, refineMaxRounds = 4)
+    assert(out.count() == 400L)
+    // while the result is held: converge down to exactly ONE new pinned
+    // RDD — the compact (id, cell, canonical_id, keep) output checkpoint
+    val deadline = System.nanoTime + 120L * 1000 * 1000 * 1000
+    var extra = (pinnedIds -- before).toSeq.sorted
+    while (extra.size > 1 && System.nanoTime < deadline) {
+      System.gc(); Thread.sleep(500)
+      extra = (pinnedIds -- before).toSeq.sorted
+    }
+    assert(extra.size == 1,
+      s"blocks pinned after the call (ids ${extra.mkString(",")}): " +
+        s"${extra.size}, but only the compact output checkpoint may " +
+        "survive — a refine-round or CC working block is leaking")
+    // drop the result: the output checkpoint itself must be reapable
+    out = null
+    var remaining = (pinnedIds -- before).toSeq
+    while (remaining.nonEmpty && System.nanoTime < deadline) {
+      System.gc(); Thread.sleep(500)
+      remaining = (pinnedIds -- before).toSeq
+    }
+    assert(remaining.isEmpty,
+      "output checkpoint still pinned after the result was dropped — " +
+        "something holds a strong reference past the caller's lifetime")
   }
 
   test("minhashNearDups duplicate bomb: capped banding stays linearithmic") {
