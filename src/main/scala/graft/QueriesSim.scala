@@ -22,10 +22,16 @@ object QueriesSim {
     // provably inert here — the embeddings table tops out at 2,000 rows
     // TOTAL at sf0.1 (max cell asserted < 4096 in OperatorSpec), so
     // results are bit-identical to the uncapped run.
+    // refineTarget = None is the ORACLE-PINNED shape (raw lazy plan,
+    // bit-reproducible in DuckDB); the operator DEFAULT is the measured
+    // scale path (refineTarget = Some(4096)) — inert on this table's
+    // ≤2,000 rows, pinned here so the oracle query's plan and cost
+    // stay the audited r12 shape
     "q86_semantic_dedup" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s) // native graft_dot
       Similarity.semanticDedup(tbl(s, dir, "embeddings"), "vec_id", "embedding",
-        nlist = 4, threshold = 0.4, maxCellSize = Some(4096))
+        nlist = 4, threshold = 0.4, maxCellSize = Some(4096),
+        refineTarget = None)
         .select(col("id").as("vec_id"), col("cell"), col("canonical_id"),
           col("keep"))
         .orderBy(col("vec_id"))

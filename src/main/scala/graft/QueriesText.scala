@@ -252,9 +252,12 @@ object QueriesText {
     // bucket of every segment); 4096 is provably inert here — the max
     // segment bucket across SFs is 1,476 (asserted in OperatorSpec), so
     // results are bit-identical to the uncapped (= oracle's brute) run
+    // bits = 16 is the ORACLE-PINNED shape (DuckDB replays simhash16's
+    // md5-vote fingerprint); the operator DEFAULT is the measured scale
+    // path, bits = 64 — see the output-density contract on simhashNearDups
     "q105_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashNearDups(tbl(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 2, maxBucketSize = Some(4096))
+        maxHamming = 2, maxBucketSize = Some(4096), bits = 16)
         .orderBy(col("a"), col("b"))),
 
     // Gopher repetition battery: top n-gram occurrence counts +

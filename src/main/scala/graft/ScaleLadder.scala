@@ -45,8 +45,11 @@ object ScaleLadder {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
       val n = emb.count()
       val nlist = math.max(4, (n / 500).toInt)
+      // refineTarget = None pinned: this row IS the measured cap-plateau
+      // counterfactual the refined default replaces (SCALE.md §3.2)
       graft.operators.Similarity.semanticDedup(emb, "vec_id", "embedding",
-        nlist = nlist, threshold = 0.4, maxCellSize = Some(4096))
+        nlist = nlist, threshold = 0.4, maxCellSize = Some(4096),
+        refineTarget = None)
     }),
     "q86_scaled_tight_cap" -> ((s, dir) => {
       // the cap-plateau probe: GenScale embeddings have ~10 intrinsic
@@ -62,7 +65,8 @@ object ScaleLadder {
       val n = emb.count()
       val nlist = math.max(4, (n / 500).toInt)
       graft.operators.Similarity.semanticDedup(emb, "vec_id", "embedding",
-        nlist = nlist, threshold = 0.4, maxCellSize = Some(1024))
+        nlist = nlist, threshold = 0.4, maxCellSize = Some(1024),
+        refineTarget = None)
     }),
     "q86_scaled_refined" -> ((s, dir) => {
       // the round-12 scale configuration: nlist ∝ corpus AND oversized
@@ -84,9 +88,11 @@ object ScaleLadder {
         shingleWidth = 3, numHashes = 12, bands = 4, threshold = 0.2,
         maxBucketSize = Some(64))),
     "q105_natural" -> ((s, dir) =>
+      // bits = 16 pinned: this row IS the measured Θ(N²/64) counter-
+      // factual the 64-bit default replaces (SCALE.md §3.3)
       graft.operators.Dedup.simhashNearDups(
         s.read.parquet(s"$dir/documents_nat.parquet"), "doc_id", "text",
-        maxHamming = 2, maxBucketSize = Some(4096))),
+        maxHamming = 2, maxBucketSize = Some(4096), bits = 16)),
     "q105_natural64" -> ((s, dir) =>
       // the bits = 64 scale path: ~21-bit band keys instead of ~5-bit,
       // so bucket occupancy — and the Θ(N²/64) 16-bit pair volume —

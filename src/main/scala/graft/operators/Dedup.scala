@@ -591,17 +591,19 @@ object Dedup {
     *
     * OUTPUT-DENSITY contract: the dominant cost is the verified-pair
     * VOLUME, ≈ Σ_buckets C(n_b, 2) candidate pairs before the popcount
-    * filter. At the default `bits = 16` this volume is quadratic BY
-    * CONSTRUCTION, for any corpus: banding at maxHamming = 2 splits the
-    * fingerprint into ~5-bit segments — at most ~2^6 distinct keys per
-    * band — so n_b ≥ N/64 and candidates are Θ(N²/64) even at perfect
+    * filter. At `bits = 16` this volume is quadratic BY CONSTRUCTION,
+    * for any corpus: banding at maxHamming = 2 splits the fingerprint
+    * into ~5-bit segments — at most ~2^6 distinct keys per band — so
+    * n_b ≥ N/64 and candidates are Θ(N²/64) even at perfect
     * fingerprint entropy (the x10 scale ladder measured the natural- and
     * closed-vocab corpora within 25% of each other; the key space, not
-    * the vocab, is the bound). The 16-bit default exists for the DuckDB
-    * oracle parity of q33/q105; pipelines at scale should pass
-    * `bits = 64` ([[simhash64]]): ~21-bit segments (~2M keys per band)
-    * collapse the bucket occupancy, and the pair volume with it, to the
-    * corpus's true near-dup density. `maxBucketSize` bounds the
+    * the vocab, is the bound). The DEFAULT is therefore the measured
+    * scale path, `bits = 64` ([[simhash64]]): ~21-bit segments (~2M keys
+    * per band) collapse the bucket occupancy, and the pair volume with
+    * it, to the corpus's true near-dup density (11× faster with 7× fewer
+    * pairs at the ×10 rung). `bits = 16` remains for [[simhash16]]
+    * parity — the DuckDB-oracle shape of q33/q105 pins it explicitly at
+    * those call sites. `maxBucketSize` bounds the
     * per-bucket budget at C(cap, 2) in either width; a membership-only
     * emission mode (each id paired to its bucket's min) was considered
     * and DECLINED — star pairs that fail the hamming verify would
@@ -612,7 +614,7 @@ object Dedup {
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 2,
                       maxBucketSize: Option[Int] = None,
-                      bits: Int = 16): DataFrame = {
+                      bits: Int = 64): DataFrame = {
     require(bits == 16 || bits == 64, s"bits must be 16 or 64, got $bits")
     require(maxHamming >= 1 && maxHamming < bits,
       s"maxHamming must be in [1,${bits - 1}], got $maxHamming")

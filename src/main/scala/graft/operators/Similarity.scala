@@ -778,12 +778,27 @@ object Similarity {
     * whole bomb to one component, and `maxCellSize` remains the cost
     * guard for its pair join — the two knobs compose.
     *
+    * Refinement is ON BY DEFAULT (`refineTarget = Some(4096)`): the ×30
+    * scale ladder measured the unrefined shape bottoming out at
+    * intrinsic cluster mass — quadratic verify until the cap binds, and
+    * the cap forfeits recall — so the measured-safe configuration is
+    * what a caller gets without reading this paragraph. The default is
+    * INERT (zero refine rounds, results bit-identical to
+    * `refineTarget = None`) whenever no cell exceeds 4096 rows, at the
+    * cost of one cell-count pass; corpora whose clusters are all smaller
+    * than that — or callers needing the raw lazy plan (the refined
+    * result is returned as a compact eager checkpoint) — can pass
+    * `refineTarget = None` explicitly, which is the oracle-pinned shape
+    * of q86. Sparse corpora with a tight threshold may burn the bounded
+    * `refineMaxRounds` passes without splitting (uncovered mass stays
+    * uncovered); `maxCellSize` remains the hard cost guard either way.
+    *
     * Returns one row per vector: (id, cell, canonical_id, keep) — with
     * refinement, `cell` is the final refined cell. */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
                     nlist: Int, threshold: Double,
                     maxCellSize: Option[Int] = None,
-                    refineTarget: Option[Int] = None,
+                    refineTarget: Option[Int] = Some(4096),
                     refineFanout: Int = 16,
                     refineMaxRounds: Int = 4): DataFrame = {
     val dims = vecDims(emb, vecCol)

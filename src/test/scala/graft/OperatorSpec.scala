@@ -1546,7 +1546,8 @@ class OperatorSpec extends AnyFunSuite {
       (i.toLong, (0 until 12).map(j => s"w${(i * 7 + j * 3) % 20}").mkString(" ")))
       .toDF("doc_id", "text")
     for (k <- Seq(1, 2, 3)) {
-      val banded = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = k)
+      val banded = Dedup.simhashNearDups(docs, "doc_id", "text",
+          maxHamming = k, bits = 16)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       val fps = Dedup.simhash16(docs, "doc_id", "text")
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -1559,7 +1560,7 @@ class OperatorSpec extends AnyFunSuite {
     }
     // an empty doc has no fingerprint and pairs with nothing
     val withEmpty = docs.union(Seq((99L, "")).toDF("doc_id", "text"))
-    assert(Dedup.simhashNearDups(withEmpty, "doc_id", "text", 2)
+    assert(Dedup.simhashNearDups(withEmpty, "doc_id", "text", 2, bits = 16)
       .filter(col("a") === 99L || col("b") === 99L).count() == 0L)
     // the bucket cap bounds a mass-dup bomb: 300 identical docs share
     // every segment bucket — capped at 10, only the 10 smallest ids
@@ -1567,7 +1568,7 @@ class OperatorSpec extends AnyFunSuite {
     val bomb = (0 until 300).map(i => (i.toLong, "same text every time here"))
       .toDF("doc_id", "text")
     val capped = Dedup.simhashNearDups(bomb, "doc_id", "text",
-      maxHamming = 2, maxBucketSize = Some(10))
+      maxHamming = 2, maxBucketSize = Some(10), bits = 16)
     assert(!capped.queryExecution.optimizedPlan.toString.toLowerCase
       .contains("windowexpression"))
     val pairs = capped.collect()
@@ -1576,7 +1577,7 @@ class OperatorSpec extends AnyFunSuite {
       r.getLong(2) == 0L))
   }
 
-  test("simhashNearDups bits=64: banding lossless; capped path window-free") {
+  test("simhashNearDups bits=64 (the default): banding lossless; capped path window-free") {
     import graft.operators.Dedup
     // same correlated corpus as the 16-bit spec: the 64-bit banding must
     // return EXACTLY the brute-force hamming<=k set over simhash64
@@ -1586,8 +1587,9 @@ class OperatorSpec extends AnyFunSuite {
     val fps = Dedup.simhash64(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     for (k <- Seq(1, 2, 3)) {
+      // no bits arg: the DEFAULT must be the 64-bit scale path
       val banded = Dedup.simhashNearDups(docs, "doc_id", "text",
-        maxHamming = k, bits = 64)
+        maxHamming = k)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       val brute = (for {
         a <- fps.keys; b <- fps.keys if a < b
@@ -1913,7 +1915,7 @@ class OperatorSpec extends AnyFunSuite {
     // window-freedom on the unrefined construction, whose plan IS the
     // shared cell/pair machinery the refinement builds on
     val plan = Similarity.semanticDedup(emb, "vec_id", "embedding",
-        nlist = nlist, threshold = 0.99)
+        nlist = nlist, threshold = 0.99, refineTarget = None)
       .queryExecution.optimizedPlan.toString.toLowerCase
     assert(!plan.contains("windowexpression"), "refinement must be window-free")
     val rows = refined.collect()
@@ -1925,7 +1927,7 @@ class OperatorSpec extends AnyFunSuite {
     // ground truth: the unrefined run (all within-cell pairs) — on
     // all-mutual clusters the star edges must reproduce its components
     val full = Similarity.semanticDedup(emb, "vec_id", "embedding",
-      nlist = nlist, threshold = 0.99)
+      nlist = nlist, threshold = 0.99, refineTarget = None)
       .select(col("id"), col("canonical_id"))
     val refinedLabels = refined.select(col("id"), col("canonical_id"))
     assert(refinedLabels.exceptAll(full).count() == 0L)

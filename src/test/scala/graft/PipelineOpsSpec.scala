@@ -160,8 +160,11 @@ class PipelineOpsSpec extends AnyFunSuite {
 
   test("semanticDedup plan: no corpus-wide cross join, no window") {
     val emb = Seq((1L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    // refineTarget = None: the refined default returns a checkpoint scan
+    // whose plan is opaque — the assert needs the raw lazy construction
     val plan = graft.operators.Similarity
-      .semanticDedup(emb, "vec_id", "embedding", nlist = 2, threshold = 0.5)
+      .semanticDedup(emb, "vec_id", "embedding", nlist = 2, threshold = 0.5,
+        refineTarget = None)
       .queryExecution.optimizedPlan.toString.toLowerCase
     assert(!plan.contains("cartesian"), s"cartesian product in plan:\n$plan")
     assert(!plan.contains("windowexpression"), s"window in plan:\n$plan")

@@ -543,9 +543,13 @@ class StressSpec extends AnyFunSuite {
       // nothing quadratic survives in the plan.
       val emb = spark.range(100000).select(col("id").as("vec_id"),
         array(lit(1.0f), lit(0.0f), lit(0.0f), lit(0.0f)).as("embedding"))
+      // refineTarget = None: this spec pins the CAP-ALONE contract (the
+      // 63 capped survivors dedup, everyone else keeps itself); the
+      // refined default would star-edge the whole bomb to canonical 0 —
+      // that composition has its own spec in OperatorSpec
       val out = graft.operators.Similarity.semanticDedup(
         emb, "vec_id", "embedding", nlist = 8, threshold = 0.9999,
-        maxCellSize = Some(64))
+        maxCellSize = Some(64), refineTarget = None)
       val stats = out.agg(
         count(lit(1)),
         sum(when(col("canonical_id") === 0L && col("id") =!= 0L, 1L).otherwise(0L)),
