@@ -41,4 +41,13 @@ object GraftColumnShim {
       case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
       case _ => ()
     }
+
+  /** Drain the async listener bus (`private[spark]`), so a metrics
+    * listener's counters are complete before a caller snapshots them —
+    * task-end events post asynchronously and can land AFTER the action
+    * that produced them returns. Bounded wait; a saturated bus past the
+    * timeout shows up as a torn snapshot, not a hang. */
+  def drainListenerBus(spark: SparkSession, timeoutMs: Long = 10000L): Unit =
+    try spark.sparkContext.listenerBus.waitUntilEmpty(timeoutMs)
+    catch { case _: Throwable => () }
 }
