@@ -114,12 +114,23 @@ object ScaleLadder {
     // pagerank OOMs the per-partition hash agg at 32 partitions on the
     // 8 GB rig, and runs clean at 256
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER overrides local[cpus] — the multi-executor rung
+    // (SCALE.md §5) runs `local-cluster[2,16,4096]`: 2 separate executor
+    // JVMs, so closures/rows cross a real serialization boundary and
+    // broadcasts hit real executor memory instead of driver-shared heap
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // local-cluster executors are fresh JVMs launched from SPARK_HOME —
+    // they need the graft classes on their classpath explicitly
+    if (master.startsWith("local-cluster"))
+      builder.config("spark.executor.extraClassPath",
+        sys.env.getOrElse("SPARK_GRAFT_CLASSES",
+          new java.io.File("target/scala-2.13/classes").getAbsolutePath))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.GraftFunctions.register(spark)
 
@@ -144,13 +155,23 @@ object ScaleLadder {
           (System.nanoTime() - t0) / 1e9
         }
         val warm = once()
-        if (failed) name -> (warm, rows, false, true)
+        if (failed) name -> (warm, -1L, false, true)
         else if (warm > maxSec) {
           System.err.println(f"[ladder] $name warm-up $warm%.1f s > $maxSec — capped")
           name -> (warm, rows, true, false)
         } else {
-          val times = (0 until runs).map(_ => once()).sorted
-          name -> (times(times.length / 2), rows, false, failed)
+          // on a mid-timing failure, short-circuit: the fail-run's
+          // fast-fail time must not enter the median and the stale `rows`
+          // from the last good run must not ride next to it — emit a
+          // self-consistent (fail time, rows = -1, failed) record
+          val times = collection.mutable.ArrayBuffer[Double]()
+          var i = 0
+          while (i < runs && !failed) { times += once(); i += 1 }
+          if (failed) name -> (times.last, -1L, false, true)
+          else {
+            val s = times.sorted
+            name -> (s(s.length / 2), rows, false, false)
+          }
         }
       }
     def fmt(v: Double): String = BigDecimal(v)

@@ -26,8 +26,23 @@ def load(path):
     return float(m.group(1)), rec["queries"]
 
 
+def fit(pts):
+    """Least-squares exponent of log(y) vs log(x) over (x, y) pairs."""
+    if len(pts) < 2:
+        return None
+    xs = [math.log(x) for x, _ in pts]
+    ys = [math.log(y) for _, y in pts]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    sxx = sum((x - mx) ** 2 for x in xs)
+    sxy = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    return sxy / sxx if sxx else float("nan")
+
+
 def main(paths):
-    rungs = sorted(load(p) for p in paths)
+    # key on the multiplier alone: tuples with dict payloads raise
+    # TypeError on ties (e.g. a re-run rung)
+    rungs = sorted((load(p) for p in paths), key=lambda t: t[0])
     names = []
     for _, qs in rungs:
         for n in qs:
@@ -35,7 +50,7 @@ def main(paths):
                 names.append(n)
     rows = []
     for name in names:
-        pts, flags = [], []
+        pts, vol, flags = [], [], []
         for mult, qs in rungs:
             q = qs.get(name)
             if q is None:
@@ -46,28 +61,24 @@ def main(paths):
                 flags.append(f"x{mult:g}:CAPPED@{q['sec']:.0f}s")
             else:
                 pts.append((mult, q["sec"]))
-        exp = None
-        if len(pts) >= 2:
-            xs = [math.log(m) for m, _ in pts]
-            ys = [math.log(s) for _, s in pts]
-            n = len(xs)
-            mx, my = sum(xs) / n, sum(ys) / n
-            sxx = sum((x - mx) ** 2 for x in xs)
-            sxy = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
-            exp = sxy / sxx if sxx else float("nan")
-        rows.append((name, pts, exp, flags))
+                # output-volume curve: the evidence behind density claims
+                # (e.g. q105 16- vs 64-bit pair counts)
+                if q.get("rows", -1) > 0:
+                    vol.append((mult, q["rows"]))
+        rows.append((name, pts, fit(pts), fit(vol), flags))
 
     rows.sort(key=lambda r: (-(r[2] if r[2] is not None else 99)))
     mults = [m for m, _ in rungs]
     hdr = " | ".join(f"x{m:g} (s)" for m in mults)
-    print(f"| query | {hdr} | exponent | flags |")
-    print("|---" * (len(mults) + 3) + "|")
-    for name, pts, exp, flags in rows:
+    print(f"| query | {hdr} | exponent | rows exp | flags |")
+    print("|---" * (len(mults) + 4) + "|")
+    for name, pts, exp, rexp, flags in rows:
         by = {m: s for m, s in pts}
         cells = " | ".join(f"{by[m]:.2f}" if m in by else "—" for m in mults)
         e = f"**{exp:.2f}**" if exp is not None and exp > 1.3 else (
             f"{exp:.2f}" if exp is not None else "—")
-        print(f"| {name} | {cells} | {e} | {', '.join(flags) or ''} |")
+        r = f"{rexp:.2f}" if rexp is not None else "—"
+        print(f"| {name} | {cells} | {e} | {r} | {', '.join(flags) or ''} |")
 
 
 if __name__ == "__main__":

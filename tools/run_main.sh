@@ -2,7 +2,10 @@
 # Run a graft main class directly against compiled classes + Spark jars
 # (bypasses the sbt lock). Usage: run_main.sh <MainClass> [args...]
 set -e
-CP="/root/repo/target/scala-2.13/classes:$(ls /opt/spark/jars/*.jar | tr '\n' ':')"
+REPO="$(cd "$(dirname "$0")/.." && pwd)"
+SPARK_HOME="${SPARK_HOME:-/opt/spark}"
+CLASSES="$(ls -d "$REPO"/target/scala-*/classes 2>/dev/null | head -1)"
+CP="${CLASSES:-$REPO/target/scala-2.13/classes}:$(ls "$SPARK_HOME"/jars/*.jar | tr '\n' ':')"
 OPENS=""
 for p in java.lang java.lang.invoke java.lang.reflect java.io java.net java.nio \
          java.util java.util.concurrent java.util.concurrent.atomic; do
