@@ -1,0 +1,173 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming-tier scale measurement (dev tool): replays a [[GenScale]]
+  * fixture through the streaming dedup twins in deterministic
+  * micro-batches and records, PER BATCH, the input rows, wall ms, rows
+  * emitted, and the state store's row/memory counters from the query
+  * progress — the measured evidence behind the state-bound contracts
+  * (SCALE.md streaming section). Scenarios:
+  *
+  *   - exact_watermark: [[graft.streaming.StreamOps.streamingDedup]]
+  *     keyed on the text digest, event time advancing one minute per
+  *     batch against a 2-minute watermark — state must RISE then DECAY
+  *     as the watermark passes old keys (the bounded-state contract).
+  *   - neardup_full / neardup_ttl: streamingNearDupCandidates with the
+  *     full register vs a 2 s TTL with 3 s inter-batch quiet — the full
+  *     register grows with distinct band keys, the TTL curve must bend
+  *     as quiet keys are evicted (the duplication-horizon contract).
+  *   - cdc_full / cdc_ttl: streamingCdcChunkCandidates, same contrast —
+  *     the register is the distinct-chunk set unless TTL bounds it.
+  *   - semantic_cells: streamingSemanticDedupCandidates(nlist = 64) —
+  *     state must CAP at ≤ nlist rows however many vectors stream by.
+  *
+  * State store defaults to RocksDB (the production shape; the parity
+  * specs restart from its checkpoints) — SPARK_GRAFT_STREAM_STORE=hdfs
+  * selects the default provider for an A/B. Batches default to 10
+  * (SPARK_GRAFT_STREAM_BATCHES); scenarios filter with
+  * SPARK_GRAFT_STREAM_ONLY (substring).
+  *
+  * Usage: runMain graft.StreamLadder <fixtureDir> [outJsonlPath] */
+object StreamLadder {
+
+  /** One batch record, JSON-lined to stdout + the out file. */
+  private final case class BatchRec(scenario: String, batch: Int,
+      input: Long, ms: Long, emitted: Long, stateRows: Long,
+      stateMem: Long, removed: Long) {
+    def json: String =
+      s"""{"scenario":"$scenario","batch":$batch,"input":$input,"ms":$ms,""" +
+        s""""emitted":$emitted,"state_rows":$stateRows,"state_mem":$stateMem,""" +
+        s""""removed":$removed}"""
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: StreamLadder <fixtureDir> [outJsonlPath]")
+    val dir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val nBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "10").toInt
+    val only = sys.env.get("SPARK_GRAFT_STREAM_ONLY")
+    val store = sys.env.getOrElse("SPARK_GRAFT_STREAM_STORE", "rocksdb")
+    val builder = SparkSession.builder()
+      .master(s"local[$cpus]")
+      // state-heavy shuffles: one state-store instance per partition, so
+      // keep the partition count at the core count like the bench
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    if (store == "rocksdb")
+      builder.config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // the replay corpus, materialized once on the driver (this harness IS
+    // the stream source; GenScale rows are small by construction)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .collect().toSeq.sortBy(_._1)
+    val vecs = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])]
+      .collect().toSeq.sortBy(_._1)
+    val dims = vecs.head._2.length
+    System.err.println(s"[stream-ladder] ${docs.size} docs, ${vecs.size} vecs ($dims dims), $nBatches batches, store=$store")
+
+    val out = new StringBuilder
+    def emit(r: BatchRec): Unit = { println(r.json); out.append(r.json).append('\n') }
+
+    /** Drive one scenario: chunk `rows` into micro-batches, snapshot the
+      * query progress after each, pause `quietMs` between batches (lets
+      * processing-time TTLs expire). `mkQuery` starts the stream against
+      * a counting foreachBatch sink. */
+    def run[T](name: String, rows: Seq[T], quietMs: Long)
+              (mkStream: () => MemoryStream[T],
+               mkQuery: (MemoryStream[T], Long => Unit) => StreamingQuery): Unit = {
+      if (!only.forall(name.contains)) return
+      val mem = mkStream()
+      val emitted = new java.util.concurrent.atomic.AtomicLong(0L)
+      val q = mkQuery(mem, n => { emitted.addAndGet(n); () })
+      val chunk = math.max(1, (rows.size + nBatches - 1) / nBatches)
+      var i = 0
+      for (slice <- rows.grouped(chunk)) {
+        if (i > 0 && quietMs > 0) Thread.sleep(quietMs)
+        val t0 = System.nanoTime()
+        mem.addData(slice)
+        q.processAllAvailable()
+        val ms = (System.nanoTime() - t0) / 1000000L
+        // processAllAvailable can run trailing no-data batches (watermark
+        // commit, timeout sweeps) — lastProgress carries the SETTLED
+        // state counters, which is exactly what the decay curves need
+        val p = q.lastProgress
+        val (sr, sm, rm) =
+          if (p != null && p.stateOperators.nonEmpty) {
+            val ops = p.stateOperators
+            (ops.map(_.numRowsTotal).sum, ops.map(_.memoryUsedBytes).sum,
+              ops.map(_.numRowsRemoved).sum)
+          } else (-1L, -1L, -1L)
+        emit(BatchRec(name, i, slice.size.toLong, ms, emitted.get(), sr, sm, rm))
+        i += 1
+      }
+      q.stop()
+    }
+
+    def ckpt(): String = java.nio.file.Files
+      .createTempDirectory("graft-stream-ladder").toString
+
+    /** Start `ds` against a counting foreachBatch sink. */
+    def sink[T](ds: org.apache.spark.sql.Dataset[T], cnt: Long => Unit): StreamingQuery =
+      ds.writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt())
+        .foreachBatch((d: org.apache.spark.sql.Dataset[T], _: Long) => cnt(d.count()))
+        .start()
+
+    import graft.streaming.StreamOps
+
+    // exact dedup vs watermark: event time advances 1 min per batch via a
+    // batch counter stamped at add time; keys older than the 2-min
+    // watermark are evicted — the state curve must rise then plateau/decay
+    val digests = docs.map { case (id, text) => (id, text.hashCode.toLong & 0x7fffffffL) }
+    val chunkSz = math.max(1, (digests.size + nBatches - 1) / nBatches)
+    val stamped = digests.zipWithIndex.map { case ((id, dg), ix) =>
+      (id, dg, (ix / chunkSz).toLong * 60L) } // seconds offset per batch
+    run[(Long, Long, Long)]("exact_watermark", stamped, 0L)(
+      () => MemoryStream[(Long, Long, Long)],
+      (mem, cnt) => sink(StreamOps.streamingDedup(
+        mem.toDF().toDF("doc_id", "digest", "off")
+          .withColumn("ts", timestamp_seconds(col("off") + lit(1700000000L)))
+          .drop("off"),
+        Seq("digest"), "ts", "2 minutes"), cnt))
+
+    run[(Long, String)]("neardup_full", docs, 0L)(
+      () => MemoryStream[(Long, String)],
+      (mem, cnt) => sink(StreamOps.streamingNearDupCandidates(mem.toDS(), ttl = None), cnt))
+
+    run[(Long, String)]("neardup_ttl", docs, 3000L)(
+      () => MemoryStream[(Long, String)],
+      (mem, cnt) => sink(StreamOps.streamingNearDupCandidates(
+        mem.toDS(), ttl = Some("2 seconds")), cnt))
+
+    run[(Long, String)]("cdc_full", docs, 0L)(
+      () => MemoryStream[(Long, String)],
+      (mem, cnt) => sink(StreamOps.streamingCdcChunkCandidates(mem.toDS(), ttl = None), cnt))
+
+    run[(Long, String)]("cdc_ttl", docs, 3000L)(
+      () => MemoryStream[(Long, String)],
+      (mem, cnt) => sink(StreamOps.streamingCdcChunkCandidates(
+        mem.toDS(), ttl = Some("2 seconds")), cnt))
+
+    run[(Long, Seq[Float])]("semantic_cells", vecs, 0L)(
+      () => MemoryStream[(Long, Seq[Float])],
+      (mem, cnt) => sink(StreamOps.streamingSemanticDedupCandidates(
+        mem.toDS(), nlist = 64, dims = dims), cnt))
+
+    if (args.length > 1)
+      java.nio.file.Files.write(java.nio.file.Paths.get(args(1)),
+        out.toString.getBytes("UTF-8"))
+    spark.stop()
+  }
+}

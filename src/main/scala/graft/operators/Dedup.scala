@@ -53,22 +53,25 @@ object Dedup {
     *
     * Null-text rows: `md5(null)` is null, and a plain equi-join would
     * silently DROP those rows (null keys never match) — neither flagged
-    * duplicate nor kept. They are instead emitted as SINGLETON groups
-    * (canonical_id = id, group_size = 1): missing text is missing, not
-    * identical content, so a downstream keep-canonical filter never
-    * discards a document merely because its text is null. The split also
-    * keeps null rows out of the shuffle entirely — a null-safe join
-    * would funnel every null-text row at 100 TB into one join bucket. */
+    * duplicate nor kept. Each instead gets its OWN synthetic digest
+    * (`n#<id>` — cannot collide with md5's 32-hex output), so it falls
+    * out of the SAME single pass as a singleton group (canonical_id =
+    * id, group_size = 1): missing text is missing, not identical
+    * content, so a downstream keep-canonical filter never discards a
+    * document merely because its text is null. Unique keys also mean no
+    * skew funnel — a null-safe join would send every null-text row at
+    * 100 TB into one bucket, while a filter-split union (the previous
+    * shape) recomputes the whole upstream subtree for the second branch:
+    * a pipeline feeding a scored scan here paid the scoring twice. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val d = df.select(col(idCol).as("id"), md5(col(textCol)).as("digest"))
-    val nn = d.filter(col("digest").isNotNull)
-    val g = nn.groupBy(col("digest"))
+    val d = df.select(col(idCol).as("id"),
+      coalesce(md5(col(textCol)),
+        concat(lit("n#"), col(idCol).cast("string"))).as("digest"))
+    val g = d.groupBy(col("digest"))
       .agg(min(col("id")).as("canonical_id"), count(lit(1)).as("group_size"))
       .withColumnRenamed("digest", "__gdigest")
-    nn.join(g, col("digest") === col("__gdigest"))
+    d.join(g, col("digest") === col("__gdigest"))
       .select(col("id"), col("canonical_id"), col("group_size"))
-      .unionByName(d.filter(col("digest").isNull).select(
-        col("id"), col("id").as("canonical_id"), lit(1L).as("group_size")))
   }
 
   /** Canonical (min-id) row per identical text, in ONE scan and ONE
@@ -81,20 +84,25 @@ object Dedup {
     * 32-byte digest + one payload struct per distinct document, not the
     * corpus. Returns (id, payloadCols..., group_size).
     *
-    * Null-text rows survive as SINGLETONS (same contract as [[exact]]):
-    * grouping them under the null digest would silently drop all but one
-    * missing-text document — and skew one reducer with every null row. */
+    * Null-text rows survive as SINGLETONS (same contract as [[exact]],
+    * same mechanism): each gets a unique `n#<id>` synthetic digest, so
+    * it rides the one groupBy as its own group — grouping them under
+    * the null digest would silently drop all but one missing-text
+    * document (and skew one reducer), while a filter-split union (the
+    * previous shape) recomputed the whole upstream subtree for the
+    * null branch — a pipeline feeding a scored scan paid its regex
+    * battery TWICE per row. */
   def exactCanonical(df: DataFrame, idCol: String, textCol: String,
                      payloadCols: Seq[String]): DataFrame = {
     val row = struct((col(idCol).as("id") +: payloadCols.map(col)): _*)
-    val d = df.select(md5(col(textCol)).as("digest"), col(idCol).as("id"), row.as("row"))
-    d.filter(col("digest").isNotNull)
-      .groupBy(col("digest"))
+    val d = df.select(
+      coalesce(md5(col(textCol)),
+        concat(lit("n#"), col(idCol).cast("string"))).as("digest"),
+      col(idCol).as("id"), row.as("row"))
+    d.groupBy(col("digest"))
       .agg(min_by(col("row"), col("id")).as("row"),
         count(lit(1)).as("group_size"))
       .select(col("row.*"), col("group_size"))
-      .unionByName(d.filter(col("digest").isNull)
-        .select(col("row.*"), lit(1L).as("group_size")))
   }
 
   /** Word w-shingles: (id, shingle) distinct. The shingle is the joined

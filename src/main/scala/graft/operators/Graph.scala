@@ -45,9 +45,18 @@ object Graph {
                damping: Double = 0.85, checkpointEvery: Int = 7): DataFrame = {
     require(iters >= 0, "iters must be non-negative")
     require(checkpointEvery > 0, "checkpointEvery must be positive")
+    // ONE eager materialization of the caller's upstream: dict and spine
+    // both read the deduplicated edge list, and without this checkpoint
+    // each build job recomputes the whole upstream subtree (for q84 that
+    // is an orders⋈lineitem join — measured 2-3 recomputes costing more
+    // than the 5 rank rounds themselves). The block is transient (freed
+    // with the other working blocks below) and MEMORY_AND_DISK — at ×100
+    // the ~12 GB string edge block spills instead of OOMing, and the
+    // per-ROUND state stays on the dense-long spine regardless.
     val eStr = edges.select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))
       .distinct()
+      .localCheckpoint()
     // RELABEL to dense longs before iterating — the standard engine move
     // (GraphX, GraphFrames, every native graph engine run on integer
     // vertex ids). The spine re-enters every round's join and lives in
@@ -102,7 +111,7 @@ object Graph {
     val out = ranks.join(dict, ranks("id") === dict("nid"))
       .select(col("name").as("id"), col("rank"))
       .localCheckpoint()
-    (Seq(dict, spine) ++ intermediates).foreach(
+    (Seq(eStr, dict, spine) ++ intermediates).foreach(
       org.apache.spark.sql.GraftColumnShim.unpersistCheckpoint)
     out
   }
