@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.operators.{Dedup, Multimodal, Windows, TextAnalysis => TA}
+import graft.core.Ckpt.CkptOps
 
 /** Text-analysis / dedup / multimodal queries over `documents`, with
   * DuckDB oracles that mirror the exact same deterministic (md5-seeded)
@@ -55,6 +56,15 @@ object QueriesText {
     pairsCache.synchronized {
       val m = pairsCache.get(s)
       if (m == null) 0 else m.keys.count(_.startsWith(s"$dir#"))
+    }
+
+  /** The cached frames for (session, dir) — the executor-loss spec drops
+    * their blocks to simulate a died executor behind the memo's back. */
+  private[graft] def cachedFramesForTest(s: SparkSession, dir: String): Seq[DataFrame] =
+    pairsCache.synchronized {
+      val m = pairsCache.get(s)
+      if (m == null) Seq.empty
+      else m.collect { case (k, e) if k.startsWith(s"$dir#") => e.pairs }.toSeq
     }
 
   /** Drop every cached spine, unpersisting its checkpoint blocks. */
@@ -120,9 +130,28 @@ object QueriesText {
     val fp = docsFingerprint(s, dir) // FS metadata only — cheap, lock-free
     val mapKey = s"$dir#$key"
     val hit = pairsCache.synchronized {
-      perSession.get(mapKey).collect { case e if e.fingerprint == fp => e.pairs }
+      perSession.get(mapKey).collect { case e if e.fingerprint == fp => e }
     }
-    hit.getOrElse {
+    // Serve only LIVE blocks (checked outside the lock — one block-master
+    // round-trip). localCheckpoint partitions die with their executor BY
+    // DESIGN, and the multi-executor rung measured the failure this
+    // guards: an executor heap-OOM took the memoized spine's blocks with
+    // it, and every later consumer failed with
+    // CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND even though recompute was
+    // possible. Dead blocks are a cache MISS, not an error.
+    val liveHit = hit.filter(e =>
+      org.apache.spark.sql.GraftColumnShim.checkpointBlocksLive(e.pairs))
+    if (hit.nonEmpty && liveHit.isEmpty) pairsCache.synchronized {
+      // evict exactly the entry we found dead (identity-compared: a
+      // racing recompute may already have inserted a fresh live one)
+      perSession.get(mapKey).foreach { e =>
+        if (hit.exists(_ eq e)) {
+          org.apache.spark.sql.GraftColumnShim.unpersistCheckpoint(e.pairs)
+          perSession.remove(mapKey)
+        }
+      }
+    }
+    liveHit.map(_.pairs).getOrElse {
       // Compute OUTSIDE the lock: it is a multi-stage Spark job, and
       // holding the global lock through it would serialize unrelated
       // sessions/directories behind one miss. The double-checked insert
@@ -163,7 +192,7 @@ object QueriesText {
   private def fixture(s: SparkSession, dir: String, kind: String,
                       build: DataFrame => DataFrame): DataFrame =
     cachedFrame(s, dir, s"fixture:$kind") {
-      build(tbl(s, dir, "documents")).localCheckpoint()
+      build(tbl(s, dir, "documents")).ckpt()
     }
 
   val all: Map[String, (SparkSession, String) => DataFrame] = Map(

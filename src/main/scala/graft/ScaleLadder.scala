@@ -132,6 +132,11 @@ object ScaleLadder {
           new java.io.File("target/scala-2.13/classes").getAbsolutePath))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_CKPT_DIR switches graft.core.Ckpt to RELIABLE
+    // checkpoints (survive executor loss) — the cluster deployment mode;
+    // unset keeps localCheckpoint (single-JVM speed)
+    sys.env.get("SPARK_GRAFT_CKPT_DIR").foreach(
+      spark.sparkContext.setCheckpointDir)
     graft.functions.GraftFunctions.register(spark)
 
     val all: Seq[(String, (SparkSession, String) => DataFrame)] =

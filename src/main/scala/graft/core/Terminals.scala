@@ -3,6 +3,7 @@ package graft.core
 import org.apache.spark.sql.{Column, DataFrame, Encoder}
 import org.apache.spark.sql.functions._
 import graft.functions.{Moments, Spectral}
+import graft.core.Ckpt.CkptOps
 
 /** Terminal operators — the reference's collector surface (SURVEY.md §2.5)
   * as methods over [[SemanticStream]]. Aggregation-shaped terminals stay
@@ -406,7 +407,7 @@ final class Statistics(val df: DataFrame) extends Serializable {
     val perValue = df.groupBy(v.as("val"))
       .agg(sum(col("idx")).cast("double").as("pos_sum"),
         count(lit(1)).cast("double").as("cnt"))
-      .localCheckpoint(eager = false)
+      .ckpt(eager = false)
     def modeOf(c: String): DataFrame =
       perValue.groupBy(col(c).as("x")).agg(count(lit(1)).as("f"))
         .orderBy(col("f").desc, col("x").asc).limit(1)

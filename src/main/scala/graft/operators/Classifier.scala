@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.core.Ckpt.CkptOps
 
 /** Fasttext-style quality-classifier training and scoring — the
   * "train a small classifier on exemplar data, score the crawl" gate
@@ -86,7 +87,7 @@ object Classifier {
       .unionByName(docs.select(col(idCol),
         when(labelPred, 1.0).otherwise(0.0).as("y"),
         lit(256).as("bk"), lit(1.0).as("x")))
-      .localCheckpoint()
+      .ckpt()
     val n = docs.count().toDouble
     val w = Array.fill(257)(0.0)
     var it = 0

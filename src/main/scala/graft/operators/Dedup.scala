@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.core.Ckpt.CkptOps
 
 /** Deduplication for training-data pipelines. Each flavor is a standalone
   * DataFrame transform designed for the 100 TB shape:
@@ -264,7 +265,7 @@ object Dedup {
     // once inside the first action, freed by the ContextCleaner when
     // the frame is collected). The spine runs ONCE per call.
     val cand = lshCandidates(lshBands(sig, bands, numHashes / bands), maxBucketSize)
-      .localCheckpoint(false)
+      .ckpt(false)
     val candIds = cand.select(col("a").as("id"))
       .union(cand.select(col("b").as("id"))).distinct()
     val candDocs = df.join(candIds.withColumnRenamed("id", idCol),
@@ -272,13 +273,13 @@ object Dedup {
     val sh = candDocs.select(col(idCol).as("id"),
       explode(shingleArray(col(textCol), shingleWidth)).as("shingle"))
       .distinct()
-      .localCheckpoint(false)
+      .ckpt(false)
     val pairs = jaccard(cand, sh).filter(col("jaccard") >= threshold)
     if (materialize) {
       // the eager pairs checkpoint materializes cand and sh transitively
       // — their blocks are superseded the moment it exists; free them
       // rather than pinning them behind the cached pairs for the session
-      val out = pairs.localCheckpoint()
+      val out = pairs.ckpt()
       Seq(cand, sh).foreach(
         org.apache.spark.sql.GraftColumnShim.unpersistCheckpoint)
       out
@@ -358,13 +359,13 @@ object Dedup {
     // the total cost on the minhash path)
     val sym = edges.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .union(edges.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
-      .localCheckpoint()
+      .ckpt()
     // labelsCkpt is ALWAYS the checkpointed frame itself (plan root =
     // LogicalRDD) — unpersistCheckpoint deliberately frees only root
     // checkpoints, so a derived projection must never be what we free
     var labelsCkpt = sym.groupBy(col("src")).agg(min(col("dst")).as("nmin"))
       .select(col("src").as("id"), least(col("src"), col("nmin")).as("label"))
-      .localCheckpoint()
+      .ckpt()
     var labels = labelsCkpt
     var round = 0
     var converged = false
@@ -385,7 +386,7 @@ object Dedup {
         .select(neigh("id"),
           least(col("nl"), coalesce(col("jlabel"), col("nl"))).as("label"),
           col("prev"))
-        .localCheckpoint(false)
+        .ckpt(false)
       converged = next.filter(col("label") < col("prev")).count() == 0
       // the count materialized `next` — the previous round's label
       // blocks are superseded; free them instead of pinning every

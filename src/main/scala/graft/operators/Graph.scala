@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.core.Ckpt.CkptOps
 
 /** Link-graph analytics for corpus curation. Web-scale training-data
   * pipelines weight documents by graph centrality (harmonic/PageRank over
@@ -56,7 +57,7 @@ object Graph {
     val eStr = edges.select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))
       .distinct()
-      .localCheckpoint()
+      .ckpt()
     // RELABEL to dense longs before iterating — the standard engine move
     // (GraphX, GraphFrames, every native graph engine run on integer
     // vertex ids). The spine re-enters every round's join and lives in
@@ -73,7 +74,7 @@ object Graph {
       .union(eStr.select(col("dst").as("name")))
       .distinct()
       .select(col("name"), monotonically_increasing_id().as("nid"))
-      .localCheckpoint(false)
+      .ckpt(false)
     val n = dict.count() // materializes dict; one driver scalar, not data
     val e = eStr
       .join(dict.select(col("name").as("src"), col("nid").as("srcId")), "src")
@@ -81,7 +82,7 @@ object Graph {
       .select(col("srcId").as("src"), col("dstId").as("dst"))
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // (src, dst, deg) long-keyed spine — reused by every round's join
-    val spine = e.join(outDeg, "src").localCheckpoint()
+    val spine = e.join(outDeg, "src").ckpt()
     var ranks = dict.select(col("nid").as("id"), lit(1.0 / n).as("rank"))
     val intermediates = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (round <- 0 until iters) {
@@ -97,7 +98,7 @@ object Graph {
       // and planning time bounded; shallow runs stay one lazy chain
       // into the final checkpoint below
       if ((round + 1) % checkpointEvery == 0 && round + 1 < iters) {
-        ranks = ranks.localCheckpoint()
+        ranks = ranks.ckpt()
         intermediates += ranks
       }
     }
@@ -110,7 +111,7 @@ object Graph {
     // eventually evict each other into disk thrash).
     val out = ranks.join(dict, ranks("id") === dict("nid"))
       .select(col("name").as("id"), col("rank"))
-      .localCheckpoint()
+      .ckpt()
     (Seq(eStr, dict, spine) ++ intermediates).foreach(
       org.apache.spark.sql.GraftColumnShim.unpersistCheckpoint)
     out

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.TopKByScore
+import graft.core.Ckpt.CkptOps
 
 /** Similarity search over embedding columns (`array<float>`).
   *
@@ -815,7 +816,7 @@ object Similarity {
         // eager checkpoint: the loop re-reads the frame every round
         // (counts + splits); without it each round re-runs the scan +
         // cell assignment
-        var cur = base.localCheckpoint()
+        var cur = base.ckpt()
         var edges: Option[DataFrame] = None
         var ckpts = List.empty[DataFrame]
         // child-cell ids live in [idLo, idLo + idLo*fanout) each round —
@@ -874,10 +875,10 @@ object Similarity {
                   p.getField("pid") =!= col("id") && cos(p) >= lit(threshold)))
                   .as("__p"))
               .select(col("id").as("a"), col("__p.pid").as("b"))
-              .localCheckpoint()
+              .ckpt()
             edges = Some(edges.map(_.unionByName(roundEdges)).getOrElse(roundEdges))
             ckpts = roundEdges :: ckpts
-            val next = rest.unionByName(assigned).localCheckpoint()
+            val next = rest.unionByName(assigned).ckpt()
             org.apache.spark.sql.GraftColumnShim.unpersistCheckpoint(cur)
             cur = next
             // child ids occupied [idLo, idLo + idLo*(fanout+1)); next
@@ -927,7 +928,7 @@ object Similarity {
       // eager checkpoint of the COMPACT output (4 narrow columns), then
       // free the working blocks so nothing corpus-sized outlives the call
       // (labels' final round stays on connectedComponents' own lifecycle)
-      val outCkpt = out.localCheckpoint()
+      val outCkpt = out.ckpt()
       org.apache.spark.sql.GraftColumnShim.unpersistCheckpoint(withCell)
       outCkpt
     }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
+import graft.core.Ckpt.CkptOps
 
 /** Text analysis for large-scale training-data pipelines, plus the
   * reference's charsequence scalar surface (charsequence.h §2.6) expressed
@@ -643,7 +644,7 @@ object TextAnalysis {
     // convention — drop empties so symbols are exactly the characters
     var vocab = words.select(col("word"), col("freq"),
         filter(split(col("word"), ""), x => x =!= "").as("syms"))
-      .localCheckpoint()
+      .ckpt()
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
     var round = 0
     var exhausted = false
@@ -664,7 +665,7 @@ object TextAnalysis {
         val prev = vocab
         vocab = vocab.select(col("word"), col("freq"),
             mergeAdjacent(col("syms"), a, b).as("syms"))
-          .localCheckpoint()
+          .ckpt()
         // the new eager checkpoint supersedes the previous round's
         // blocks — free them now instead of pinning every round's
         // vocab copy for the session (long-lived-session leak class)
@@ -693,7 +694,7 @@ object TextAnalysis {
     merges.zipWithIndex.foldLeft(init) { case (d, ((a, b), i)) =>
       val next = d.withColumn("syms", mergeAdjacent(col("syms"), a, b))
       if ((i + 1) % 8 == 0 && i + 1 < merges.size) {
-        val ck = next.localCheckpoint()
+        val ck = next.ckpt()
         // the new eager checkpoint supersedes the previous one's blocks
         lastCkpt.foreach(org.apache.spark.sql.GraftColumnShim.unpersistCheckpoint)
         lastCkpt = Some(ck)

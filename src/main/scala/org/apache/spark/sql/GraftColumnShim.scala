@@ -42,6 +42,31 @@ object GraftColumnShim {
       case _ => ()
     }
 
+
+  /** True iff every partition block behind a `localCheckpoint()`ed
+    * Dataset is still reported by the block manager master. Local
+    * checkpoint blocks are unrecoverable BY DESIGN — a lost executor
+    * takes its partitions with it, and any consumer then fails with
+    * CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND even though recompute is
+    * possible. A service that MEMOIZES checkpointed frames must
+    * therefore validate liveness at serve time and treat dead blocks as
+    * a cache miss. Conservative: plans other than a checkpoint scan
+    * return true (nothing to validate). */
+  def checkpointBlocksLive(df: DataFrame): Boolean =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        val rdd = lr.rdd
+        if (rdd.getStorageLevel == org.apache.spark.storage.StorageLevel.NONE) true
+        else {
+          val ids = (0 until rdd.getNumPartitions)
+            .map(p => org.apache.spark.storage.RDDBlockId(rdd.id, p))
+            .toArray[org.apache.spark.storage.BlockId]
+          val master = org.apache.spark.SparkEnv.get.blockManager.master
+          master.getLocations(ids).forall(_.nonEmpty)
+        }
+      case _ => true
+    }
+
   /** Drain the async listener bus (`private[spark]`), so a metrics
     * listener's counters are complete before a caller snapshots them —
     * task-end events post asynchronously and can land AFTER the action

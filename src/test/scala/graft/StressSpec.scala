@@ -724,4 +724,65 @@ class StressSpec extends AnyFunSuite {
           "operator is holding a checkpoint the ContextCleaner can't reap")
     }
   }
+  test("memoized pair spine treats dead checkpoint blocks as a cache miss " +
+      "(executor-loss contract)", SlowStress) {
+    failAfter(Span(900, Seconds)) {
+      val dir = "/root/testdata/sf0.001"
+      // fresh memo, then a query that populates + serves the pair spine
+      QueriesText.resetPairsCache()
+      val q = SparkEntry.queries("q99_canonical_survivors")
+      val first = q(spark, dir).collect().map(_.toString).sorted
+      val frames = QueriesText.cachedFramesForTest(spark, dir)
+      assert(frames.nonEmpty, "q99 should have populated the pair-spine memo")
+      // simulate executor death: blocks vanish, RDD metadata stays (what
+      // rdd.unpersist CANNOT reproduce — it resets the storage level too)
+      frames.foreach(org.apache.spark.sql.GraftTestShim.dropCheckpointBlocks)
+      assert(frames.exists(f =>
+        !org.apache.spark.sql.GraftColumnShim.checkpointBlocksLive(f)),
+        "dropCheckpointBlocks should have killed at least one entry's blocks")
+      // the memo must treat the dead entry as a MISS and recompute —
+      // before the liveness check this threw CHECKPOINT_RDD_BLOCK_ID_NOT_FOUND
+      val second = q(spark, dir).collect().map(_.toString).sorted
+      assert(second.sameElements(first),
+        "post-loss recompute must reproduce the pre-loss result")
+      // and the served entry is live again
+      assert(QueriesText.cachedFramesForTest(spark, dir).forall(
+        org.apache.spark.sql.GraftColumnShim.checkpointBlocksLive))
+    }
+  }
+
+  test("iterative operators survive on reliable checkpoints when the " +
+      "context has a checkpoint dir (cluster mode)", SlowStress) {
+    failAfter(Span(900, Seconds)) {
+      import spark.implicits._
+      val edges = (0L until 2000L).map(i => (s"n${i % 97}", s"n${(i * 7) % 97}"))
+        .toDF("src", "dst")
+      val local = graft.operators.Graph.pageRank(edges, iters = 9,
+        checkpointEvery = 3)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val dir = java.nio.file.Files.createTempDirectory("graft-reliable-ckpt")
+      org.apache.spark.sql.GraftTestShim.setCheckpointDir(
+        spark.sparkContext, Some(dir.toString))
+      try {
+        val reliable = graft.operators.Graph.pageRank(edges, iters = 9,
+          checkpointEvery = 3)
+        // reliable-mode scan holds NO storage blocks (files, not blocks):
+        // nothing for an executor death to take
+        assert(org.apache.spark.sql.GraftColumnShim.checkpointBlocksLive(reliable))
+        val got = reliable.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        assert(got.keySet == local.keySet)
+        got.foreach { case (k, v) => assert(math.abs(v - local(k)) < 1e-12,
+          s"rank diverged for $k: $v vs ${local(k)}") }
+      } finally {
+        org.apache.spark.sql.GraftTestShim.setCheckpointDir(
+          spark.sparkContext, None)
+        // reap the checkpoint files with the spec
+        def rm(f: java.io.File): Unit = {
+          val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+          f.delete(); ()
+        }
+        rm(dir.toFile)
+      }
+    }
+  }
 }
