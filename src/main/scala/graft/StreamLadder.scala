@@ -58,9 +58,16 @@ object StreamLadder {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-    if (store == "rocksdb")
+    if (store == "rocksdb") {
       builder.config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      // changelog checkpointing: upload per-batch DELTAS instead of
+      // re-zipping full SST sets every micro-batch — the production
+      // setting for high-frequency triggers
+      builder.config(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        "true")
+    }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
@@ -80,10 +87,31 @@ object StreamLadder {
     val out = new StringBuilder
     def emit(r: BatchRec): Unit = { println(r.json); out.append(r.json).append('\n') }
 
+    /** Snapshot (state rows, state mem, removed-this-batch) from the
+      * last progress. */
+    def stateOf(q: StreamingQuery): (Long, Long, Long) = {
+      val p = q.lastProgress
+      if (p != null && p.stateOperators.nonEmpty) {
+        val ops = p.stateOperators
+        (ops.map(_.numRowsTotal).sum, ops.map(_.memoryUsedBytes).sum,
+          ops.map(_.numRowsRemoved).sum)
+      } else (-1L, -1L, -1L)
+    }
+
     /** Drive one scenario: chunk `rows` into micro-batches, snapshot the
       * query progress after each, pause `quietMs` between batches (lets
       * processing-time TTLs expire). `mkQuery` starts the stream against
-      * a counting foreachBatch sink. */
+      * a counting foreachBatch sink.
+      *
+      * Synchronization: `processAllAvailable` NEVER RETURNS for a query
+      * with processing-time timeouts — the engine keeps
+      * `shouldRunAnotherBatch` true forever so timers can fire, and the
+      * no-new-data latch never sets (measured: the first harness run
+      * parked there for 848 s while the paced trigger ran empty timer
+      * sweeps). TTL scenarios (quietMs > 0) instead poll the query
+      * progress until the source commits the offset `addData` returned;
+      * a final SETTLE record (batch -1) after 3 quiet intervals captures
+      * the post-expiry register. */
     def run[T](name: String, rows: Seq[T], quietMs: Long)
               (mkStream: () => MemoryStream[T],
                mkQuery: (MemoryStream[T], Long => Unit) => StreamingQuery): Unit = {
@@ -92,25 +120,37 @@ object StreamLadder {
       val emitted = new java.util.concurrent.atomic.AtomicLong(0L)
       val q = mkQuery(mem, n => { emitted.addAndGet(n); () })
       val chunk = math.max(1, (rows.size + nBatches - 1) / nBatches)
+      def awaitOffset(off: org.apache.spark.sql.connector.read.streaming.Offset): Unit = {
+        val want = off.json.replaceAll("[^0-9]", "").toLong
+        val deadline = System.nanoTime + 120L * 1000 * 1000 * 1000
+        var done = false
+        while (!done && System.nanoTime < deadline) {
+          val p = q.lastProgress
+          done = p != null && p.sources.nonEmpty &&
+            Option(p.sources(0).endOffset)
+              .flatMap(_.replaceAll("[^0-9]", "") match {
+                case "" => None; case s => Some(s.toLong) })
+              .exists(_ >= want)
+          if (!done) Thread.sleep(100)
+        }
+        require(done, s"$name: offset $want not committed within 120 s")
+      }
       var i = 0
       for (slice <- rows.grouped(chunk)) {
         if (i > 0 && quietMs > 0) Thread.sleep(quietMs)
         val t0 = System.nanoTime()
-        mem.addData(slice)
-        q.processAllAvailable()
+        val off = mem.addData(slice)
+        if (quietMs > 0) awaitOffset(off) else q.processAllAvailable()
         val ms = (System.nanoTime() - t0) / 1000000L
-        // processAllAvailable can run trailing no-data batches (watermark
-        // commit, timeout sweeps) — lastProgress carries the SETTLED
-        // state counters, which is exactly what the decay curves need
-        val p = q.lastProgress
-        val (sr, sm, rm) =
-          if (p != null && p.stateOperators.nonEmpty) {
-            val ops = p.stateOperators
-            (ops.map(_.numRowsTotal).sum, ops.map(_.memoryUsedBytes).sum,
-              ops.map(_.numRowsRemoved).sum)
-          } else (-1L, -1L, -1L)
+        val (sr, sm, rm) = stateOf(q)
         emit(BatchRec(name, i, slice.size.toLong, ms, emitted.get(), sr, sm, rm))
         i += 1
+      }
+      if (quietMs > 0) {
+        // settle: let the paced trigger sweep the expired registers
+        Thread.sleep(3 * quietMs)
+        val (sr, sm, rm) = stateOf(q)
+        emit(BatchRec(name, -1, 0L, 0L, emitted.get(), sr, sm, rm))
       }
       q.stop()
     }
@@ -118,9 +158,17 @@ object StreamLadder {
     def ckpt(): String = java.nio.file.Files
       .createTempDirectory("graft-stream-ladder").toString
 
-    /** Start `ds` against a counting foreachBatch sink. */
+    /** Start `ds` against a counting foreachBatch sink. The trigger is
+      * PACED, not default: with processing-time timeouts registered the
+      * default trigger free-runs EMPTY micro-batches back-to-back (the
+      * first run measured batch 2281 where the replay feeds 10 — all 32
+      * RocksDB stores re-checkpointing per empty batch, pure overhead
+      * that would swamp the curves being measured). 500 ms pacing keeps
+      * timeout sweeps firing through the inter-batch quiet windows at a
+      * bounded rate. */
     def sink[T](ds: org.apache.spark.sql.Dataset[T], cnt: Long => Unit): StreamingQuery =
       ds.writeStream.outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
         .option("checkpointLocation", ckpt())
         .foreachBatch((d: org.apache.spark.sql.Dataset[T], _: Long) => cnt(d.count()))
         .start()
