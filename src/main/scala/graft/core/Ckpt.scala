@@ -29,8 +29,26 @@ object Ckpt {
       df.checkpoint(eager)
     else df.localCheckpoint(eager)
 
-  /** Call-site syntax: `df.ckpt()` / `df.ckpt(eager = false)`. */
+  /** [[apply]], but a LOCAL checkpoint pins DISK_ONLY instead of
+    * MEMORY_AND_DISK. For CORPUS-SIZED transients (e.g. pageRank's
+    * deduplicated edge list): a memory-resident block that big evicts
+    * its way through the storage pool and squeezes execution memory to
+    * zero — the ×100 rung measured exactly that
+    * (UNABLE_TO_ACQUIRE_MEMORY in the build aggregation on the 8 GB rig
+    * with the default level, clean with DISK_ONLY). Reliable mode
+    * already writes files, so the level is moot there. Compact
+    * per-entity frames (dict, rank spine, outputs) stay on [[apply]] —
+    * they are the blocks that SHOULD live in memory. */
+  def spill(df: DataFrame, eager: Boolean = true): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined)
+      df.checkpoint(eager)
+    else df.localCheckpoint(eager,
+      org.apache.spark.storage.StorageLevel.DISK_ONLY)
+
+  /** Call-site syntax: `df.ckpt()` / `df.ckpt(eager = false)` /
+    * `df.ckptSpill()`. */
   implicit class CkptOps(private val df: DataFrame) extends AnyVal {
     def ckpt(eager: Boolean = true): DataFrame = Ckpt(df, eager)
+    def ckptSpill(eager: Boolean = true): DataFrame = Ckpt.spill(df, eager)
   }
 }

@@ -50,14 +50,17 @@ object Graph {
     // both read the deduplicated edge list, and without this checkpoint
     // each build job recomputes the whole upstream subtree (for q84 that
     // is an orders⋈lineitem join — measured 2-3 recomputes costing more
-    // than the 5 rank rounds themselves). The block is transient (freed
-    // with the other working blocks below) and MEMORY_AND_DISK — at ×100
-    // the ~12 GB string edge block spills instead of OOMing, and the
-    // per-ROUND state stays on the dense-long spine regardless.
+    // than the 5 rank rounds themselves). ckptSpill = DISK_ONLY when
+    // local: a corpus-sized string block in the memory pool squeezed
+    // execution memory to zero at ×100 on the 8 GB rig
+    // (UNABLE_TO_ACQUIRE_MEMORY in the build aggregation) — on disk it
+    // is read twice and competes with nothing. Freed with the other
+    // working blocks below; the per-ROUND state stays on the compact
+    // dense-long spine regardless (SCALE.md §3.5).
     val eStr = edges.select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))
       .distinct()
-      .ckpt()
+      .ckptSpill()
     // RELABEL to dense longs before iterating — the standard engine move
     // (GraphX, GraphFrames, every native graph engine run on integer
     // vertex ids). The spine re-enters every round's join and lives in
