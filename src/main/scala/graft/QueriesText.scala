@@ -166,6 +166,14 @@ object QueriesText {
           case stale =>
             stale.foreach(e =>
               org.apache.spark.sql.GraftColumnShim.unpersistCheckpoint(e.pairs))
+            // eagerness is the memo's liveness-probe contract, not a
+            // convention: a LAZY checkpoint has no blocks until its
+            // first action, so checkpointBlocksLive would report it
+            // dead and every serve would evict-and-recompute
+            require(
+              org.apache.spark.sql.GraftColumnShim.checkpointMaterialized(frame),
+              s"cachedFrame($key): compute must return an eagerly " +
+                "checkpointed frame (checkpoint root, blocks/files live)")
             perSession(mapKey) = PairsEntry(fp, frame)
             frame
         }

@@ -106,6 +106,9 @@ object ScaleLadder {
     val dir = args(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // the median index s(s.length/2) needs at least one timed run; 0
+    // would fail later with a bare IndexOutOfBounds on an empty buffer
+    require(runs >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $runs")
     val maxSec = sys.env.getOrElse("SPARK_GRAFT_LADDER_MAXSEC", "600").toDouble
     val only = sys.env.get("SPARK_GRAFT_LADDER_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
@@ -130,11 +133,20 @@ object ScaleLadder {
       builder.config("spark.executor.extraClassPath",
         sys.env.getOrElse("SPARK_GRAFT_CLASSES",
           new java.io.File("target/scala-2.13/classes").getAbsolutePath))
+    // ContextCleaner reads this once at construction — it cannot be set
+    // after getOrCreate. Backstop for GC-released checkpoint frames;
+    // graft's own release calls reap their checkpoint dirs eagerly
+    builder.config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_CKPT_DIR switches graft.core.Ckpt to RELIABLE
     // checkpoints (survive executor loss) — the cluster deployment mode;
-    // unset keeps localCheckpoint (single-JVM speed)
+    // unset keeps localCheckpoint (single-JVM speed). Graft's own
+    // release calls (GraftColumnShim.unpersistCheckpoint) reap their
+    // rdd-<id> checkpoint dirs eagerly; cleanCheckpoints (set on the
+    // builder above) backstops frames released only by GC — production
+    // deployments should set both, else finished checkpoints accrete on
+    // the DFS until application end
     sys.env.get("SPARK_GRAFT_CKPT_DIR").foreach(
       spark.sparkContext.setCheckpointDir)
     graft.functions.GraftFunctions.register(spark)

@@ -121,16 +121,26 @@ object StreamLadder {
       val q = mkQuery(mem, n => { emitted.addAndGet(n); () })
       val chunk = math.max(1, (rows.size + nBatches - 1) / nBatches)
       def awaitOffset(off: org.apache.spark.sql.connector.read.streaming.Offset): Unit = {
-        val want = off.json.replaceAll("[^0-9]", "").toLong
+        // MemoryStream offsets are LongOffsets whose json IS the number.
+        // Parse them as such and FAIL LOUDLY on anything else — the
+        // previous strip-non-digits parse would silently concatenate the
+        // fields of a composite offset JSON into a nonsense number
+        def parse(json: String): Long =
+          try json.trim.toLong
+          catch { case _: NumberFormatException => throw new IllegalStateException(
+            s"$name: offset json '$json' is not a bare LongOffset — " +
+              "the ladder's offset synchronization only understands MemoryStream") }
+        val want = off match {
+          case lo: org.apache.spark.sql.execution.streaming.runtime.LongOffset =>
+            lo.offset
+          case other => parse(other.json)
+        }
         val deadline = System.nanoTime + 120L * 1000 * 1000 * 1000
         var done = false
         while (!done && System.nanoTime < deadline) {
           val p = q.lastProgress
           done = p != null && p.sources.nonEmpty &&
-            Option(p.sources(0).endOffset)
-              .flatMap(_.replaceAll("[^0-9]", "") match {
-                case "" => None; case s => Some(s.toLong) })
-              .exists(_ >= want)
+            Option(p.sources(0).endOffset).exists(parse(_) >= want)
           if (!done) Thread.sleep(100)
         }
         require(done, s"$name: offset $want not committed within 120 s")

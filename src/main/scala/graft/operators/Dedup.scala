@@ -63,11 +63,25 @@ object Dedup {
     * skew funnel — a null-safe join would send every null-text row at
     * 100 TB into one bucket, while a filter-split union (the previous
     * shape) recomputes the whole upstream subtree for the second branch:
-    * a pipeline feeding a scored scan here paid the scoring twice. */
+    * a pipeline feeding a scored scan here paid the scoring twice.
+    *
+    * The fallback key is TOTAL: when the id is ALSO null (`n#<id>`
+    * would itself be null and the row would silently vanish from the
+    * equi-join — neither flagged nor kept), the digest falls through to
+    * a row-unique `r#<monotonic id>`. Such a row still rides the single
+    * pass as a singleton; its output mapping is (null, null, 1) — the
+    * row is KEPT, which is the whole contract. The monotonic id is
+    * partition-index ⊕ row-position, so the join's two computations of
+    * `d` (same scan, same splits, exchange-reused upstream) assign each
+    * row the same value; were a plan ever to diverge here, the failure
+    * mode is the old one (null/null rows drop), never a wrong match —
+    * md5 output, `n#`, and `r#` live in disjoint key spaces. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val d = df.select(col(idCol).as("id"),
       coalesce(md5(col(textCol)),
-        concat(lit("n#"), col(idCol).cast("string"))).as("digest"))
+        concat(lit("n#"), col(idCol).cast("string")),
+        concat(lit("r#"), monotonically_increasing_id().cast("string"))
+      ).as("digest"))
     val g = d.groupBy(col("digest"))
       .agg(min(col("id")).as("canonical_id"), count(lit(1)).as("group_size"))
       .withColumnRenamed("digest", "__gdigest")
@@ -92,16 +106,30 @@ object Dedup {
     * document (and skew one reducer), while a filter-split union (the
     * previous shape) recomputed the whole upstream subtree for the
     * null branch — a pipeline feeding a scored scan paid its regex
-    * battery TWICE per row. */
+    * battery TWICE per row.
+    *
+    * As in [[exact]], the fallback key is TOTAL: a null-id null-text
+    * row gets a row-unique `r#<monotonic id>` digest instead of a null
+    * one — a null digest would fold EVERY such row into one group and
+    * min_by would silently discard all but one. Single scan, so the
+    * monotonic id is evaluated exactly once per row. */
   def exactCanonical(df: DataFrame, idCol: String, textCol: String,
                      payloadCols: Seq[String]): DataFrame = {
     val row = struct((col(idCol).as("id") +: payloadCols.map(col)): _*)
     val d = df.select(
       coalesce(md5(col(textCol)),
-        concat(lit("n#"), col(idCol).cast("string"))).as("digest"),
+        concat(lit("n#"), col(idCol).cast("string")),
+        concat(lit("r#"), monotonically_increasing_id().cast("string"))
+      ).as("digest"),
       col(idCol).as("id"), row.as("row"))
     d.groupBy(col("digest"))
-      .agg(min_by(col("row"), col("id")).as("row"),
+      // election key struct(id IS NULL, id), not bare id: min_by SKIPS
+      // rows whose ordering key is null, so an all-null-id group would
+      // elect a NULL row (payload silently lost). The struct is never
+      // null, non-null ids still win (false < true), and among null ids
+      // the pick is arbitrary — same as any other exact tie
+      .agg(min_by(col("row"),
+          struct(col("id").isNull.as("n"), col("id").as("v"))).as("row"),
         count(lit(1)).as("group_size"))
       .select(col("row.*"), col("group_size"))
   }

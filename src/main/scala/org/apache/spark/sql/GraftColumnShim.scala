@@ -35,10 +35,35 @@ object GraftColumnShim {
     * pairs spine), and localCheckpoint blocks are unrecoverable by
     * design. Callers therefore keep a handle to the checkpointed frame
     * itself, never a projection of it. No-op for other plans;
-    * non-blocking. */
+    * non-blocking.
+    *
+    * RELIABLE checkpoints (context has a checkpoint dir — see
+    * [[graft.core.Ckpt]]) hold no storage blocks, but they hold DFS
+    * FILES, which Spark only reaps when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints` is set AND the
+    * RDD reference is GC'd — a long-running service can accrete
+    * corpus-sized checkpoint directories between GCs. Release here is
+    * therefore symmetric across modes: the RDD's own `rdd-<id>`
+    * checkpoint directory is deleted eagerly when it points inside the
+    * context checkpoint dir. Same contract as the block release: the
+    * caller is done with the frame — a served read after release was
+    * already a bug in local mode (unrecoverable blocks). */
   def unpersistCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.unpersist(false)
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(false)
+        val sc = df.sparkSession.sparkContext
+        for {
+          ckptFile <- lr.rdd.getCheckpointFile // None for localCheckpoint
+          baseDir <- sc.getCheckpointDir
+          ckptPath = new org.apache.hadoop.fs.Path(ckptFile)
+          if ckptPath.toUri.getPath.startsWith(
+            new org.apache.hadoop.fs.Path(baseDir).toUri.getPath)
+        } {
+          try ckptPath.getFileSystem(sc.hadoopConfiguration)
+            .delete(ckptPath, true)
+          catch { case _: Throwable => () } // best-effort reap
+        }
       case _ => ()
     }
 
@@ -51,7 +76,14 @@ object GraftColumnShim {
     * possible. A service that MEMOIZES checkpointed frames must
     * therefore validate liveness at serve time and treat dead blocks as
     * a cache miss. Conservative: plans other than a checkpoint scan
-    * return true (nothing to validate). */
+    * return true (nothing to validate).
+    *
+    * INVARIANT (asserted at memo-insert time via
+    * [[checkpointMaterialized]]): validated frames must be EAGERLY
+    * checkpointed. A lazy `localCheckpoint(eager = false)` sets the
+    * storage level immediately but materializes no blocks until its
+    * first action, so this probe would report it dead and a memo would
+    * evict-and-recompute it on every serve. */
   def checkpointBlocksLive(df: DataFrame): Boolean =
     df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
@@ -65,6 +97,31 @@ object GraftColumnShim {
           master.getLocations(ids).forall(_.nonEmpty)
         }
       case _ => true
+    }
+
+  /** True iff the frame is a checkpoint scan that has ACTUALLY
+    * materialized — eagerly checkpointed, i.e. either reliably
+    * checkpointed (the RDD is marked checkpointed once files are
+    * written) or a local checkpoint with at least one block reported.
+    * The memo's insert-time guard: inserting a LAZY checkpoint (no
+    * blocks until first action) would make [[checkpointBlocksLive]]
+    * evict-and-recompute the entry on every serve — an invariant that
+    * was previously implicit in both producers being eager. */
+  def checkpointMaterialized(df: DataFrame): Boolean =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        val rdd = lr.rdd
+        rdd.isCheckpointed || {
+          rdd.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE &&
+            rdd.getNumPartitions > 0 && {
+              val ids = (0 until rdd.getNumPartitions)
+                .map(p => org.apache.spark.storage.RDDBlockId(rdd.id, p))
+                .toArray[org.apache.spark.storage.BlockId]
+              org.apache.spark.SparkEnv.get.blockManager.master
+                .getLocations(ids).exists(_.nonEmpty)
+            }
+        }
+      case _ => false
     }
 
   /** Drain the async listener bus (`private[spark]`), so a metrics

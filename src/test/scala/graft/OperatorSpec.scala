@@ -1764,6 +1764,29 @@ class OperatorSpec extends AnyFunSuite {
     assert(surv == Map(1L -> 2L, 2L -> 1L, 4L -> 1L, 5L -> 1L))
   }
 
+  test("exact dedup: null-id null-text rows are kept, not silently dropped") {
+    import graft.operators.Dedup
+    // the `n#<id>` synthetic digest is itself null when the id is ALSO
+    // null: an equi-join would drop such rows from exact()'s report, and
+    // exactCanonical() would fold them all into one null-digest group and
+    // discard all but one. The total fallback (`r#<monotonic id>`) keeps
+    // each as its own singleton
+    val docs = Seq[(java.lang.Long, String)]((1L, "same"), (null, null),
+      (3L, "same"), (null, null), (null, "real text"))
+      .toDF("doc_id", "text")
+    val ex = Dedup.exact(docs, "doc_id", "text").collect()
+    assert(ex.length == 5, "every row must appear in the mapping")
+    // all three null-id rows (two null/null, one with real text) ride as
+    // singletons: group_size 1, canonical_id = min(null) = null
+    val nullRows = ex.filter(_.isNullAt(0))
+    assert(nullRows.length == 3)
+    assert(nullRows.forall(_.getLong(2) == 1L))
+    val canon = Dedup.exactCanonical(docs, "doc_id", "text", Seq("text"))
+    assert(canon.count() == 4, // "same" collapses 2→1; both null/null kept
+      "null/null rows must each survive as their own group")
+    assert(canon.filter("text IS NULL").count() == 2)
+  }
+
   test("capped election raises on non-numeric ids instead of nulling them") {
     import graft.operators.Dedup
     val bands = Seq((0, "k", "docA"), (0, "k", "docB"), (0, "k", "docC"))

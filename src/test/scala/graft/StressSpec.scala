@@ -785,4 +785,47 @@ class StressSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("unpersistCheckpoint reaps reliable checkpoint files eagerly; " +
+      "checkpointMaterialized rejects lazy frames") {
+    import spark.implicits._
+    // lazy localCheckpoint: storage level is set immediately but no
+    // blocks exist until the first action — the memo's insert guard
+    // must reject it (a memoized lazy frame would be served as "dead"
+    // and recomputed on every hit)
+    val lazyCk = Seq(1, 2, 3).toDF("x").localCheckpoint(false)
+    assert(!org.apache.spark.sql.GraftColumnShim.checkpointMaterialized(lazyCk))
+    lazyCk.count()
+    assert(org.apache.spark.sql.GraftColumnShim.checkpointMaterialized(lazyCk))
+    org.apache.spark.sql.GraftColumnShim.unpersistCheckpoint(lazyCk)
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-reap-ckpt")
+    org.apache.spark.sql.GraftTestShim.setCheckpointDir(
+      spark.sparkContext, Some(dir.toString))
+    try {
+      import graft.core.Ckpt.CkptOps
+      val ck = Seq((1L, "a"), (2L, "b")).toDF("id", "t").ckpt()
+      def ckptFiles: Long = {
+        val s = java.nio.file.Files.walk(dir)
+        try s.filter(p => java.nio.file.Files.isRegularFile(p)).count()
+        finally s.close()
+      }
+      assert(ckptFiles > 0, "reliable checkpoint must write files")
+      assert(org.apache.spark.sql.GraftColumnShim.checkpointMaterialized(ck))
+      // release is symmetric across modes: reliable mode frees the DFS
+      // files as local mode frees the blocks — without requiring
+      // cleanCheckpoints + a GC to happen to run
+      org.apache.spark.sql.GraftColumnShim.unpersistCheckpoint(ck)
+      assert(ckptFiles == 0,
+        "release must reap the frame's rdd-<id> checkpoint directory")
+    } finally {
+      org.apache.spark.sql.GraftTestShim.setCheckpointDir(
+        spark.sparkContext, None)
+      def rm(f: java.io.File): Unit = {
+        val kids = f.listFiles(); if (kids != null) kids.foreach(rm)
+        f.delete(); ()
+      }
+      rm(dir.toFile)
+    }
+  }
 }
