@@ -2,6 +2,50 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 object Bench {
+  // blackhole for the spin probe — keeps the JIT from eliding the loop
+  @volatile private var blackhole: Long = 0L
+
+  /** Fixed-work xorshift spin; returns the state so callers can sink it. */
+  private def spin(iters: Long): Long = {
+    var x = 0x9E3779B97F4A7C15L ^ iters
+    var i = 0L
+    while (i < iters) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+    x
+  }
+
+  /** Total host CPU busy time (all cores, user+nice+system+irq+steal…)
+    * in ms — /proc/stat jiffies × 10 (USER_HZ = 100 on Linux x86).
+    * Deltas around a timed window make EXTERNAL load visible from
+    * within the record: host_busy − self_cpu is CPU consumed by other
+    * processes while the query ran. -1 when /proc is unavailable. */
+  private def hostCpuMs: Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/stat")
+      try {
+        val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
+        val idle = f(3) + (if (f.length > 4) f(4) else 0L) // idle + iowait
+        (f.sum - idle) * 10
+      } finally src.close()
+    } catch { case _: Throwable => -1L }
+
+  /** This JVM's CPU time (utime+stime, all threads) in ms from
+    * /proc/self/stat. -1 when /proc is unavailable. */
+  private def selfCpuMs: Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/self/stat")
+      try {
+        val s = src.mkString
+        val rest = s.substring(s.lastIndexOf(')') + 2).split(" ")
+        (rest(11).toLong + rest(12).toLong) * 10 // fields 14/15: utime/stime
+      } finally src.close()
+    } catch { case _: Throwable => -1L }
+
+  private def loadAvg1: Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.trim.split("\\s+")(0).toDouble finally src.close()
+    } catch { case _: Throwable => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -27,18 +71,29 @@ object Bench {
     // one-time plan/codegen compilation (which a long-lived cluster session
     // pays once, not per query) out of the steady-state medians.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    require(runs >= 1, s"SPARK_GRAFT_BENCH_RUNS must be >= 1, got $runs")
     // optional comma-separated allowlist for targeted re-measurement
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
-    // SELF-DIAGNOSING record: three graded rounds disagreed with clean
-    // close runs on single queries (q84 r10-r12) and a median-only record
-    // could not say why — whether one run was slow (host pressure / GC
-    // pause) or all three (a real fixed cost). Per query we now keep the
-    // RAW per-run times in run order plus the GC and memory story of the
-    // timed window: summed task jvmGCTime + max task peakExecutionMemory
-    // (a listener over Spark's task metrics, drained before snapshots)
-    // and the driver JVM's collector-MXBean delta (local mode: executor
-    // == driver, so this is total stop-the-world time in the window).
+    // SELF-DIAGNOSING record: four graded rounds disagreed with clean
+    // close runs on single queries (q84 r10-r13) and a median-only record
+    // could not say why. Per query we keep (file record only):
+    //  - RAW per-run wall times in run order
+    //  - per-run HOST visibility: /proc/stat busy-CPU delta and this
+    //    JVM's CPU delta per timed run — (host − self) > 0 names
+    //    concurrent external load, the one suspect the r13 record was
+    //    blind to; plus a calibrated ~80 ms single-thread spin and a
+    //    4 MB fsync'd write probe before each query (CPU starvation /
+    //    spark.local.dir disk contention, measured independently of
+    //    Spark)
+    //  - per-run STAGE counts (an upstream recompute = extra stages in
+    //    exactly the slow run) and the timed window's task totals:
+    //    tasks, executorRunTime vs executorCpuTime (their gap minus GC
+    //    and fetch wait is off-CPU stall — disk or descheduling),
+    //    shuffle read/write bytes, disk/memory spill, fetch wait
+    //  - GC story: summed task jvmGCTime + driver-JVM collector delta
+    //    (local mode: executor == driver, so that is total
+    //    stop-the-world) + peak task execution memory
     val metrics = new BenchTaskMetrics
     spark.sparkContext.addSparkListener(metrics)
     val gcBeans = java.lang.management.ManagementFactory
@@ -48,27 +103,80 @@ object Bench {
     }
     def drain(): Unit =
       org.apache.spark.sql.GraftColumnShim.drainListenerBus(spark)
+
+    // ---- host-probe calibration (suite start, warm JIT first) ----
+    blackhole ^= spin(2_000_000L) // JIT warm-up
+    val calIters: Long = {
+      val t0 = System.nanoTime(); blackhole ^= spin(8_000_000L)
+      val perIterNs = (System.nanoTime() - t0).toDouble / 8_000_000L
+      math.max(1_000_000L, (80e6 / perIterNs).toLong) // target ~80 ms
+    }
+    val t0cal = System.nanoTime(); blackhole ^= spin(calIters)
+    val calSpinMs = (System.nanoTime() - t0cal) / 1e6 // idle-ish baseline
+    val probeBytes = Array.tabulate[Byte](4 << 20)(i => (i * 31) .toByte)
+    val probeFile = java.nio.file.Files.createTempFile("graft-bench-probe", ".bin")
+    def diskProbeMs: Double = {
+      val t0 = System.nanoTime()
+      val ch = java.nio.channels.FileChannel.open(probeFile,
+        java.nio.file.StandardOpenOption.WRITE,
+        java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+      try { ch.write(java.nio.ByteBuffer.wrap(probeBytes)); ch.force(false) }
+      finally ch.close()
+      (System.nanoTime() - t0) / 1e6
+    }
+    def spinProbeMs: Double = {
+      val t0 = System.nanoTime(); blackhole ^= spin(calIters)
+      (System.nanoTime() - t0) / 1e6
+    }
+
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // warm-up
       System.gc() // keep collector pauses out of the timed window
       drain()
-      val taskGc0 = metrics.gcMs.get(); metrics.peakMem.set(0L)
+      // host probes OUTSIDE the timed window: they sample conditions
+      // immediately before the runs without perturbing them
+      val load1 = loadAvg1
+      val probeSpin = spinProbeMs
+      val probeDisk = diskProbeMs
+      val q0 = metrics.snapshot()
       val jvmGc0 = jvmGcMs
-      val raw = (0 until runs).map { _ =>
+      val perRun = (0 until runs).map { _ =>
+        val s0 = metrics.stages.get()
+        val host0 = hostCpuMs; val self0 = selfCpuMs
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val wall = (System.nanoTime() - t0) / 1e9
+        val host1 = hostCpuMs; val self1 = selfCpuMs
+        drain() // stage events are async; settle before the stage snapshot
+        (wall, metrics.stages.get() - s0,
+          if (host0 < 0 || host1 < 0) -1L else host1 - host0,
+          if (self0 < 0 || self1 < 0) -1L else self1 - self0)
       }
-      drain()
-      val diag = BenchDiag(raw,
-        taskGcMs = metrics.gcMs.get() - taskGc0,
+      val q1 = metrics.snapshot()
+      val diag = BenchDiag(
+        raw = perRun.map(_._1),
+        rawStages = perRun.map(_._2),
+        rawHostMs = perRun.map(_._3),
+        rawSelfMs = perRun.map(_._4),
+        taskGcMs = q1.gcMs - q0.gcMs,
         jvmGcMs = jvmGcMs - jvmGc0,
-        peakMem = metrics.peakMem.get())
-      val sorted = raw.sorted
+        peakMem = q1.peakMem, // reset per query below
+        tasks = q1.tasks - q0.tasks,
+        runMs = q1.runMs - q0.runMs,
+        cpuMs = q1.cpuMs - q0.cpuMs,
+        shufReadB = q1.shufReadB - q0.shufReadB,
+        shufWriteB = q1.shufWriteB - q0.shufWriteB,
+        spillDiskB = q1.spillDiskB - q0.spillDiskB,
+        spillMemB = q1.spillMemB - q0.spillMemB,
+        fetchWaitMs = q1.fetchWaitMs - q0.fetchWaitMs,
+        probeSpinMs = probeSpin, probeDiskMs = probeDisk, load1 = load1)
+      metrics.peakMem.set(0L)
+      val sorted = perRun.map(_._1).sorted
       name -> (sorted(sorted.length / 2), diag)
     }
+    try java.nio.file.Files.deleteIfExists(probeFile) catch { case _: Throwable => () }
     // leak census: which queries leave blocks pinned for the session?
     // (localCheckpoint RDDs that were never unpersisted). Dev-only.
     if (sys.env.contains("SPARK_GRAFT_BENCH_DEBUG")) {
@@ -91,25 +199,44 @@ object Bench {
         .mkString("{", ",", "}")
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$m,"sf":"$sfDir","runs":$runs$partial$extra}"""
     }
-    // per-query diagnostics (raw run times in RUN ORDER, task/JVM GC ms,
-    // peak task execution memory) ride only in the durable file record —
-    // the stdout line must stay inside the harness's bounded tail
+    // per-query diagnostics ride only in the durable file record — the
+    // stdout line must stay inside the harness's bounded tail
     val diagJson = results.map { case (k, (_, d)) =>
-      s"\"" + k + "\":{\"raw\":[" + d.raw.map(fmt).mkString(",") +
-        s"],\"task_gc_ms\":${d.taskGcMs},\"jvm_gc_ms\":${d.jvmGcMs}" +
-        s",\"peak_exec_mem\":${d.peakMem}}"
+      def arr[T](xs: Seq[T], f: T => String) = xs.map(f).mkString("[", ",", "]")
+      s"\"" + k + "\":{\"raw\":" + arr[Double](d.raw, fmt) +
+        s",\"stages\":${arr[Long](d.rawStages, _.toString)}" +
+        s",\"host_ms\":${arr[Long](d.rawHostMs, _.toString)}" +
+        s",\"self_ms\":${arr[Long](d.rawSelfMs, _.toString)}" +
+        s",\"task_gc_ms\":${d.taskGcMs},\"jvm_gc_ms\":${d.jvmGcMs}" +
+        s",\"peak_exec_mem\":${d.peakMem}" +
+        s",\"tasks\":${d.tasks},\"run_ms\":${d.runMs},\"cpu_ms\":${d.cpuMs}" +
+        s",\"shuf_read_b\":${d.shufReadB},\"shuf_write_b\":${d.shufWriteB}" +
+        s",\"spill_disk_b\":${d.spillDiskB},\"spill_mem_b\":${d.spillMemB}" +
+        s",\"fetch_wait_ms\":${d.fetchWaitMs}" +
+        s",\"probe_spin_ms\":${fmt(d.probeSpinMs)}" +
+        s",\"probe_disk_ms\":${fmt(d.probeDiskMs)},\"load1\":${fmt(d.load1)}}"
     }.mkString("{", ",", "}")
     val suiteGc = results.map(_._2._2.jvmGcMs).sum
-    // FULL-name record → repo-root file (overwritten per run): the
-    // harness captures only a bounded stdout TAIL (~2000 chars), and the
-    // 106-query full-name line is ~2.6 KB — it can NEVER fit, which is
-    // why three rounds of graded records read `parsed: null` with a
-    // truncated query map. The durable full record lives here.
+    val calJson = s""","cal":{"spin_iters":$calIters,"spin_ms":${fmt(calSpinMs)}}"""
+    val ts = java.time.Instant.now().toString
+    // FULL-name record → repo-root file: the harness captures only a
+    // bounded stdout TAIL (~2000 chars) and the 106-query full-name line
+    // can never fit. The durable full record lives here — AND is
+    // appended to bench_history.jsonl (gitignored), because the graded
+    // run and the builder's close run both default to bench_latest.json
+    // and r13's graded run OVERWROTE the close-run diagnostics: every
+    // record now also survives in the history file, timestamped.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_latest.json")
+    val full = line(medians.toMap,
+      s""","ts":"$ts"$calJson,"diag":$diagJson""") + "\n"
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
-      (line(medians.toMap, s""","diag":$diagJson""") + "\n").getBytes("UTF-8"))
+      full.getBytes("UTF-8"))
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outFile: $e") }
+    try java.nio.file.Files.write(java.nio.file.Paths.get("bench_history.jsonl"),
+      full.getBytes("UTF-8"), java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
+    catch { case _: Throwable => () } // read-only cwd: the main record stands
     // stdout gets a COMPACT line that fits the bounded tail whole: qNN
     // prefixes (unique by construction — q02..q106 + q1_agg→q1) instead
     // of full names, ~1.4 KB for 106 queries, leaving headroom for sbt's
@@ -125,22 +252,63 @@ object Bench {
   }
 }
 
-/** Per-query diagnostic tuple for the bench record. */
-final case class BenchDiag(raw: Seq[Double], taskGcMs: Long,
-                           jvmGcMs: Long, peakMem: Long)
+/** Per-query diagnostic tuple for the bench record. Per-run arrays are
+  * in RUN ORDER; scalar counters are deltas across the whole timed
+  * window (all runs). */
+final case class BenchDiag(raw: Seq[Double], rawStages: Seq[Long],
+                           rawHostMs: Seq[Long], rawSelfMs: Seq[Long],
+                           taskGcMs: Long, jvmGcMs: Long, peakMem: Long,
+                           tasks: Long, runMs: Long, cpuMs: Long,
+                           shufReadB: Long, shufWriteB: Long,
+                           spillDiskB: Long, spillMemB: Long,
+                           fetchWaitMs: Long,
+                           probeSpinMs: Double, probeDiskMs: Double,
+                           load1: Double)
 
-/** Accumulates task-metric GC time and peak execution memory across the
-  * suite; [[Bench]] snapshots deltas around each query's timed window
-  * (bus drained before every snapshot). */
+/** Immutable counter snapshot — [[Bench]] subtracts two of these to get
+  * a query window's deltas. */
+final case class BenchCounters(gcMs: Long, peakMem: Long, tasks: Long,
+                               runMs: Long, cpuMs: Long, shufReadB: Long,
+                               shufWriteB: Long, spillDiskB: Long,
+                               spillMemB: Long, fetchWaitMs: Long)
+
+/** Accumulates task metrics and stage submissions across the suite;
+  * [[Bench]] snapshots deltas around each query's timed window (bus
+  * drained before every snapshot). */
 final class BenchTaskMetrics extends org.apache.spark.scheduler.SparkListener {
   val gcMs = new java.util.concurrent.atomic.AtomicLong(0L)
   val peakMem = new java.util.concurrent.atomic.AtomicLong(0L)
+  val stages = new java.util.concurrent.atomic.AtomicLong(0L)
+  val tasks = new java.util.concurrent.atomic.AtomicLong(0L)
+  val runMs = new java.util.concurrent.atomic.AtomicLong(0L)
+  val cpuMs = new java.util.concurrent.atomic.AtomicLong(0L)
+  val shufReadB = new java.util.concurrent.atomic.AtomicLong(0L)
+  val shufWriteB = new java.util.concurrent.atomic.AtomicLong(0L)
+  val spillDiskB = new java.util.concurrent.atomic.AtomicLong(0L)
+  val spillMemB = new java.util.concurrent.atomic.AtomicLong(0L)
+  val fetchWaitMs = new java.util.concurrent.atomic.AtomicLong(0L)
+  def snapshot(): BenchCounters = BenchCounters(gcMs.get(), peakMem.get(),
+    tasks.get(), runMs.get(), cpuMs.get(), shufReadB.get(), shufWriteB.get(),
+    spillDiskB.get(), spillMemB.get(), fetchWaitMs.get())
+  override def onStageSubmitted(
+      e: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit = {
+    stages.incrementAndGet(); ()
+  }
   override def onTaskEnd(
       te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
     val m = te.taskMetrics
     if (m != null) {
       gcMs.addAndGet(m.jvmGCTime)
       peakMem.getAndUpdate(p => math.max(p, m.peakExecutionMemory))
+      tasks.incrementAndGet()
+      runMs.addAndGet(m.executorRunTime)
+      cpuMs.addAndGet(m.executorCpuTime / 1000000L)
+      shufReadB.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+      shufWriteB.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+      spillDiskB.addAndGet(m.diskBytesSpilled)
+      spillMemB.addAndGet(m.memoryBytesSpilled)
+      fetchWaitMs.addAndGet(m.shuffleReadMetrics.fetchWaitTime)
+      ()
     }
   }
 }

@@ -49,6 +49,10 @@ object StreamLadder {
     val dir = args(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "10").toInt
+    // the pacing every sink runs under (StreamOps.pacedTrigger — the
+    // MANDATORY configuration for TTL'd twins); also the denominator of
+    // each scenario's empty-batch bound
+    val pacedIntervalMs = 500L
     val only = sys.env.get("SPARK_GRAFT_STREAM_ONLY")
     val store = sys.env.getOrElse("SPARK_GRAFT_STREAM_STORE", "rocksdb")
     val builder = SparkSession.builder()
@@ -145,6 +149,7 @@ object StreamLadder {
         }
         require(done, s"$name: offset $want not committed within 120 s")
       }
+      val tScenario0 = System.nanoTime()
       var i = 0
       for (slice <- rows.grouped(chunk)) {
         if (i > 0 && quietMs > 0) Thread.sleep(quietMs)
@@ -162,6 +167,26 @@ object StreamLadder {
         val (sr, sm, rm) = stateOf(q)
         emit(BatchRec(name, -1, 0L, 0L, emitted.get(), sr, sm, rm))
       }
+      // EMPTY-BATCH BOUND (the free-run regression gate): with the paced
+      // trigger, empty timeout sweeps tick at most once per interval, so
+      // executed batches beyond the data batches are bounded by
+      // wall/interval. A default-trigger regression here free-runs
+      // (measured batch 2281 on a 10-batch replay) and fails this
+      // require loudly instead of silently poisoning the curves.
+      // MemoryStream drains all available rows per batch, so each
+      // addData is one data batch.
+      val wallMs = (System.nanoTime() - tScenario0) / 1000000L
+      val totalBatches = Option(q.lastProgress).map(_.batchId + 1).getOrElse(0L)
+      val emptyBatches = math.max(0L, totalBatches - i)
+      val emptyBound = wallMs / pacedIntervalMs + 8 // slack: settle + startup
+      val summary = s"""{"scenario":"$name","summary":true,""" +
+        s""""wall_ms":$wallMs,"data_batches":$i,"total_batches":$totalBatches,""" +
+        s""""empty_batches":$emptyBatches,"empty_bound":$emptyBound,""" +
+        s""""rows":${rows.size},"emitted":${emitted.get()}}"""
+      println(summary); out.append(summary).append('\n')
+      require(emptyBatches <= emptyBound,
+        s"$name: $emptyBatches empty batches > bound $emptyBound over " +
+          s"$wallMs ms — is the sink trigger still paced?")
       q.stop()
     }
 
@@ -178,7 +203,7 @@ object StreamLadder {
       * bounded rate. */
     def sink[T](ds: org.apache.spark.sql.Dataset[T], cnt: Long => Unit): StreamingQuery =
       ds.writeStream.outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime("500 milliseconds"))
+        .trigger(graft.streaming.StreamOps.pacedTrigger(s"$pacedIntervalMs milliseconds"))
         .option("checkpointLocation", ckpt())
         .foreachBatch((d: org.apache.spark.sql.Dataset[T], _: Long) => cnt(d.count()))
         .start()

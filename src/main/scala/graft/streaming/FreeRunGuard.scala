@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.{StreamingQueryListener, Trigger}
+
+/** Hard guard against TTL'd streaming twins free-running under the
+  * default trigger.
+  *
+  * A query with PROCESSING-TIME timeouts (the `ttl` option of
+  * [[StreamOps.streamingNearDupCandidates]] /
+  * [[StreamOps.streamingCdcChunkCandidates]] / [[StreamOps.streamingAsof]])
+  * never latches "no new data": the engine keeps `shouldRunAnotherBatch`
+  * true so timers can fire, and under the DEFAULT trigger
+  * (`ProcessingTime(0)`) it re-runs empty micro-batches back-to-back —
+  * measured: batch 2281 on a 10-batch replay, all 32 RocksDB stores
+  * re-checkpointing per empty batch (SCALE.md §6). A paced trigger is
+  * mandatory for these operators; this guard moves that mandate from
+  * the docs into the API.
+  *
+  * Armed automatically (idempotent per session) by every TTL'd twin at
+  * construction. Fires when a query accumulates
+  * [[FreeRunGuard.threshold]] CONSECUTIVE empty batches while running
+  * under an unpaced trigger — a paced query ticking empty through a
+  * quiet period never fires (its trigger is interval > 0), and an
+  * unpaced NON-timer query never free-runs empty batches in the first
+  * place (the no-data latch holds), so the predicate is precise, not a
+  * heuristic. On fire: one ERROR log naming the fix per query run;
+  * `SPARK_GRAFT_FREERUN=stop` hard-stops the offending query instead
+  * (from a separate thread — `stop()` joins the stream thread, which
+  * may itself be posting to the listener bus); `SPARK_GRAFT_FREERUN=off`
+  * disarms entirely. */
+object FreeRunGuard extends org.apache.spark.internal.Logging {
+  /** Consecutive unpaced empty batches before firing. Test hook; the
+    * default (32) is ~10 s of free-running on the measured host, far
+    * past any legitimate empty-batch burst (AvailableNow drain,
+    * watermark flush). */
+  @volatile private[graft] var threshold: Int = 32
+
+  /** runId → consecutive empty batches (unpaced queries only). */
+  private val empties = new java.util.concurrent.ConcurrentHashMap[java.util.UUID, java.lang.Integer]()
+  /** runIds already fired (one action per query run). */
+  private val fired = java.util.concurrent.ConcurrentHashMap.newKeySet[java.util.UUID]()
+  private val armedSessions = java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+
+  private[graft] def firedCount: Int = fired.size()
+  private[graft] def hasFired(runId: java.util.UUID): Boolean =
+    fired.contains(runId)
+  private[graft] def consecutiveEmpties(runId: java.util.UUID): Int =
+    Option(empties.get(runId)).map(_.intValue).getOrElse(0)
+
+  /** True iff the query runs under a trigger that free-runs on timer
+    * batches: the default `ProcessingTime(0)`. Paced processing-time,
+    * AvailableNow, and Once triggers are all bounded. */
+  private def unpaced(q: org.apache.spark.sql.streaming.StreamingQuery): Boolean =
+    (q match {
+      case w: org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper =>
+        Option(w.streamingQuery.trigger)
+      case se: org.apache.spark.sql.execution.streaming.runtime.StreamExecution =>
+        Option(se.trigger)
+      case _ => None
+    }).exists {
+      case pt: org.apache.spark.sql.execution.streaming.ProcessingTimeTrigger =>
+        pt.intervalMs <= 0
+      case _ => false
+    }
+
+  /** Idempotent per session; called by the TTL'd twins at construction.
+    * `reason` names the operator for the error message. */
+  def arm(spark: SparkSession, reason: String): Unit = {
+    if (sys.env.get("SPARK_GRAFT_FREERUN").contains("off")) return
+    if (!armedSessions.add(spark)) return
+    spark.streams.addListener(new StreamingQueryListener {
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryIdle(
+          e: StreamingQueryListener.QueryIdleEvent): Unit = ()
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit = {
+        empties.remove(e.runId); fired.remove(e.runId); ()
+      }
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit = {
+        val p = e.progress
+        if (p.numInputRows > 0) { empties.put(p.runId, 0); return }
+        val q = try spark.streams.get(p.id) catch { case _: Throwable => null }
+        if (q == null || !unpaced(q)) { empties.put(p.runId, 0); return }
+        val n = Option(empties.get(p.runId)).map(_.intValue).getOrElse(0) + 1
+        empties.put(p.runId, n)
+        if (n >= threshold && fired.add(p.runId)) {
+          val msg = s"graft streaming guard: query ${p.id} (run ${p.runId}) " +
+            s"has executed $n consecutive EMPTY micro-batches under the " +
+            "default (unpaced) trigger — a processing-time-TTL operator " +
+            s"($reason) keeps the engine re-running batches so its timers " +
+            "can fire, and every empty batch re-checkpoints every state " +
+            "store. Set .trigger(Trigger.ProcessingTime(...)) on the " +
+            "writeStream (see StreamOps.pacedTrigger). " +
+            "SPARK_GRAFT_FREERUN=stop hard-stops instead; =off disarms."
+          logError(msg)
+          System.err.println(s"[graft] ERROR: $msg")
+          if (sys.env.get("SPARK_GRAFT_FREERUN").contains("stop")) {
+            val t = new Thread(() => {
+              try q.stop() catch { case _: Throwable => () }
+            }, s"graft-freerun-stop-${p.runId}")
+            t.setDaemon(true)
+            t.start()
+          }
+        }
+      }
+    })
+  }
+}

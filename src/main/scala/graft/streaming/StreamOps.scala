@@ -135,6 +135,11 @@ object StreamOps {
                                  ttl: Option[String] = None): Dataset[(Long, Long)] = {
     import docs.sparkSession.implicits._
     require(numHashes % bands == 0)
+    // a processing-time TTL makes the query free-run empty batches
+    // under the default trigger — arm the runtime guard (see
+    // [[pacedTrigger]] for the fix the guard demands)
+    if (ttl.isDefined)
+      FreeRunGuard.arm(docs.sparkSession, "streamingNearDupCandidates(ttl)")
     val rows = numHashes / bands
     val banded: Dataset[(String, Long)] = docs.flatMap { case (id, text) =>
       // explicit ASCII whitespace class — lockstep with the batch
@@ -179,6 +184,20 @@ object StreamOps {
   private def registerTimeout(ttl: Option[String]): GroupStateTimeout =
     if (ttl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
     else GroupStateTimeout.NoTimeout
+
+  /** The MANDATORY trigger for TTL'd twins: a processing-time-timeout
+    * query never latches "no new data" (the engine keeps batches
+    * running so timers can fire), so under the default unpaced trigger
+    * it free-runs empty micro-batches back-to-back, re-checkpointing
+    * every state store each time — measured batch 2281 on a 10-batch
+    * replay (SCALE.md §6). Pass this to `.trigger(...)` on the
+    * writeStream; [[FreeRunGuard]] (armed automatically by the TTL'd
+    * twins) catches the misconfiguration at runtime. 500 ms keeps timer
+    * resolution well under any realistic duplication-horizon `ttl`
+    * while bounding the quiet-stream batch rate at 2/s. */
+  def pacedTrigger(
+      interval: String = "500 milliseconds"): org.apache.spark.sql.streaming.Trigger =
+    org.apache.spark.sql.streaming.Trigger.ProcessingTime(interval)
 
   /** Streaming embedding near-dup candidates — the unbounded twin of
     * [[graft.operators.Dedup.embeddingNearDups]]'s bucket stage: each
@@ -285,6 +304,8 @@ object StreamOps {
     import docs.sparkSession.implicits._
     require(boundaryHexFirst >= 1 && boundaryHexFirst <= 15,
       s"boundaryHexFirst must be in [1,15], got $boundaryHexFirst")
+    if (ttl.isDefined) // see [[pacedTrigger]]: TTL queries free-run unpaced
+      FreeRunGuard.arm(docs.sparkSession, "streamingCdcChunkCandidates(ttl)")
     val boundarySet = "0123456789abcdef".take(boundaryHexFirst).toSet
     val chunked: Dataset[(String, Long)] = docs.flatMap { case (id, text) =>
       // lockstep with the batch tokenizer (explicit ASCII ws class)
@@ -555,6 +576,8 @@ object StreamOps {
   def streamingAsof(events: Dataset[AsofEvent],
                     ttl: Option[java.time.Duration] = None): Dataset[AsofJoined] = {
     import events.sparkSession.implicits._
+    if (ttl.isDefined) // see [[pacedTrigger]]: TTL queries free-run unpaced
+      FreeRunGuard.arm(events.sparkSession, "streamingAsof(ttl)")
     events.groupByKey(_.key)
       .transformWithState(new AsofProcessor(ttl),
         if (ttl.isDefined) org.apache.spark.sql.streaming.TimeMode.ProcessingTime()

@@ -11,6 +11,47 @@ class StreamingSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("FreeRunGuard fires on a TTL'd twin free-running under the default " +
+      "trigger, stays quiet under the paced trigger") {
+    import graft.streaming.FreeRunGuard
+    implicit val sq = spark.sqlContext
+    val oldThreshold = FreeRunGuard.threshold
+    FreeRunGuard.threshold = 5 // seconds, not minutes, of free-running
+    // construction arms the guard (ttl ⇒ processing-time timeouts ⇒ the
+    // engine never latches "no new data")
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.streaming.StreamOps.streamingNearDupCandidates(
+      mem.toDS(), ttl = Some("30 seconds"))
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("freerun_guarded").start() // DEFAULT trigger — the bug
+    try {
+      mem.addData((1L, "a b c d e"), (2L, "a b c d e"))
+      val deadline = System.currentTimeMillis + 90000
+      while (!FreeRunGuard.hasFired(q.runId) &&
+        System.currentTimeMillis < deadline) Thread.sleep(100)
+      assert(FreeRunGuard.hasFired(q.runId),
+        "guard must flag consecutive unpaced empty batches")
+    } finally { q.stop(); FreeRunGuard.threshold = oldThreshold }
+
+    // paced twin: empty batches tick at the trigger rate; the guard's
+    // predicate (unpaced trigger) never matches, so it stays quiet
+    val mem2 = MemoryStream[(Long, String)]
+    val out2 = graft.streaming.StreamOps.streamingNearDupCandidates(
+      mem2.toDS(), ttl = Some("30 seconds"))
+    val q2 = out2.writeStream.outputMode("append").format("memory")
+      .queryName("freerun_paced")
+      .trigger(graft.streaming.StreamOps.pacedTrigger("100 milliseconds"))
+      .start()
+    try {
+      mem2.addData((1L, "a b c d e"), (2L, "a b c d e"))
+      Thread.sleep(3000) // ~30 paced empty batches at 100 ms
+      assert(!FreeRunGuard.hasFired(q2.runId),
+        "paced queries must never trip the guard")
+      assert(FreeRunGuard.consecutiveEmpties(q2.runId) == 0,
+        "paced empty batches must not accumulate toward the threshold")
+    } finally q2.stop()
+  }
+
   test("tumbleAgg over a memory stream matches the batch aggregation") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Double)]
