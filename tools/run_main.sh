@@ -3,7 +3,12 @@
 # (bypasses the sbt lock). Usage: run_main.sh <MainClass> [args...]
 set -e
 REPO="$(cd "$(dirname "$0")/.." && pwd)"
-SPARK_HOME="${SPARK_HOME:-/opt/spark}"
+# exported: local-cluster masters launch executor JVMs through
+# SPARK_HOME's worker machinery, and the launcher needs the Scala
+# version hint when run outside sbt ("Cannot find any build
+# directories" otherwise)
+export SPARK_HOME="${SPARK_HOME:-/opt/spark}"
+export SPARK_SCALA_VERSION="${SPARK_SCALA_VERSION:-2.13}"
 CLASSES="$(ls -d "$REPO"/target/scala-*/classes 2>/dev/null | head -1)"
 CP="${CLASSES:-$REPO/target/scala-2.13/classes}:$(ls "$SPARK_HOME"/jars/*.jar | tr '\n' ':')"
 OPENS=""
