@@ -21,24 +21,35 @@ object Bench {
   private def hostCpuMs: Long =
     try {
       val src = scala.io.Source.fromFile("/proc/stat")
-      try {
-        val f = src.getLines().next().trim.split("\\s+").drop(1).map(_.toLong)
-        val idle = f(3) + (if (f.length > 4) f(4) else 0L) // idle + iowait
-        (f.sum - idle) * 10
-      } finally src.close()
+      try parseHostStatMs(src.getLines().next()) finally src.close()
     } catch { case _: Throwable => -1L }
+
+  /** Parse total busy ms out of /proc/stat's aggregate "cpu" line:
+    * sum of all time columns minus idle and iowait, jiffies × 10 ms. */
+  private[graft] def parseHostStatMs(cpuLine: String): Long = {
+    val f = cpuLine.trim.split("\\s+").drop(1).map(_.toLong)
+    val idle = f(3) + (if (f.length > 4) f(4) else 0L) // idle + iowait
+    (f.sum - idle) * 10
+  }
 
   /** This JVM's CPU time (utime+stime, all threads) in ms from
     * /proc/self/stat. -1 when /proc is unavailable. */
   private def selfCpuMs: Long =
     try {
       val src = scala.io.Source.fromFile("/proc/self/stat")
-      try {
-        val s = src.mkString
-        val rest = s.substring(s.lastIndexOf(')') + 2).split(" ")
-        (rest(11).toLong + rest(12).toLong) * 10 // fields 14/15: utime/stime
-      } finally src.close()
+      try parseSelfStatMs(src.mkString) finally src.close()
     } catch { case _: Throwable => -1L }
+
+  /** Parse utime+stime (fields 14/15, jiffies × 10 ms) out of a
+    * /proc/<pid>/stat line. The comm field (field 2) is parenthesized
+    * and may itself contain spaces and ')' — field counting must start
+    * AFTER the LAST ')' (state is field 3 = index 0 of the remainder,
+    * so utime/stime are remainder indices 11/12). Spec-pinned: a wrong
+    * index here silently mis-attributes host load in the bench diag. */
+  private[graft] def parseSelfStatMs(stat: String): Long = {
+    val rest = stat.substring(stat.lastIndexOf(')') + 2).split(" ")
+    (rest(11).toLong + rest(12).toLong) * 10
+  }
 
   private def loadAvg1: Double =
     try {

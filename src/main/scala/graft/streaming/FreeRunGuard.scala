@@ -40,7 +40,13 @@ object FreeRunGuard extends org.apache.spark.internal.Logging {
   private val empties = new java.util.concurrent.ConcurrentHashMap[java.util.UUID, java.lang.Integer]()
   /** runIds already fired (one action per query run). */
   private val fired = java.util.concurrent.ConcurrentHashMap.newKeySet[java.util.UUID]()
-  private val armedSessions = java.util.concurrent.ConcurrentHashMap.newKeySet[SparkSession]()
+  // weak keys: arming must not PIN a session — a service that discards
+  // sessions mid-application (newSession over a shared context) would
+  // otherwise accrete them here for the life of the JVM. The listener
+  // itself dies with the session's stream manager.
+  private val armedSessions = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 
   private[graft] def firedCount: Int = fired.size()
   private[graft] def hasFired(runId: java.util.UUID): Boolean =
