@@ -36,6 +36,13 @@ object FreeRunGuard extends org.apache.spark.internal.Logging {
     * watermark flush). */
   @volatile private[graft] var threshold: Int = 32
 
+  /** Fire action: "warn" (default) logs one ERROR per query run,
+    * "stop" hard-stops the offending query, "off" disarms. Seeded from
+    * SPARK_GRAFT_FREERUN; a var (not a raw env read) so the stop path
+    * is spec-testable — env is frozen at JVM start. */
+  @volatile private[graft] var mode: String =
+    sys.env.getOrElse("SPARK_GRAFT_FREERUN", "warn")
+
   /** runId → consecutive empty batches (unpaced queries only). */
   private val empties = new java.util.concurrent.ConcurrentHashMap[java.util.UUID, java.lang.Integer]()
   /** runIds already fired (one action per query run). */
@@ -73,7 +80,7 @@ object FreeRunGuard extends org.apache.spark.internal.Logging {
   /** Idempotent per session; called by the TTL'd twins at construction.
     * `reason` names the operator for the error message. */
   def arm(spark: SparkSession, reason: String): Unit = {
-    if (sys.env.get("SPARK_GRAFT_FREERUN").contains("off")) return
+    if (mode == "off") return
     if (!armedSessions.add(spark)) return
     spark.streams.addListener(new StreamingQueryListener {
       override def onQueryStarted(
@@ -103,7 +110,7 @@ object FreeRunGuard extends org.apache.spark.internal.Logging {
             "SPARK_GRAFT_FREERUN=stop hard-stops instead; =off disarms."
           logError(msg)
           System.err.println(s"[graft] ERROR: $msg")
-          if (sys.env.get("SPARK_GRAFT_FREERUN").contains("stop")) {
+          if (mode == "stop") {
             val t = new Thread(() => {
               try q.stop() catch { case _: Throwable => () }
             }, s"graft-freerun-stop-${p.runId}")

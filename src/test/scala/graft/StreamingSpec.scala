@@ -52,6 +52,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q2.stop()
   }
 
+  test("FreeRunGuard hard-stop mode terminates a free-running TTL'd query") {
+    import graft.streaming.FreeRunGuard
+    implicit val sq = spark.sqlContext
+    val (oldT, oldM) = (FreeRunGuard.threshold, FreeRunGuard.mode)
+    FreeRunGuard.threshold = 5
+    FreeRunGuard.mode = "stop" // SPARK_GRAFT_FREERUN=stop, spec-injectable
+    val mem = MemoryStream[(Long, String)]
+    val out = graft.streaming.StreamOps.streamingNearDupCandidates(
+      mem.toDS(), ttl = Some("30 seconds"))
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("freerun_stopped").start() // default trigger — the bug
+    try {
+      mem.addData((1L, "a b c d e"))
+      val deadline = System.currentTimeMillis + 90000
+      while (q.isActive && System.currentTimeMillis < deadline)
+        Thread.sleep(100)
+      assert(!q.isActive,
+        "stop mode must terminate the free-running query, not just log")
+    } finally {
+      if (q.isActive) q.stop()
+      FreeRunGuard.threshold = oldT; FreeRunGuard.mode = oldM
+    }
+  }
+
   test("tumbleAgg over a memory stream matches the batch aggregation") {
     implicit val sq = spark.sqlContext
     val mem = MemoryStream[(java.sql.Timestamp, Double)]
