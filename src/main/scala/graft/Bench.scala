@@ -32,24 +32,120 @@ object Bench {
     (f.sum - idle) * 10
   }
 
-  /** This JVM's CPU time (utime+stime, all threads) in ms from
-    * /proc/self/stat. -1 when /proc is unavailable. */
-  private def selfCpuMs: Long =
+  /** Parse utime+stime (fields 14/15, jiffies × 10 ms) out of a
+    * /proc/<pid>/stat line. Spec-pinned compatibility wrapper over
+    * [[parseSelfStat]]. */
+  private[graft] def parseSelfStatMs(stat: String): Long = {
+    val s = parseSelfStat(stat); s.utimeMs + s.stimeMs
+  }
+
+  /** The /proc/self/stat fields the diag attributes CPU with: utime
+    * and stime SPLIT (user compute vs kernel work — stime-dominant
+    * inflation names page faults / memory pressure / kernel-side
+    * stalls), plus minflt/majflt (fields 10/12 — fault volume is the
+    * direct memory-pressure witness; majflt > 0 means the JVM itself
+    * was paging). The comm field (field 2) is parenthesized and may
+    * itself contain spaces and ')' — field counting must start AFTER
+    * the LAST ')' (state is field 3 = index 0 of the remainder, so
+    * minflt/majflt/utime/stime are remainder indices 7/9/11/12).
+    * Spec-pinned: a wrong index here silently mis-attributes host load
+    * in the bench diag. */
+  final case class SelfStat(utimeMs: Long, stimeMs: Long,
+                            minflt: Long, majflt: Long)
+  private[graft] def parseSelfStat(stat: String): SelfStat = {
+    val rest = stat.substring(stat.lastIndexOf(')') + 2).split(" ")
+    SelfStat(rest(11).toLong * 10, rest(12).toLong * 10,
+      rest(7).toLong, rest(9).toLong)
+  }
+
+  private def selfStat: SelfStat =
     try {
       val src = scala.io.Source.fromFile("/proc/self/stat")
-      try parseSelfStatMs(src.mkString) finally src.close()
+      try parseSelfStat(src.mkString) finally src.close()
+    } catch { case _: Throwable => SelfStat(-1L, -1L, -1L, -1L) }
+
+  /** (nr_throttled, throttled ms) out of a cgroup `cpu.stat` — reads
+    * BOTH layouts: v2 (`throttled_usec`, µs) and v1
+    * (`throttled_time`, ns). A non-zero delta during a timed run names
+    * a CFS bandwidth clamp: CPU-seconds inflate because the cgroup was
+    * descheduled mid-phase, which no per-process counter shows.
+    * (-1,-1) when neither key is present. */
+  private[graft] def parseCgroupCpuStat(text: String): (Long, Long) = {
+    var n = -1L; var ms = -1L
+    text.linesIterator.foreach { l =>
+      val f = l.trim.split("\\s+")
+      if (f.length == 2) f(0) match {
+        case "nr_throttled" => n = f(1).toLong
+        case "throttled_usec" => ms = f(1).toLong / 1000L
+        case "throttled_time" => ms = f(1).toLong / 1000000L
+        case _ => ()
+      }
+    }
+    (n, ms)
+  }
+
+  /** First cpu.stat path that reports throttling, resolved once:
+    * self's own v2 cgroup, the v2 root, self's v1 cpu cgroup, the v1
+    * root. None when the host exposes no throttle counters. */
+  private lazy val cpuStatPath: Option[java.nio.file.Path] = {
+    val fromSelf: Seq[String] =
+      try {
+        val src = scala.io.Source.fromFile("/proc/self/cgroup")
+        try src.getLines().flatMap { l =>
+          val f = l.split(":", 3)
+          if (f.length == 3 && f(0) == "0")
+            Seq(s"/sys/fs/cgroup${f(2)}/cpu.stat")
+          else if (f.length == 3 && f(1).split(",").contains("cpu"))
+            Seq(s"/sys/fs/cgroup/cpu${f(2)}/cpu.stat")
+          else Nil
+        }.toList
+        finally src.close()
+      } catch { case _: Throwable => Nil }
+    (fromSelf ++ Seq("/sys/fs/cgroup/cpu.stat", "/sys/fs/cgroup/cpu/cpu.stat"))
+      .map(java.nio.file.Paths.get(_))
+      .find { p =>
+        try parseCgroupCpuStat(new String(
+          java.nio.file.Files.readAllBytes(p), "UTF-8"))._1 >= 0
+        catch { case _: Throwable => false }
+      }
+  }
+
+  private def throttleSnap: (Long, Long) =
+    cpuStatPath.map { p =>
+      try parseCgroupCpuStat(new String(
+        java.nio.file.Files.readAllBytes(p), "UTF-8"))
+      catch { case _: Throwable => (-1L, -1L) }
+    }.getOrElse((-1L, -1L))
+
+  /** The "some" stall total (ms) out of a /proc/pressure/{cpu,memory,io}
+    * PSI file: total µs at least one task spent stalled on that
+    * resource. A rising delta during a timed run names host-level
+    * contention by RESOURCE — the axis the host−self CPU gap cannot
+    * split. -1 when the line is absent (PSI not enabled). */
+  private[graft] def parsePsiSomeTotalMs(text: String): Long =
+    text.linesIterator.find(_.startsWith("some"))
+      .flatMap(_.split("\\s+").find(_.startsWith("total=")))
+      .map(_.substring(6).toLong / 1000L).getOrElse(-1L)
+
+  private def psiSnap(kind: String): Long =
+    try {
+      val src = scala.io.Source.fromFile(s"/proc/pressure/$kind")
+      try parsePsiSomeTotalMs(src.mkString) finally src.close()
     } catch { case _: Throwable => -1L }
 
-  /** Parse utime+stime (fields 14/15, jiffies × 10 ms) out of a
-    * /proc/<pid>/stat line. The comm field (field 2) is parenthesized
-    * and may itself contain spaces and ')' — field counting must start
-    * AFTER the LAST ')' (state is field 3 = index 0 of the remainder,
-    * so utime/stime are remainder indices 11/12). Spec-pinned: a wrong
-    * index here silently mis-attributes host load in the bench diag. */
-  private[graft] def parseSelfStatMs(stat: String): Long = {
-    val rest = stat.substring(stat.lastIndexOf(')') + 2).split(" ")
-    (rest(11).toLong + rest(12).toLong) * 10
-  }
+  /** Frees a direct buffer's native memory eagerly —
+    * `Unsafe.invokeCleaner` is the JDK-17 route (jdk.unsupported opens
+    * sun.misc; the DirectBuffer.cleaner() chain returns the
+    * non-exported jdk.internal.ref.Cleaner and fails access checks).
+    * None when even that is unavailable; callers then leave the buffer
+    * to the GC. */
+  private lazy val directFree: Option[java.nio.ByteBuffer => Unit] =
+    try {
+      val f = classOf[sun.misc.Unsafe].getDeclaredField("theUnsafe")
+      f.setAccessible(true)
+      val u = f.get(null).asInstanceOf[sun.misc.Unsafe]
+      Some(b => u.invokeCleaner(b))
+    } catch { case _: Throwable => None }
 
   private def loadAvg1: Double =
     try {
@@ -112,6 +208,19 @@ object Bench {
     def jvmGcMs: Long = {
       var s = 0L; gcBeans.forEach(b => s += math.max(0L, b.getCollectionTime)); s
     }
+    // JIT compile-time: a cold/deoptimizing JIT is the "genuinely
+    // slower user compute" candidate for in-JVM CPU inflation — its
+    // per-run delta separates that from kernel/clamp causes
+    val jitBean = Option(java.lang.management.ManagementFactory
+      .getCompilationMXBean).filter(_.isCompilationTimeMonitoringSupported)
+    def jitNowMs: Long = jitBean.map(_.getTotalCompilationTime).getOrElse(-1L)
+    // one point-in-time capture of every per-run attribution counter
+    def snapNow(): RunSnap = {
+      val (tn, tms) = throttleSnap
+      RunSnap(hostCpuMs, selfStat, tn, tms,
+        psiSnap("cpu"), psiSnap("memory"), psiSnap("io"), jitNowMs)
+    }
+    def dd(a: Long, b: Long): Long = if (a < 0 || b < 0) -1L else b - a
     def drain(): Unit =
       org.apache.spark.sql.GraftColumnShim.drainListenerBus(spark)
 
@@ -139,6 +248,57 @@ object Bench {
       val t0 = System.nanoTime(); blackhole ^= spin(calIters)
       (System.nanoTime() - t0) / 1e6
     }
+    // ALL-CORE spin probe: the same fixed spin work on every core
+    // simultaneously, wall = until the LAST thread finishes. Pure
+    // register work — no memory, no syscalls — so its only variables
+    // are the effective ALL-CORE clock and scheduler contention. The
+    // single-thread spin probe cannot see an all-core-load-triggered
+    // frequency clamp (one busy thread keeps its turbo bin); this one
+    // can: a post-sustained-load session where every 32-thread phase
+    // burns ~1.8× the CPU-seconds (measured after a Verify sweep:
+    // q84 utime 30-39 s/run vs 17-21 s warm-idle, JIT time 2×, stime
+    // and faults FLAT) shows up here as a proportionally inflated
+    // all-core spin against its suite-start calibration, while the
+    // 1-thread probe stays normal. The VM exports no cpufreq/thermal
+    // state, so this measurement is the only in-band clock witness.
+    def spinAllProbeMs: Double = {
+      val n = cpus.toInt
+      val results = new Array[Long](n)
+      val t0 = System.nanoTime()
+      val ths = (0 until n).map { i =>
+        val t = new Thread(() => { results(i) = spin(calIters + i) })
+        t.start(); t
+      }
+      ths.foreach(_.join())
+      blackhole ^= results.sum
+      (System.nanoTime() - t0) / 1e6
+    }
+    val calSpinAllMs = spinAllProbeMs // suite-start all-core baseline
+    // FRESH-PAGE fault probe: time to allocate + first-touch 16 MiB of
+    // NEW native memory (allocateDirect zero-fills, faulting every
+    // page; the explicit touch keeps the loop honest if that ever
+    // changes), then release it so the next probe faults fresh pages
+    // again. Measured on this host: ~8 ms on pages the guest has used
+    // before vs ~200 ms on hypervisor-cold memory (~84 MB/s first-touch
+    // — lazy backing). A machine state where FRESH pages are expensive
+    // inflates every allocation-heavy phase's CPU (fault time is
+    // charged to the faulting thread as stime) while spin/disk probes
+    // and host−self all stay normal — the one environment signature
+    // the round-14 columns could not see.
+    def faultProbeMs: Double = {
+      val bytes = 16 << 20
+      val t0 = System.nanoTime()
+      val buf = java.nio.ByteBuffer.allocateDirect(bytes)
+      var off = 0
+      while (off < bytes) { buf.put(off, 1.toByte); off += 4096 }
+      val ms = (System.nanoTime() - t0) / 1e6
+      try directFree.foreach(_(buf))
+      catch { case _: Throwable => () } // GC reclaims it eventually
+      ms
+    }
+    // three back-to-back samples at suite start: a cold→warm drop across
+    // them is the lazy-backing signature in its purest form
+    val calFaults = Seq(faultProbeMs, faultProbeMs, faultProbeMs)
 
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -151,29 +311,42 @@ object Bench {
       val load1 = loadAvg1
       val probeSpin = spinProbeMs
       val probeDisk = diskProbeMs
+      val probeFault = faultProbeMs
+      val probeSpinAll = spinAllProbeMs
+      // peak is a MAX, not a delta: reset AFTER the warm-up/drain so the
+      // timed window owns the number (resetting after the diag is built
+      // — the r14 shape — charged each query its own warm-up run)
+      metrics.peakMem.set(0L)
       val q0 = metrics.snapshot()
       val jvmGc0 = jvmGcMs
       val perRun = (0 until runs).map { _ =>
         val s0 = metrics.stages.get()
-        val host0 = hostCpuMs; val self0 = selfCpuMs
+        val a = snapNow()
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val wall = (System.nanoTime() - t0) / 1e9
-        val host1 = hostCpuMs; val self1 = selfCpuMs
+        val b = snapNow()
         drain() // stage events are async; settle before the stage snapshot
-        (wall, metrics.stages.get() - s0,
-          if (host0 < 0 || host1 < 0) -1L else host1 - host0,
-          if (self0 < 0 || self1 < 0) -1L else self1 - self0)
+        RunRec(wall, metrics.stages.get() - s0,
+          hostMs = dd(a.hostMs, b.hostMs),
+          selfMs = dd(a.self.utimeMs + a.self.stimeMs,
+            b.self.utimeMs + b.self.stimeMs),
+          utimeMs = dd(a.self.utimeMs, b.self.utimeMs),
+          stimeMs = dd(a.self.stimeMs, b.self.stimeMs),
+          minflt = dd(a.self.minflt, b.self.minflt),
+          majflt = dd(a.self.majflt, b.self.majflt),
+          thrN = dd(a.thrN, b.thrN), thrMs = dd(a.thrMs, b.thrMs),
+          psiCpuMs = dd(a.psiCpuMs, b.psiCpuMs),
+          psiMemMs = dd(a.psiMemMs, b.psiMemMs),
+          psiIoMs = dd(a.psiIoMs, b.psiIoMs),
+          jitMs = dd(a.jitMs, b.jitMs))
       }
       val q1 = metrics.snapshot()
       val diag = BenchDiag(
-        raw = perRun.map(_._1),
-        rawStages = perRun.map(_._2),
-        rawHostMs = perRun.map(_._3),
-        rawSelfMs = perRun.map(_._4),
+        runs = perRun,
         taskGcMs = q1.gcMs - q0.gcMs,
         jvmGcMs = jvmGcMs - jvmGc0,
-        peakMem = q1.peakMem, // reset per query below
+        peakMem = q1.peakMem, // reset above, before the timed window
         tasks = q1.tasks - q0.tasks,
         runMs = q1.runMs - q0.runMs,
         cpuMs = q1.cpuMs - q0.cpuMs,
@@ -182,9 +355,10 @@ object Bench {
         spillDiskB = q1.spillDiskB - q0.spillDiskB,
         spillMemB = q1.spillMemB - q0.spillMemB,
         fetchWaitMs = q1.fetchWaitMs - q0.fetchWaitMs,
-        probeSpinMs = probeSpin, probeDiskMs = probeDisk, load1 = load1)
-      metrics.peakMem.set(0L)
-      val sorted = perRun.map(_._1).sorted
+        probeSpinMs = probeSpin, probeDiskMs = probeDisk,
+        probeFaultMs = probeFault, probeSpinAllMs = probeSpinAll,
+        load1 = load1)
+      val sorted = perRun.map(_.wall).sorted
       name -> (sorted(sorted.length / 2), diag)
     }
     try java.nio.file.Files.deleteIfExists(probeFile) catch { case _: Throwable => () }
@@ -214,10 +388,18 @@ object Bench {
     // stdout line must stay inside the harness's bounded tail
     val diagJson = results.map { case (k, (_, d)) =>
       def arr[T](xs: Seq[T], f: T => String) = xs.map(f).mkString("[", ",", "]")
-      s"\"" + k + "\":{\"raw\":" + arr[Double](d.raw, fmt) +
-        s",\"stages\":${arr[Long](d.rawStages, _.toString)}" +
-        s",\"host_ms\":${arr[Long](d.rawHostMs, _.toString)}" +
-        s",\"self_ms\":${arr[Long](d.rawSelfMs, _.toString)}" +
+      def larr(g: RunRec => Long) = arr[Long](d.runs.map(g), _.toString)
+      s"\"" + k + "\":{\"raw\":" + arr[Double](d.runs.map(_.wall), fmt) +
+        s",\"stages\":${larr(_.stages)}" +
+        s",\"host_ms\":${larr(_.hostMs)}" +
+        s",\"self_ms\":${larr(_.selfMs)}" +
+        s",\"utime_ms\":${larr(_.utimeMs)},\"stime_ms\":${larr(_.stimeMs)}" +
+        s",\"minflt\":${larr(_.minflt)},\"majflt\":${larr(_.majflt)}" +
+        s",\"thr_n\":${larr(_.thrN)},\"thr_ms\":${larr(_.thrMs)}" +
+        s",\"psi_cpu_ms\":${larr(_.psiCpuMs)}" +
+        s",\"psi_mem_ms\":${larr(_.psiMemMs)}" +
+        s",\"psi_io_ms\":${larr(_.psiIoMs)}" +
+        s",\"jit_ms\":${larr(_.jitMs)}" +
         s",\"task_gc_ms\":${d.taskGcMs},\"jvm_gc_ms\":${d.jvmGcMs}" +
         s",\"peak_exec_mem\":${d.peakMem}" +
         s",\"tasks\":${d.tasks},\"run_ms\":${d.runMs},\"cpu_ms\":${d.cpuMs}" +
@@ -225,10 +407,14 @@ object Bench {
         s",\"spill_disk_b\":${d.spillDiskB},\"spill_mem_b\":${d.spillMemB}" +
         s",\"fetch_wait_ms\":${d.fetchWaitMs}" +
         s",\"probe_spin_ms\":${fmt(d.probeSpinMs)}" +
-        s",\"probe_disk_ms\":${fmt(d.probeDiskMs)},\"load1\":${fmt(d.load1)}}"
+        s",\"probe_disk_ms\":${fmt(d.probeDiskMs)}" +
+        s",\"probe_fault_ms\":${fmt(d.probeFaultMs)}" +
+        s",\"probe_spin_all_ms\":${fmt(d.probeSpinAllMs)},\"load1\":${fmt(d.load1)}}"
     }.mkString("{", ",", "}")
     val suiteGc = results.map(_._2._2.jvmGcMs).sum
-    val calJson = s""","cal":{"spin_iters":$calIters,"spin_ms":${fmt(calSpinMs)}}"""
+    val calJson = s""","cal":{"spin_iters":$calIters,"spin_ms":${fmt(calSpinMs)},""" +
+      s""""fault_ms":${calFaults.map(fmt).mkString("[", ",", "]")},""" +
+      s""""spin_all_ms":${fmt(calSpinAllMs)}}"""
     val ts = java.time.Instant.now().toString
     // FULL-name record → repo-root file: the harness captures only a
     // bounded stdout TAIL (~2000 chars) and the 106-query full-name line
@@ -263,17 +449,40 @@ object Bench {
   }
 }
 
-/** Per-query diagnostic tuple for the bench record. Per-run arrays are
+/** Point-in-time capture of every per-run attribution counter —
+  * [[Bench]] diffs one taken before and one after each timed run.
+  * Fields that cannot be read are -1 and stay -1 in the delta. */
+final case class RunSnap(hostMs: Long, self: Bench.SelfStat,
+                         thrN: Long, thrMs: Long,
+                         psiCpuMs: Long, psiMemMs: Long, psiIoMs: Long,
+                         jitMs: Long)
+
+/** One timed run's record: wall seconds, stage count, and the
+  * attribution deltas. The CPU split answers the round-14 open
+  * question ("name the CPU"): stime/majflt name kernel/memory-pressure
+  * work, thr_* names a cgroup CFS clamp, psi_* names host-level
+  * resource stalls by axis, jit_ms names compiler time — and when all
+  * of those are flat while utime inflates, the compute itself ran
+  * slower (clock/JIT-state). */
+final case class RunRec(wall: Double, stages: Long,
+                        hostMs: Long, selfMs: Long,
+                        utimeMs: Long, stimeMs: Long,
+                        minflt: Long, majflt: Long,
+                        thrN: Long, thrMs: Long,
+                        psiCpuMs: Long, psiMemMs: Long, psiIoMs: Long,
+                        jitMs: Long)
+
+/** Per-query diagnostic tuple for the bench record. Per-run records are
   * in RUN ORDER; scalar counters are deltas across the whole timed
   * window (all runs). */
-final case class BenchDiag(raw: Seq[Double], rawStages: Seq[Long],
-                           rawHostMs: Seq[Long], rawSelfMs: Seq[Long],
+final case class BenchDiag(runs: Seq[RunRec],
                            taskGcMs: Long, jvmGcMs: Long, peakMem: Long,
                            tasks: Long, runMs: Long, cpuMs: Long,
                            shufReadB: Long, shufWriteB: Long,
                            spillDiskB: Long, spillMemB: Long,
                            fetchWaitMs: Long,
                            probeSpinMs: Double, probeDiskMs: Double,
+                           probeFaultMs: Double, probeSpinAllMs: Double,
                            load1: Double)
 
 /** Immutable counter snapshot — [[Bench]] subtracts two of these to get

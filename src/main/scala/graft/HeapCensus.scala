@@ -78,7 +78,15 @@ object HeapCensus {
         addr -> (max - rem)
       }.toMap
 
-    val out = new StringBuilder
+    // fresh file per census (append-mode below would otherwise mix runs)
+    java.nio.file.Files.deleteIfExists(outPath)
+    // the census exists to chase crashes: every record is APPENDED to
+    // the output file as it is produced (the tail-bounded stdout mirror
+    // cannot be the durable copy), so a mid-census OOM loses nothing
+    def appendOut(line: String): Unit =
+      java.nio.file.Files.write(outPath, (line + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
     def record(query: String, run: Int, wallSec: Double, rows: Long): Unit = {
       System.gc()
       Thread.sleep(3000) // let a heartbeat carry post-gc executor metrics
@@ -95,7 +103,7 @@ object HeapCensus {
         s""""persistent_rdds":${spark.sparkContext.getPersistentRDDs.size},""" +
         s""""ckpt_files":$ckFiles,"ckpt_bytes":$ckBytes,""" +
         s""""driver_heap":$driverUsed}"""
-      out.append(line).append('\n')
+      appendOut(line)
       println(s"[census] $line")
       peaks.reset()
     }
@@ -112,7 +120,6 @@ object HeapCensus {
         record(name, r, (System.nanoTime() - t0) / 1e9, rows)
       }
     }
-    java.nio.file.Files.write(outPath, out.toString.getBytes("UTF-8"))
     spark.stop()
     def rm(f: java.io.File): Unit = {
       val kids = f.listFiles(); if (kids != null) kids.foreach(rm)

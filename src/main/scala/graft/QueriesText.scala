@@ -157,6 +157,20 @@ object QueriesText {
       // sessions/directories behind one miss. The double-checked insert
       // below accepts a rare duplicate computation instead.
       val frame = compute
+      // eagerness is the memo's liveness-probe contract, not a
+      // convention: a LAZY checkpoint has no blocks until its first
+      // action, so checkpointBlocksLive would report it dead and every
+      // serve would evict-and-recompute. Probed OUTSIDE the lock — it
+      // is a block-manager-master RPC, and the memo's own rule is that
+      // liveness probes never run under the global lock — and a
+      // contract failure releases the frame's blocks/files before
+      // throwing (the frame would otherwise leak: nobody else holds it)
+      if (!org.apache.spark.sql.GraftColumnShim.checkpointMaterialized(frame)) {
+        org.apache.spark.sql.GraftColumnShim.unpersistCheckpoint(frame)
+        throw new IllegalArgumentException(
+          s"cachedFrame($key): compute must return an eagerly " +
+            "checkpointed frame (checkpoint root, blocks/files live)")
+      }
       pairsCache.synchronized {
         perSession.get(mapKey) match {
           case Some(e) if e.fingerprint == fp =>
@@ -166,14 +180,6 @@ object QueriesText {
           case stale =>
             stale.foreach(e =>
               org.apache.spark.sql.GraftColumnShim.unpersistCheckpoint(e.pairs))
-            // eagerness is the memo's liveness-probe contract, not a
-            // convention: a LAZY checkpoint has no blocks until its
-            // first action, so checkpointBlocksLive would report it
-            // dead and every serve would evict-and-recompute
-            require(
-              org.apache.spark.sql.GraftColumnShim.checkpointMaterialized(frame),
-              s"cachedFrame($key): compute must return an eagerly " +
-                "checkpointed frame (checkpoint root, blocks/files live)")
             perSession(mapKey) = PairsEntry(fp, frame)
             frame
         }

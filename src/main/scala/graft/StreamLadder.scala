@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.GraftColumnShim
+import org.apache.spark.sql.GraftColumnShim.MemStream
 import org.apache.spark.sql.streaming.StreamingQuery
 
 /** Streaming-tier scale measurement (dev tool): replays a [[GenScale]]
@@ -55,8 +56,13 @@ object StreamLadder {
     val pacedIntervalMs = 500L
     val only = sys.env.get("SPARK_GRAFT_STREAM_ONLY")
     val store = sys.env.getOrElse("SPARK_GRAFT_STREAM_STORE", "rocksdb")
+    // SPARK_GRAFT_STREAM_MASTER=local-cluster[2,16,4096] runs the ladder
+    // across REAL executor JVMs (separate heaps, RPC'd state
+    // checkpoints) — the cluster rung for the streaming tier; default
+    // stays in-process
+    val master = sys.env.getOrElse("SPARK_GRAFT_STREAM_MASTER", s"local[$cpus]")
     val builder = SparkSession.builder()
-      .master(s"local[$cpus]")
+      .master(master)
       // state-heavy shuffles: one state-store instance per partition, so
       // keep the partition count at the core count like the bench
       .config("spark.sql.shuffle.partitions", cpus)
@@ -64,7 +70,7 @@ object StreamLadder {
       .config("spark.ui.enabled", "false")
     if (store == "rocksdb") {
       builder.config("spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+        GraftColumnShim.rocksDBStateStoreProviderClass)
       // changelog checkpointing: upload per-batch DELTAS instead of
       // re-zipping full SST sets every micro-batch — the production
       // setting for high-frequency triggers
@@ -75,7 +81,6 @@ object StreamLadder {
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
 
     // the replay corpus, materialized once on the driver (this harness IS
     // the stream source; GenScale rows are small by construction)
@@ -117,8 +122,8 @@ object StreamLadder {
       * a final SETTLE record (batch -1) after 3 quiet intervals captures
       * the post-expiry register. */
     def run[T](name: String, rows: Seq[T], quietMs: Long)
-              (mkStream: () => MemoryStream[T],
-               mkQuery: (MemoryStream[T], Long => Unit) => StreamingQuery): Unit = {
+              (mkStream: () => MemStream[T],
+               mkQuery: (MemStream[T], Long => Unit) => StreamingQuery): Unit = {
       if (!only.forall(name.contains)) return
       val mem = mkStream()
       val emitted = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -134,11 +139,8 @@ object StreamLadder {
           catch { case _: NumberFormatException => throw new IllegalStateException(
             s"$name: offset json '$json' is not a bare LongOffset — " +
               "the ladder's offset synchronization only understands MemoryStream") }
-        val want = off match {
-          case lo: org.apache.spark.sql.execution.streaming.runtime.LongOffset =>
-            lo.offset
-          case other => parse(other.json)
-        }
+        val want = GraftColumnShim.longOffsetValue(off)
+          .getOrElse(parse(off.json))
         val deadline = System.nanoTime + 120L * 1000 * 1000 * 1000
         var done = false
         while (!done && System.nanoTime < deadline) {
@@ -218,7 +220,7 @@ object StreamLadder {
     val stamped = digests.zipWithIndex.map { case ((id, dg), ix) =>
       (id, dg, (ix / chunkSz).toLong * 60L) } // seconds offset per batch
     run[(Long, Long, Long)]("exact_watermark", stamped, 0L)(
-      () => MemoryStream[(Long, Long, Long)],
+      () => GraftColumnShim.memoryStream[(Long, Long, Long)](spark),
       (mem, cnt) => sink(StreamOps.streamingDedup(
         mem.toDF().toDF("doc_id", "digest", "off")
           .withColumn("ts", timestamp_seconds(col("off") + lit(1700000000L)))
@@ -226,25 +228,25 @@ object StreamLadder {
         Seq("digest"), "ts", "2 minutes"), cnt))
 
     run[(Long, String)]("neardup_full", docs, 0L)(
-      () => MemoryStream[(Long, String)],
+      () => GraftColumnShim.memoryStream[(Long, String)](spark),
       (mem, cnt) => sink(StreamOps.streamingNearDupCandidates(mem.toDS(), ttl = None), cnt))
 
     run[(Long, String)]("neardup_ttl", docs, 3000L)(
-      () => MemoryStream[(Long, String)],
+      () => GraftColumnShim.memoryStream[(Long, String)](spark),
       (mem, cnt) => sink(StreamOps.streamingNearDupCandidates(
         mem.toDS(), ttl = Some("2 seconds")), cnt))
 
     run[(Long, String)]("cdc_full", docs, 0L)(
-      () => MemoryStream[(Long, String)],
+      () => GraftColumnShim.memoryStream[(Long, String)](spark),
       (mem, cnt) => sink(StreamOps.streamingCdcChunkCandidates(mem.toDS(), ttl = None), cnt))
 
     run[(Long, String)]("cdc_ttl", docs, 3000L)(
-      () => MemoryStream[(Long, String)],
+      () => GraftColumnShim.memoryStream[(Long, String)](spark),
       (mem, cnt) => sink(StreamOps.streamingCdcChunkCandidates(
         mem.toDS(), ttl = Some("2 seconds")), cnt))
 
     run[(Long, Seq[Float])]("semantic_cells", vecs, 0L)(
-      () => MemoryStream[(Long, Seq[Float])],
+      () => GraftColumnShim.memoryStream[(Long, Seq[Float])](spark),
       (mem, cnt) => sink(StreamOps.streamingSemanticDedupCandidates(
         mem.toDS(), nlist = 64, dims = dims), cnt))
 

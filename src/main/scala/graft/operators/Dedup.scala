@@ -65,28 +65,38 @@ object Dedup {
     * shape) recomputes the whole upstream subtree for the second branch:
     * a pipeline feeding a scored scan here paid the scoring twice.
     *
-    * The fallback key is TOTAL: when the id is ALSO null (`n#<id>`
-    * would itself be null and the row would silently vanish from the
-    * equi-join — neither flagged nor kept), the digest falls through to
-    * a row-unique `r#<monotonic id>`. Such a row still rides the single
-    * pass as a singleton; its output mapping is (null, null, 1) — the
-    * row is KEPT, which is the whole contract. The monotonic id is
-    * partition-index ⊕ row-position, so the join's two computations of
-    * `d` (same scan, same splits, exchange-reused upstream) assign each
-    * row the same value; were a plan ever to diverge here, the failure
-    * mode is the old one (null/null rows drop), never a wrong match —
-    * md5 output, `n#`, and `r#` live in disjoint key spaces. */
+    * The contract is TOTAL: when the id is ALSO null (`n#<id>` would
+    * itself be null and the row would silently vanish from the
+    * equi-join — neither flagged nor kept), the row does not enter the
+    * join at all. It is a singleton BY CONSTRUCTION — nothing can ever
+    * match it — so its (null, null, 1) mapping is emitted as a direct
+    * projection unioned under the join output. The row is KEPT, which
+    * is the whole contract, and every expression in the plan is
+    * DETERMINISTIC: the earlier formulation gave these rows a
+    * `r#<monotonic id>` digest and let them ride the self-join, but
+    * `monotonically_increasing_id()` is nondeterministic and was
+    * evaluated independently on BOTH sides of that join — agreement
+    * relied on exchange reuse handing both scans the same splits, a
+    * plan shape Spark does not guarantee across versions/AQE decisions.
+    * The null/null branch's filter pushes to the scan and prunes to two
+    * columns, so its extra pass is a metadata-cheap scan, not a third
+    * full read. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val d = df.select(col(idCol).as("id"),
       coalesce(md5(col(textCol)),
-        concat(lit("n#"), col(idCol).cast("string")),
-        concat(lit("r#"), monotonically_increasing_id().cast("string"))
-      ).as("digest"))
-    val g = d.groupBy(col("digest"))
+        concat(lit("n#"), col(idCol).cast("string"))).as("digest"))
+    val keyed = d.filter(col("digest").isNotNull)
+    val g = keyed.groupBy(col("digest"))
       .agg(min(col("id")).as("canonical_id"), count(lit(1)).as("group_size"))
       .withColumnRenamed("digest", "__gdigest")
-    d.join(g, col("digest") === col("__gdigest"))
+    val joined = keyed.join(g, col("digest") === col("__gdigest"))
       .select(col("id"), col("canonical_id"), col("group_size"))
+    // digest is null ⇔ text AND id are both null; `id` is null here, so
+    // reusing it as canonical_id keeps the column's type without a cast
+    val nullSingletons = d.filter(col("digest").isNull)
+      .select(col("id"), col("id").as("canonical_id"),
+        lit(1L).as("group_size"))
+    joined.unionByName(nullSingletons)
   }
 
   /** Canonical (min-id) row per identical text, in ONE scan and ONE
@@ -108,11 +118,16 @@ object Dedup {
     * null branch — a pipeline feeding a scored scan paid its regex
     * battery TWICE per row.
     *
-    * As in [[exact]], the fallback key is TOTAL: a null-id null-text
-    * row gets a row-unique `r#<monotonic id>` digest instead of a null
-    * one — a null digest would fold EVERY such row into one group and
-    * min_by would silently discard all but one. Single scan, so the
-    * monotonic id is evaluated exactly once per row. */
+    * The contract is TOTAL here too (same as [[exact]]): a null-id
+    * null-text row gets a row-unique `r#<monotonic id>` digest instead
+    * of a null one — a null digest would fold EVERY such row into one
+    * group and min_by would silently discard all but one. Unlike
+    * [[exact]]'s old join formulation, the nondeterministic id is SAFE
+    * here: this is a single scan feeding one groupBy — no join, no
+    * second evaluation to disagree with — so each row's digest is
+    * evaluated exactly once, and any value works as long as it is
+    * row-unique (`r#` cannot collide with md5's 32-hex output or
+    * `n#`). */
   def exactCanonical(df: DataFrame, idCol: String, textCol: String,
                      payloadCols: Seq[String]): DataFrame = {
     val row = struct((col(idCol).as("id") +: payloadCols.map(col)): _*)

@@ -62,20 +62,12 @@ object FreeRunGuard extends org.apache.spark.internal.Logging {
     Option(empties.get(runId)).map(_.intValue).getOrElse(0)
 
   /** True iff the query runs under a trigger that free-runs on timer
-    * batches: the default `ProcessingTime(0)`. Paced processing-time,
-    * AvailableNow, and Once triggers are all bounded. */
+    * batches: the default `ProcessingTime(0)`. Delegates to
+    * [[org.apache.spark.sql.GraftColumnShim.unpacedTrigger]] — the
+    * inspection touches `execution.streaming` internals, and every
+    * such version-fragile reference lives in the one shim file. */
   private def unpaced(q: org.apache.spark.sql.streaming.StreamingQuery): Boolean =
-    (q match {
-      case w: org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper =>
-        Option(w.streamingQuery.trigger)
-      case se: org.apache.spark.sql.execution.streaming.runtime.StreamExecution =>
-        Option(se.trigger)
-      case _ => None
-    }).exists {
-      case pt: org.apache.spark.sql.execution.streaming.ProcessingTimeTrigger =>
-        pt.intervalMs <= 0
-      case _ => false
-    }
+    org.apache.spark.sql.GraftColumnShim.unpacedTrigger(q)
 
   /** Idempotent per session; called by the TTL'd twins at construction.
     * `reason` names the operator for the error message. */

@@ -57,8 +57,11 @@ object GraftColumnShim {
           ckptFile <- lr.rdd.getCheckpointFile // None for localCheckpoint
           baseDir <- sc.getCheckpointDir
           ckptPath = new org.apache.hadoop.fs.Path(ckptFile)
+          // containment, not string prefix: "/ckpt2/rdd-1" must NOT
+          // match base "/ckpt", so compare against base + "/"
+          basePath = new org.apache.hadoop.fs.Path(baseDir).toUri.getPath
           if ckptPath.toUri.getPath.startsWith(
-            new org.apache.hadoop.fs.Path(baseDir).toUri.getPath)
+            basePath.stripSuffix("/") + "/")
         } {
           try ckptPath.getFileSystem(sc.hadoopConfiguration)
             .delete(ckptPath, true)
@@ -123,6 +126,57 @@ object GraftColumnShim {
         }
       case _ => false
     }
+
+  /** True iff the streaming query runs under a trigger that free-runs
+    * on timer batches: the default `ProcessingTime(0)`. Paced
+    * processing-time, AvailableNow, and Once triggers are all bounded.
+    * Touches `execution.streaming.runtime` internals
+    * (StreamingQueryWrapper / StreamExecution — the public
+    * StreamingQuery interface does not expose the trigger), so it lives
+    * HERE: this file is the project's one documented
+    * version-fragility bargain, and every `org.apache.spark.sql
+    * .execution` reference stays inside it. Unknown implementations
+    * conservatively return false (bounded). */
+  def unpacedTrigger(q: org.apache.spark.sql.streaming.StreamingQuery): Boolean =
+    (q match {
+      case w: org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper =>
+        Option(w.streamingQuery.trigger)
+      case se: org.apache.spark.sql.execution.streaming.runtime.StreamExecution =>
+        Option(se.trigger)
+      case _ => None
+    }).exists {
+      case pt: org.apache.spark.sql.execution.streaming.ProcessingTimeTrigger =>
+        pt.intervalMs <= 0
+      case _ => false
+    }
+
+  /** In-memory streaming source for the dev-tool ladders
+    * (`execution.streaming.runtime.MemoryStream` — a test-scope
+    * internal with no public equivalent for driving a paced
+    * multi-batch replay). Aliased + constructed here so ladder code
+    * carries no `execution` reference of its own. */
+  type MemStream[A] =
+    org.apache.spark.sql.execution.streaming.runtime.MemoryStream[A]
+
+  def memoryStream[A: Encoder](spark: SparkSession): MemStream[A] =
+    org.apache.spark.sql.execution.streaming.runtime.MemoryStream[A](
+      implicitly[Encoder[A]], spark.sqlContext)
+
+  /** The long behind a MemoryStream offset, if it is one. */
+  def longOffsetValue(
+      off: org.apache.spark.sql.connector.read.streaming.Offset): Option[Long] =
+    off match {
+      case lo: org.apache.spark.sql.execution.streaming.runtime.LongOffset =>
+        Some(lo.offset)
+      case _ => None
+    }
+
+  /** FQCN for `spark.sql.streaming.stateStore.providerClass` — derived
+    * from the class object so a Spark-side rename fails at compile time
+    * here, not at runtime in a ladder run. */
+  val rocksDBStateStoreProviderClass: String =
+    classOf[org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider]
+      .getName
 
   /** Drain the async listener bus (`private[spark]`), so a metrics
     * listener's counters are complete before a caller snapshots them —

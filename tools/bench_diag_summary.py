@@ -1,0 +1,51 @@
+#!/usr/bin/env python3
+"""Summarize a graft bench record's per-query diag block (dev tool).
+
+Usage: bench_diag_summary.py <bench_latest.json> [qprefix ...]
+
+Prints one line per query (optionally filtered by name prefix) with the
+round-15 attribution columns: wall raws, stages, host vs self CPU, the
+utime/stime split, fault counts, cgroup throttle, PSI deltas, JIT time,
+and the pre-query probes. Sorted by median wall, descending.
+"""
+import json
+import sys
+
+rec = json.load(open(sys.argv[1]))
+prefixes = sys.argv[2:]
+diag = rec.get("diag", {})
+
+
+def med(xs):
+    xs = sorted(xs)
+    return xs[len(xs) // 2] if xs else 0
+
+
+rows = []
+for name, d in diag.items():
+    if prefixes and not any(name.startswith(p) for p in prefixes):
+        continue
+    rows.append((med(d["raw"]), name, d))
+rows.sort(reverse=True)
+
+print(f"cal: {rec.get('cal')}")
+for m, name, d in rows:
+    print(f"\n{name}: median {m:.2f}s raw={d['raw']} stages={d['stages']}")
+    print(f"  host_ms={d['host_ms']} self_ms={d['self_ms']}")
+    if "utime_ms" in d:
+        print(f"  utime={d['utime_ms']} stime={d['stime_ms']} "
+              f"minflt={d['minflt']} majflt={d['majflt']}")
+        print(f"  thr_n={d['thr_n']} thr_ms={d['thr_ms']} "
+              f"psi_cpu={d['psi_cpu_ms']} psi_mem={d['psi_mem_ms']} "
+              f"psi_io={d['psi_io_ms']} jit_ms={d['jit_ms']}")
+    probes = f"spin={d['probe_spin_ms']:.1f} disk={d['probe_disk_ms']:.1f}"
+    if "probe_fault_ms" in d:
+        probes += f" fault={d['probe_fault_ms']:.1f}"
+    if "probe_spin_all_ms" in d:
+        probes += f" spin_all={d['probe_spin_all_ms']:.1f}"
+    print(f"  probes: {probes} load1={d['load1']:.2f} "
+          f"task_gc={d['task_gc_ms']} jvm_gc={d['jvm_gc_ms']} "
+          f"tasks={d['tasks']} run_ms={d['run_ms']} cpu_ms={d['cpu_ms']}")
+    print(f"  shuf r/w={d['shuf_read_b']}/{d['shuf_write_b']} "
+          f"spill d/m={d['spill_disk_b']}/{d['spill_mem_b']} "
+          f"fetch_wait={d['fetch_wait_ms']}")

@@ -19,6 +19,10 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
-exec java $OPENS -Xmx${SPARK_DRIVER_MEM:-8g} \
+# Xms = Xmx + AlwaysPreTouch: same rationale as build.sbt's javaOptions
+# (pre-fault the heap once at startup; heap regrowth otherwise causes
+# episodic kernel-time fault storms in 32-thread phases)
+exec java $OPENS -Xmx${SPARK_DRIVER_MEM:-8g} -Xms${SPARK_DRIVER_MEM:-8g} \
+  -XX:+AlwaysPreTouch \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "$CP" "$@"
