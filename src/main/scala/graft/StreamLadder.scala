@@ -68,6 +68,10 @@ object StreamLadder {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    if (master.startsWith("local-cluster"))
+      builder.config("spark.executor.extraClassPath",
+        sys.env.getOrElse("SPARK_GRAFT_CLASSES",
+          new java.io.File("target/scala-2.13/classes").getAbsolutePath))
     if (store == "rocksdb") {
       builder.config("spark.sql.streaming.stateStore.providerClass",
         GraftColumnShim.rocksDBStateStoreProviderClass)
