@@ -818,6 +818,28 @@ class StressSpec extends AnyFunSuite {
       org.apache.spark.sql.GraftColumnShim.unpersistCheckpoint(ck)
       assert(ckptFiles == 0,
         "release must reap the frame's rdd-<id> checkpoint directory")
+
+      // containment is path-segment, not string-prefix: a frame
+      // checkpointed under .../ckpt2 must NOT be reaped when the
+      // session's checkpoint dir later moves to the sibling .../ckpt
+      // (a string prefix of it) — the guard exists to never delete
+      // outside the CURRENT base dir
+      val sib = dir.resolve("ckpt2"); val cur = dir.resolve("ckpt")
+      java.nio.file.Files.createDirectories(cur)
+      org.apache.spark.sql.GraftTestShim.setCheckpointDir(
+        spark.sparkContext, Some(sib.toString))
+      val ck2 = Seq((3L, "c")).toDF("id", "t").ckpt()
+      def sibFiles: Long = {
+        val s = java.nio.file.Files.walk(sib)
+        try s.filter(p => java.nio.file.Files.isRegularFile(p)).count()
+        finally s.close()
+      }
+      assert(sibFiles > 0)
+      org.apache.spark.sql.GraftTestShim.setCheckpointDir(
+        spark.sparkContext, Some(cur.toString))
+      org.apache.spark.sql.GraftColumnShim.unpersistCheckpoint(ck2)
+      assert(sibFiles > 0,
+        "a sibling checkpoint dir that string-prefixes as the base must survive release")
     } finally {
       org.apache.spark.sql.GraftTestShim.setCheckpointDir(
         spark.sparkContext, None)
