@@ -55,6 +55,11 @@ object HeapCensus {
       .config("spark.executor.heartbeatInterval", "2s")
       .config("spark.executor.metrics.pollingInterval", "1s")
       .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
+    // default executor heap is 1 GB regardless of worker memory (the
+    // §5 units correction); set this to make the rig mean what the
+    // worker-memory figure says, e.g. SPARK_GRAFT_EXECUTOR_MEM=4g
+    sys.env.get("SPARK_GRAFT_EXECUTOR_MEM")
+      .foreach(m => builder.config("spark.executor.memory", m))
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.sparkContext.setCheckpointDir(ckptDir.toString)
