@@ -43,3 +43,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   "-XX:+AlwaysPreTouch",
 )
+// The pre-touch pair is for the driver-contract RUN mains (bench/verify
+// timing fidelity); test forks don't need a committed 8 GiB heap and a
+// small CI machine shouldn't fail at JVM startup over it.
+Test / javaOptions := (Test / javaOptions).value
+  .filterNot(o => o.startsWith("-Xms") || o == "-XX:+AlwaysPreTouch")

@@ -91,10 +91,15 @@ object Dedup {
       .withColumnRenamed("digest", "__gdigest")
     val joined = keyed.join(g, col("digest") === col("__gdigest"))
       .select(col("id"), col("canonical_id"), col("group_size"))
-    // digest is null ⇔ text AND id are both null; `id` is null here, so
-    // reusing it as canonical_id keeps the column's type without a cast
-    val nullSingletons = d.filter(col("digest").isNull)
-      .select(col("id"), col("id").as("canonical_id"),
+    // digest is null ⇔ text AND id are both null — filter on THAT
+    // conjunction directly (Catalyst does not rewrite
+    // IsNull(coalesce(md5(..), ..)) into it, so filtering on the digest
+    // would re-run md5 over every row just to select this branch; the
+    // raw null tests push to the scan). `id` is null here, so reusing
+    // it as canonical_id keeps the column's type without a cast
+    val nullSingletons = df
+      .filter(col(idCol).isNull && col(textCol).isNull)
+      .select(col(idCol).as("id"), col(idCol).as("canonical_id"),
         lit(1L).as("group_size"))
     joined.unionByName(nullSingletons)
   }

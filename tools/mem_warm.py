@@ -38,7 +38,7 @@ if __name__ == "__main__":
             if line.startswith("MemAvailable"):
                 free_kb = int(line.split()[1])
         gb = max(1, free_kb // (1 << 20) - 6)
-    workers = 8
+    workers = min(8, gb)
     per = (gb + workers - 1) // workers
     print(f"[warm] touching {gb} GiB with {workers} workers ({per} GiB each)",
           flush=True)
