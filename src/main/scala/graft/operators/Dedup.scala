@@ -80,7 +80,14 @@ object Dedup {
     * plan shape Spark does not guarantee across versions/AQE decisions.
     * The null/null branch's filter pushes to the scan and prunes to two
     * columns, so its extra pass is a metadata-cheap scan, not a third
-    * full read. */
+    * full read — WHEN `df` is a file scan. For a COMPUTED input the
+    * branch is a third evaluation of the upstream subtree (column
+    * pruning trims the projection, but upstream filters/joins re-run).
+    * Accepted: the branch selects only rows where id AND text are both
+    * null — a degenerate population — and the alternative (a
+    * row-unique synthetic digest riding the self-join) is exactly the
+    * nondeterminism this formulation removed; callers feeding an
+    * expensive computed pipeline should checkpoint it first. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val d = df.select(col(idCol).as("id"),
       coalesce(md5(col(textCol)),

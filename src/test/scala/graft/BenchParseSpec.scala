@@ -46,6 +46,46 @@ class BenchParseSpec extends AnyFunSuite {
     assert(Bench.parsePsiSomeTotalMs("") == -1L)
   }
 
+  test("ctxt-switch parse: voluntary/nonvoluntary keys; absent → -1") {
+    val status = "Name:\tjava\nState:\tS (sleeping)\nThreads:\t300\n" +
+      "voluntary_ctxt_switches:\t123456\nnonvoluntary_ctxt_switches:\t789\n"
+    assert(Bench.parseCtxtSwitches(status) == ((123456L, 789L)))
+    // a kernel that exposes neither key (or a truncated read) must not
+    // masquerade as "zero switches"
+    assert(Bench.parseCtxtSwitches("Name:\tjava\nThreads:\t3\n") == ((-1L, -1L)))
+  }
+
+  test("vmstat THP parse: fault/collapse counters; absent → -1") {
+    val vmstat = "nr_free_pages 100\nthp_fault_alloc 4211\n" +
+      "thp_fault_fallback 2\nthp_collapse_alloc 57\nthp_collapse_alloc_failed 0\n"
+    assert(Bench.parseVmstatThp(vmstat) == ((4211L, 57L)))
+    assert(Bench.parseVmstatThp("nr_free_pages 100") == ((-1L, -1L)))
+  }
+
+  test("THP enabled parse: bracketed mode; malformed → unknown") {
+    assert(Bench.parseThpEnabled("always [madvise] never") == "madvise")
+    assert(Bench.parseThpEnabled("[always] madvise never") == "always")
+    assert(Bench.parseThpEnabled("garbage") == "unknown")
+  }
+
+  test("probe gate: flags spin > 2x cal or fault > 3x cal, with guards") {
+    // clean window: both probes at calibration
+    assert(!Bench.probeContaminated(80.0, 80.0, 8.0, 8.0))
+    // q74's r15 graded signature: spin 456 ms vs 79.5 ms cal (5.7x)
+    assert(Bench.probeContaminated(456.0, 79.5, 8.0, 8.0))
+    // cold-memory phase: fault probe 200 ms vs 8 ms warm floor
+    assert(Bench.probeContaminated(80.0, 80.0, 200.0, 8.0))
+    // just under both thresholds: clean
+    assert(!Bench.probeContaminated(159.0, 80.0, 23.0, 8.0))
+    // tiny fault cal: the 25 ms absolute floor keeps healthy jitter
+    // (3x a 2 ms floor = 6 ms) from flagging
+    assert(!Bench.probeContaminated(80.0, 80.0, 20.0, 2.0))
+    assert(Bench.probeContaminated(80.0, 80.0, 26.0, 2.0))
+    // failed calibration (<= 0) disables that axis, never flags
+    assert(!Bench.probeContaminated(456.0, -1.0, 8.0, 8.0))
+    assert(!Bench.probeContaminated(80.0, 80.0, 500.0, 0.0))
+  }
+
   test("host-stat parse: busy = sum minus idle minus iowait") {
     // cpu user nice system idle iowait irq softirq steal guest g_nice
     val line = "cpu  100 10 50 1000 40 5 5 10 0 0"

@@ -19,14 +19,20 @@ import time
 
 
 def touch(gb):
-    # 1 GiB chunks: bytearray(n) memsets, which first-touches every page
+    # 1 GiB chunks: bytearray(n) memsets, which first-touches every page.
+    # ALL chunks stay resident until the worker has touched its full
+    # share: freeing each chunk before allocating the next would let the
+    # kernel hand the just-freed (already-warm) pages straight back, and
+    # the sweep would recycle the same few GiB instead of first-touching
+    # all cold free memory.
+    held = []
     for i in range(gb):
         t0 = time.time()
-        b = bytearray(1 << 30)
+        held.append(bytearray(1 << 30))
         dt = time.time() - t0
-        del b
         if i % 4 == 0:
             print(f"[warm] worker chunk {i}: {1024 / dt:.0f} MB/s", flush=True)
+    del held
 
 
 if __name__ == "__main__":

@@ -21,8 +21,17 @@ for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
 done
 # Xms = Xmx + AlwaysPreTouch: same rationale as build.sbt's javaOptions
 # (pre-fault the heap once at startup; heap regrowth otherwise causes
-# episodic kernel-time fault storms in 32-thread phases)
-exec java $OPENS -Xmx${SPARK_DRIVER_MEM:-8g} -Xms${SPARK_DRIVER_MEM:-8g} \
-  -XX:+AlwaysPreTouch \
+# episodic kernel-time fault storms in 32-thread phases). The pair makes
+# the JVM COMMIT the whole heap at startup — on a host that cannot give
+# ${SPARK_DRIVER_MEM:-8g} the launch fails where a lazy heap would have
+# run, so GRAFT_NO_PRETOUCH=1 opts out (mirroring build.sbt's Test-scope
+# filter); small hosts should set SPARK_DRIVER_MEM down instead when
+# they want the timing fidelity.
+if [ -n "$GRAFT_NO_PRETOUCH" ]; then
+  PRETOUCH=""
+else
+  PRETOUCH="-Xms${SPARK_DRIVER_MEM:-8g} -XX:+AlwaysPreTouch"
+fi
+exec java $OPENS -Xmx${SPARK_DRIVER_MEM:-8g} $PRETOUCH \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "$CP" "$@"
