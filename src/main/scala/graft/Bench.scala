@@ -148,17 +148,29 @@ object Bench {
     (v, iv)
   }
 
-  /** Process-wide context switches: SUM over /proc/self/task/∗/status.
-    * /proc/self/status alone shows only the thread-group LEADER's
-    * counters — in a Spark driver the leader parks while 32 task
-    * threads do the work, so the leader's numbers are noise. Caveat
-    * (documented, accepted): a thread that exits between two snapshots
-    * takes its counts with it, so deltas can undercount across pool
-    * churn; Spark's executor pools are stable within a query window. */
-  private def ctxtSwitchesNow: (Long, Long) =
+  /** Run-delay ns (field 2 of a /proc/<tid>/schedstat line: time spent
+    * RUNNABLE but waiting for a CPU). Process-wide run-delay inflation
+    * with host ≈ self names scheduling starvation the CPU counters
+    * cannot see (hypervisor-level contention, spread across threads).
+    * -1 on malformed input. */
+  private[graft] def parseSchedstatDelayNs(line: String): Long = {
+    val f = line.trim.split("\\s+")
+    if (f.length >= 2) try f(1).toLong catch { case _: Throwable => -1L }
+    else -1L
+  }
+
+  /** Process-wide context switches + runqueue delay: SUM over
+    * /proc/self/task/∗/{status,schedstat}. /proc/self/status alone
+    * shows only the thread-group LEADER's counters — in a Spark driver
+    * the leader parks while 32 task threads do the work, so the
+    * leader's numbers are noise. Caveat (documented, accepted): a
+    * thread that exits between two snapshots takes its counts with it,
+    * so deltas can undercount across pool churn; Spark's executor
+    * pools are stable within a query window. */
+  private def taskStatsNow: (Long, Long, Long) =
     try {
       val dir = java.nio.file.Paths.get("/proc/self/task")
-      var v = 0L; var iv = 0L
+      var v = 0L; var iv = 0L; var rq = 0L
       val ds = java.nio.file.Files.newDirectoryStream(dir)
       try ds.forEach { t =>
         try {
@@ -166,10 +178,57 @@ object Bench {
             java.nio.file.Files.readAllBytes(t.resolve("status")), "UTF-8"))
           if (tv > 0) v += tv
           if (tiv > 0) iv += tiv
+          val d = parseSchedstatDelayNs(new String(
+            java.nio.file.Files.readAllBytes(t.resolve("schedstat")), "UTF-8"))
+          if (d > 0) rq += d
         } catch { case _: Throwable => () } // thread exited mid-walk
       } finally ds.close()
-      (v, iv)
-    } catch { case _: Throwable => (-1L, -1L) }
+      (v, iv, rq / 1000000L)
+    } catch { case _: Throwable => (-1L, -1L, -1L) }
+
+  /** Sum of one labeled /proc/interrupts row across all CPUs — used
+    * for "TLB" (TLB-shootdown IPIs). A stime-heavy run with faults,
+    * THP and ctxt switches all flat but shootdowns spiking names
+    * cross-core page-table invalidation (munmap/madvise churn — each
+    * IPI interrupts every core and the handler time lands in stime).
+    * System-wide, like /proc/stat: pair with host ≈ self before
+    * attributing. -1 when the row is absent. */
+  private[graft] def parseInterruptsRow(text: String, label: String): Long =
+    text.linesIterator
+      .find(_.trim.startsWith(label + ":"))
+      .map(_.trim.stripPrefix(label + ":").trim.split("\\s+")
+        .takeWhile(_.forall(_.isDigit)).foldLeft(0L)(_ + _.toLong))
+      .getOrElse(-1L)
+
+  private def tlbShootdownsNow: Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/interrupts")
+      try parseInterruptsRow(src.mkString, "TLB") finally src.close()
+    } catch { case _: Throwable => -1L }
+
+  /** (syscr + syscw) out of /proc/self/io — read/write SYSCALL COUNT
+    * (not bytes). stime tracking this delta names syscall volume as
+    * the kernel-time driver; stime rising on a FLAT count names
+    * per-syscall cost (machine state), the distinction the q84
+    * residual-stime investigation needed. -1 when absent. */
+  private[graft] def parseSelfIoSyscalls(text: String): Long = {
+    var r = -1L; var w = -1L
+    text.linesIterator.foreach { l =>
+      val f = l.split("\\s+")
+      if (f.length == 2) f(0) match {
+        case "syscr:" => r = f(1).toLong
+        case "syscw:" => w = f(1).toLong
+        case _ => ()
+      }
+    }
+    if (r < 0 || w < 0) -1L else r + w
+  }
+
+  private def selfIoSyscallsNow: Long =
+    try {
+      val src = scala.io.Source.fromFile("/proc/self/io")
+      try parseSelfIoSyscalls(src.mkString) finally src.close()
+    } catch { case _: Throwable => -1L }
 
   /** (thp_fault_alloc, thp_collapse_alloc) out of /proc/vmstat —
     * system-wide transparent-huge-page activity. A rising
@@ -333,11 +392,12 @@ object Bench {
     // one point-in-time capture of every per-run attribution counter
     def snapNow(): RunSnap = {
       val (tn, tms) = throttleSnap
-      val (vctx, ivctx) = ctxtSwitchesNow
+      val (vctx, ivctx, rqDelay) = taskStatsNow
       val (thpF, thpC) = vmstatThpNow
       RunSnap(hostCpuMs, selfStat, tn, tms,
         psiSnap("cpu"), psiSnap("memory"), psiSnap("io"), jitNowMs,
-        vctx, ivctx, thpF, thpC)
+        vctx, ivctx, thpF, thpC, rqDelay, tlbShootdownsNow,
+        selfIoSyscallsNow)
     }
     def dd(a: Long, b: Long): Long = if (a < 0 || b < 0) -1L else b - a
     def drain(): Unit =
@@ -469,7 +529,9 @@ object Bench {
           jitMs = dd(a.jitMs, b.jitMs),
           vctx = dd(a.vctx, b.vctx), ivctx = dd(a.ivctx, b.ivctx),
           thpFault = dd(a.thpFault, b.thpFault),
-          thpCollapse = dd(a.thpCollapse, b.thpCollapse))
+          thpCollapse = dd(a.thpCollapse, b.thpCollapse),
+          rqDelayMs = dd(a.rqDelayMs, b.rqDelayMs),
+          tlb = dd(a.tlb, b.tlb), sysc = dd(a.sysc, b.sysc))
       }
       val q1 = metrics.snapshot()
       val diag = BenchDiag(
@@ -533,6 +595,8 @@ object Bench {
         s",\"vctx\":${larr(_.vctx)},\"ivctx\":${larr(_.ivctx)}" +
         s",\"thp_fault\":${larr(_.thpFault)}" +
         s",\"thp_collapse\":${larr(_.thpCollapse)}" +
+        s",\"rqdelay_ms\":${larr(_.rqDelayMs)},\"tlb\":${larr(_.tlb)}" +
+        s",\"sysc\":${larr(_.sysc)}" +
         s",\"contaminated\":${d.contaminated}" +
         s",\"task_gc_ms\":${d.taskGcMs},\"jvm_gc_ms\":${d.jvmGcMs}" +
         s",\"peak_exec_mem\":${d.peakMem}" +
@@ -602,7 +666,8 @@ final case class RunSnap(hostMs: Long, self: Bench.SelfStat,
                          psiCpuMs: Long, psiMemMs: Long, psiIoMs: Long,
                          jitMs: Long,
                          vctx: Long, ivctx: Long,
-                         thpFault: Long, thpCollapse: Long)
+                         thpFault: Long, thpCollapse: Long,
+                         rqDelayMs: Long, tlb: Long, sysc: Long)
 
 /** One timed run's record: wall seconds, stage count, and the
   * attribution deltas. The CPU split answers the round-14 open
@@ -619,7 +684,8 @@ final case class RunRec(wall: Double, stages: Long,
                         psiCpuMs: Long, psiMemMs: Long, psiIoMs: Long,
                         jitMs: Long,
                         vctx: Long, ivctx: Long,
-                        thpFault: Long, thpCollapse: Long)
+                        thpFault: Long, thpCollapse: Long,
+                        rqDelayMs: Long, tlb: Long, sysc: Long)
 
 /** Per-query diagnostic tuple for the bench record. Per-run records are
   * in RUN ORDER; scalar counters are deltas across the whole timed

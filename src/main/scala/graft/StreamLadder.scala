@@ -45,11 +45,38 @@ object StreamLadder {
         s""""removed":$removed}"""
   }
 
+  /** SIGKILL one executor JVM — REAL failure injection for the cluster
+    * rung (`destroyForcibly` = SIGKILL on Linux: no shutdown hooks, no
+    * block-manager dereg courtesy — the state-store instances and
+    * shuffle files on it are simply gone, exactly like a lost node).
+    * Victim: the lowest-pid descendant process running
+    * CoarseGrainedExecutorBackend (local-cluster executors are
+    * grandchildren via the Worker, so the walk is over descendants,
+    * not children). The standalone master relaunches a replacement;
+    * the streaming query must rebuild that executor's RocksDB state
+    * from the checkpoint snapshot + changelog and keep its output
+    * contract. None on local[*] masters (no executor JVM exists). */
+  private def killOneExecutor(): Option[Long] = {
+    import scala.jdk.CollectionConverters._
+    val victims = ProcessHandle.current().descendants().iterator().asScala
+      .filter(p => p.info().commandLine()
+        .map[Boolean](_.contains("CoarseGrainedExecutorBackend"))
+        .orElse(false))
+      .toSeq.sortBy(_.pid())
+    victims.headOption.map { p => p.destroyForcibly(); p.pid() }
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: StreamLadder <fixtureDir> [outJsonlPath]")
     val dir = args(0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_STREAM_BATCHES", "10").toInt
+    // failure injection (cluster rung): before feeding batch K of each
+    // scenario, SIGKILL one executor JVM. The scenario must still
+    // complete with its emitted totals and state contracts intact —
+    // that is the RocksDB+changelog restore claim, exercised against a
+    // real executor death instead of the happy path.
+    val killBatch = sys.env.get("SPARK_GRAFT_STREAM_KILL_BATCH").map(_.toInt)
     // the pacing every sink runs under (StreamOps.pacedTrigger — the
     // MANDATORY configuration for TTL'd twins); also the denominator of
     // each scenario's empty-batch bound
@@ -157,8 +184,25 @@ object StreamLadder {
       }
       val tScenario0 = System.nanoTime()
       var i = 0
+      var killed = false
       for (slice <- rows.grouped(chunk)) {
         if (i > 0 && quietMs > 0) Thread.sleep(quietMs)
+        if (killBatch.contains(i) && !killed) {
+          killOneExecutor() match {
+            case Some(pid) =>
+              killed = true
+              val ev = s"""{"scenario":"$name","kill_event":true,"batch":$i,"pid":$pid}"""
+              println(ev); out.append(ev).append('\n')
+            case None =>
+              // loud, not silent: a kill rung on a master with no
+              // executor JVMs would otherwise record a happy-path run
+              // as failure-injection evidence
+              throw new IllegalStateException(
+                s"$name: SPARK_GRAFT_STREAM_KILL_BATCH set but no " +
+                  "CoarseGrainedExecutorBackend descendant found — " +
+                  "is the master local-cluster?")
+          }
+        }
         val t0 = System.nanoTime()
         val off = mem.addData(slice)
         if (quietMs > 0) awaitOffset(off) else q.processAllAvailable()

@@ -68,6 +68,30 @@ class BenchParseSpec extends AnyFunSuite {
     assert(Bench.parseThpEnabled("garbage") == "unknown")
   }
 
+  test("schedstat parse: run-delay is field 2 (ns); malformed → -1") {
+    assert(Bench.parseSchedstatDelayNs("203894 4567000 2") == 4567000L)
+    assert(Bench.parseSchedstatDelayNs("garbage") == -1L)
+    assert(Bench.parseSchedstatDelayNs("42") == -1L)
+  }
+
+  test("interrupts parse: labeled row summed across CPUs; absent → -1") {
+    val text = "           CPU0       CPU1       CPU2\n" +
+      "  0:         36          0          0   IO-APIC    2-edge      timer\n" +
+      "RES:      60617      62256      62544   Rescheduling interrupts\n" +
+      "TLB:        100        200        300   TLB shootdowns\n"
+    assert(Bench.parseInterruptsRow(text, "TLB") == 600L)
+    assert(Bench.parseInterruptsRow(text, "RES") == 185417L)
+    // the trailing description must not be summed; a missing row is -1
+    assert(Bench.parseInterruptsRow(text, "CAL") == -1L)
+  }
+
+  test("self-io parse: syscr + syscw; either key absent → -1") {
+    val io = "rchar: 100\nwchar: 200\nsyscr: 1500\nsyscw: 500\n" +
+      "read_bytes: 4096\nwrite_bytes: 8192\ncancelled_write_bytes: 0\n"
+    assert(Bench.parseSelfIoSyscalls(io) == 2000L)
+    assert(Bench.parseSelfIoSyscalls("rchar: 100\nsyscr: 5") == -1L)
+  }
+
   test("probe gate: flags spin > 2x cal or fault > 3x cal, with guards") {
     // clean window: both probes at calibration
     assert(!Bench.probeContaminated(80.0, 80.0, 8.0, 8.0))
