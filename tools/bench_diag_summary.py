@@ -6,7 +6,12 @@ Usage: bench_diag_summary.py <bench_latest.json> [qprefix ...]
 Prints one line per query (optionally filtered by name prefix) with the
 round-15 attribution columns: wall raws, stages, host vs self CPU, the
 utime/stime split, fault counts, cgroup throttle, PSI deltas, JIT time,
-and the pre-query probes. Sorted by median wall, descending.
+and the pre-query probes — plus the round-16 columns: vctx/ivctx
+(process ctxt switches; NEGATIVE deltas mean threads exited between
+snapshots and took their counters along — pool churn, not an error),
+thp_fault/thp_collapse, rqdelay_ms (runqueue wait), tlb (shootdown
+IPIs, system-wide), sysc (read/write syscall count), and the
+CONTAMINATED flag (probe gate). Sorted by median wall, descending.
 """
 import json
 import sys
@@ -29,8 +34,11 @@ for name, d in diag.items():
 rows.sort(reverse=True)
 
 print(f"cal: {rec.get('cal')}")
+if rec.get("contaminated"):
+    print(f"CONTAMINATED (probe gate): {rec['contaminated']}")
 for m, name, d in rows:
-    print(f"\n{name}: median {m:.2f}s raw={d['raw']} stages={d['stages']}")
+    flag = " [CONTAMINATED]" if d.get("contaminated") else ""
+    print(f"\n{name}: median {m:.2f}s raw={d['raw']} stages={d['stages']}{flag}")
     print(f"  host_ms={d['host_ms']} self_ms={d['self_ms']}")
     if "utime_ms" in d:
         print(f"  utime={d['utime_ms']} stime={d['stime_ms']} "
@@ -38,6 +46,12 @@ for m, name, d in rows:
         print(f"  thr_n={d['thr_n']} thr_ms={d['thr_ms']} "
               f"psi_cpu={d['psi_cpu_ms']} psi_mem={d['psi_mem_ms']} "
               f"psi_io={d['psi_io_ms']} jit_ms={d['jit_ms']}")
+    if "vctx" in d:
+        print(f"  vctx={d['vctx']} ivctx={d['ivctx']} "
+              f"thp_f={d['thp_fault']} thp_c={d['thp_collapse']}")
+    if "rqdelay_ms" in d:
+        print(f"  rqdelay_ms={d['rqdelay_ms']} tlb={d['tlb']}" +
+              (f" sysc={d['sysc']}" if "sysc" in d else ""))
     probes = f"spin={d['probe_spin_ms']:.1f} disk={d['probe_disk_ms']:.1f}"
     if "probe_fault_ms" in d:
         probes += f" fault={d['probe_fault_ms']:.1f}"
