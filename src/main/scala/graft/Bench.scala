@@ -272,6 +272,20 @@ object Bench {
       try parseThpEnabled(src.mkString.trim) finally src.close()
     } catch { case _: Throwable => "unknown" }
 
+  /** Run-level disturbance flag — the probe gate's complement for
+    * disturbances that BEGIN mid-window (the pre-probe samples
+    * conditions only up to the window's start). host − self is CPU
+    * consumed by OTHER processes during exactly this run; on an
+    * otherwise-idle grading box it should be ≈ 0. Threshold: > 2 s
+    * absolute AND > 25% of this JVM's own CPU (the relative arm keeps
+    * heavy queries from tripping on background daemon noise;
+    * the absolute arm keeps sub-second queries from tripping on
+    * rounding, since /proc jiffies quantize to 10 ms). Unmeasured
+    * counters (-1) never flag. */
+  private[graft] def runDisturbed(hostMs: Long, selfMs: Long): Boolean =
+    hostMs >= 0 && selfMs >= 0 &&
+      (hostMs - selfMs) > math.max(2000L, selfMs / 4)
+
   /** The probe gate (round-15 verdict: "probe-gate the timed window").
     * A pre-query probe that reads far off its suite-start calibration
     * means the measurement window is DISTURBED — external load, a
@@ -598,6 +612,9 @@ object Bench {
         s",\"rqdelay_ms\":${larr(_.rqDelayMs)},\"tlb\":${larr(_.tlb)}" +
         s",\"sysc\":${larr(_.sysc)}" +
         s",\"contaminated\":${d.contaminated}" +
+        s",\"dirty_runs\":${d.runs.zipWithIndex.collect {
+          case (r, i) if runDisturbed(r.hostMs, r.selfMs) => i
+        }.mkString("[", ",", "]")}" +
         s",\"task_gc_ms\":${d.taskGcMs},\"jvm_gc_ms\":${d.jvmGcMs}" +
         s",\"peak_exec_mem\":${d.peakMem}" +
         s",\"tasks\":${d.tasks},\"run_ms\":${d.runMs},\"cpu_ms\":${d.cpuMs}" +

@@ -110,6 +110,22 @@ class BenchParseSpec extends AnyFunSuite {
     assert(!Bench.probeContaminated(80.0, 80.0, 500.0, 0.0))
   }
 
+  test("run-disturbance flag: host-self > max(2s, self/4); -1 never flags") {
+    // idle box: host == self
+    assert(!Bench.runDisturbed(50000, 50000))
+    // heavy query, small absolute foreign CPU: relative arm holds it
+    assert(!Bench.runDisturbed(52000, 50000))
+    // the r14 induced-load signature: host-self ~ 150 s on a 50 s run
+    assert(Bench.runDisturbed(200000, 50000))
+    // sub-second query, jiffy rounding: absolute arm holds it
+    assert(!Bench.runDisturbed(2300, 500))
+    // sub-second query, real foreign burst
+    assert(Bench.runDisturbed(3000, 500))
+    // unmeasured counters never flag
+    assert(!Bench.runDisturbed(-1, 500))
+    assert(!Bench.runDisturbed(3000, -1))
+  }
+
   test("host-stat parse: busy = sum minus idle minus iowait") {
     // cpu user nice system idle iowait irq softirq steal guest g_nice
     val line = "cpu  100 10 50 1000 40 5 5 10 0 0"

@@ -38,6 +38,8 @@ if rec.get("contaminated"):
     print(f"CONTAMINATED (probe gate): {rec['contaminated']}")
 for m, name, d in rows:
     flag = " [CONTAMINATED]" if d.get("contaminated") else ""
+    if d.get("dirty_runs"):
+        flag += f" [DIRTY RUNS {d['dirty_runs']}]"
     print(f"\n{name}: median {m:.2f}s raw={d['raw']} stages={d['stages']}{flag}")
     print(f"  host_ms={d['host_ms']} self_ms={d['self_ms']}")
     if "utime_ms" in d:
