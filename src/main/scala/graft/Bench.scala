@@ -640,6 +640,16 @@ object Bench {
     val contJson = if (contaminatedQs.isEmpty) ""
       else contaminatedQs.map("\"" + _ + "\"")
         .mkString(""","contaminated":[""", ",", "]")
+    // stdout variant: qNN prefixes, capped at 24 names + a total count —
+    // a heavily disturbed session could otherwise push the stdout line
+    // past the harness's bounded tail and null the whole parsed record
+    // (the r10 truncation class). The file record keeps full names.
+    val contJsonStdout = if (contaminatedQs.isEmpty) ""
+      else {
+        val pfx = contaminatedQs.map(n => "\"" + n.split('_')(0) + "\"")
+        pfx.take(24).mkString(""","contaminated":[""", ",", "]") +
+          s""","contaminated_n":${pfx.size}"""
+      }
     val ts = java.time.Instant.now().toString
     // FULL-name record → repo-root file: the harness captures only a
     // bounded stdout TAIL (~2000 chars) and the 106-query full-name line
@@ -671,7 +681,7 @@ object Bench {
     spark.stop()
     // the bench record is the FINAL stdout line (after Spark shutdown)
     println(line(stdoutQs,
-      s""","suite_jvm_gc_ms":$suiteGc$contJson,"diag_file":"$outFile""""))
+      s""","suite_jvm_gc_ms":$suiteGc$contJsonStdout,"diag_file":"$outFile""""))
   }
 }
 
