@@ -14,15 +14,21 @@ object Bench {
   }
 
   /** Total host CPU busy time (all cores, user+nice+system+irq+steal…)
-    * in ms — /proc/stat jiffies × 10 (USER_HZ = 100 on Linux x86).
-    * Deltas around a timed window make EXTERNAL load visible from
-    * within the record: host_busy − self_cpu is CPU consumed by other
-    * processes while the query ran. -1 when /proc is unavailable. */
-  private def hostCpuMs: Long =
+    * and hypervisor STEAL time, both in ms — /proc/stat jiffies × 10
+    * (USER_HZ = 100 on Linux x86). Deltas around a timed window make
+    * EXTERNAL load visible from within the record: host_busy −
+    * self_cpu is CPU consumed by other processes while the query ran,
+    * and a nonzero steal delta is the DIRECT counter for the
+    * "hypervisor starvation" the q74/q49 adjudications could only
+    * infer by elimination. (-1,-1) when /proc is unavailable. */
+  private def hostStatSnap: (Long, Long) =
     try {
       val src = scala.io.Source.fromFile("/proc/stat")
-      try parseHostStatMs(src.getLines().next()) finally src.close()
-    } catch { case _: Throwable => -1L }
+      try {
+        val l = src.getLines().next()
+        (parseHostStatMs(l), parseHostStatStealMs(l))
+      } finally src.close()
+    } catch { case _: Throwable => (-1L, -1L) }
 
   /** Parse total busy ms out of /proc/stat's aggregate "cpu" line:
     * sum of all time columns minus idle and iowait, jiffies × 10 ms. */
@@ -30,6 +36,15 @@ object Bench {
     val f = cpuLine.trim.split("\\s+").drop(1).map(_.toLong)
     val idle = f(3) + (if (f.length > 4) f(4) else 0L) // idle + iowait
     (f.sum - idle) * 10
+  }
+
+  /** Steal ms out of the same line — column 8 after the "cpu" label
+    * (user nice system idle iowait irq softirq STEAL): jiffies the
+    * hypervisor ran someone else while this guest's vCPU was runnable.
+    * -1 when the kernel predates the column (pre-2.6.11 layouts). */
+  private[graft] def parseHostStatStealMs(cpuLine: String): Long = {
+    val f = cpuLine.trim.split("\\s+").drop(1)
+    if (f.length > 7) f(7).toLong * 10 else -1L
   }
 
   /** Parse utime+stime (fields 14/15, jiffies × 10 ms) out of a
@@ -93,6 +108,23 @@ object Bench {
     * ("self" | "root-only" | "none") so a reader of the cal block knows
     * whether -1 means "no clamp counters" or "counters exist but only
     * at root scope". */
+  /** cpu.stat candidate paths for SELF'S OWN cgroup out of one
+    * /proc/self/cgroup text (v2 unified `0::<path>`, then v1 `cpu`
+    * controller). A process in the ROOT cgroup ("0::/" or an empty
+    * path) yields NO candidate: the resolved path would be the root
+    * cpu.stat, which aggregates every sibling cgroup — exactly the
+    * mis-attribution scope the "self" label promises to exclude (such
+    * hosts resolve as "root-only"/"none" below, never "self"). */
+  private[graft] def selfCgroupCpuStatPaths(text: String): Seq[String] =
+    text.linesIterator.flatMap { l =>
+      val f = l.split(":", 3)
+      if (f.length != 3 || f(2).length <= 1) Nil // "/" or "" = root scope
+      else if (f(0) == "0") Seq(s"/sys/fs/cgroup${f(2)}/cpu.stat")
+      else if (f(1).split(",").contains("cpu"))
+        Seq(s"/sys/fs/cgroup/cpu${f(2)}/cpu.stat")
+      else Nil
+    }.toList
+
   private lazy val (cpuStatPath: Option[java.nio.file.Path],
                     cpuStatScope: String) = {
     def reports(p: java.nio.file.Path): Boolean =
@@ -102,14 +134,7 @@ object Bench {
     val fromSelf: Seq[String] =
       try {
         val src = scala.io.Source.fromFile("/proc/self/cgroup")
-        try src.getLines().flatMap { l =>
-          val f = l.split(":", 3)
-          if (f.length == 3 && f(0) == "0")
-            Seq(s"/sys/fs/cgroup${f(2)}/cpu.stat")
-          else if (f.length == 3 && f(1).split(",").contains("cpu"))
-            Seq(s"/sys/fs/cgroup/cpu${f(2)}/cpu.stat")
-          else Nil
-        }.toList
+        try selfCgroupCpuStatPaths(src.mkString)
         finally src.close()
       } catch { case _: Throwable => Nil }
     val self = fromSelf.map(java.nio.file.Paths.get(_)).find(reports)
@@ -196,8 +221,14 @@ object Bench {
   private[graft] def parseInterruptsRow(text: String, label: String): Long =
     text.linesIterator
       .find(_.trim.startsWith(label + ":"))
-      .map(_.trim.stripPrefix(label + ":").trim.split("\\s+")
-        .takeWhile(_.forall(_.isDigit)).foldLeft(0L)(_ + _.toLong))
+      .map { row =>
+        // a count-less row splits to [""], and "".forall(isDigit) is
+        // vacuously true — "".toLong would throw; filter first, and a
+        // row with NO counts at all is unmeasured (-1), not zero
+        val counts = row.trim.stripPrefix(label + ":").trim.split("\\s+")
+          .filter(_.nonEmpty).takeWhile(_.forall(_.isDigit))
+        if (counts.isEmpty) -1L else counts.foldLeft(0L)(_ + _.toLong)
+      }
       .getOrElse(-1L)
 
   private def tlbShootdownsNow: Long =
@@ -306,6 +337,114 @@ object Bench {
     spinDirty || faultDirty
   }
 
+  /** Per-run dirtiness, BOTH arms: foreign CPU during the run
+    * ([[runDisturbed]]) OR a pre-run spin probe far off calibration.
+    * The probe arm closes the round-16 q49/q09 hole's first half:
+    * in-window degradation with host ≈ self (SIGSTOP storms, clock
+    * clamps, hypervisor starvation) burns no foreign CPU, but the
+    * ~80 ms wall-timed spin immediately before the run reads slow.
+    * A failed calibration (≤ 0) disables the probe arm. */
+  private[graft] def runDirty(hostMs: Long, selfMs: Long,
+                              preSpinMs: Double, calSpinMs: Double): Boolean =
+    runDisturbed(hostMs, selfMs) ||
+      (calSpinMs > 0 && preSpinMs > 2.0 * calSpinMs)
+
+  /** One query's known-good signature: the per-run stage count
+    * (constant across every clean record — plan identity) and the
+    * clean-record bands for median wall seconds and median self-CPU
+    * ms. Bands come from committed signatures.json (see
+    * tools/make_signatures.py for the robust-hi construction). */
+  final case class QuerySig(stages: Long, wallLo: Double, wallHi: Double,
+                            selfLo: Long, selfHi: Long)
+
+  /** The signature-diff predicate — the round-16 verdict's top
+    * directive ("convert every future graded excursion from
+    * archaeology to a field"). A query excurses when its median wall
+    * leaves the clean band by a margin no clean record approaches:
+    * > max(1.6 × hi, hi + 0.3 s). The relative arm prices band-edge
+    * jitter on slow queries; the absolute arm keeps sub-second
+    * queries' ±25% swings from flagging. stagesOk (every timed run's
+    * stage count equals the signature's) is REQUIRED: a different
+    * stage count means a different plan or fixture shape, and the
+    * band no longer describes this query — stale signatures must go
+    * silent, not cry wolf. Task counts are deliberately NOT an input:
+    * regenerated fixtures change them (q84: 80 → 193 tasks) with
+    * stages constant. Validated against all 18 round-16 full records:
+    * flags q49 (3.77 s vs [0.306,0.692]) and q09 (3.40 s vs
+    * [0.398,0.497]) in the driver's disturbed 74.1 s record and q74's
+    * 8.3 s excursion in the otherwise-clean 61.5 s record; zero flags
+    * across the 13 clean records. */
+  private[graft] def sigExcursion(medianWall: Double, wallHi: Double,
+                                  stagesOk: Boolean): Boolean =
+    stagesOk && wallHi > 0 &&
+      medianWall > math.max(1.6 * wallHi, wallHi + 0.3)
+
+  /** Session-level cleanliness verdict from protocol-computable
+    * inputs only — the record stamping ITSELF instead of a builder
+    * reading it (the round-16 63.0 s close discarded itself by hand;
+    * this makes that adjudication a field). Arms, each independently
+    * sufficient, thresholds validated on all 18 round-16 records
+    * (13 clean stamp clean; the 74.1 s driver record, the 63.0 s
+    * self-discard, the 80.9 s early record and the 56.9 s
+    * foreign-CPU session stamp disturbed):
+    *  - ≥ 2 signature excursions (one is a per-query discount; two
+    *    simultaneous say the SESSION was degraded)
+    *  - ≥ 3 probe-contaminated queries (pre-window disturbance)
+    *  - ≥ 3 queries with dirty runs (mid-window disturbance)
+    *  - > 20 s suite-summed foreign CPU (clean sessions measure
+    *    3–12 s of background daemon noise; disturbed ones 25–62 s)
+    *  - end-of-suite spin re-calibration > 2× suite-start cal
+    *    (the machine degraded under us even if no single query's
+    *    probes caught it). */
+  private[graft] def sessionVerdict(contaminatedN: Int, sigExcursionN: Int,
+                                    dirtyQueryN: Int, foreignCpuMs: Long,
+                                    calSpinMs: Double, endSpinMs: Double)
+      : (String, Seq[String]) = {
+    val reasons = Seq(
+      (sigExcursionN >= 2) -> s"sig_excursions=$sigExcursionN>=2",
+      (contaminatedN >= 3) -> s"contaminated=$contaminatedN>=3",
+      (dirtyQueryN >= 3) -> s"dirty_run_queries=$dirtyQueryN>=3",
+      (foreignCpuMs > 20000L) -> s"foreign_cpu_ms=$foreignCpuMs>20000",
+      (calSpinMs > 0 && endSpinMs > 2.0 * calSpinMs) ->
+        s"end_cal_spin_ms=${math.round(endSpinMs)}>2x${math.round(calSpinMs)}"
+    ).collect { case (true, r) => r }
+    (if (reasons.isEmpty) "clean" else "disturbed", reasons)
+  }
+
+  /** Parse signatures.json: (sf tag, per-query signatures). Tolerant
+    * of absent/malformed fields (a query without a usable band simply
+    * never flags); a file that fails to parse yields an empty map —
+    * the bench degrades to the round-16 record, it never aborts. */
+  private[graft] def parseSignatures(text: String)
+      : (String, Map[String, QuerySig]) = {
+    import org.json4s._
+    def num(v: JValue): Double = v match {
+      case JDouble(x) => x
+      case JDecimal(x) => x.toDouble
+      case JInt(x) => x.toDouble
+      case JLong(x) => x.toDouble
+      case _ => -1.0
+    }
+    try {
+      val j = org.json4s.jackson.JsonMethods.parse(text)
+      val sf = j \ "sf" match { case JString(s) => s; case _ => "" }
+      val qs = j \ "queries" match {
+        case JObject(fields) => fields.map { case (name, q) =>
+          def arr2(key: String): (Double, Double) = q \ key match {
+            case JArray(lo :: hi :: Nil) => (num(lo), num(hi))
+            case _ => (-1.0, -1.0)
+          }
+          val (wLo, wHi) = arr2("wall")
+          val (sLo, sHi) = arr2("self_ms")
+          name -> QuerySig(num(q \ "stages").toLong, wLo, wHi,
+            sLo.toLong, sHi.toLong)
+        }.toMap
+        case _ => Map.empty[String, QuerySig]
+      }
+      (sf, qs)
+    } catch { case _: Throwable => ("", Map.empty[String, QuerySig]) }
+  }
+
   /** The "some" stall total (ms) out of a /proc/pressure/{cpu,memory,io}
     * PSI file: total µs at least one task spent stalled on that
     * resource. A rising delta during a timed run names host-level
@@ -408,7 +547,8 @@ object Bench {
       val (tn, tms) = throttleSnap
       val (vctx, ivctx, rqDelay) = taskStatsNow
       val (thpF, thpC) = vmstatThpNow
-      RunSnap(hostCpuMs, selfStat, tn, tms,
+      val (hostMs, stealMs) = hostStatSnap
+      RunSnap(hostMs, stealMs, selfStat, tn, tms,
         psiSnap("cpu"), psiSnap("memory"), psiSnap("io"), jitNowMs,
         vctx, ivctx, thpF, thpC, rqDelay, tlbShootdownsNow,
         selfIoSyscallsNow)
@@ -493,6 +633,22 @@ object Bench {
     // them is the lazy-backing signature in its purest form
     val calFaults = Seq(faultProbeMs, faultProbeMs, faultProbeMs)
 
+    // ---- known-good signature table (round-17: the record diffs itself)
+    // Committed bands from clean full-suite records; sf-specific, so a
+    // record at any other SF runs signature-silent rather than
+    // comparing against the wrong scale. FULL-SUITE-ONLY for the same
+    // reason: the bands encode full-suite JVM warmth (a targeted
+    // 4-query session measured q09 at 0.83 s vs its 0.40–0.50 s
+    // full-suite band — structurally hotter, not disturbed), so a
+    // SPARK_GRAFT_BENCH_ONLY partial run would cry wolf by design.
+    val sigFile = sys.env.getOrElse("SPARK_GRAFT_SIG_FILE", "signatures.json")
+    val (sigSf, sigTable) =
+      try parseSignatures(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(sigFile)), "UTF-8"))
+      catch { case _: Throwable => ("", Map.empty[String, QuerySig]) }
+    val sigApplies = sigSf.nonEmpty &&
+      sfDir.stripSuffix("/").endsWith(sigSf) && only.isEmpty
+
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -520,7 +676,7 @@ object Bench {
       val contaminated = probeContaminated(probeSpin, calSpinMs,
         probeFault, calFaults.min)
       val nRuns = if (contaminated) runs + 2 else runs
-      val perRun = (0 until nRuns).map { _ =>
+      def timedRun(preSpin: Double): RunRec = {
         val s0 = metrics.stages.get()
         val a = snapNow()
         val t0 = System.nanoTime()
@@ -545,8 +701,27 @@ object Bench {
           thpFault = dd(a.thpFault, b.thpFault),
           thpCollapse = dd(a.thpCollapse, b.thpCollapse),
           rqDelayMs = dd(a.rqDelayMs, b.rqDelayMs),
-          tlb = dd(a.tlb, b.tlb), sysc = dd(a.sysc, b.sysc))
+          tlb = dd(a.tlb, b.tlb), sysc = dd(a.sysc, b.sysc),
+          stealMs = dd(a.stealMs, b.stealMs),
+          preSpinMs = preSpin)
       }
+      // run 0 reuses the gate's pre-query spin; every later run gets a
+      // FRESH ~80 ms spin probe immediately before its timed start —
+      // the round-16 gate probed only before run 1, so a disturbance
+      // arriving mid-window with host ≈ self (the q49/q09 class) left
+      // no trace. Probes sit OUTSIDE the timed windows.
+      val base = (0 until nRuns).map { i =>
+        timedRun(if (i == 0) probeSpin else spinProbeMs)
+      }
+      // mid-window dirtiness (either arm) extends the window by two
+      // runs, mirroring the pre-gate's median-of-5-on-flag: an
+      // episodic mid-window disturbance must not own the median
+      val perRun =
+        if (!contaminated &&
+            base.exists(r => runDirty(r.hostMs, r.selfMs,
+              r.preSpinMs, calSpinMs)))
+          base ++ Seq(timedRun(spinProbeMs), timedRun(spinProbeMs))
+        else base
       val q1 = metrics.snapshot()
       val diag = BenchDiag(
         runs = perRun,
@@ -563,10 +738,27 @@ object Bench {
         fetchWaitMs = q1.fetchWaitMs - q0.fetchWaitMs,
         probeSpinMs = probeSpin, probeDiskMs = probeDisk,
         probeFaultMs = probeFault, probeSpinAllMs = probeSpinAll,
-        load1 = load1, contaminated = contaminated)
+        load1 = load1, contaminated = contaminated,
+        sig = None, sigStagesOk = false, sigExcursion = false)
       val sorted = perRun.map(_.wall).sorted
-      name -> (sorted(sorted.length / 2), diag)
+      val medWall = sorted(sorted.length / 2)
+      // diff this query against its committed known-good signature:
+      // stage identity gates the comparison (stale band = silent), the
+      // wall band names the excursion — the q49/q09 class becomes a
+      // field instead of post-hoc archaeology
+      val sig = if (sigApplies) sigTable.get(name) else None
+      val stagesOk = sig.exists(s =>
+        s.stages > 0 && perRun.forall(_.stages == s.stages))
+      val excursed = sig.exists(s =>
+        sigExcursion(medWall, s.wallHi, stagesOk))
+      name -> (medWall, diag.copy(sig = sig, sigStagesOk = stagesOk,
+        sigExcursion = excursed))
     }
+    // end-of-suite re-calibration: the same spin/fault probes that
+    // opened the suite close it — drift between the pair is the "the
+    // machine degraded under us" witness no per-query probe aggregates
+    val endSpinMs = spinProbeMs
+    val endFaultMs = faultProbeMs
     try java.nio.file.Files.deleteIfExists(probeFile) catch { case _: Throwable => () }
     // leak census: which queries leave blocks pinned for the session?
     // (localCheckpoint RDDs that were never unpersisted). Dev-only.
@@ -611,10 +803,19 @@ object Bench {
         s",\"thp_collapse\":${larr(_.thpCollapse)}" +
         s",\"rqdelay_ms\":${larr(_.rqDelayMs)},\"tlb\":${larr(_.tlb)}" +
         s",\"sysc\":${larr(_.sysc)}" +
+        s",\"steal_ms\":${larr(_.stealMs)}" +
+        s",\"probe_spin_run_ms\":" + arr[Double](d.runs.map(_.preSpinMs), fmt) +
         s",\"contaminated\":${d.contaminated}" +
         s",\"dirty_runs\":${d.runs.zipWithIndex.collect {
-          case (r, i) if runDisturbed(r.hostMs, r.selfMs) => i
+          case (r, i) if runDirty(r.hostMs, r.selfMs,
+            r.preSpinMs, calSpinMs) => i
         }.mkString("[", ",", "]")}" +
+        d.sig.map(s =>
+          s",\"sig_wall\":[${fmt(s.wallLo)},${fmt(s.wallHi)}]" +
+          s",\"sig_self_ms\":[${s.selfLo},${s.selfHi}]" +
+          s",\"sig_stages\":${s.stages}" +
+          s",\"sig_stages_ok\":${d.sigStagesOk}" +
+          s",\"sig_excursion\":${d.sigExcursion}").getOrElse("") +
         s",\"task_gc_ms\":${d.taskGcMs},\"jvm_gc_ms\":${d.jvmGcMs}" +
         s",\"peak_exec_mem\":${d.peakMem}" +
         s",\"tasks\":${d.tasks},\"run_ms\":${d.runMs},\"cpu_ms\":${d.cpuMs}" +
@@ -630,6 +831,7 @@ object Bench {
     val calJson = s""","cal":{"spin_iters":$calIters,"spin_ms":${fmt(calSpinMs)},""" +
       s""""fault_ms":${calFaults.map(fmt).mkString("[", ",", "]")},""" +
       s""""spin_all_ms":${fmt(calSpinAllMs)},""" +
+      s""""end_spin_ms":${fmt(endSpinMs)},"end_fault_ms":${fmt(endFaultMs)},""" +
       s""""thp_enabled":"$thpEnabled","cpu_stat":"$cpuStatScope"}"""
     // queries whose pre-probe read dirty — surfaced at top level (both
     // records) so the grader sees the protocol flag without opening the
@@ -640,6 +842,29 @@ object Bench {
     val contJson = if (contaminatedQs.isEmpty) ""
       else contaminatedQs.map("\"" + _ + "\"")
         .mkString(""","contaminated":[""", ",", "]")
+    // signature excursions + session verdict: the record adjudicating
+    // ITSELF (round-17 items 1 and 3)
+    val sigExcursedQs = results.collect {
+      case (k, (_, d)) if d.sigExcursion => k
+    }.toSeq.sorted
+    val dirtyQueryN = results.count { case (_, (_, d)) =>
+      d.runs.exists(r => runDirty(r.hostMs, r.selfMs,
+        r.preSpinMs, calSpinMs))
+    }
+    val foreignCpuMs = results.iterator.flatMap(_._2._2.runs).collect {
+      case r if r.hostMs >= 0 && r.selfMs >= 0 && r.hostMs > r.selfMs =>
+        r.hostMs - r.selfMs
+    }.sum
+    val (verdict, verdictReasons) = sessionVerdict(contaminatedQs.size,
+      sigExcursedQs.size, dirtyQueryN, foreignCpuMs, calSpinMs, endSpinMs)
+    val sigExcJson = if (sigExcursedQs.isEmpty) ""
+      else sigExcursedQs.map("\"" + _ + "\"")
+        .mkString(""","sig_excursions":[""", ",", "]")
+    val verdictJson =
+      s""","session_verdict":"$verdict","foreign_cpu_ms":$foreignCpuMs""" +
+      (if (verdictReasons.isEmpty) ""
+       else verdictReasons.map("\"" + _ + "\"")
+         .mkString(""","verdict_reasons":[""", ",", "]"))
     // stdout variant: qNN prefixes, capped at 24 names + a total count —
     // a heavily disturbed session could otherwise push the stdout line
     // past the harness's bounded tail and null the whole parsed record
@@ -649,6 +874,12 @@ object Bench {
         val pfx = contaminatedQs.map(n => "\"" + n.split('_')(0) + "\"")
         pfx.take(24).mkString(""","contaminated":[""", ",", "]") +
           s""","contaminated_n":${pfx.size}"""
+      }
+    val sigExcStdout = if (sigExcursedQs.isEmpty) ""
+      else {
+        val pfx = sigExcursedQs.map(n => "\"" + n.split('_')(0) + "\"")
+        pfx.take(24).mkString(""","sig_excursions":[""", ",", "]") +
+          s""","sig_excursions_n":${pfx.size}"""
       }
     val ts = java.time.Instant.now().toString
     // FULL-name record → repo-root file: the harness captures only a
@@ -660,7 +891,7 @@ object Bench {
     // record now also survives in the history file, timestamped.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_latest.json")
     val full = line(medians.toMap,
-      s""","ts":"$ts"$contJson$calJson,"diag":$diagJson""") + "\n"
+      s""","ts":"$ts"$contJson$sigExcJson$verdictJson$calJson,"diag":$diagJson""") + "\n"
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       full.getBytes("UTF-8"))
     catch { case e: Throwable =>
@@ -681,14 +912,15 @@ object Bench {
     spark.stop()
     // the bench record is the FINAL stdout line (after Spark shutdown)
     println(line(stdoutQs,
-      s""","suite_jvm_gc_ms":$suiteGc$contJsonStdout,"diag_file":"$outFile""""))
+      s""","suite_jvm_gc_ms":$suiteGc$contJsonStdout$sigExcStdout""" +
+      s""","session_verdict":"$verdict","diag_file":"$outFile""""))
   }
 }
 
 /** Point-in-time capture of every per-run attribution counter —
   * [[Bench]] diffs one taken before and one after each timed run.
   * Fields that cannot be read are -1 and stay -1 in the delta. */
-final case class RunSnap(hostMs: Long, self: Bench.SelfStat,
+final case class RunSnap(hostMs: Long, stealMs: Long, self: Bench.SelfStat,
                          thrN: Long, thrMs: Long,
                          psiCpuMs: Long, psiMemMs: Long, psiIoMs: Long,
                          jitMs: Long,
@@ -712,7 +944,8 @@ final case class RunRec(wall: Double, stages: Long,
                         jitMs: Long,
                         vctx: Long, ivctx: Long,
                         thpFault: Long, thpCollapse: Long,
-                        rqDelayMs: Long, tlb: Long, sysc: Long)
+                        rqDelayMs: Long, tlb: Long, sysc: Long,
+                        stealMs: Long, preSpinMs: Double)
 
 /** Per-query diagnostic tuple for the bench record. Per-run records are
   * in RUN ORDER; scalar counters are deltas across the whole timed
@@ -725,7 +958,9 @@ final case class BenchDiag(runs: Seq[RunRec],
                            fetchWaitMs: Long,
                            probeSpinMs: Double, probeDiskMs: Double,
                            probeFaultMs: Double, probeSpinAllMs: Double,
-                           load1: Double, contaminated: Boolean)
+                           load1: Double, contaminated: Boolean,
+                           sig: Option[Bench.QuerySig],
+                           sigStagesOk: Boolean, sigExcursion: Boolean)
 
 /** Immutable counter snapshot — [[Bench]] subtracts two of these to get
   * a query window's deltas. */

@@ -63,7 +63,23 @@ object StreamLadder {
         .map[Boolean](_.contains("CoarseGrainedExecutorBackend"))
         .orElse(false))
       .toSeq.sortBy(_.pid())
-    victims.headOption.map { p => p.destroyForcibly(); p.pid() }
+    victims.headOption.map { p =>
+      // a kill_event in the record is failure-injection EVIDENCE — it
+      // must never describe a victim that survived. destroyForcibly
+      // can return false (permission, pid race), and even a granted
+      // SIGKILL is asynchronous: require the request to land, then
+      // await actual termination, loudly.
+      val requested = p.destroyForcibly()
+      require(requested || !p.isAlive,
+        s"SIGKILL request rejected for executor pid ${p.pid()}")
+      try p.onExit().get(15, java.util.concurrent.TimeUnit.SECONDS)
+      catch {
+        case _: java.util.concurrent.TimeoutException => sys.error(
+          s"executor pid ${p.pid()} still alive 15 s after SIGKILL — " +
+            "refusing to record a kill_event for a surviving victim")
+      }
+      p.pid()
+    }
   }
 
   def main(args: Array[String]): Unit = {

@@ -134,4 +134,132 @@ class BenchParseSpec extends AnyFunSuite {
     // minimal 4-column shape (no iowait field): busy = sum - idle
     assert(Bench.parseHostStatMs("cpu 10 0 10 100") == 200L)
   }
+
+  test("host-stat steal parse: column 8 in ms; absent column → -1") {
+    // steal = 10 jiffies → 100 ms: the DIRECT hypervisor-starvation
+    // counter the q74/q49 adjudications previously inferred by
+    // elimination (round-17 directive #4)
+    assert(Bench.parseHostStatStealMs("cpu  100 10 50 1000 40 5 5 10 0 0") == 100L)
+    assert(Bench.parseHostStatStealMs("cpu  0 0 0 0 0 0 0 0 0 0") == 0L)
+    // pre-steal kernel layout (7 time columns): unmeasured, never 0
+    assert(Bench.parseHostStatStealMs("cpu 10 0 10 100 5 1 1") == -1L)
+  }
+
+  test("interrupts parse: a PRESENT row with no counts is -1, not a crash") {
+    // the empty-token case: "FOO:" splits to [""] whose forall(isDigit)
+    // is vacuously true — unguarded, "".toLong threw and the caller's
+    // catch-all converted 'row present but empty' to -1 by accident;
+    // the contract is now explicit (unmeasured -1, never zero)
+    assert(Bench.parseInterruptsRow("FOO:\nTLB:  1  2\n", "FOO") == -1L)
+    // a row with only a description and no numeric columns: same
+    assert(Bench.parseInterruptsRow("ERR:   spurious only\n", "ERR") == -1L)
+    // and the normal shape still sums
+    assert(Bench.parseInterruptsRow("TLB:  1  2  desc\n", "TLB") == 3L)
+  }
+
+  test("cgroup candidates: root scope ('0::/') yields NO self path") {
+    // "0::/" resolves to /sys/fs/cgroup//cpu.stat — the ROOT aggregate,
+    // whose counters can name a clamp some OTHER container suffered.
+    // A root-scoped process must resolve "root-only"/"none", never
+    // masquerade as "self"
+    assert(Bench.selfCgroupCpuStatPaths("0::/\n").isEmpty)
+    assert(Bench.selfCgroupCpuStatPaths("0::\n").isEmpty)
+    // a real v2 leaf resolves under the unified hierarchy
+    assert(Bench.selfCgroupCpuStatPaths("0::/user.slice/s1\n") ==
+      Seq("/sys/fs/cgroup/user.slice/s1/cpu.stat"))
+    // v1 cpu controller line (root "/" likewise excluded)
+    assert(Bench.selfCgroupCpuStatPaths("4:cpu,cpuacct:/docker/abc\n") ==
+      Seq("/sys/fs/cgroup/cpu/docker/abc/cpu.stat"))
+    assert(Bench.selfCgroupCpuStatPaths("4:cpu,cpuacct:/\n").isEmpty)
+  }
+
+  test("run-dirty: foreign-CPU arm OR inter-run probe arm") {
+    val cal = 80.0
+    // clean run: host == self, probe at calibration
+    assert(!Bench.runDirty(5000, 5000, 80.0, cal))
+    // foreign CPU mid-run (the round-16 arm, unchanged)
+    assert(Bench.runDirty(20000, 5000, 80.0, cal))
+    // the q49/q09 class: host ≈ self but the pre-run probe reads slow
+    // (SIGSTOP storm, clock clamp, hypervisor starvation) — the
+    // round-16 record had NO arm for this
+    assert(Bench.runDirty(5000, 5000, 170.0, cal))
+    // 2x is the bar, just under stays clean (q49's real 1.2-1.4x
+    // probes were sub-threshold and stay so — the SIGNATURE diff
+    // catches that class; the probe arm catches the blatant ones)
+    assert(!Bench.runDirty(5000, 5000, 159.0, cal))
+    // failed calibration disables the probe arm, never flags
+    assert(!Bench.runDirty(5000, 5000, 500.0, -1.0))
+  }
+
+  test("sig excursion: wall median leaves the band with stages constant") {
+    // q49 in the driver's disturbed 74.1 s record: median 3.77 s vs a
+    // [0.306, 0.692] clean band — the unflagged excursion round 17
+    // exists to name (flags at > max(1.6*hi, hi+0.3) = 1.107)
+    assert(Bench.sigExcursion(3.77, 0.692, stagesOk = true))
+    // q09: 3.40 s vs hi 0.497
+    assert(Bench.sigExcursion(3.40, 0.497, stagesOk = true))
+    // in-band medians never flag
+    assert(!Bench.sigExcursion(0.43, 0.692, stagesOk = true))
+    // band-edge jitter: q12's worst clean median 0.845 vs hi 0.629 —
+    // below max(1.6*0.629, 0.929) = 1.006, stays clean
+    assert(!Bench.sigExcursion(0.845, 0.629, stagesOk = true))
+    // sub-second absolute arm: hi 0.1, median 0.25 (2.5x!) stays clean
+    // because 0.25 < 0.1 + 0.3 — ±25% swings on tiny queries are noise
+    assert(!Bench.sigExcursion(0.25, 0.1, stagesOk = true))
+    assert(Bench.sigExcursion(0.45, 0.1, stagesOk = true))
+    // stale signature (stage count moved: new plan or fixture shape)
+    // goes SILENT — a band that no longer describes the query must not
+    // cry wolf. Task counts are never an input: regenerated fixtures
+    // change tasks (q84: 80 → 193) with stages constant, so a
+    // regenerated-fixture run cannot false-positive (directive #6)
+    assert(!Bench.sigExcursion(3.77, 0.692, stagesOk = false))
+    // unusable band (hi <= 0) never flags
+    assert(!Bench.sigExcursion(3.77, -1.0, stagesOk = true))
+  }
+
+  test("signatures.json parse: bands, stages, sf tag; malformed → empty") {
+    val json = """{"sf":"sf0.1","note":"x","queries":{
+      "q49_ann_bucketed":{"stages":6,"wall":[0.306,0.692],
+        "self_ms":[710,1500],"n":14},
+      "q84_pagerank":{"stages":35,"wall":[5.716,7.214],
+        "self_ms":[19470,60050],"n":14}}}"""
+    val (sf, sigs) = Bench.parseSignatures(json)
+    assert(sf == "sf0.1")
+    assert(sigs("q49_ann_bucketed") ==
+      Bench.QuerySig(6L, 0.306, 0.692, 710L, 1500L))
+    assert(sigs("q84_pagerank").stages == 35L)
+    // a query missing its band parses unusable (hi -1 → never flags)
+    val (_, partial) = Bench.parseSignatures(
+      """{"sf":"sf0.1","queries":{"qx":{"stages":3}}}""")
+    assert(partial("qx").wallHi == -1.0)
+    // garbage and missing sections degrade to empty, never throw
+    assert(Bench.parseSignatures("not json") == (("", Map.empty)))
+    assert(Bench.parseSignatures("""{"sf":"sf0.1"}""")._2.isEmpty)
+  }
+
+  test("session verdict: each arm independently sufficient, validated set") {
+    def v(cont: Int = 0, sig: Int = 0, dirty: Int = 0, foreign: Long = 0L,
+          cal: Double = 80.0, end: Double = 80.0) =
+      Bench.sessionVerdict(cont, sig, dirty, foreign, cal, end)
+    // the 13 clean round-16 records: all arms quiet
+    assert(v(foreign = 5000L)._1 == "clean")
+    // the driver's 74.1 s graded record: 8 contaminated (+7 sig)
+    assert(v(cont = 8, sig = 7, foreign = 4700L)._1 == "disturbed")
+    // the 63.0 s self-discard: 5 dirty queries, 55 s foreign CPU
+    assert(v(dirty = 5, foreign = 55300L)._1 == "disturbed")
+    // the 61.5 s record: ONE sig excursion (q74's 8.3 s) is a
+    // per-query discount, not a session indictment
+    assert(v(sig = 1)._1 == "clean")
+    assert(v(sig = 2)._1 == "disturbed")
+    // calibration drift: the machine degraded under the suite
+    assert(v(cal = 80.0, end = 170.0)._1 == "disturbed")
+    assert(v(cal = 80.0, end = 155.0)._1 == "clean")
+    // failed calibration disables the drift arm
+    assert(v(cal = -1.0, end = 500.0)._1 == "clean")
+    // reasons name the firing arms
+    val (verdict, reasons) = v(cont = 8, sig = 7, foreign = 4700L)
+    assert(verdict == "disturbed" && reasons.size == 2)
+    assert(reasons.exists(_.startsWith("sig_excursions=7")))
+    assert(reasons.exists(_.startsWith("contaminated=8")))
+  }
 }

@@ -45,11 +45,18 @@ if __name__ == "__main__":
                 free_kb = int(line.split()[1])
         gb = max(1, free_kb // (1 << 20) - 6)
     workers = min(8, gb)
-    per = (gb + workers - 1) // workers
-    print(f"[warm] touching {gb} GiB with {workers} workers ({per} GiB each)",
-          flush=True)
+    # distribute EXACTLY gb across workers (last worker takes the
+    # remainder): with chunks held resident, workers*ceil(gb/workers)
+    # would peak up to workers-1 GiB OVER the headroom budget — on a
+    # tight host that is the difference between warming memory and
+    # getting OOM-killed while trying to
+    base = gb // workers
+    shares = [base + (1 if i < gb % workers else 0) for i in range(workers)]
+    shares = [s for s in shares if s > 0]
+    print(f"[warm] touching {gb} GiB with {len(shares)} workers "
+          f"(shares: {shares})", flush=True)
     t0 = time.time()
-    ps = [mp.Process(target=touch, args=(per,)) for _ in range(workers)]
+    ps = [mp.Process(target=touch, args=(s,)) for s in shares]
     for p in ps:
         p.start()
     for p in ps:
