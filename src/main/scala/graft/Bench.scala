@@ -349,6 +349,22 @@ object Bench {
     runDisturbed(hostMs, selfMs) ||
       (calSpinMs > 0 && preSpinMs > 2.0 * calSpinMs)
 
+  /** Third dirtiness arm: intra-window wall outlier. The probe arm
+    * samples INSTANTS — a burst confined entirely inside one run's
+    * wall (SIGSTOP-storm experiment: run 0 at 8.8 s between two clean
+    * 77 ms probes) leaves every probe at calibration. One such run
+    * loses to the median anyway, but two non-adjacent ones (the
+    * driver's 74.1 s record: q49 runs 0 AND 1 at 5.39/3.77 s vs a
+    * 1.06 s third run, both probes clean) OWN a median-of-3. A run
+    * whose wall exceeds min(2.5 × window-min, window-min + 2 s) is an
+    * outlier against its own window: the relative arm prices slow
+    * queries, the absolute arm stops sub-second jitter from flagging
+    * — validated over the 13 clean round-16 records (zero hits,
+    * nearest miss at 0.91× threshold) while catching q49 both runs
+    * and q74's 8.5/8.3 s pair in the unflagged 61.5 s record. */
+  private[graft] def runOutlier(wall: Double, minWall: Double): Boolean =
+    minWall > 0 && wall > math.min(2.5 * minWall, minWall + 2.0)
+
   /** One query's known-good signature: the per-run stage count
     * (constant across every clean record — plan identity) and the
     * clean-record bands for median wall seconds and median self-CPU
@@ -713,13 +729,15 @@ object Bench {
       val base = (0 until nRuns).map { i =>
         timedRun(if (i == 0) probeSpin else spinProbeMs)
       }
-      // mid-window dirtiness (either arm) extends the window by two
-      // runs, mirroring the pre-gate's median-of-5-on-flag: an
-      // episodic mid-window disturbance must not own the median
+      // mid-window dirtiness (any arm, incl. intra-window wall
+      // outliers) extends the window by two runs, mirroring the
+      // pre-gate's median-of-5-on-flag: an episodic mid-window
+      // disturbance must not own the median
+      val baseMin = base.map(_.wall).min
       val perRun =
         if (!contaminated &&
             base.exists(r => runDirty(r.hostMs, r.selfMs,
-              r.preSpinMs, calSpinMs)))
+              r.preSpinMs, calSpinMs) || runOutlier(r.wall, baseMin)))
           base ++ Seq(timedRun(spinProbeMs), timedRun(spinProbeMs))
         else base
       val q1 = metrics.snapshot()
@@ -806,10 +824,13 @@ object Bench {
         s",\"steal_ms\":${larr(_.stealMs)}" +
         s",\"probe_spin_run_ms\":" + arr[Double](d.runs.map(_.preSpinMs), fmt) +
         s",\"contaminated\":${d.contaminated}" +
-        s",\"dirty_runs\":${d.runs.zipWithIndex.collect {
-          case (r, i) if runDirty(r.hostMs, r.selfMs,
-            r.preSpinMs, calSpinMs) => i
-        }.mkString("[", ",", "]")}" +
+        s",\"dirty_runs\":${ // any arm: foreign CPU, slow pre-probe,
+          // or intra-window wall outlier
+          val mn = d.runs.map(_.wall).min
+          d.runs.zipWithIndex.collect {
+            case (r, i) if runDirty(r.hostMs, r.selfMs,
+              r.preSpinMs, calSpinMs) || runOutlier(r.wall, mn) => i
+          }.mkString("[", ",", "]")}" +
         d.sig.map(s =>
           s",\"sig_wall\":[${fmt(s.wallLo)},${fmt(s.wallHi)}]" +
           s",\"sig_self_ms\":[${s.selfLo},${s.selfHi}]" +
@@ -848,8 +869,9 @@ object Bench {
       case (k, (_, d)) if d.sigExcursion => k
     }.toSeq.sorted
     val dirtyQueryN = results.count { case (_, (_, d)) =>
+      val mn = d.runs.map(_.wall).min
       d.runs.exists(r => runDirty(r.hostMs, r.selfMs,
-        r.preSpinMs, calSpinMs))
+        r.preSpinMs, calSpinMs) || runOutlier(r.wall, mn))
     }
     val foreignCpuMs = results.iterator.flatMap(_._2._2.runs).collect {
       case r if r.hostMs >= 0 && r.selfMs >= 0 && r.hostMs > r.selfMs =>

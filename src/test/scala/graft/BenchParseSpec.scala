@@ -191,6 +191,26 @@ class BenchParseSpec extends AnyFunSuite {
     assert(!Bench.runDirty(5000, 5000, 500.0, -1.0))
   }
 
+  test("run outlier: wall vs own window's min, min(2.5x, +2s)") {
+    // q49 in the driver's 74.1 s record: runs [5.39, 3.77, 1.06] —
+    // TWO corrupted runs own a median-of-3, and both probes read
+    // clean (the burst sat inside the walls). The outlier arm names
+    // runs 0 and 1 against the window's own 1.06 s floor
+    assert(Bench.runOutlier(5.39, 1.06))
+    assert(Bench.runOutlier(3.77, 1.06))
+    assert(!Bench.runOutlier(1.06, 1.06))
+    // q74's 8.5/8.3 s pair vs a 4.01 s floor: the absolute arm
+    // (+2 s) catches what the relative arm (2.5x = 10 s) would miss
+    assert(Bench.runOutlier(8.54, 4.01))
+    // sub-second jitter: q38's worst clean spread (1.157 vs 0.507,
+    // 2.28x) stays under min(1.268, 2.507) — zero hits across all 13
+    // clean round-16 records, nearest miss 0.91x threshold
+    assert(!Bench.runOutlier(1.157, 0.507))
+    // the min-wall run itself (or a failed window) never flags
+    assert(!Bench.runOutlier(5.0, -1.0))
+    assert(!Bench.runOutlier(5.0, 0.0))
+  }
+
   test("sig excursion: wall median leaves the band with stages constant") {
     // q49 in the driver's disturbed 74.1 s record: median 3.77 s vs a
     // [0.306, 0.692] clean band — the unflagged excursion round 17

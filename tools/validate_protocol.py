@@ -38,10 +38,15 @@ def analyze(rec, sig):
             x == s["stages"] for x in d["stages"])
         if stages_ok and hi > 0 and med > max(1.6 * hi, hi + 0.3):
             flags.append((q, round(med, 2), hi))
-    dirty_q = sum(
-        1 for d in diag.values()
+    def q_dirty(d):
         if any(h >= 0 and s >= 0 and (h - s) > max(2000, s / 4)
-               for h, s in zip(d["host_ms"], d["self_ms"])))
+               for h, s in zip(d["host_ms"], d["self_ms"])):
+            return True
+        mn = min(d["raw"])  # intra-window wall-outlier arm
+        return mn > 0 and any(w > min(2.5 * mn, mn + 2.0)
+                              for w in d["raw"])
+
+    dirty_q = sum(1 for d in diag.values() if q_dirty(d))
     foreign_ms = sum(
         max(0, h - s)
         for d in diag.values()
