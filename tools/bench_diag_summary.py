@@ -34,12 +34,20 @@ for name, d in diag.items():
 rows.sort(reverse=True)
 
 print(f"cal: {rec.get('cal')}")
+if "session_verdict" in rec:  # round-17: the record stamps itself
+    print(f"SESSION VERDICT: {rec['session_verdict']} "
+          f"reasons={rec.get('verdict_reasons', [])} "
+          f"foreign_cpu_ms={rec.get('foreign_cpu_ms')}")
 if rec.get("contaminated"):
     print(f"CONTAMINATED (probe gate): {rec['contaminated']}")
+if rec.get("sig_excursions"):
+    print(f"SIG EXCURSIONS (band diff): {rec['sig_excursions']}")
 for m, name, d in rows:
     flag = " [CONTAMINATED]" if d.get("contaminated") else ""
     if d.get("dirty_runs"):
         flag += f" [DIRTY RUNS {d['dirty_runs']}]"
+    if d.get("sig_excursion"):
+        flag += f" [SIG EXCURSION vs {d.get('sig_wall')}]"
     print(f"\n{name}: median {m:.2f}s raw={d['raw']} stages={d['stages']}{flag}")
     print(f"  host_ms={d['host_ms']} self_ms={d['self_ms']}")
     if "utime_ms" in d:
@@ -54,6 +62,14 @@ for m, name, d in rows:
     if "rqdelay_ms" in d:
         print(f"  rqdelay_ms={d['rqdelay_ms']} tlb={d['tlb']}" +
               (f" sysc={d['sysc']}" if "sysc" in d else ""))
+    if "steal_ms" in d:  # round-17: direct hypervisor counter +
+        # per-run pre-probe (the inter-run dirty arm's input)
+        spr = [round(p, 1) for p in d.get("probe_spin_run_ms", [])]
+        print(f"  steal_ms={d['steal_ms']} probe_spin_run_ms={spr}")
+    if "sig_wall" in d:
+        print(f"  sig: wall={d['sig_wall']} self_ms={d['sig_self_ms']} "
+              f"stages={d['sig_stages']} stages_ok={d['sig_stages_ok']} "
+              f"excursion={d['sig_excursion']}")
     probes = f"spin={d['probe_spin_ms']:.1f} disk={d['probe_disk_ms']:.1f}"
     if "probe_fault_ms" in d:
         probes += f" fault={d['probe_fault_ms']:.1f}"
