@@ -257,6 +257,27 @@ class BenchParseSpec extends AnyFunSuite {
     assert(Bench.parseSignatures("""{"sf":"sf0.1"}""")._2.isEmpty)
   }
 
+  test("committed signatures.json is well-formed: 106 queries, sane bands") {
+    // guards regeneration: a malformed or truncated signatures.json
+    // would silently disable the excursion protocol (parse failures
+    // degrade to an empty map by design) — pin the committed artifact
+    val path = java.nio.file.Paths.get("signatures.json")
+    assume(java.nio.file.Files.exists(path)) // worktrees without it skip
+    val (sf, sigs) = Bench.parseSignatures(
+      new String(java.nio.file.Files.readAllBytes(path), "UTF-8"))
+    assert(sf == "sf0.1")
+    assert(sigs.size == 106)
+    sigs.foreach { case (name, s) =>
+      assert(s.stages > 0, s"$name: stages must be positive")
+      assert(s.wallLo > 0 && s.wallHi >= s.wallLo, s"$name: wall band")
+      assert(s.selfLo >= 0 && s.selfHi >= s.selfLo, s"$name: self band")
+      // the robust cap: no clean-band hi may exceed 10 s (q84, the
+      // slowest query, sits at ~7.2; anything above means an excursion
+      // leaked into the band source)
+      assert(s.wallHi < 10.0, s"$name: hi ${s.wallHi} suspiciously wide")
+    }
+  }
+
   test("session verdict: each arm independently sufficient, validated set") {
     def v(cont: Int = 0, sig: Int = 0, dirty: Int = 0, foreign: Long = 0L,
           cal: Double = 80.0, end: Double = 80.0) =
