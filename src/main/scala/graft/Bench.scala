@@ -877,6 +877,12 @@ object Bench {
       case r if r.hostMs >= 0 && r.selfMs >= 0 && r.hostMs > r.selfMs =>
         r.hostMs - r.selfMs
     }.sum
+    // steal is INSIDE host-busy, so suite-summed steal next to foreign
+    // splits the cause at a glance: foreign ≈ steal means the
+    // hypervisor ran someone else (no guest process involved — ps
+    // shows nothing); foreign >> steal means a neighbor process
+    val stealCpuMs = results.iterator.flatMap(_._2._2.runs)
+      .map(_.stealMs).filter(_ > 0).sum
     val (verdict, verdictReasons) = sessionVerdict(contaminatedQs.size,
       sigExcursedQs.size, dirtyQueryN, foreignCpuMs, calSpinMs, endSpinMs)
     val sigExcJson = if (sigExcursedQs.isEmpty) ""
@@ -884,6 +890,7 @@ object Bench {
         .mkString(""","sig_excursions":[""", ",", "]")
     val verdictJson =
       s""","session_verdict":"$verdict","foreign_cpu_ms":$foreignCpuMs""" +
+      s""","steal_cpu_ms":$stealCpuMs""" +
       (if (verdictReasons.isEmpty) ""
        else verdictReasons.map("\"" + _ + "\"")
          .mkString(""","verdict_reasons":[""", ",", "]"))

@@ -52,6 +52,8 @@ def analyze(rec, sig):
         for d in diag.values()
         for h, s in zip(d["host_ms"], d["self_ms"])
         if h >= 0 and s >= 0)
+    steal_ms = sum(v for d in diag.values()
+                   for v in d.get("steal_ms", []) if v > 0)
     cont = len(rec.get("contaminated", []))
     disturbed = (len(flags) >= 2 or cont >= 3 or dirty_q >= 3
                  or foreign_ms > 20000)
@@ -59,7 +61,7 @@ def analyze(rec, sig):
     if cal.get("spin_ms", 0) > 0 and \
             cal.get("end_spin_ms", 0) > 2 * cal["spin_ms"]:
         disturbed = True
-    return flags, cont, dirty_q, foreign_ms, \
+    return flags, cont, dirty_q, foreign_ms, steal_ms, \
         "disturbed" if disturbed else "clean"
 
 
@@ -71,10 +73,11 @@ def main():
     full = [r for r in recs
             if not r.get("partial") and len(r.get("queries", {})) == 106]
     for r in full:
-        flags, cont, dirty_q, foreign_ms, verdict = analyze(r, sig)
+        flags, cont, dirty_q, foreign_ms, steal_ms, verdict = analyze(r, sig)
         fl = " ".join(f"{q.split('_')[0]}:{m}s/b{hi}" for q, m, hi in flags)
         print(f"{r['ts'][:19]} total={r['value']:6.1f} cont={cont} "
               f"dirtyq={dirty_q} foreign={foreign_ms/1000:5.1f}s "
+              f"steal={steal_ms/1000:5.1f}s "
               f"sig={len(flags)} {verdict:9s} {fl}")
 
 
