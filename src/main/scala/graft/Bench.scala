@@ -894,20 +894,23 @@ object Bench {
       (if (verdictReasons.isEmpty) ""
        else verdictReasons.map("\"" + _ + "\"")
          .mkString(""","verdict_reasons":[""", ",", "]"))
-    // stdout variant: qNN prefixes, capped at 24 names + a total count —
+    // stdout variant: qNN prefixes, capped at 12 names + a total count —
     // a heavily disturbed session could otherwise push the stdout line
     // past the harness's bounded tail and null the whole parsed record
-    // (the r10 truncation class). The file record keeps full names.
+    // (the r10 truncation class). With TWO capped lists (contaminated +
+    // sig_excursions) the measured worst case at 24 was 1.9 KB against
+    // a ~2.0 KB tail — 12 each keeps ~250 chars of headroom for sbt's
+    // trailing [success] line. The file record keeps full names.
     val contJsonStdout = if (contaminatedQs.isEmpty) ""
       else {
         val pfx = contaminatedQs.map(n => "\"" + n.split('_')(0) + "\"")
-        pfx.take(24).mkString(""","contaminated":[""", ",", "]") +
+        pfx.take(12).mkString(""","contaminated":[""", ",", "]") +
           s""","contaminated_n":${pfx.size}"""
       }
     val sigExcStdout = if (sigExcursedQs.isEmpty) ""
       else {
         val pfx = sigExcursedQs.map(n => "\"" + n.split('_')(0) + "\"")
-        pfx.take(24).mkString(""","sig_excursions":[""", ",", "]") +
+        pfx.take(12).mkString(""","sig_excursions":[""", ",", "]") +
           s""","sig_excursions_n":${pfx.size}"""
       }
     val ts = java.time.Instant.now().toString
