@@ -344,10 +344,25 @@ object Bench {
     * clamps, hypervisor starvation) burns no foreign CPU, but the
     * ~80 ms wall-timed spin immediately before the run reads slow.
     * A failed calibration (≤ 0) disables the probe arm. */
-  private[graft] def runDirty(hostMs: Long, selfMs: Long,
+  private[graft] def runDirty(hostMs: Long, selfMs: Long, stealMs: Long,
                               preSpinMs: Double, calSpinMs: Double): Boolean =
     runDisturbed(hostMs, selfMs) ||
-      (calSpinMs > 0 && preSpinMs > 2.0 * calSpinMs)
+      (calSpinMs > 0 && preSpinMs > 2.0 * calSpinMs) ||
+      stealDirty(stealMs, selfMs)
+
+  /** Fourth dirtiness arm, and the only CAUSAL one: hypervisor steal
+    * during exactly this run. Steal is never the engine's doing, and
+    * low-grade episodes (1–3 s/run on a heavy query) inflate walls
+    * below both the host−self thresholds (steal ⊂ host busy, but the
+    * relative arm needs > self/4) and the wall-outlier bar. Threshold
+    * > max(1 s, self/10): the absolute arm covers light queries, the
+    * relative arm keeps a 25 s-CPU q84 from flagging on benign
+    * sub-10% steal. Validated on every round-17 record: zero hits in
+    * the calm closes (per-run steal ≤ 0.55 s), names a 6.25 s-steal
+    * q84 run that every other arm passed, and fires throughout the
+    * steal-episode sessions. Unmeasured steal (-1) never flags. */
+  private[graft] def stealDirty(stealMs: Long, selfMs: Long): Boolean =
+    stealMs > math.max(1000L, math.max(0L, selfMs) / 10)
 
   /** Third dirtiness arm: intra-window wall outlier. The probe arm
     * samples INSTANTS — a burst confined entirely inside one run's
@@ -736,7 +751,7 @@ object Bench {
       val baseMin = base.map(_.wall).min
       val perRun =
         if (!contaminated &&
-            base.exists(r => runDirty(r.hostMs, r.selfMs,
+            base.exists(r => runDirty(r.hostMs, r.selfMs, r.stealMs,
               r.preSpinMs, calSpinMs) || runOutlier(r.wall, baseMin)))
           base ++ Seq(timedRun(spinProbeMs), timedRun(spinProbeMs))
         else base
@@ -828,7 +843,7 @@ object Bench {
           // or intra-window wall outlier
           val mn = d.runs.map(_.wall).min
           d.runs.zipWithIndex.collect {
-            case (r, i) if runDirty(r.hostMs, r.selfMs,
+            case (r, i) if runDirty(r.hostMs, r.selfMs, r.stealMs,
               r.preSpinMs, calSpinMs) || runOutlier(r.wall, mn) => i
           }.mkString("[", ",", "]")}" +
         d.sig.map(s =>
@@ -870,7 +885,7 @@ object Bench {
     }.toSeq.sorted
     val dirtyQueryN = results.count { case (_, (_, d)) =>
       val mn = d.runs.map(_.wall).min
-      d.runs.exists(r => runDirty(r.hostMs, r.selfMs,
+      d.runs.exists(r => runDirty(r.hostMs, r.selfMs, r.stealMs,
         r.preSpinMs, calSpinMs) || runOutlier(r.wall, mn))
     }
     val foreignCpuMs = results.iterator.flatMap(_._2._2.runs).collect {

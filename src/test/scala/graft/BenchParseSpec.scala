@@ -173,22 +173,40 @@ class BenchParseSpec extends AnyFunSuite {
     assert(Bench.selfCgroupCpuStatPaths("4:cpu,cpuacct:/\n").isEmpty)
   }
 
-  test("run-dirty: foreign-CPU arm OR inter-run probe arm") {
+  test("run-dirty: foreign-CPU, inter-run probe, or steal arm") {
     val cal = 80.0
-    // clean run: host == self, probe at calibration
-    assert(!Bench.runDirty(5000, 5000, 80.0, cal))
+    // clean run: host == self, probe at calibration, no steal
+    assert(!Bench.runDirty(5000, 5000, 0, 80.0, cal))
     // foreign CPU mid-run (the round-16 arm, unchanged)
-    assert(Bench.runDirty(20000, 5000, 80.0, cal))
+    assert(Bench.runDirty(20000, 5000, 0, 80.0, cal))
     // the q49/q09 class: host ≈ self but the pre-run probe reads slow
     // (SIGSTOP storm, clock clamp, hypervisor starvation) — the
     // round-16 record had NO arm for this
-    assert(Bench.runDirty(5000, 5000, 170.0, cal))
+    assert(Bench.runDirty(5000, 5000, 0, 170.0, cal))
     // 2x is the bar, just under stays clean (q49's real 1.2-1.4x
     // probes were sub-threshold and stay so — the SIGNATURE diff
     // catches that class; the probe arm catches the blatant ones)
-    assert(!Bench.runDirty(5000, 5000, 159.0, cal))
+    assert(!Bench.runDirty(5000, 5000, 0, 159.0, cal))
     // failed calibration disables the probe arm, never flags
-    assert(!Bench.runDirty(5000, 5000, 500.0, -1.0))
+    assert(!Bench.runDirty(5000, 5000, 0, 500.0, -1.0))
+    // steal arm rides along in runDirty
+    assert(Bench.runDirty(5000, 5000, 1500, 80.0, cal))
+  }
+
+  test("steal-dirty: > max(1s, self/10); unmeasured never flags") {
+    // the close2 case every other arm passed: q84 run 0 with 6.25 s
+    // steal on 24.06 s self-CPU (26% of the window stolen)
+    assert(Bench.stealDirty(6250, 24060))
+    // benign sub-10% steal on a heavy query: q84 at 2.4 s/24 s stays
+    // clean (the relative arm's whole point)
+    assert(!Bench.stealDirty(2400, 24060))
+    // light query, real episode: 1.5 s steal on 2 s self
+    assert(Bench.stealDirty(1500, 1960))
+    // calm-close ceiling: 0.55 s max per-run steal never flags
+    assert(!Bench.stealDirty(550, 500))
+    // unmeasured steal (-1) and unmeasured self handled
+    assert(!Bench.stealDirty(-1, 5000))
+    assert(Bench.stealDirty(1200, -1)) // absolute arm alone
   }
 
   test("run outlier: wall vs own window's min, min(2.5x, +2s)") {

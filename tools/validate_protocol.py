@@ -42,6 +42,9 @@ def analyze(rec, sig):
         if any(h >= 0 and s >= 0 and (h - s) > max(2000, s / 4)
                for h, s in zip(d["host_ms"], d["self_ms"])):
             return True
+        if any(st > max(1000, max(0, se) / 10)  # steal arm
+               for st, se in zip(d.get("steal_ms", []), d["self_ms"])):
+            return True
         mn = min(d["raw"])  # intra-window wall-outlier arm
         return mn > 0 and any(w > min(2.5 * mn, mn + 2.0)
                               for w in d["raw"])
