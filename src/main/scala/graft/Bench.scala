@@ -350,6 +350,71 @@ object Bench {
       (calSpinMs > 0 && preSpinMs > 2.0 * calSpinMs) ||
       stealDirty(stealMs, selfMs)
 
+  /** Cause labels for ONE run — turns a `dirty_runs` index into a
+    * NAMED classification (round-18 directive #2: the r17 graded
+    * record's q47/q56/q58 excursions ran with probes 5-10× cal while
+    * steal and foreign CPU were both ≈ 0 — "disturbed, cause
+    * unlabeled"). Labels, any subset, in arm order:
+    *  - "foreign": another guest process burned CPU during the run
+    *    (host − self, the round-16 arm)
+    *  - "steal": the hypervisor ran someone else (direct counter)
+    *  - "clock" | "stall" | "probe": the pre-run spin probe read
+    *    > 2× calibration, with the probe thread's OWN CPU time
+    *    splitting the cause — this host exports no cpufreq/thermal
+    *    state, so the fixed-iteration probe is the only in-band clock
+    *    witness. CPU ≈ wall (> 0.7×) means the thread HELD its core
+    *    and still ran slow: the cycles themselves degraded (frequency
+    *    clamp, SMT contention, thermal) — per /proc the guest
+    *    computed, slowly, which is exactly the no-steal q47 class
+    *    (self-CPU inflated WITH the wall). CPU ≪ wall means the
+    *    thread was runnable but not running: SIGSTOP storms and
+    *    scheduler starvation the steal counter misses. "probe" when
+    *    thread-CPU is unmeasured (old JVMs).
+    *  - "outlier": the wall is an outlier against its own window
+    *    (burst confined inside the run, probes clean)
+    * Empty for a clean run. Labels are DESCRIPTIVE only — dirtiness
+    * itself is still decided by [[runDirty]]/[[runOutlier]]. */
+  private[graft] def runCauses(hostMs: Long, selfMs: Long, stealMs: Long,
+                               preSpinMs: Double, preSpinCpuMs: Double,
+                               calSpinMs: Double,
+                               wall: Double, minWall: Double): Seq[String] = {
+    val b = Seq.newBuilder[String]
+    if (runDisturbed(hostMs, selfMs)) b += "foreign"
+    if (stealDirty(stealMs, selfMs)) b += "steal"
+    if (calSpinMs > 0 && preSpinMs > 2.0 * calSpinMs)
+      b += (if (preSpinCpuMs < 0) "probe"
+            else if (preSpinCpuMs > 0.7 * preSpinMs) "clock"
+            else "stall")
+    if (runOutlier(wall, minWall)) b += "outlier"
+    b.result()
+  }
+
+  /** Calm-window predicate for the suite-end retry pass: the probe
+    * spin reads near calibration (≤ 1.5× — tighter than the 2× dirty
+    * bar, because a retry should START from better weather than the
+    * window it repairs) and the steal delta across the poll is ≤ 50 ms
+    * (clean closes measured ≤ 10 ms per ~quarter-second poll; episodic
+    * storms read hundreds). Unmeasured counters (≤ 0 cal, -1 steal)
+    * disable their arm rather than block retries on hosts without
+    * them. */
+  private[graft] def calmWindow(spinMs: Double, calSpinMs: Double,
+                                stealDeltaMs: Long): Boolean =
+    (calSpinMs <= 0 || spinMs <= 1.5 * calSpinMs) &&
+      (stealDeltaMs < 0 || stealDeltaMs <= 50)
+
+  /** Retry acceptance (round-18 directive #1): a flagged query's
+    * suite-end re-time REPLACES its median only when the retry window
+    * is beyond suspicion — zero dirty runs (any arm), stage identity
+    * holds (same plan; a stage drift means the retry measured
+    * something else), and the retry median IMPROVES (a flagged query
+    * is flagged SLOW; a slower "clean" retry means the weather
+    * followed us, and the original — already named dirty — stands).
+    * Both windows stay in the record either way: the retry repairs
+    * the graded total, never the evidence. */
+  private[graft] def retryAccept(origMedian: Double, retryMedian: Double,
+                                 retryDirtyN: Int, stagesOk: Boolean): Boolean =
+    retryDirtyN == 0 && stagesOk && retryMedian < origMedian
+
   /** Fourth dirtiness arm, and the only CAUSAL one: hypervisor steal
     * during exactly this run. Steal is never the engine's doing, and
     * low-grade episodes (1–3 s/run on a heavy query) inflate walls
@@ -608,10 +673,25 @@ object Bench {
       finally ch.close()
       (System.nanoTime() - t0) / 1e6
     }
-    def spinProbeMs: Double = {
+    // spin probe with the probe THREAD's own CPU time alongside the
+    // wall (clock_gettime(CLOCK_THREAD_CPUTIME_ID) via ThreadMXBean) —
+    // the round-18 clock witness: this host exports no cpufreq, so
+    // wall-vs-thread-CPU on fixed register work is the only in-band way
+    // to split "the core computed slower" (cpu ≈ wall, both inflated)
+    // from "the thread didn't run" (cpu ≪ wall: SIGSTOP/starvation)
+    val threadMx = java.lang.management.ManagementFactory.getThreadMXBean
+    val threadCpuOk =
+      try threadMx.isCurrentThreadCpuTimeSupported
+      catch { case _: Throwable => false }
+    def spinProbe2(): (Double, Double) = {
+      val c0 = if (threadCpuOk) threadMx.getCurrentThreadCpuTime else -1L
       val t0 = System.nanoTime(); blackhole ^= spin(calIters)
-      (System.nanoTime() - t0) / 1e6
+      val wall = (System.nanoTime() - t0) / 1e6
+      val cpu =
+        if (c0 >= 0) (threadMx.getCurrentThreadCpuTime - c0) / 1e6 else -1.0
+      (wall, cpu)
     }
+    def spinProbeMs: Double = spinProbe2()._1
     // ALL-CORE spin probe: the same fixed spin work on every core
     // simultaneously, wall = until the LAST thread finishes. Pure
     // register work — no memory, no syscalls — so its only variables
@@ -680,6 +760,55 @@ object Bench {
     val sigApplies = sigSf.nonEmpty &&
       sfDir.stripSuffix("/").endsWith(sigSf) && only.isEmpty
 
+    // one timed run of `fn` with every attribution counter snapped
+    // around it — shared by the per-query windows and the suite-end
+    // retry pass (the retry must measure EXACTLY what the original
+    // window measured or the comparison is meaningless)
+    def timedRun(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+                (preSpin: Double, preSpinCpu: Double): RunRec = {
+      val s0 = metrics.stages.get()
+      val a = snapNow()
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val wall = (System.nanoTime() - t0) / 1e9
+      val b = snapNow()
+      drain() // stage events are async; settle before the stage snapshot
+      RunRec(wall, metrics.stages.get() - s0,
+        hostMs = dd(a.hostMs, b.hostMs),
+        selfMs = dd(a.self.utimeMs + a.self.stimeMs,
+          b.self.utimeMs + b.self.stimeMs),
+        utimeMs = dd(a.self.utimeMs, b.self.utimeMs),
+        stimeMs = dd(a.self.stimeMs, b.self.stimeMs),
+        minflt = dd(a.self.minflt, b.self.minflt),
+        majflt = dd(a.self.majflt, b.self.majflt),
+        thrN = dd(a.thrN, b.thrN), thrMs = dd(a.thrMs, b.thrMs),
+        psiCpuMs = dd(a.psiCpuMs, b.psiCpuMs),
+        psiMemMs = dd(a.psiMemMs, b.psiMemMs),
+        psiIoMs = dd(a.psiIoMs, b.psiIoMs),
+        jitMs = dd(a.jitMs, b.jitMs),
+        vctx = dd(a.vctx, b.vctx), ivctx = dd(a.ivctx, b.ivctx),
+        thpFault = dd(a.thpFault, b.thpFault),
+        thpCollapse = dd(a.thpCollapse, b.thpCollapse),
+        rqDelayMs = dd(a.rqDelayMs, b.rqDelayMs),
+        tlb = dd(a.tlb, b.tlb), sysc = dd(a.sysc, b.sysc),
+        stealMs = dd(a.stealMs, b.stealMs),
+        preSpinMs = preSpin, preSpinCpuMs = preSpinCpu)
+    }
+    // a timed run preceded by its own fresh ~80 ms spin probe
+    def probedRun(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : RunRec = {
+      val (w, c) = spinProbe2(); timedRun(fn)(w, c)
+    }
+    // per-query dirty-run indices (all arms) — used for the diag
+    // record, the session verdict, and retry flagging
+    def dirtyIdx(rs: Seq[RunRec]): Seq[Int] = {
+      val mn = rs.map(_.wall).min
+      rs.zipWithIndex.collect {
+        case (r, i) if runDirty(r.hostMs, r.selfMs, r.stealMs,
+          r.preSpinMs, calSpinMs) || runOutlier(r.wall, mn) => i
+      }
+    }
+
     val results = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
@@ -689,7 +818,7 @@ object Bench {
       // host probes OUTSIDE the timed window: they sample conditions
       // immediately before the runs without perturbing them
       val load1 = loadAvg1
-      val probeSpin = spinProbeMs
+      val (probeSpin, probeSpinCpu) = spinProbe2()
       val probeDisk = diskProbeMs
       val probeFault = faultProbeMs
       val probeSpinAll = spinAllProbeMs
@@ -707,53 +836,22 @@ object Bench {
       val contaminated = probeContaminated(probeSpin, calSpinMs,
         probeFault, calFaults.min)
       val nRuns = if (contaminated) runs + 2 else runs
-      def timedRun(preSpin: Double): RunRec = {
-        val s0 = metrics.stages.get()
-        val a = snapNow()
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-        val wall = (System.nanoTime() - t0) / 1e9
-        val b = snapNow()
-        drain() // stage events are async; settle before the stage snapshot
-        RunRec(wall, metrics.stages.get() - s0,
-          hostMs = dd(a.hostMs, b.hostMs),
-          selfMs = dd(a.self.utimeMs + a.self.stimeMs,
-            b.self.utimeMs + b.self.stimeMs),
-          utimeMs = dd(a.self.utimeMs, b.self.utimeMs),
-          stimeMs = dd(a.self.stimeMs, b.self.stimeMs),
-          minflt = dd(a.self.minflt, b.self.minflt),
-          majflt = dd(a.self.majflt, b.self.majflt),
-          thrN = dd(a.thrN, b.thrN), thrMs = dd(a.thrMs, b.thrMs),
-          psiCpuMs = dd(a.psiCpuMs, b.psiCpuMs),
-          psiMemMs = dd(a.psiMemMs, b.psiMemMs),
-          psiIoMs = dd(a.psiIoMs, b.psiIoMs),
-          jitMs = dd(a.jitMs, b.jitMs),
-          vctx = dd(a.vctx, b.vctx), ivctx = dd(a.ivctx, b.ivctx),
-          thpFault = dd(a.thpFault, b.thpFault),
-          thpCollapse = dd(a.thpCollapse, b.thpCollapse),
-          rqDelayMs = dd(a.rqDelayMs, b.rqDelayMs),
-          tlb = dd(a.tlb, b.tlb), sysc = dd(a.sysc, b.sysc),
-          stealMs = dd(a.stealMs, b.stealMs),
-          preSpinMs = preSpin)
-      }
       // run 0 reuses the gate's pre-query spin; every later run gets a
       // FRESH ~80 ms spin probe immediately before its timed start —
       // the round-16 gate probed only before run 1, so a disturbance
       // arriving mid-window with host ≈ self (the q49/q09 class) left
       // no trace. Probes sit OUTSIDE the timed windows.
       val base = (0 until nRuns).map { i =>
-        timedRun(if (i == 0) probeSpin else spinProbeMs)
+        if (i == 0) timedRun(fn)(probeSpin, probeSpinCpu)
+        else probedRun(fn)
       }
       // mid-window dirtiness (any arm, incl. intra-window wall
       // outliers) extends the window by two runs, mirroring the
       // pre-gate's median-of-5-on-flag: an episodic mid-window
       // disturbance must not own the median
-      val baseMin = base.map(_.wall).min
       val perRun =
-        if (!contaminated &&
-            base.exists(r => runDirty(r.hostMs, r.selfMs, r.stealMs,
-              r.preSpinMs, calSpinMs) || runOutlier(r.wall, baseMin)))
-          base ++ Seq(timedRun(spinProbeMs), timedRun(spinProbeMs))
+        if (!contaminated && dirtyIdx(base).nonEmpty)
+          base ++ Seq(probedRun(fn), probedRun(fn))
         else base
       val q1 = metrics.snapshot()
       val diag = BenchDiag(
@@ -787,6 +885,63 @@ object Bench {
       name -> (medWall, diag.copy(sig = sig, sigStagesOk = stagesOk,
         sigExcursion = excursed))
     }
+    // ---- suite-end retry pass (round-18 directive #1) ----
+    // A query whose window ended with a dirty-run MAJORITY or a
+    // signature excursion has a median OWNED by disturbance (q47 in
+    // the r17 graded record: all five runs dirty, median 5.62 s vs a
+    // [0.565, 0.759] band) — the r17 protocol could name the phantom
+    // but not remove it. Steal episodes pass on minute timescales
+    // (BENCH_NOTES steal-weather timeline), so each flagged query gets
+    // ONE re-time at suite end, gated on a polled calm window
+    // ([[calmWindow]]: probe ≤ 1.5× cal, steal delta ≤ 50 ms) and
+    // accepted only by [[retryAccept]] (zero dirty runs, stage
+    // identity, median improves). An accepted retry replaces the
+    // query's GRADED median; both windows stay in the record. Capped
+    // (wall-cost bound on fully-stormed sessions), biggest medians
+    // first — those carry the largest phantoms.
+    val retryMax = sys.env.getOrElse("SPARK_GRAFT_RETRY_MAX", "12").toInt
+    val flagged = results.toSeq.collect {
+      case (name, (med, d))
+        if d.sigExcursion || 2 * dirtyIdx(d.runs).size > d.runs.size =>
+        (name, med)
+    }.sortBy(-_._2).take(math.max(0, retryMax))
+    val retried: Map[String, RetryRec] = flagged.map { case (name, med) =>
+      // calm poll: up to 5 attempts 2 s apart (≤ ~11 s/query). The
+      // retry proceeds even if calm never arrives — acceptance is what
+      // gates the median swap, and a dirty retry simply self-rejects.
+      var polls = 0
+      var calm = false
+      while (!calm && polls < 5) {
+        if (polls > 0) Thread.sleep(2000)
+        polls += 1
+        val st0 = hostStatSnap._2
+        val (w, _) = spinProbe2()
+        calm = calmWindow(w, calSpinMs, dd(st0, hostStatSnap._2))
+      }
+      val fn = SparkEntry.queries(name)
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () } // re-warm
+      System.gc()
+      drain()
+      val rruns = (0 until runs).map(_ => probedRun(fn))
+      val sig = if (sigApplies) sigTable.get(name) else None
+      // stage identity: against the signature when one applies;
+      // otherwise internal consistency (all retry runs ran one plan)
+      val stagesOk = sig match {
+        case Some(s) if s.stages > 0 => rruns.forall(_.stages == s.stages)
+        case _ => rruns.map(_.stages).distinct.size == 1
+      }
+      val rsorted = rruns.map(_.wall).sorted
+      val rmed = rsorted(rsorted.length / 2)
+      val accepted = retryAccept(med, rmed, dirtyIdx(rruns).size, stagesOk)
+      name -> RetryRec(rruns, accepted, med, polls, stagesOk)
+    }.toMap
+    // the graded per-query medians, post-repair
+    def finalMedian(name: String, orig: Double): Double =
+      retried.get(name) match {
+        case Some(rr) if rr.accepted =>
+          val s = rr.runs.map(_.wall).sorted; s(s.length / 2)
+        case _ => orig
+      }
     // end-of-suite re-calibration: the same spin/fault probes that
     // opened the suite close it — drift between the pair is the "the
     // machine degraded under us" witness no per-query probe aggregates
@@ -804,7 +959,7 @@ object Bench {
     }
     def fmt(v: Double): String = BigDecimal(v)
       .setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val medians = results.map { case (k, (med, _)) => k -> med }
+    val medians = results.map { case (k, (med, _)) => k -> finalMedian(k, med) }
     val total = if (medians.nonEmpty) medians.values.sum else 0.0
     // a targeted SPARK_GRAFT_BENCH_ONLY re-measurement must be
     // distinguishable from (and never mistaken for) a full-board result
@@ -838,14 +993,37 @@ object Bench {
         s",\"sysc\":${larr(_.sysc)}" +
         s",\"steal_ms\":${larr(_.stealMs)}" +
         s",\"probe_spin_run_ms\":" + arr[Double](d.runs.map(_.preSpinMs), fmt) +
+        s",\"probe_spin_cpu_run_ms\":" +
+          arr[Double](d.runs.map(_.preSpinCpuMs), fmt) +
         s",\"contaminated\":${d.contaminated}" +
-        s",\"dirty_runs\":${ // any arm: foreign CPU, slow pre-probe,
-          // or intra-window wall outlier
+        // any arm: foreign CPU, slow pre-probe, steal, or intra-window
+        // wall outlier — with each dirty run's CAUSE named alongside
+        s",\"dirty_runs\":${dirtyIdx(d.runs).mkString("[", ",", "]")}" +
+        s",\"dirty_causes\":${
           val mn = d.runs.map(_.wall).min
-          d.runs.zipWithIndex.collect {
-            case (r, i) if runDirty(r.hostMs, r.selfMs, r.stealMs,
-              r.preSpinMs, calSpinMs) || runOutlier(r.wall, mn) => i
-          }.mkString("[", ",", "]")}" +
+          d.runs.map(r => runCauses(r.hostMs, r.selfMs, r.stealMs,
+            r.preSpinMs, r.preSpinCpuMs, calSpinMs, r.wall, mn)
+            .map("\"" + _ + "\"").mkString("[", ",", "]"))
+            .mkString("[", ",", "]")}" +
+        retried.get(k).map { rr =>
+          val rmed = { val s = rr.runs.map(_.wall).sorted; s(s.length / 2) }
+          s",\"retried\":true,\"retry_accepted\":${rr.accepted}" +
+          s",\"median_pre_retry\":${fmt(rr.origMedian)}" +
+          s",\"retry_median\":${fmt(rmed)}" +
+          s",\"retry_raw\":" + arr[Double](rr.runs.map(_.wall), fmt) +
+          s",\"retry_stages\":" + arr[Long](rr.runs.map(_.stages), _.toString) +
+          s",\"retry_probe_ms\":" +
+            arr[Double](rr.runs.map(_.preSpinMs), fmt) +
+          s",\"retry_probe_cpu_ms\":" +
+            arr[Double](rr.runs.map(_.preSpinCpuMs), fmt) +
+          s",\"retry_steal_ms\":" + arr[Long](rr.runs.map(_.stealMs), _.toString) +
+          s",\"retry_dirty\":${dirtyIdx(rr.runs).mkString("[", ",", "]")}" +
+          s",\"retry_stages_ok\":${rr.stagesOk}" +
+          s",\"retry_calm_polls\":${rr.calmPolls}" +
+          d.sig.map(s =>
+            s",\"retry_sig_ok\":${!sigExcursion(rmed, s.wallHi, rr.stagesOk)}")
+            .getOrElse("")
+        }.getOrElse("") +
         d.sig.map(s =>
           s",\"sig_wall\":[${fmt(s.wallLo)},${fmt(s.wallHi)}]" +
           s",\"sig_self_ms\":[${s.selfLo},${s.selfHi}]" +
@@ -884,9 +1062,7 @@ object Bench {
       case (k, (_, d)) if d.sigExcursion => k
     }.toSeq.sorted
     val dirtyQueryN = results.count { case (_, (_, d)) =>
-      val mn = d.runs.map(_.wall).min
-      d.runs.exists(r => runDirty(r.hostMs, r.selfMs, r.stealMs,
-        r.preSpinMs, calSpinMs) || runOutlier(r.wall, mn))
+      dirtyIdx(d.runs).nonEmpty
     }
     val foreignCpuMs = results.iterator.flatMap(_._2._2.runs).collect {
       case r if r.hostMs >= 0 && r.selfMs >= 0 && r.hostMs > r.selfMs =>
@@ -896,8 +1072,13 @@ object Bench {
     // splits the cause at a glance: foreign ≈ steal means the
     // hypervisor ran someone else (no guest process involved — ps
     // shows nothing); foreign >> steal means a neighbor process
-    val stealCpuMs = results.iterator.flatMap(_._2._2.runs)
-      .map(_.stealMs).filter(_ > 0).sum
+    // -1 (unmeasured: the host exposes no steal column) must stay
+    // distinguishable from a measured zero, matching every other
+    // counter's convention
+    val stealCpuMs = {
+      val vs = results.iterator.flatMap(_._2._2.runs).map(_.stealMs).toSeq
+      if (vs.nonEmpty && vs.forall(_ < 0)) -1L else vs.filter(_ > 0).sum
+    }
     val (verdict, verdictReasons) = sessionVerdict(contaminatedQs.size,
       sigExcursedQs.size, dirtyQueryN, foreignCpuMs, calSpinMs, endSpinMs)
     val sigExcJson = if (sigExcursedQs.isEmpty) ""
@@ -909,6 +1090,24 @@ object Bench {
       (if (verdictReasons.isEmpty) ""
        else verdictReasons.map("\"" + _ + "\"")
          .mkString(""","verdict_reasons":[""", ",", "]"))
+    // retry summary: which flagged medians were repaired, and by how
+    // much — the graded total already reflects accepted retries, this
+    // block is the audit trail (full record only; per-query windows
+    // are in the diag)
+    val retryJson = if (retried.isEmpty) ""
+      else {
+        val acc = retried.collect { case (k, rr) if rr.accepted => k }
+          .toSeq.sorted
+        val repaired = retried.values.collect {
+          case rr if rr.accepted =>
+            val s = rr.runs.map(_.wall).sorted
+            rr.origMedian - s(s.length / 2)
+        }.sum
+        s""","retries":{"flagged":${retried.keys.toSeq.sorted
+            .map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""accepted":${acc.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""repaired_s":${fmt(repaired)}}"""
+      }
     // stdout variant: qNN prefixes, capped at 12 names + a total count —
     // a heavily disturbed session could otherwise push the stdout line
     // past the harness's bounded tail and null the whole parsed record
@@ -938,7 +1137,7 @@ object Bench {
     // record now also survives in the history file, timestamped.
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_latest.json")
     val full = line(medians.toMap,
-      s""","ts":"$ts"$contJson$sigExcJson$verdictJson$calJson,"diag":$diagJson""") + "\n"
+      s""","ts":"$ts"$contJson$sigExcJson$verdictJson$retryJson$calJson,"diag":$diagJson""") + "\n"
     try java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       full.getBytes("UTF-8"))
     catch { case e: Throwable =>
@@ -958,8 +1157,11 @@ object Bench {
     val stdoutQs = if (compact.size == medians.size) compact else medians.toMap
     spark.stop()
     // the bench record is the FINAL stdout line (after Spark shutdown)
+    val retryStdout = if (retried.isEmpty) ""
+      else s""","retries_n":${retried.size},"retries_ok":${
+        retried.values.count(_.accepted)}"""
     println(line(stdoutQs,
-      s""","suite_jvm_gc_ms":$suiteGc$contJsonStdout$sigExcStdout""" +
+      s""","suite_jvm_gc_ms":$suiteGc$contJsonStdout$sigExcStdout$retryStdout""" +
       s""","session_verdict":"$verdict","diag_file":"$outFile""""))
   }
 }
@@ -992,7 +1194,8 @@ final case class RunRec(wall: Double, stages: Long,
                         vctx: Long, ivctx: Long,
                         thpFault: Long, thpCollapse: Long,
                         rqDelayMs: Long, tlb: Long, sysc: Long,
-                        stealMs: Long, preSpinMs: Double)
+                        stealMs: Long, preSpinMs: Double,
+                        preSpinCpuMs: Double)
 
 /** Per-query diagnostic tuple for the bench record. Per-run records are
   * in RUN ORDER; scalar counters are deltas across the whole timed
@@ -1008,6 +1211,14 @@ final case class BenchDiag(runs: Seq[RunRec],
                            load1: Double, contaminated: Boolean,
                            sig: Option[Bench.QuerySig],
                            sigStagesOk: Boolean, sigExcursion: Boolean)
+
+/** One flagged query's suite-end retry window (round-18): the re-timed
+  * runs, whether [[Bench.retryAccept]] admitted the new median, the
+  * original (disturbed) median it would replace, how many calm polls
+  * the gate took, and whether stage identity held. */
+final case class RetryRec(runs: Seq[RunRec], accepted: Boolean,
+                          origMedian: Double, calmPolls: Int,
+                          stagesOk: Boolean)
 
 /** Immutable counter snapshot — [[Bench]] subtracts two of these to get
   * a query window's deltas. */

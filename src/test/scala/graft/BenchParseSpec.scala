@@ -296,6 +296,66 @@ class BenchParseSpec extends AnyFunSuite {
     }
   }
 
+  test("run causes: each dirty arm named; clock/stall split by probe CPU") {
+    def c(host: Long = 5000, self: Long = 5000, steal: Long = 0,
+          preSpin: Double = 80.0, preSpinCpu: Double = 80.0,
+          cal: Double = 80.0, wall: Double = 1.0, minWall: Double = 1.0) =
+      Bench.runCauses(host, self, steal, preSpin, preSpinCpu, cal, wall, minWall)
+    // clean run: no labels
+    assert(c() == Seq.empty)
+    // q47 run 0 in the r17 graded record: probe 465.7 ms vs 75.3 cal,
+    // steal 0, host ≈ self (14300/14450) — the "disturbed, cause
+    // unlabeled" class. With probe thread-CPU ≈ wall the core HELD its
+    // CPU and still ran slow: "clock" (frequency/SMT/thermal — the
+    // guest computed, slowly; self-CPU inflated WITH the wall)
+    assert(c(host = 14300, self = 14450, preSpin = 465.7,
+      preSpinCpu = 450.0, cal = 75.3) == Seq("clock"))
+    // same probe wall but thread-CPU ≪ wall: the thread was runnable
+    // and not running — SIGSTOP storm / starvation the steal counter
+    // misses (the bench_r17_stopstorm class)
+    assert(c(preSpin = 465.7, preSpinCpu = 90.0, cal = 75.3) ==
+      Seq("stall"))
+    // thread-CPU unmeasured (old JVM): generic "probe"
+    assert(c(preSpin = 465.7, preSpinCpu = -1.0, cal = 75.3) ==
+      Seq("probe"))
+    // steal + foreign both name themselves (q47 run 3: steal 1330 ms)
+    assert(c(steal = 1330, self = 9080) == Seq("steal"))
+    assert(c(host = 20000, self = 5000) == Seq("foreign"))
+    // wall outlier against its own window (q49's 5.39 s vs 1.06 floor)
+    assert(c(wall = 5.39, minWall = 1.06) == Seq("outlier"))
+    // arms compose: a stolen run that is also the window outlier
+    assert(c(host = 2000, self = 2000, steal = 1500, wall = 5.0,
+      minWall = 1.0) == Seq("steal", "outlier"))
+    // failed calibration disables the probe split, like runDirty
+    assert(c(preSpin = 465.7, preSpinCpu = 450.0, cal = -1.0) == Seq.empty)
+  }
+
+  test("calm window: probe <= 1.5x cal AND steal delta <= 50ms") {
+    // calm: probe at calibration, negligible steal across the poll
+    assert(Bench.calmWindow(80.0, 80.0, 10))
+    // the retry gate is TIGHTER than the 2x dirty bar — a retry must
+    // start from better weather than the window it repairs
+    assert(!Bench.calmWindow(125.0, 80.0, 0))
+    assert(Bench.calmWindow(119.0, 80.0, 0))
+    // an active steal episode blocks the gate even with a clean probe
+    assert(!Bench.calmWindow(80.0, 80.0, 300))
+    // unmeasured arms (no cal / no steal column) never block
+    assert(Bench.calmWindow(500.0, -1.0, 10))
+    assert(Bench.calmWindow(80.0, 80.0, -1))
+  }
+
+  test("retry accept: clean runs + stage identity + improvement only") {
+    // the q47 target case: 5.62 s disturbed median, clean 0.66 s retry
+    assert(Bench.retryAccept(5.62, 0.66, retryDirtyN = 0, stagesOk = true))
+    // ANY dirty retry run self-rejects (the weather followed us)
+    assert(!Bench.retryAccept(5.62, 0.66, retryDirtyN = 1, stagesOk = true))
+    // stage drift means the retry measured a different plan
+    assert(!Bench.retryAccept(5.62, 0.66, retryDirtyN = 0, stagesOk = false))
+    // a slower "clean" retry never replaces — flagged queries are
+    // flagged SLOW; the original (already named dirty) stands
+    assert(!Bench.retryAccept(0.66, 0.70, retryDirtyN = 0, stagesOk = true))
+  }
+
   test("session verdict: each arm independently sufficient, validated set") {
     def v(cont: Int = 0, sig: Int = 0, dirty: Int = 0, foreign: Long = 0L,
           cal: Double = 80.0, end: Double = 80.0) =

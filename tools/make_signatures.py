@@ -41,6 +41,13 @@ def is_clean(rec):
         return False
     if rec.get("contaminated"):
         return False
+    # a record that adjudicated ITSELF disturbed (or carries stored
+    # sig excursions) must not teach bands, even when the heuristics
+    # below would admit it — the band source must satisfy the same
+    # protocol it feeds (records predating session_verdict fall
+    # through to the heuristics)
+    if rec.get("session_verdict") == "disturbed" or rec.get("sig_excursions"):
+        return False
     dirty_q = sum(1 for d in rec["diag"].values() if d.get("dirty_runs"))
     return dirty_q < 3 and foreign_cpu_s(rec) < 20.0
 

@@ -38,12 +38,18 @@ def analyze(rec, sig):
             x == s["stages"] for x in d["stages"])
         if stages_ok and hi > 0 and med > max(1.6 * hi, hi + 0.3):
             flags.append((q, round(med, 2), hi))
+    cal_spin = rec.get("cal", {}).get("spin_ms", 0)
+
     def q_dirty(d):
         if any(h >= 0 and s >= 0 and (h - s) > max(2000, s / 4)
                for h, s in zip(d["host_ms"], d["self_ms"])):
             return True
         if any(st > max(1000, max(0, se) / 10)  # steal arm
                for st, se in zip(d.get("steal_ms", []), d["self_ms"])):
+            return True
+        # inter-run probe arm (records that carry probe_spin_run_ms)
+        if cal_spin > 0 and any(p > 2 * cal_spin
+                                for p in d.get("probe_spin_run_ms", [])):
             return True
         mn = min(d["raw"])  # intra-window wall-outlier arm
         return mn > 0 and any(w > min(2.5 * mn, mn + 2.0)
