@@ -394,9 +394,14 @@ object Bench {
     * bar, because a retry should START from better weather than the
     * window it repairs) and the steal delta across the poll is ≤ 50 ms
     * (clean closes measured ≤ 10 ms per ~quarter-second poll; episodic
-    * storms read hundreds). Unmeasured counters (≤ 0 cal, -1 steal)
-    * disable their arm rather than block retries on hosts without
-    * them. */
+    * storms read hundreds). The caller must sample steal across a
+    * ~quarter-second window — the r18 poll diffed /proc/stat around
+    * only the ~80 ms spin, so 50 ms of steal in 80 ms (~60% steal
+    * rate) still read "calm" and admitted retries mid-storm
+    * (acceptance still self-rejected, costing wasted retry wall-time);
+    * the poll now dwells 250 ms between the two snaps (round-19
+    * ADVICE). Unmeasured counters (≤ 0 cal, -1 steal) disable their
+    * arm rather than block retries on hosts without them. */
   private[graft] def calmWindow(spinMs: Double, calSpinMs: Double,
                                 stealDeltaMs: Long): Boolean =
     (calSpinMs <= 0 || spinMs <= 1.5 * calSpinMs) &&
@@ -414,6 +419,45 @@ object Bench {
   private[graft] def retryAccept(origMedian: Double, retryMedian: Double,
                                  retryDirtyN: Int, stagesOk: Boolean): Boolean =
     retryDirtyN == 0 && stagesOk && retryMedian < origMedian
+
+  /** The graded value an ACCEPTED retry contributes (round-19
+    * directive #1: the warm-retry floor). Suite-end retries run on a
+    * fully JIT-warmed JVM with a hot page cache, so their medians
+    * systematically undershoot anything a cold-started clean suite
+    * ever measures — in the r18 graded record ALL 8 accepted retries
+    * landed at or below their signature lo bands (q24_join_brand
+    * 0.266 s vs [0.434, 0.700], 39% under the best of 18 clean
+    * in-suite records), pulling the graded total ~5% below both clean
+    * closes. A repaired median may claim at best the BEST clean
+    * in-suite value, never better: grade max(retryMedian, wallLo).
+    * The raw retry median stays in the record (`retry_median_raw`) —
+    * the floor shapes the grade, never the evidence. No usable lo
+    * band (≤ 0: no signature, partial suite, other SF) → raw median,
+    * as before. */
+  private[graft] def gradedRetryMedian(retryMedian: Double,
+                                       wallLo: Double): Double =
+    if (wallLo > 0) math.max(retryMedian, wallLo) else retryMedian
+
+  /** Retry stage-identity, both arms (round-19 ADVICE, medium): with
+    * a signature the retry must reproduce the signature's stage count
+    * (same bar the original window's `stagesOk` uses). WITHOUT one
+    * (non-sf0.1 or SPARK_GRAFT_BENCH_ONLY runs) the r18 fallback only
+    * required the retry runs to agree with EACH OTHER — a retry that
+    * re-planned differently (AQE drift) could pass and replace the
+    * graded median while measuring a different plan, contradicting
+    * retryAccept's own docstring. The fallback now also requires the
+    * retry to match the ORIGINAL window's plan (its first run's stage
+    * count); a drifted retry self-rejects. An empty original window
+    * cannot anchor the comparison and fails closed. */
+  private[graft] def retryStagesOk(sigStages: Option[Long],
+                                   origStages: Seq[Long],
+                                   retryStages: Seq[Long]): Boolean =
+    sigStages match {
+      case Some(s) => retryStages.nonEmpty && retryStages.forall(_ == s)
+      case None =>
+        retryStages.nonEmpty && retryStages.distinct.size == 1 &&
+          origStages.headOption.exists(o => retryStages.forall(_ == o))
+    }
 
   /** Fourth dirtiness arm, and the only CAUSAL one: hypervisor steal
     * during exactly this run. Steal is never the engine's doing, and
@@ -474,6 +518,29 @@ object Bench {
                                   stagesOk: Boolean): Boolean =
     stagesOk && wallHi > 0 &&
       medianWall > math.max(1.6 * wallHi, wallHi + 0.3)
+
+  /** Soft-excursion tier (round-19 directive #2): a median above the
+    * clean band's hi but UNDER the hard excursion bar. The hard bar's
+    * tolerance is deliberate (zero false positives over every clean
+    * record), but r18's q32 graded 3.196 s vs band hi 2.434 — below
+    * the bar, only 2/5 runs dirty — and so was neither flagged nor
+    * retried, keeping a ~1 s phantom. A soft excursion is
+    * retry-ELIGIBLE but verdict-SILENT: it never counts toward
+    * `sig_excursions` or the session verdict (a wrongly-soft-flagged
+    * query costs one wasted retry whose acceptance gate still
+    * self-rejects — not a false indictment). Threshold
+    * hi + max(0.3 s, 0.15 × hi): replayed over the 19-record clean
+    * pool the worst clean over-hi median is q12's +0.215 s (0.845 vs
+    * hi 0.630), under the 0.3 s floor — zero soft flags on clean
+    * records — while q32's +0.762 s phantom (> 2.799 bar) flags; the
+    * relative arm keeps the tier meaningful on heavy queries (hi 7.2
+    * → soft above 8.28 vs hard at 11.5). Mutually exclusive with the
+    * hard tier by construction. */
+  private[graft] def sigSoftExcursion(medianWall: Double, wallHi: Double,
+                                      stagesOk: Boolean): Boolean =
+    stagesOk && wallHi > 0 &&
+      medianWall > wallHi + math.max(0.3, 0.15 * wallHi) &&
+      !sigExcursion(medianWall, wallHi, stagesOk)
 
   /** Session-level cleanliness verdict from protocol-computable
     * inputs only — the record stamping ITSELF instead of a builder
@@ -870,7 +937,8 @@ object Bench {
         probeSpinMs = probeSpin, probeDiskMs = probeDisk,
         probeFaultMs = probeFault, probeSpinAllMs = probeSpinAll,
         load1 = load1, contaminated = contaminated,
-        sig = None, sigStagesOk = false, sigExcursion = false)
+        sig = None, sigStagesOk = false, sigExcursion = false,
+        sigSoft = false)
       val sorted = perRun.map(_.wall).sorted
       val medWall = sorted(sorted.length / 2)
       // diff this query against its committed known-good signature:
@@ -882,8 +950,11 @@ object Bench {
         s.stages > 0 && perRun.forall(_.stages == s.stages))
       val excursed = sig.exists(s =>
         sigExcursion(medWall, s.wallHi, stagesOk))
+      // over-hi but under the hard bar: retry-eligible, verdict-silent
+      val soft = sig.exists(s =>
+        sigSoftExcursion(medWall, s.wallHi, stagesOk))
       name -> (medWall, diag.copy(sig = sig, sigStagesOk = stagesOk,
-        sigExcursion = excursed))
+        sigExcursion = excursed, sigSoft = soft))
     }
     // ---- suite-end retry pass (round-18 directive #1) ----
     // A query whose window ended with a dirty-run MAJORITY or a
@@ -899,10 +970,14 @@ object Bench {
     // query's GRADED median; both windows stay in the record. Capped
     // (wall-cost bound on fully-stormed sessions), biggest medians
     // first — those carry the largest phantoms.
-    val retryMax = sys.env.getOrElse("SPARK_GRAFT_RETRY_MAX", "12").toInt
+    // a malformed env value must not crash the bench AFTER every query
+    // has run and BEFORE any record is written (round-19 ADVICE)
+    val retryMax = scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_RETRY_MAX", "12").toInt).getOrElse(12)
     val flagged = results.toSeq.collect {
       case (name, (med, d))
-        if d.sigExcursion || 2 * dirtyIdx(d.runs).size > d.runs.size =>
+        if d.sigExcursion || d.sigSoft ||
+          2 * dirtyIdx(d.runs).size > d.runs.size =>
         (name, med)
     }.sortBy(-_._2).take(math.max(0, retryMax))
     val retried: Map[String, RetryRec] = flagged.map { case (name, med) =>
@@ -914,7 +989,11 @@ object Bench {
       while (!calm && polls < 5) {
         if (polls > 0) Thread.sleep(2000)
         polls += 1
+        // steal is sampled across dwell + spin (~330 ms): the 50 ms
+        // calm bar is calibrated against a quarter-second window, and
+        // the spin alone (~80 ms) under-samples episodic storms
         val st0 = hostStatSnap._2
+        Thread.sleep(250)
         val (w, _) = spinProbe2()
         calm = calmWindow(w, calSpinMs, dd(st0, hostStatSnap._2))
       }
@@ -925,21 +1004,27 @@ object Bench {
       val rruns = (0 until runs).map(_ => probedRun(fn))
       val sig = if (sigApplies) sigTable.get(name) else None
       // stage identity: against the signature when one applies;
-      // otherwise internal consistency (all retry runs ran one plan)
-      val stagesOk = sig match {
-        case Some(s) if s.stages > 0 => rruns.forall(_.stages == s.stages)
-        case _ => rruns.map(_.stages).distinct.size == 1
-      }
+      // otherwise internal consistency AND agreement with the
+      // ORIGINAL window's plan (an AQE-drifted retry measured a
+      // different plan and must self-reject — round-19 ADVICE)
+      val stagesOk = retryStagesOk(sig.map(_.stages).filter(_ > 0),
+        results(name)._2.runs.map(_.stages), rruns.map(_.stages))
       val rsorted = rruns.map(_.wall).sorted
       val rmed = rsorted(rsorted.length / 2)
       val accepted = retryAccept(med, rmed, dirtyIdx(rruns).size, stagesOk)
       name -> RetryRec(rruns, accepted, med, polls, stagesOk)
     }.toMap
-    // the graded per-query medians, post-repair
+    // the graded per-query medians, post-repair — an accepted retry's
+    // contribution is FLOORED at the signature lo band (round-19
+    // directive #1: warm retries must not grade better than the best
+    // clean in-suite value ever observed)
     def finalMedian(name: String, orig: Double): Double =
       retried.get(name) match {
         case Some(rr) if rr.accepted =>
-          val s = rr.runs.map(_.wall).sorted; s(s.length / 2)
+          val s = rr.runs.map(_.wall).sorted
+          val raw = s(s.length / 2)
+          results(name)._2.sig
+            .map(g => gradedRetryMedian(raw, g.wallLo)).getOrElse(raw)
         case _ => orig
       }
     // end-of-suite re-calibration: the same spin/fault probes that
@@ -1007,9 +1092,17 @@ object Bench {
             .mkString("[", ",", "]")}" +
         retried.get(k).map { rr =>
           val rmed = { val s = rr.runs.map(_.wall).sorted; s(s.length / 2) }
+          // retry_median is the GRADED value (warm-retry floor applied
+          // when a signature's lo band exists); the raw measurement
+          // stays alongside so the floor shapes the grade, never the
+          // evidence
+          val rmedGraded = d.sig
+            .map(s => gradedRetryMedian(rmed, s.wallLo)).getOrElse(rmed)
           s",\"retried\":true,\"retry_accepted\":${rr.accepted}" +
           s",\"median_pre_retry\":${fmt(rr.origMedian)}" +
-          s",\"retry_median\":${fmt(rmed)}" +
+          s",\"retry_median\":${fmt(rmedGraded)}" +
+          s",\"retry_median_raw\":${fmt(rmed)}" +
+          s",\"retry_floored\":${rmedGraded > rmed}" +
           s",\"retry_raw\":" + arr[Double](rr.runs.map(_.wall), fmt) +
           s",\"retry_stages\":" + arr[Long](rr.runs.map(_.stages), _.toString) +
           s",\"retry_probe_ms\":" +
@@ -1029,7 +1122,8 @@ object Bench {
           s",\"sig_self_ms\":[${s.selfLo},${s.selfHi}]" +
           s",\"sig_stages\":${s.stages}" +
           s",\"sig_stages_ok\":${d.sigStagesOk}" +
-          s",\"sig_excursion\":${d.sigExcursion}").getOrElse("") +
+          s",\"sig_excursion\":${d.sigExcursion}" +
+          s",\"sig_soft\":${d.sigSoft}").getOrElse("") +
         s",\"task_gc_ms\":${d.taskGcMs},\"jvm_gc_ms\":${d.jvmGcMs}" +
         s",\"peak_exec_mem\":${d.peakMem}" +
         s",\"tasks\":${d.tasks},\"run_ms\":${d.runMs},\"cpu_ms\":${d.cpuMs}" +
@@ -1061,6 +1155,12 @@ object Bench {
     val sigExcursedQs = results.collect {
       case (k, (_, d)) if d.sigExcursion => k
     }.toSeq.sorted
+    // soft tier: retry-eligible, verdict-silent — surfaced top-level
+    // (file record) so a grader sees which retries the soft tier fed
+    // without opening the per-query diag
+    val sigSoftQs = results.collect {
+      case (k, (_, d)) if d.sigSoft => k
+    }.toSeq.sorted
     val dirtyQueryN = results.count { case (_, (_, d)) =>
       dirtyIdx(d.runs).nonEmpty
     }
@@ -1081,9 +1181,12 @@ object Bench {
     }
     val (verdict, verdictReasons) = sessionVerdict(contaminatedQs.size,
       sigExcursedQs.size, dirtyQueryN, foreignCpuMs, calSpinMs, endSpinMs)
-    val sigExcJson = if (sigExcursedQs.isEmpty) ""
+    val sigExcJson = (if (sigExcursedQs.isEmpty) ""
       else sigExcursedQs.map("\"" + _ + "\"")
-        .mkString(""","sig_excursions":[""", ",", "]")
+        .mkString(""","sig_excursions":[""", ",", "]")) +
+      (if (sigSoftQs.isEmpty) ""
+       else sigSoftQs.map("\"" + _ + "\"")
+         .mkString(""","sig_soft":[""", ",", "]"))
     val verdictJson =
       s""","session_verdict":"$verdict","foreign_cpu_ms":$foreignCpuMs""" +
       s""","steal_cpu_ms":$stealCpuMs""" +
@@ -1098,10 +1201,11 @@ object Bench {
       else {
         val acc = retried.collect { case (k, rr) if rr.accepted => k }
           .toSeq.sorted
-        val repaired = retried.values.collect {
-          case rr if rr.accepted =>
-            val s = rr.runs.map(_.wall).sorted
-            rr.origMedian - s(s.length / 2)
+        // repaired_s measures what the GRADED total gained, so it uses
+        // the floored medians — matching `queries` exactly
+        val repaired = retried.collect {
+          case (k, rr) if rr.accepted =>
+            rr.origMedian - finalMedian(k, rr.origMedian)
         }.sum
         s""","retries":{"flagged":${retried.keys.toSeq.sorted
             .map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
@@ -1210,7 +1314,8 @@ final case class BenchDiag(runs: Seq[RunRec],
                            probeFaultMs: Double, probeSpinAllMs: Double,
                            load1: Double, contaminated: Boolean,
                            sig: Option[Bench.QuerySig],
-                           sigStagesOk: Boolean, sigExcursion: Boolean)
+                           sigStagesOk: Boolean, sigExcursion: Boolean,
+                           sigSoft: Boolean)
 
 /** One flagged query's suite-end retry window (round-18): the re-timed
   * runs, whether [[Bench.retryAccept]] admitted the new median, the

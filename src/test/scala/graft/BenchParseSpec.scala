@@ -356,6 +356,61 @@ class BenchParseSpec extends AnyFunSuite {
     assert(!Bench.retryAccept(0.66, 0.70, retryDirtyN = 0, stagesOk = true))
   }
 
+  test("graded retry median: warm retries floor at the signature lo band") {
+    // the r18 motivating case: q24_join_brand's accepted retry
+    // measured 0.266 s against a [0.434, 0.700] clean band — 39%
+    // below the best of 18 clean in-suite records, because suite-end
+    // retries run JIT-warm with a hot page cache. The grade claims at
+    // best the best clean value ever observed; the raw measurement
+    // stays in the record (retry_median_raw)
+    assert(Bench.gradedRetryMedian(0.266, 0.434) == 0.434)
+    // an in-band retry grades as measured
+    assert(Bench.gradedRetryMedian(0.5, 0.434) == 0.5)
+    // no usable lo band (no signature / partial suite / other SF):
+    // raw median, exactly the r18 behavior
+    assert(Bench.gradedRetryMedian(0.266, -1.0) == 0.266)
+    assert(Bench.gradedRetryMedian(0.266, 0.0) == 0.266)
+  }
+
+  test("soft excursion: over-hi under-bar is retry-eligible, verdict-silent") {
+    // the r18 motivating case: q32_minhash_pairs graded 3.196 s vs
+    // band hi 2.434 — below the hard bar max(1.6*hi, hi+0.3) = 3.894
+    // and only 2/5 runs dirty, so it kept a ~1 s phantom. The soft
+    // bar hi + max(0.3, 0.15*hi) = 2.799 names it
+    assert(Bench.sigSoftExcursion(3.196, 2.434, stagesOk = true))
+    // a HARD excursion is not also soft (the tiers partition)
+    assert(Bench.sigExcursion(4.0, 2.434, stagesOk = true))
+    assert(!Bench.sigSoftExcursion(4.0, 2.434, stagesOk = true))
+    // the clean pool's worst over-hi median (q12: 0.845 vs hi 0.630,
+    // +0.215 s) stays under the 0.3 s absolute floor — replayed over
+    // all 19 clean records the tier fires ZERO times
+    assert(!Bench.sigSoftExcursion(0.845, 0.630, stagesOk = true))
+    // heavy-query relative arm: hi 7.2 → soft above 8.28 (the hard
+    // bar sits at 11.5 — the soft tier is what prices this gap)
+    assert(Bench.sigSoftExcursion(8.5, 7.2, stagesOk = true))
+    assert(!Bench.sigSoftExcursion(8.2, 7.2, stagesOk = true))
+    // stale signature / unusable band go silent, like the hard tier
+    assert(!Bench.sigSoftExcursion(3.196, 2.434, stagesOk = false))
+    assert(!Bench.sigSoftExcursion(3.196, -1.0, stagesOk = true))
+  }
+
+  test("retry stage identity: fallback must match the ORIGINAL plan") {
+    // with a signature: the retry must reproduce the signature stages
+    assert(Bench.retryStagesOk(Some(6L), Seq(6, 6, 6), Seq(6, 6, 6)))
+    assert(!Bench.retryStagesOk(Some(6L), Seq(6, 6, 6), Seq(7, 7, 7)))
+    // without one (non-sf0.1 / BENCH_ONLY): internal consistency AND
+    // agreement with the original window — the r18 fallback accepted
+    // any self-consistent retry, so an AQE-drifted retry (original
+    // plan 4 stages, retry re-planned to 5) could replace the graded
+    // median while measuring a different plan (round-19 ADVICE)
+    assert(Bench.retryStagesOk(None, Seq(5, 5, 5), Seq(5, 5, 5)))
+    assert(!Bench.retryStagesOk(None, Seq(4, 4, 4), Seq(5, 5, 5)))
+    assert(!Bench.retryStagesOk(None, Seq(5, 5, 5), Seq(4, 5, 5)))
+    // an empty original window cannot anchor the comparison: closed
+    assert(!Bench.retryStagesOk(None, Seq.empty, Seq(5, 5, 5)))
+    assert(!Bench.retryStagesOk(Some(6L), Seq(6), Seq.empty))
+  }
+
   test("session verdict: each arm independently sufficient, validated set") {
     def v(cont: Int = 0, sig: Int = 0, dirty: Int = 0, foreign: Long = 0L,
           cal: Double = 80.0, end: Double = 80.0) =

@@ -67,15 +67,28 @@ def main():
         sys.exit(f"only {len(clean)} clean records — refusing to build bands")
     qs = sorted(clean[0]["queries"].keys())
     sigs = {}
+    skipped = 0
     for q in qs:
-        stages = {s for r in clean for s in r["diag"][q]["stages"]}
-        wall_meds = [statistics.median(r["diag"][q]["raw"]) for r in clean]
-        self_meds = [statistics.median(r["diag"][q]["self_ms"]) for r in clean]
+        # a clean-verdict record can still carry 1-2 accepted-retry
+        # queries (dirty_q < 3 admits it) whose RAW windows are
+        # dirty-majority by construction — and whose retry windows are
+        # JIT-warm (systematically below any cold-suite value). Neither
+        # window may teach this query's band: skip the record for this
+        # query only (round-19 ADVICE).
+        srcs = [r for r in clean if not r["diag"][q].get("retry_accepted")]
+        skipped += len(clean) - len(srcs)
+        if len(srcs) < 3:
+            sigs[q] = {"stages": -1, "wall": [-1.0, -1.0],
+                       "self_ms": [-1, -1], "n": len(srcs)}
+            continue
+        stages = {s for r in srcs for s in r["diag"][q]["stages"]}
+        wall_meds = [statistics.median(r["diag"][q]["raw"]) for r in srcs]
+        self_meds = [statistics.median(r["diag"][q]["self_ms"]) for r in srcs]
         sigs[q] = {
             "stages": stages.pop() if len(stages) == 1 else -1,
             "wall": band(wall_meds, 3),
             "self_ms": [int(v) for v in band(self_meds, 0)],
-            "n": len(clean),
+            "n": len(srcs),
         }
     doc = {
         "sf": "sf0.1",
@@ -90,7 +103,8 @@ def main():
         json.dump(doc, f, indent=1, sort_keys=True)
         f.write("\n")
     unstable = [q for q in qs if sigs[q]["stages"] < 0]
-    print(f"wrote {out}: {len(qs)} queries from {len(clean)} clean records; "
+    print(f"wrote {out}: {len(qs)} queries from {len(clean)} clean records "
+          f"({skipped} retry-accepted query-windows excluded); "
           f"stage-unstable (predicate disabled): {unstable or 'none'}")
 
 
