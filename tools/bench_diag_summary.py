@@ -42,12 +42,23 @@ if rec.get("contaminated"):
     print(f"CONTAMINATED (probe gate): {rec['contaminated']}")
 if rec.get("sig_excursions"):
     print(f"SIG EXCURSIONS (band diff): {rec['sig_excursions']}")
+if rec.get("sig_soft"):  # round-19: retry-eligible, verdict-silent
+    print(f"SOFT EXCURSIONS (over-hi, under-bar): {rec['sig_soft']}")
+if rec.get("retries"):
+    print(f"RETRIES: {rec['retries']}")
 for m, name, d in rows:
     flag = " [CONTAMINATED]" if d.get("contaminated") else ""
     if d.get("dirty_runs"):
         flag += f" [DIRTY RUNS {d['dirty_runs']}]"
     if d.get("sig_excursion"):
         flag += f" [SIG EXCURSION vs {d.get('sig_wall')}]"
+    if d.get("sig_soft"):
+        flag += f" [SOFT vs {d.get('sig_wall')}]"
+    if d.get("retried"):
+        flag += (f" [RETRY {'accepted' if d.get('retry_accepted') else 'rejected'}"
+                 f" {d.get('median_pre_retry')}->{d.get('retry_median')}"
+                 + (f" raw {d.get('retry_median_raw')} FLOORED"
+                    if d.get("retry_floored") else "") + "]")
     print(f"\n{name}: median {m:.2f}s raw={d['raw']} stages={d['stages']}{flag}")
     print(f"  host_ms={d['host_ms']} self_ms={d['self_ms']}")
     if "utime_ms" in d:
