@@ -25,12 +25,23 @@ object QueriesStats {
     // edge spine is checkpointed once.
     "q84_pagerank" -> ((s, dir) => {
       val o = tbl(s, dir, "orders"); val l = tbl(s, dir, "lineitem")
+      // node ids packed as longs (customer 2k, supplier 2k+1) instead of
+      // "c<k>"/"s<k>" strings: the graph is isomorphic, pageRank takes
+      // its integral-id fast path (no relabel dictionary, long-keyed
+      // shuffles), and the string labels the oracle pins are
+      // reconstructed from the packing AFTER the rank loop — the same
+      // decision-on-small-keys / label-at-the-end move as guide §8
       val e0 = o.join(l, o("o_orderkey") === l("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
-          concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+        .select((col("o_custkey").cast("long") * 2).as("src"),
+          (col("l_suppkey").cast("long") * 2 + 1).as("dst"))
       val sym = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
       graft.operators.Graph.pageRank(sym, iters = 5, damping = 0.85)
-        .select(col("id").as("node"),
+        .select(
+          when(pmod(col("id"), lit(2)) === 0,
+            concat(lit("c"), shiftright(col("id"), 1).cast("string")))
+            .otherwise(
+              concat(lit("s"), shiftright(col("id"), 1).cast("string")))
+            .as("node"),
           round(col("rank") + lit(1e-9), 7).as("rank"))
         .orderBy(col("node"))
     }),
@@ -151,12 +162,16 @@ object QueriesStats {
     // against the mode across distinct values (collector.h:1908-2096)
     "q41_distribution" -> ((s, dir) => {
       import s.implicits._
-      // grouped-minor rank: window partitions bounded by lines-per-order,
-      // one data shuffle. A/B vs the packed-key rank (BENCH_NOTES.md
-      // Round 7): statistical tie here — the distribution aggregate
-      // dominates, not the rank — kept for the stronger partition bound
-      val li = IndexOps.rankByGroupedMinor(tbl(s, dir, "lineitem"),
-        col("l_orderkey"), col("l_linenumber"))
+      // packed-key bucket rank (linenumber 1..7 → stride 8), the q58/q13
+      // shape: the r7 A/B against the grouped-minor rank read a wall
+      // tie, but the r19 per-run diag attributed ~17× the CPU-seconds to
+      // this query vs q58 (same table, same rank target) — the grouped-
+      // minor window (one ≤7-row sort partition per order) burns cores
+      // the 32-wide local rig absorbs but a contended cluster pays for;
+      // the packed key ranks in #shuffle-partition-wide windows instead
+      // (numbers in OPTIMIZATION_r19.md)
+      val li = IndexOps.renumberByUniqueKey(tbl(s, dir, "lineitem"),
+        col("l_orderkey") * lit(8L) + col("l_linenumber"))
       val stream = new graft.core.SemanticStream(
         li.select(col("ord"), col("idx"),
           col("l_quantity").cast("double").as("value")).as[graft.core.Elem[Double]],

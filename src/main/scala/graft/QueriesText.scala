@@ -355,12 +355,13 @@ object QueriesText {
     // broadcast-side, so it never shuffles by word
     "q88_bpe_encode" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
-      val (mergesDf, vocabDf) = TA.bpeTrain(docs, "text", 6)
-      val merges = mergesDf.orderBy(col("rank")).collect()
+      // merges-only trainer: the encode path re-segments through
+      // bpeEncode anyway, so the trained vocab frame was never read —
+      // bpeTrainMerges skips its materialization job and runs one job
+      // per merge round instead of two
+      val merges = TA.bpeTrainMerges(docs, "text", 6)
+        .orderBy(col("rank")).collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
-      // the trained segmentation frame is unused here — free its
-      // checkpoint instead of pinning it for the session
-      org.apache.spark.sql.GraftColumnShim.unpersistCheckpoint(vocabDf)
       TA.bpeEncode(docs, "doc_id", "text", merges).orderBy(col("doc_id"))
     }),
 
@@ -399,12 +400,24 @@ object QueriesText {
       val docs = tbl(s, dir, "documents")
       val pred = col("lang") === "en"
       val C = graft.operators.Classifier
-      val (w, b) = C.logisticTrain(docs, "doc_id", "text", pred, iters = 5, lr = 0.5)
-      C.logisticScore(docs, "doc_id", pred,
-          C.hashedFeatures(docs, "doc_id", "text", pred), w, b)
+      // ONE feature-extraction pass for train AND score: the joint
+      // frame (bias rows are inert to scoring — dropped by its inner
+      // join against the 256 weights) is checkpointed once and feeds
+      // both the 5 GD rounds and the scoring aggregation — scoring used
+      // to re-derive the whole explode+aggregate feature pipeline; the
+      // scored result is materialized eagerly so the feature blocks can
+      // be freed instead of pinned for the session
+      val full = C.fullFeatures(docs, "doc_id", "text", pred)
+        .ckpt()
+      val n = docs.count().toDouble
+      val (w, b) = C.logisticTrainOnFeatures(full, "doc_id", n, iters = 5, lr = 0.5)
+      val out = C.logisticScore(docs, "doc_id", pred, full, w, b)
         .select(col("doc_id"), col("y"),
           round(col("p") + lit(1e-9), 4).as("p"))
         .orderBy(col("doc_id"))
+        .ckpt()
+      org.apache.spark.sql.GraftColumnShim.unpersistCheckpoint(full)
+      out
     }),
 
     // tokenizer fertility: chars per BPE token by language — the
@@ -413,12 +426,10 @@ object QueriesText {
     // #langs-row rollup
     "q92_tokenizer_fertility" -> ((s, dir) => {
       val docs = tbl(s, dir, "documents")
-      val (mergesDf, vocabDf) = TA.bpeTrain(docs, "text", 6)
-      val merges = mergesDf.orderBy(col("rank")).collect()
+      // merges-only trainer (see q88): one job per merge round
+      val merges = TA.bpeTrainMerges(docs, "text", 6)
+        .orderBy(col("rank")).collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
-      // the trained segmentation frame is unused here — free its
-      // checkpoint instead of pinning it for the session
-      org.apache.spark.sql.GraftColumnShim.unpersistCheckpoint(vocabDf)
       TA.bpeEncode(docs, "doc_id", "text", merges)
         .join(docs.select(col("doc_id"), col("lang"), col("n_chars")), "doc_id")
         .groupBy(col("lang"))

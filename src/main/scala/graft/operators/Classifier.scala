@@ -55,15 +55,34 @@ object Classifier {
     import spark.implicits._
     val w = weights.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
       .toDF("__wbk", "__wv")
+    // groupBy on the BARE id attribute (renamed after the aggregate, not
+    // aliased inside it) so a feature frame already hash-partitioned on
+    // the id — the [[fullFeatures]]+repartition checkpoint — satisfies
+    // the aggregation's distribution without a fresh exchange
     val logits = feats.join(broadcast(w), col("bk") === col("__wbk"))
-      .groupBy(col(idCol).as("__sid"))
+      .groupBy(col(idCol))
       .agg(sum(col("x") * col("__wv")).as("__dot"))
+      .withColumnRenamed(idCol, "__sid")
     docs.select(col(idCol), when(labelPred, 1.0).otherwise(0.0).as("y"))
       .join(logits, col(idCol) === col("__sid"), "left")
       .select(col(idCol), col("y"),
         (lit(1.0) / (lit(1.0) + exp(-(coalesce(col("__dot"), lit(0.0)) + bias))))
           .as("p"))
   }
+
+  /** [[hashedFeatures]] plus the always-on bias feature row (bk = 256,
+    * x = 1 for EVERY doc, zero-token docs included) — the joint-frame
+    * form [[logisticTrain]] iterates on. Exposed so a train-then-score
+    * pipeline can build (and checkpoint) the frame ONCE and feed both
+    * phases: the bias rows are inert to [[logisticScore]] (its inner
+    * join against 256 weights drops bk = 256), so the SAME frame serves
+    * training and scoring without a second feature-extraction pass. */
+  def fullFeatures(docs: DataFrame, idCol: String, textCol: String,
+                   labelPred: Column): DataFrame =
+    hashedFeatures(docs, idCol, textCol, labelPred)
+      .unionByName(docs.select(col(idCol),
+        when(labelPred, 1.0).otherwise(0.0).as("y"),
+        lit(256).as("bk"), lit(1.0).as("x")))
 
   /** Full-batch gradient-descent logistic regression over the hashed
     * features. Deterministic: fixed iteration count, zero init,
@@ -75,29 +94,43 @@ object Classifier {
   def logisticTrain(docs: DataFrame, idCol: String, textCol: String,
                     labelPred: Column, iters: Int,
                     lr: Double): (Array[Double], Double) = {
-    require(iters >= 0, "iters must be non-negative")
-    val spark = docs.sparkSession
-    import spark.implicits._
     // bias as an always-on feature at bk=256 (x=1 for EVERY doc, built
     // from the doc frame so zero-token docs carry exactly that row):
     // one joint (w, bias) vector means each round is ONE colocated
     // join + ONE ≤257-row partial-aggregated gradient — no separate
-    // bias pass, no second evaluation of the probability frame
-    val full = hashedFeatures(docs, idCol, textCol, labelPred)
-      .unionByName(docs.select(col(idCol),
-        when(labelPred, 1.0).otherwise(0.0).as("y"),
-        lit(256).as("bk"), lit(1.0).as("x")))
+    // bias pass, no second evaluation of the probability frame.
+    val full = fullFeatures(docs, idCol, textCol, labelPred)
       .ckpt()
     val n = docs.count().toDouble
+    val (w, b) = logisticTrainOnFeatures(full, idCol, n, iters, lr)
+    // the model is the return value — the feature checkpoint has no
+    // downstream consumers and must not stay pinned for the session
+    org.apache.spark.sql.GraftColumnShim.unpersistCheckpoint(full)
+    (w, b)
+  }
+
+  /** The GD loop of [[logisticTrain]] over a caller-provided (and
+    * caller-checkpointed) [[fullFeatures]] frame — exposed so pipelines
+    * that train AND score can pay the feature extraction once. `n` is
+    * the doc count (the gradient normalizer). */
+  def logisticTrainOnFeatures(full: DataFrame, idCol: String, n: Double,
+                              iters: Int, lr: Double): (Array[Double], Double) = {
+    require(iters >= 0, "iters must be non-negative")
+    val spark = full.sparkSession
+    import spark.implicits._
     val w = Array.fill(257)(0.0)
     var it = 0
     while (it < iters && n > 0) {
       val wDf = w.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
         .toDF("__wbk", "__wv")
+      // bare-attribute groupBy + rename (not an alias inside the
+      // grouping) — see logisticScore: keeps the checkpoint's hash(id)
+      // layout satisfying the aggregation, no per-round exchange
       val probs = full.join(broadcast(wDf), col("bk") === col("__wbk"))
-        .groupBy(col(idCol).as("__pid"))
+        .groupBy(col(idCol))
         .agg(first(col("y")).as("__py"),
           (lit(1.0) / (lit(1.0) + exp(-sum(col("x") * col("__wv"))))).as("__pp"))
+        .withColumnRenamed(idCol, "__pid")
       // joint gradient: features join probs on the doc id (both sides
       // hash on it — colocated), partial-aggregated to ≤257 rows
       val grad = full.join(probs, col(idCol) === col("__pid"))
@@ -108,9 +141,6 @@ object Classifier {
       while (i < 257) { w(i) -= lr * grad.getOrElse(i, 0.0); i += 1 }
       it += 1
     }
-    // the model is the return value — the feature checkpoint has no
-    // downstream consumers and must not stay pinned for the session
-    org.apache.spark.sql.GraftColumnShim.unpersistCheckpoint(full)
     (w.take(256), w(256))
   }
 }

@@ -411,7 +411,12 @@ object Dedup {
     // materialize the symmetrized edge list ONCE: it re-enters every
     // round's join, and without the checkpoint each round would re-run
     // the whole upstream pipeline that produced the pairs (measured 3×
-    // the total cost on the minhash path)
+    // the total cost on the minhash path). Deliberately NOT
+    // pre-partitioned on the round join key: an r19 A/B measured the
+    // fixed-width spine serializing the (tiny, AQE-coalesced) local
+    // rounds into fixed-width task storms (q65 0.37 → 0.55 s, q99
+    // +9%) — the per-round exchanges stay ENSURE_REQUIREMENTS so AQE
+    // sizes them to the real propagated volumes at every scale.
     val sym = edges.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .union(edges.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
       .ckpt()
@@ -721,14 +726,23 @@ object Dedup {
       case None => uncapped
     }
     val l = banded.as("l"); val r = banded.as("r")
+    // popcount verify BEFORE the pair dedup: a pair's XOR is a pure
+    // function of its two fingerprints, so every banded copy of a pair
+    // passes or fails together and the filter commutes with the
+    // distinct. Candidates outnumber verified pairs by orders of
+    // magnitude (each segment key admits hamming > maxHamming pairs by
+    // construction), so filtering first shrinks the distinct's exchange
+    // from the candidate volume to the verified-pair volume — the
+    // shuffle-fewer-bytes move, cheap codegen'd bit_count on the map
+    // side (before/after in OPTIMIZATION_r19.md).
     l.join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
         col("l.id") < col("r.id"))
       .select(col("l.id").as("a"), col("r.id").as("b"),
         col("l.simhash").bitwiseXOR(col("r.simhash")).as("__x"))
-      .distinct() // a pair may agree on several segments
       .withColumn("hamming", expr("bit_count(__x)").cast("long"))
       .filter(col("hamming") <= maxHamming)
       .select(col("a"), col("b"), col("hamming"))
+      .distinct() // a pair may agree on several segments
   }
 
   /** Embedding cosine near-dup: pairs with cosine ≥ threshold. Brute-force

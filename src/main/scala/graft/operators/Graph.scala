@@ -46,6 +46,24 @@ object Graph {
                damping: Double = 0.85, checkpointEvery: Int = 7): DataFrame = {
     require(iters >= 0, "iters must be non-negative")
     require(checkpointEvery > 0, "checkpointEvery must be positive")
+    // INTEGRAL-ID FAST PATH: when both endpoint columns are already
+    // integer-typed, the dense-long relabel below is pure overhead — the
+    // ids ARE compact spine keys. Skipping it removes, per run: the
+    // dictionary build (a distinct + eager checkpoint job), TWO
+    // relabel joins that each shuffle the whole edge list on STRING
+    // keys, and the final label-back join — and every remaining shuffle
+    // carries 8-byte longs instead of strings (narrower types + removed
+    // shuffles; before/after numbers in OPTIMIZATION_r19.md).
+    val integral = {
+      import org.apache.spark.sql.types._
+      def ok(n: String) = edges.schema(n).dataType match {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
+      ok(srcCol) && ok(dstCol)
+    }
+    if (integral) return pageRankLong(edges, srcCol, dstCol, iters,
+      damping, checkpointEvery)
     // ONE eager materialization of the caller's upstream: dict and spine
     // both read the deduplicated edge list, and without this checkpoint
     // each build job recomputes the whole upstream subtree (for q84 that
@@ -116,6 +134,56 @@ object Graph {
       .select(col("name").as("id"), col("rank"))
       .ckpt()
     (Seq(eStr, dict, spine) ++ intermediates).foreach(
+      org.apache.spark.sql.GraftColumnShim.unpersistCheckpoint)
+    out
+  }
+
+  /** [[pageRank]] for integer-typed endpoint ids — identical rank
+    * arithmetic, no relabel. The node frame replaces the dictionary (it
+    * seeds the per-round left join that re-attaches in-neighborless
+    * nodes), and the (src, dst, deg) spine is EXPLICITLY hash-partitioned
+    * on `src` before its checkpoint: localCheckpoint preserves output
+    * partitioning, so every round's ranks⋈spine join reuses the spine's
+    * exchange and each round pays exactly ONE data shuffle — the
+    * contribution groupBy on dst (one-exchange-per-round; the same
+    * share-the-exchange move as guide §2.4). Without the explicit
+    * repartition the spine's layout depends on how AQE planned the
+    * outDeg join (broadcast at small scale), and every round re-shuffles
+    * the edge list. */
+  private def pageRankLong(edges: DataFrame, srcCol: String, dstCol: String,
+                           iters: Int, damping: Double,
+                           checkpointEvery: Int): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .distinct()
+      .ckptSpill()
+    val nodes = e.select(col("src").as("nid"))
+      .union(e.select(col("dst").as("nid")))
+      .distinct()
+      .ckpt()
+    val n = nodes.count() // one driver scalar, not data
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val parts = math.max(1,
+      edges.sparkSession.sessionState.conf.numShufflePartitions)
+    val spine = e.join(outDeg, "src").repartition(parts, col("src")).ckpt()
+    var ranks = nodes.select(col("nid").as("id"), lit(1.0 / n).as("rank"))
+    val intermediates = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (round <- 0 until iters) {
+      val contribs = spine
+        .join(ranks.select(col("id").as("src"), col("rank")), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(col("rank") / col("deg")).as("cin"))
+      ranks = nodes.select(col("nid").as("id")).join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit((1.0 - damping) / n) +
+            lit(damping) * coalesce(col("cin"), lit(0.0))).as("rank"))
+      if ((round + 1) % checkpointEvery == 0 && round + 1 < iters) {
+        ranks = ranks.ckpt()
+        intermediates += ranks
+      }
+    }
+    val out = ranks.ckpt()
+    (Seq(e, nodes, spine) ++ intermediates).foreach(
       org.apache.spark.sql.GraftColumnShim.unpersistCheckpoint)
     out
   }

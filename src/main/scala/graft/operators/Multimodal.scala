@@ -20,6 +20,26 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO's default stream cache is a TEMP FILE per read/write — every
+  // decoded image/frame paid a file create+write+delete even though all
+  // payloads here are in-memory byte arrays. Memory-cached streams drop
+  // that syscall churn; set once per JVM at object init (every decode
+  // path below is a method of this object, so initialization is
+  // guaranteed to precede first use on driver and executors alike).
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** ImageIO read/write through MEMORY-cached streams, centralized so
+    * every call site — including executor-side partition closures, which
+    * never touch this object otherwise — goes through the object
+    * initializer that disables ImageIO's temp-FILE stream cache. */
+  private[operators] def imageIoRead(payload: Array[Byte]): java.awt.image.BufferedImage =
+    javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+
+  private[operators] def imageIoWrite(img: java.awt.image.RenderedImage,
+                                      format: String,
+                                      out: java.io.OutputStream): Unit =
+    javax.imageio.ImageIO.write(img, format, out)
+
   case class MediaMeta(id: Long, byte_len: Long, kind: String, width: Long, height: Long)
 
   object MediaCodec {
@@ -245,7 +265,7 @@ object Multimodal {
       val img = new java.awt.image.BufferedImage(
         w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
       val bos = new java.io.ByteArrayOutputStream()
-      javax.imageio.ImageIO.write(img, format, bos)
+      Multimodal.imageIoWrite(img, format, bos)
       bos.toByteArray
     }
 
@@ -549,7 +569,7 @@ object Multimodal {
             // RuntimeExceptions (IllegalArgument, ArrayIndexOutOfBounds,
             // NegativeArraySize) on crafted payloads — a corrupt image
             // must yield the sentinel row, never fail the task
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            try Multimodal.imageIoRead(payload)
             catch { case scala.util.control.NonFatal(_) => null }
         if (img == null)
           ImagePixelStats(id, -1L, -1L, -1.0, -1.0, -1.0, -1L, -1L, -1L)
@@ -604,7 +624,7 @@ object Multimodal {
         val img =
           if (payload.isEmpty) null
           else
-            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+            try Multimodal.imageIoRead(payload)
             catch { case scala.util.control.NonFatal(_) => null }
         if (img == null)
           ResizedImage(id, -1L, -1L, -1L, -1L, -1.0, -1.0, -1.0, null)
@@ -630,7 +650,7 @@ object Multimodal {
             y += 1
           }
           val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(out, "png", bos)
+          Multimodal.imageIoWrite(out, "png", bos)
           val n = tw.toLong * th
           ResizedImage(id, w.toLong, h.toLong, tw.toLong, th.toLong,
             sr.toDouble / n, sg.toDouble / n, sb.toDouble / n, bos.toByteArray)
@@ -668,7 +688,7 @@ object Multimodal {
           y += 1
         }
         val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
+        Multimodal.imageIoWrite(img, "png", bos)
         (id, bos.toByteArray)
       }
     }(Encoders.tuple(Encoders.scalaLong, Encoders.BINARY)).toDF("id", "img")
@@ -878,7 +898,7 @@ object Multimodal {
               val img =
                 // NonFatal (see imagePixelStats): a crafted frame payload
                 // must produce the frame = -1 sentinel, not a task failure
-                try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+                try Multimodal.imageIoRead(bytes)
                 catch { case scala.util.control.NonFatal(_) => null }
               if (img == null) bad
               else {
@@ -939,7 +959,7 @@ object Multimodal {
             y += 1
           }
           val bos = new java.io.ByteArrayOutputStream()
-          javax.imageio.ImageIO.write(img, "png", bos)
+          Multimodal.imageIoWrite(img, "png", bos)
           bos.toByteArray
         }
         val w0 = 1 + ((4 * id) % 16).toInt

@@ -412,7 +412,7 @@ object Similarity {
       pqCodesExpr(col(vecCol), books).as("__codes"))
     val pairs = coded.crossJoin(broadcast(
       queries.select(col(idCol).cast("long").as("qid"))))
-    adcRank(pairs, pqLut(queries, idCol, vecCol, books, m), ksub, k)
+    adcRank(pairs, pqLut(queries, idCol, vecCol, books, m), m, ksub, k)
   }
 
   /** Query-side ADC lookup tables: per query id, the m·ksub flattened
@@ -441,14 +441,25 @@ object Similarity {
     * bounded aggregate on the negated rounded distance (negation of a
     * rounded double is exact). `pairs` carries (qid, nid, __codes). */
   private def adcRank(pairs: DataFrame, lutMap: Map[Long, Seq[Double]],
-                      ksub: Int, k: Int): DataFrame = {
-    val lut = element_at(typedLit(lutMap), col("qid"))
-    val contrib = transform(col("__codes"),
-      (c, j) => element_at(lut, j * lit(ksub) + c.cast("int") + lit(1)))
+                      m: Int, ksub: Int, k: Int): DataFrame = {
+    // the LUT fold UNROLLED over the m (plan-time constant) subspaces:
+    // `transform` + `aggregate` higher-order lambdas run INTERPRETED per
+    // row — they were the scan's dominant CPU — while the equivalent
+    // chain of GetArrayItem additions is whole-stage codegen'd. The
+    // per-query LUT lookup (a linear probe of the literal map) is
+    // materialized ONCE per row in its own projection so the unrolled
+    // terms index an attribute, not m copies of the map probe.
+    // Summation order is unchanged (left fold, j ascending; the dropped
+    // 0.0 seed only affects an IEEE −0.0 the +0.0 normalizer after
+    // round() already kills), so scores are bit-identical (before/after
+    // in OPTIMIZATION_r19.md).
+    val contribSum = (0 until m).map { j =>
+      element_at(col("__lut"), lit(j * ksub) + col("__codes")(j).cast("int") + lit(1))
+    }.reduce(_ + _)
     val scored = pairs.filter(col("nid") =!= col("qid"))
+      .withColumn("__lut", element_at(typedLit(lutMap), col("qid")))
       .select(col("qid"), col("nid"),
-        (round(aggregate(contrib, lit(0.0), (a, x) => a + x), 4) + lit(0.0))
-          .as("adc"))
+        (round(contribSum, 4) + lit(0.0)).as("adc"))
     topKByQuery(scored.withColumn("__neg", negate(col("adc"))), k, "__neg", "__neg")
       .select(col("qid"), col("rank"), col("nid"),
         (negate(col("__neg")) + lit(0.0)).as("adc"))
@@ -476,7 +487,7 @@ object Similarity {
     val q = queries.select(col(idCol).cast("long").as("qid"),
       cellExpr(col(vecCol), nlist, dims).as("cell"))
     val pairs = c.join(broadcast(q), "cell")
-    adcRank(pairs, pqLut(queries, idCol, vecCol, books, m), ksub, k)
+    adcRank(pairs, pqLut(queries, idCol, vecCol, books, m), m, ksub, k)
   }
 
   /** Brute-force cosine top-k: for each query vector, the k nearest corpus

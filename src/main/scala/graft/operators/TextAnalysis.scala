@@ -31,10 +31,14 @@ object TextAnalysis {
     call_function(s"graft_${form.toLowerCase}", c)
   }
 
-  /** Non-overlapping occurrence count (charsequence.h:1078-1103). */
+  /** Non-overlapping occurrence count (charsequence.h:1078-1103).
+    * `regexp_count` walks the SAME left-to-right non-overlapping match
+    * sequence as the old regexp_replace-and-measure form (both are the
+    * Java-regex find loop), without allocating a replaced copy of the
+    * text per call — this runs per stopword per row in the quality /
+    * langid batteries, so the copies were the scan's allocation bill. */
   def countOccurrences(c: Column, target: String): Column =
-    ((length(c) - length(regexp_replace(c, java.util.regex.Pattern.quote(target), "")))
-      / target.length).cast("long")
+    regexp_count(c, lit(java.util.regex.Pattern.quote(target))).cast("long")
 
   /** The ASCII whitespace set, written out explicitly because the
     * engines' `\s` classes disagree: Java's includes `\x0B`, RE2's
@@ -62,6 +66,10 @@ object TextAnalysis {
     size(regexp_extract_all(c,
       lit(s"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9$asciiWs]"), lit(0))).cast("long")
 
+  // deliberately the replace-and-measure form, NOT regexp_count: for
+  // single-CHARACTER classes the count form walks one regex match per
+  // character and measured ~9% slower than one replace pass
+  // (BenchExprAB alpha_ratio, OPTIMIZATION_r19.md)
   def alphaRatio(c: Column): Column =
     length(regexp_replace(c, "[^a-zA-Z]", "")).cast("double") /
       greatest(length(c), lit(1)).cast("double")
@@ -635,6 +643,42 @@ object TextAnalysis {
     * merges — the trained segmentation of every word. */
   def bpeTrain(docs: org.apache.spark.sql.DataFrame, textCol: String,
                nMerges: Int): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    val (merges, vocab, toFree) = bpeTrainLoop(docs, textCol, nMerges)
+    // materialize the trained segmentation eagerly, then free the last
+    // intermediate round's blocks it was computed from
+    val out = vocab.ckpt()
+    toFree.foreach(org.apache.spark.sql.GraftColumnShim.unpersistCheckpoint)
+    (merges, out)
+  }
+
+  /** [[bpeTrain]] when the caller wants the MERGE LIST only (the encode
+    * path of q88/q92-class pipelines, which re-segments through
+    * [[bpeEncode]] anyway): skips materializing the trained vocab frame
+    * — one fewer vocab-sized job per call — and frees every
+    * intermediate round's blocks before returning. */
+  def bpeTrainMerges(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                     nMerges: Int): org.apache.spark.sql.DataFrame = {
+    val (merges, _, toFree) = bpeTrainLoop(docs, textCol, nMerges)
+    toFree.foreach(org.apache.spark.sql.GraftColumnShim.unpersistCheckpoint)
+    merges
+  }
+
+  /** The shared merge loop: per round ONE Spark job, not two — the
+    * merged vocab is a LAZY localCheckpoint whose blocks materialize
+    * inside the NEXT round's best-pair aggregation (the eager-checkpoint
+    * form paid a separate vocab materialization job per round; at small
+    * vocab sizes those jobs were pure scheduling overhead — before/after
+    * in OPTIMIZATION_r19.md). A superseded round's blocks can only be
+    * freed AFTER the round that reads them has materialized its own
+    * checkpoint (lazy-checkpoint lineage is truncated — recompute after
+    * unpersist is impossible), hence the one-round-delayed free and the
+    * returned to-free tail the public wrappers release. Returns
+    * (merges DF, final vocab [LAZY — last two rounds' blocks still
+    * live], their checkpoint frames to free once done). */
+  private def bpeTrainLoop(docs: org.apache.spark.sql.DataFrame, textCol: String,
+                           nMerges: Int): (org.apache.spark.sql.DataFrame,
+                                           org.apache.spark.sql.DataFrame,
+                                           Seq[org.apache.spark.sql.DataFrame]) = {
     require(nMerges >= 0, "nMerges must be non-negative")
     val spark = docs.sparkSession
     import spark.implicits._
@@ -644,7 +688,11 @@ object TextAnalysis {
     // convention — drop empties so symbols are exactly the characters
     var vocab = words.select(col("word"), col("freq"),
         filter(split(col("word"), ""), x => x =!= "").as("syms"))
-      .ckpt()
+      .ckpt(false)
+    // the previous round's checkpoint: materialized (this round's
+    // best-pair job read it), but still the lineage parent of the
+    // CURRENT lazy checkpoint — freeable only after the next job
+    var prev: Option[org.apache.spark.sql.DataFrame] = None
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, String, Long)]
     var round = 0
     var exhausted = false
@@ -657,23 +705,23 @@ object TextAnalysis {
         .groupBy(col("pair")).agg(sum(col("freq")).as("n"))
         .orderBy(col("n").desc, col("pair").asc)
         .limit(1).collect()
+      // this job materialized `vocab` — the round BEFORE it is now
+      // safe to free (nothing unmaterialized depends on its blocks)
+      prev.foreach(org.apache.spark.sql.GraftColumnShim.unpersistCheckpoint)
+      prev = Some(vocab)
       if (best.isEmpty || best(0).getLong(1) < 2) exhausted = true
       else {
         val parts = best(0).getString(0).split(' ')
         val a: String = parts(0); val b: String = parts(1)
         merges += ((round + 1L, a, b, a + b, best(0).getLong(1)))
-        val prev = vocab
         vocab = vocab.select(col("word"), col("freq"),
             mergeAdjacent(col("syms"), a, b).as("syms"))
-          .ckpt()
-        // the new eager checkpoint supersedes the previous round's
-        // blocks — free them now instead of pinning every round's
-        // vocab copy for the session (long-lived-session leak class)
-        org.apache.spark.sql.GraftColumnShim.unpersistCheckpoint(prev)
+          .ckpt(false)
         round += 1
       }
     }
-    (merges.toSeq.toDF("rank", "left", "right", "pair", "count"), vocab)
+    val toFree = (prev.toSeq :+ vocab).distinct
+    (merges.toSeq.toDF("rank", "left", "right", "pair", "count"), vocab, toFree)
   }
 
   /** Apply a trained BPE merge list (rank order) to segment each word of
