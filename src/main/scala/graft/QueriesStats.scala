@@ -247,9 +247,15 @@ object QueriesStats {
     // bit-identical — the round(6) is belt and braces
     "q60_gradient" -> ((s, dir) => {
       val nation = tbl(s, dir, "nation")
-      val st = graft.core.SemanticStream.indexedFrom(
-        nation.select(col("n_nationkey"), col("n_name")),
-        col("n_nationkey").cast("double"), Seq(col("n_nationkey").asc))
+      // dense-key bridge: n_nationkey is a DENSE 0-based PK by TPC-H
+      // construction (exactly 25 rows, keys 0..24, at every SF), so the
+      // rank IS the key — zero rank stages, where the generic
+      // indexedFrom bridge paid the full bucket-rank machinery on a
+      // 25-row table (r19: ~195 tasks per bench window for 25 rows)
+      val st = IndexOps.renumberByDenseKey(
+        nation.select(col("n_nationkey"), col("n_name"))
+          .withColumn("value", col("n_nationkey").cast("double")),
+        col("n_nationkey"))
       val stats = new graft.core.Statistics(
         st.select(col("ord"), col("idx"), col("value")))
       val b = nation.orderBy(col("n_nationkey"))

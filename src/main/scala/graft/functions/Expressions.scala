@@ -131,6 +131,141 @@ case class DotProductExpr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** PQ code assignment against a LITERAL codebook as ONE native
+  * expression — code_j = argmin_t of (−2·x_sub·c_{j,t} + |c_{j,t}|²),
+  * ties to the smaller centroid id. Replaces the m·ksub-node
+  * `least(struct(dot(slice…)))` forest the r19 profiling caught running
+  * ~95 µs/row: outside whole-stage codegen (e.g. feeding an
+  * ObjectHashAggregate ranker) that forest's one-shot projection
+  * compiles to a method too large to JIT and executes as cold bytecode,
+  * while this tight reference-array loop stays small in any stage —
+  * and shrinks the plan from hundreds of literal nodes to one.
+  *
+  * Bit-compatibility with the expression form it replaces
+  * ([[graft.operators.Similarity.pqCodesExpr]]'s r18 shape): ascending-
+  * index double accumulation per subvector (float elements widened
+  * per element — exact), d = −2·s + |c|² with the squared norm
+  * PRECOMPUTED driver-side from the same doubles, null elements read
+  * as 0.0 (the [[DotProductExpr]] convention), short vectors truncate
+  * each subvector like `slice` (missing dims contribute nothing), and
+  * the argmin keeps the earlier centroid on `Double.compare` ties —
+  * exactly `least`'s (d asc, cid asc) struct order (d is never −0.0:
+  * it always ends in `+ |c|²`, and −0.0 + (+0.0) = +0.0).
+  * `books(sub)(centroid)(localDim)`. */
+case class PqCodesExpr(child: Expression, books: Array[Array[Array[Double]]])
+  extends UnaryExpression {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "graft_pq_codes"
+
+  @transient private lazy val m = books.length
+  @transient private lazy val ksub = books(0).length
+  @transient private lazy val dsub = books(0)(0).length
+  @transient private lazy val sqNorms: Array[Array[Double]] =
+    books.map(_.map(cv => { var s = 0.0; var i = 0
+      while (i < cv.length) { s += cv(i) * cv(i); i += 1 }; s }))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.FloatType | DoubleType, _)
+        if books.nonEmpty && books.forall(b => b.nonEmpty &&
+          b.forall(_.length == books(0)(0).length)) &&
+          books.forall(_.length == books(0).length) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires an array<float>/array<double> argument and a " +
+            s"rectangular non-empty codebook, got ${child.dataType.catalogString}")
+    }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.FloatType, _) => true
+    case _ => false
+  }
+  private def mayHaveNulls: Boolean = child.dataType match {
+    case ArrayType(_, n) => n
+    case _ => true
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val vec = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = vec.numElements()
+    val fl = isFloat
+    val codes = new Array[Long](m)
+    var j = 0
+    while (j < m) {
+      val base = j * dsub
+      var bestD = 0.0; var bestC = 0L; var first = true
+      var t = 0
+      while (t < ksub) {
+        val cv = books(j)(t)
+        var s = 0.0; var i = 0
+        val lim = math.max(0, math.min(dsub, n - base))
+        while (i < lim) {
+          val x =
+            if (mayHaveNulls && vec.isNullAt(base + i)) 0.0
+            else if (fl) vec.getFloat(base + i).toDouble
+            else vec.getDouble(base + i)
+          s += x * cv(i); i += 1
+        }
+        val d = -2.0 * s + sqNorms(j)(t)
+        if (first || java.lang.Double.compare(d, bestD) < 0) {
+          bestD = d; bestC = t.toLong; first = false
+        }
+        t += 1
+      }
+      codes(j) = bestC
+      j += 1
+    }
+    new GenericArrayData(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val booksRef = ctx.addReferenceObj("pqBooks", books, "double[][][]")
+    val normsRef = ctx.addReferenceObj("pqNorms", sqNorms, "double[][]")
+    nullSafeCodeGen(ctx, ev, vec => {
+      val codes = ctx.freshName("codes")
+      val j = ctx.freshName("j"); val t = ctx.freshName("t")
+      val i = ctx.freshName("i"); val s = ctx.freshName("s")
+      val d = ctx.freshName("d"); val lim = ctx.freshName("lim")
+      val base = ctx.freshName("base"); val cv = ctx.freshName("cv")
+      val bestD = ctx.freshName("bestD"); val bestC = ctx.freshName("bestC")
+      val first = ctx.freshName("first")
+      val get =
+        if (isFloat) s"(double) $vec.getFloat($base + $i)"
+        else s"$vec.getDouble($base + $i)"
+      val getNull =
+        if (mayHaveNulls) s"($vec.isNullAt($base + $i) ? 0.0 : $get)" else get
+      s"""
+         |long[] $codes = new long[$m];
+         |for (int $j = 0; $j < $m; $j++) {
+         |  int $base = $j * $dsub;
+         |  int $lim = java.lang.Math.max(0,
+         |    java.lang.Math.min($dsub, $vec.numElements() - $base));
+         |  double $bestD = 0.0; long $bestC = 0L; boolean $first = true;
+         |  for (int $t = 0; $t < $ksub; $t++) {
+         |    double[] $cv = $booksRef[$j][$t];
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $lim; $i++) {
+         |      $s += $getNull * $cv[$i];
+         |    }
+         |    double $d = -2.0 * $s + $normsRef[$j][$t];
+         |    if ($first || java.lang.Double.compare($d, $bestD) < 0) {
+         |      $bestD = $d; $bestC = (long) $t; $first = false;
+         |    }
+         |  }
+         |  $codes[$j] = $bestC;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqCodesExpr =
+    copy(child = newChild)
+}
+
 case class Utf32Encode(child: Expression, bigEndian: Boolean)
   extends UnaryExpression with CodegenFallback {
 
@@ -231,9 +366,39 @@ case class UnicodeNormalize(child: Expression, form: java.text.Normalizer.Form)
 
 /** Session registration for the native expressions, so they are usable
   * from SQL and via `call_function`. */
+/** Identity expression DECLARED non-deterministic — an optimizer
+  * barrier. Use case (r19, measured on the ADC rankers): the optimizer
+  * collapses a scoring projection into the input expressions of a
+  * following `udaf` aggregate (ObjectHashAggregate), where they are
+  * evaluated WITHOUT whole-stage codegen — per-row interpreted
+  * evaluation of a 30-node scoring tree cost ~100 µs/row (q80: 2.3 s
+  * for a 20k-row ranking whose projection alone ran in 0.17 s).
+  * Wrapping the score in this barrier keeps the projection its own
+  * codegen'd stage and hands the aggregate a plain attribute. Identity
+  * semantics: same value, nullability and codegen as the child; only
+  * the determinism flag differs, and the value IS deterministic — the
+  * flag is load-bearing solely against expression inlining (the same
+  * trick as `asNondeterministic()` on an expensive UDF, guide §4.4). */
+case class EvalBarrier(child: Expression) extends UnaryExpression {
+  override lazy val deterministic: Boolean = false
+  override def dataType: DataType = child.dataType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "graft_barrier"
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any =
+    child.eval(input)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = c.code, isNull = c.isNull, value = c.value)
+  }
+  override protected def withNewChildInternal(newChild: Expression): EvalBarrier =
+    copy(child = newChild)
+}
+
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("graft_barrier",
+      exprs => EvalBarrier(exprs.head), "built-in")
     java.text.Normalizer.Form.values().foreach { form =>
       reg.createOrReplaceTempFunction(s"graft_${form.name().toLowerCase}",
         exprs => UnicodeNormalize(exprs.head, form), "built-in")

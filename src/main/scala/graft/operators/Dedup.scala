@@ -417,15 +417,20 @@ object Dedup {
     // rounds into fixed-width task storms (q65 0.37 → 0.55 s, q99
     // +9%) — the per-round exchanges stay ENSURE_REQUIREMENTS so AQE
     // sizes them to the real propagated volumes at every scale.
+    // LAZY (r19): materialized inside round 1's convergence-count job
+    // together with the initial labels — the eager form paid two extra
+    // driver jobs per call before any round ran. The blocks bound
+    // lineage exactly as before once materialized, and every unpersist
+    // below runs strictly after the materializing count.
     val sym = edges.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .union(edges.select(col(bCol).cast("long").as("src"), col(aCol).cast("long").as("dst")))
-      .ckpt()
+      .ckpt(false)
     // labelsCkpt is ALWAYS the checkpointed frame itself (plan root =
     // LogicalRDD) — unpersistCheckpoint deliberately frees only root
     // checkpoints, so a derived projection must never be what we free
     var labelsCkpt = sym.groupBy(col("src")).agg(min(col("dst")).as("nmin"))
       .select(col("src").as("id"), least(col("src"), col("nmin")).as("label"))
-      .ckpt()
+      .ckpt(false)
     var labels = labelsCkpt
     var round = 0
     var converged = false

@@ -153,19 +153,26 @@ object Graph {
   private def pageRankLong(edges: DataFrame, srcCol: String, dstCol: String,
                            iters: Int, damping: Double,
                            checkpointEvery: Int): DataFrame = {
+    // LAZY checkpoints, materialized by the two actions that already
+    // exist (nodes.count here, the output checkpoint below): the eager
+    // form ran one driver job per checkpoint — three extra job
+    // round-trips whose scheduling cost rivals the rank rounds at
+    // bench scale. Blocks still bound lineage exactly as before; the
+    // unpersists at the end run strictly after materialization.
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
       .distinct()
-      .ckptSpill()
+      .ckptSpill(false)
     val nodes = e.select(col("src").as("nid"))
       .union(e.select(col("dst").as("nid")))
       .distinct()
-      .ckpt()
-    val n = nodes.count() // one driver scalar, not data
+      .ckpt(false)
+    val n = nodes.count() // materializes e + nodes; one driver scalar
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     val parts = math.max(1,
       edges.sparkSession.sessionState.conf.numShufflePartitions)
-    val spine = e.join(outDeg, "src").repartition(parts, col("src")).ckpt()
+    val spine = e.join(outDeg, "src").repartition(parts, col("src"))
+      .ckpt(false) // materialized inside the output job's first round
     var ranks = nodes.select(col("nid").as("id"), lit(1.0 / n).as("rank"))
     val intermediates = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (round <- 0 until iters) {

@@ -107,7 +107,15 @@ object Similarity {
   def topKPerGroup(df: DataFrame, groupCol: String, scoreCol: String,
                    idCol: String, k: Int): DataFrame = {
     val tk = udaf(new TopKByScore(k))
-    df.select(col(groupCol), col(scoreCol), col(idCol))
+    // graft_barrier (a declared-non-deterministic identity) pins the
+    // caller's scoring tree in its OWN codegen'd projection: without
+    // it the optimizer collapses the score expressions into the udaf's
+    // input, where they evaluate interpreted per row — measured 2.3 s
+    // vs 0.17 s on q80's 30-node ADC tree over 20k candidate rows
+    // (OPTIMIZATION_r19.md). Values are unchanged (identity).
+    graft.functions.GraftFunctions.register(df.sparkSession) // idempotent
+    df.select(col(groupCol), call_function("graft_barrier", col(scoreCol)).as(scoreCol),
+        col(idCol))
       .groupBy(col(groupCol))
       .agg(tk(col(scoreCol), col(idCol)).as("__tk"))
       .select(col(groupCol), posexplode(col("__tk.items")).as(Seq("__r", "__item")))
@@ -334,17 +342,16 @@ object Similarity {
     * id — a PURE MAP-SIDE projection, like every assignment step here:
     * the 100 TB corpus is encoded to m small ints per vector in one
     * scan, no join, no shuffle. */
-  def pqCodesExpr(vec: Column, books: Array[Array[Array[Double]]]): Column = {
-    val m = books.length; val dsub = books(0)(0).length
-    array((0 until m).map { j =>
-      val sub = slice(vec, j * dsub + 1, dsub)
-      val cands = books(j).zipWithIndex.map { case (cv, t) =>
-        struct((lit(-2.0) * dot(sub, typedLit(cv)) + lit(sqNormSeq(cv))).as("d"),
-          lit(t.toLong).as("cid"))
-      }.toIndexedSeq
-      (if (cands.length == 1) cands.head else least(cands: _*)).getField("cid")
-    }: _*)
-  }
+  def pqCodesExpr(vec: Column, books: Array[Array[Array[Double]]]): Column =
+    // ONE native codegen'd expression (r19): the previous
+    // `array(least(struct(-2·dot(slice…)+|c|², cid)…)…)` forest was
+    // m·ksub literal-dot nodes whose one-shot projection, when planned
+    // OUTSIDE whole-stage codegen (e.g. feeding the ObjectHashAggregate
+    // ranker), compiled into a method too large to JIT and ran as cold
+    // bytecode — profiled at ~95 µs/row on q80's scoring stage
+    // (OPTIMIZATION_r19.md). Identical arithmetic and tie-break, one
+    // compact loop, plan shrinks by hundreds of nodes.
+    org.apache.spark.sql.GraftColumnShim.pqCodesColumn(vec, books)
 
   /** PQ-encode a corpus: (id, codes array<long> of length m). */
   def pqEncode(emb: DataFrame, idCol: String, vecCol: String,

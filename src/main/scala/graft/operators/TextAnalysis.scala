@@ -518,9 +518,14 @@ object TextAnalysis {
       .groupBy(col("key")).agg(count(lit(1)).as("n_key"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("n_key").desc, col("key").asc)
+    // lazy checkpoint (≤h rows): the floor probe below materializes it,
+    // so the exact-recount scan+shuffle runs ONCE — the returned frame
+    // used to replay it on every consumer action (blocks are reaped by
+    // the ContextCleaner with the frame, the cand/sh memo convention)
     val ranked = exact
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= h)
+      .ckpt(false)
     val floorRow = ranked.agg(min(col("n_key"))).head()
     // exactness needs BOTH: every returned count clears the MG survival
     // threshold n/(k+1) AND the list actually has h rows (every

@@ -24,6 +24,16 @@ object GraftColumnShim {
     case _ => (c, true, true)
   }
 
+  /** Column over the native [[graft.functions.PqCodesExpr]] — codebooks
+    * are constructor data, not SQL arguments, so this can't go through
+    * the function registry like the other graft expressions; built here
+    * because Column↔Expression conversion is `private[sql]`. */
+  def pqCodesColumn(vec: Column,
+                    books: Array[Array[Array[Double]]]): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(
+      graft.functions.PqCodesExpr(
+        org.apache.spark.sql.classic.ExpressionUtils.expression(vec), books))
+
   /** Release the cached blocks behind a `localCheckpoint()`ed Dataset:
     * its analyzed plan is a `LogicalRDD` over the checkpointed
     * (persisted) RDD, so unpersist that RDD directly —

@@ -224,4 +224,64 @@ class ExpressionSpec extends AnyFunSuite {
       TextAnalysis.normalizeUnicode(col("s"), "NFX")
     }
   }
+
+  test("PqCodesExpr matches the least-struct reference form (r19 native rewrite)") {
+    GraftFunctions.register(spark)
+    // deterministic pseudo-random corpus: dims=8, m=2, ksub=3 — includes
+    // a short vector (subvector truncation = slice semantics) and exact
+    // distance ties (argmin keeps the SMALLER centroid id, least's
+    // (d asc, cid asc) struct order)
+    def vec(seed: Int, n: Int): Seq[Float] =
+      (0 until n).map(i => (((seed * 31 + i) % 17) - 8) / 8.0f)
+    val rows = (0 until 40).map(i => (i.toLong, vec(i, 8))) ++
+      Seq((100L, vec(3, 5)), (101L, Seq.empty[Float]),
+        (102L, vec(7, 8)), (103L, vec(7, 8))) // duplicates => same codes
+    val emb = rows.toDF("vec_id", "embedding")
+    val books: Array[Array[Array[Double]]] = Array.tabulate(2) { j =>
+      Array.tabulate(3) { t =>
+        // centroid 2 duplicates centroid 1 in subspace 0: a forced tie
+        val tt = if (j == 0 && t == 2) 1 else t
+        Array.tabulate(4)(i => (((j * 7 + tt * 5 + i) % 9) - 4) / 4.0)
+      }
+    }
+    // independent reference: the exact arithmetic of the pre-r19
+    // expression form — ascending-index double fold over the slice,
+    // d = -2*s + |c|^2, argmin with smaller-cid tie-break
+    def refCodes(v: Seq[Float]): Seq[Long] = (0 until 2).map { j =>
+      val sub = v.slice(j * 4, j * 4 + 4).map(_.toDouble)
+      val scored = books(j).zipWithIndex.map { case (cv, t) =>
+        val s = sub.zip(cv).map { case (a, b) => a * b }.sum
+        val sq = cv.map(x => x * x).sum
+        (-2.0 * s + sq, t.toLong)
+      }
+      scored.minBy(identity)._2 // (d asc, cid asc)
+    }
+    val got = emb
+      .select(col("vec_id"),
+        graft.operators.Similarity.pqCodesExpr(col("embedding"), books).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSeq).toMap
+    rows.foreach { case (id, v) =>
+      assert(got(id) == refCodes(v), s"codes diverge for vec $id")
+    }
+    // the forced tie actually exercised: some vector picks centroid 1
+    // over its duplicate 2 in subspace 0
+    assert(rows.forall { case (id, _) => got(id).head != 2L || books(0)(1).sameElements(books(0)(2)) == false })
+  }
+
+  test("EvalBarrier (graft_barrier) is a value-identity and survives codegen") {
+    GraftFunctions.register(spark)
+    val df = Seq((1L, 2.5), (2L, -0.0), (3L, Double.NaN)).toDF("id", "x")
+    val got = df.selectExpr("id", "graft_barrier(x * 2.0) AS y")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(got(1L) == 5.0)
+    assert(java.lang.Double.doubleToRawLongBits(got(2L)) ==
+      java.lang.Double.doubleToRawLongBits(-0.0)) // identity, no normalization
+    assert(got(3L).isNaN)
+    // the barrier's whole point: it reads non-deterministic to the
+    // optimizer, so a scoring projection cannot be inlined into an
+    // ObjectHashAggregate's input expressions
+    val e = graft.functions.EvalBarrier(
+      org.apache.spark.sql.catalyst.expressions.Literal(1.0))
+    assert(!e.deterministic)
+  }
 }
