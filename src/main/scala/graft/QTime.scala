@@ -26,6 +26,15 @@ object QTime {
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "5").toInt
     names.foreach { n =>
       val fn = SparkEntry.queries(n)
+      // AQE-final executed plan (dev, env-gated): evaluate through the
+      // noop sink (count() would prune projections — guide §1.4), then
+      // print the final adaptive plan
+      if (sys.env.contains("GRAFT_EXEC_PLAN")) {
+        val df = fn(spark, sfDir)
+        df.write.format("noop").mode("overwrite").save()
+        println(s"===== $n executed plan =====")
+        println(df.queryExecution.executedPlan.toString)
+      }
       fn(spark, sfDir).count() // warm-up
       System.gc()
       val cons = Array.ofDim[Double](runs); val exec = Array.ofDim[Double](runs)

@@ -403,10 +403,13 @@ object QueriesText {
       // ONE feature-extraction pass for train AND score: the joint
       // frame (bias rows are inert to scoring — dropped by its inner
       // join against the 256 weights) is checkpointed once and feeds
-      // both the 5 GD rounds and the scoring aggregation — scoring used
-      // to re-derive the whole explode+aggregate feature pipeline; the
+      // both the 5 GD rounds and the scoring aggregation. The per-round
+      // feature exchange is PAID — not elided — and that is the
+      // measured optimum: see the r20 note in logisticTrainOnFeatures
+      // (checkpoint scans carry no partitioning under AQE; the persist+
+      // repartition alternative measured 25× worse task time). The
       // scored result is materialized eagerly so the feature blocks can
-      // be freed instead of pinned for the session
+      // be freed instead of pinned for the session.
       val full = C.fullFeatures(docs, "doc_id", "text", pred)
         .ckpt()
       val n = docs.count().toDouble

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, BinaryType, DataType, DoubleType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -151,7 +151,11 @@ case class DotProductExpr(left: Expression, right: Expression)
   * the argmin keeps the earlier centroid on `Double.compare` ties —
   * exactly `least`'s (d asc, cid asc) struct order (d is never −0.0:
   * it always ends in `+ |c|²`, and −0.0 + (+0.0) = +0.0).
-  * `books(sub)(centroid)(localDim)`. */
+  * `books(sub)(centroid)(localDim)`. The codebook is constructor data
+  * and MUST NOT be mutated after construction (sqNorms derives lazily
+  * from the same reference); case-class equality on it is reference-
+  * based — conservative (missed subexpression elimination / plan-cache
+  * reuse), never incorrect. */
 case class PqCodesExpr(child: Expression, books: Array[Array[Array[Double]]])
   extends UnaryExpression {
 
@@ -266,14 +270,77 @@ case class PqCodesExpr(child: Expression, books: Array[Array[Array[Double]]])
     copy(child = newChild)
 }
 
-case class Utf32Encode(child: Expression, bigEndian: Boolean)
-  extends UnaryExpression with CodegenFallback {
+/** JVM-static helpers shared by interpreted eval and generated code.
+  * Loop-heavy expression bodies live HERE and `doGenCode` emits a
+  * one-line call: the generated projection method stays tiny (JIT-
+  * friendly regardless of how many such expressions a stage fuses) and
+  * eval/codegen cannot drift apart — the r19 PqCodes profiling showed
+  * exactly what an over-large generated method costs (cold bytecode). */
+object ExprHelpers {
 
-  override def dataType: DataType = BinaryType
-  override def prettyName: String = if (bigEndian) "graft_utf32be_encode" else "graft_utf32le_encode"
+  /** Bit i (0..15) set iff hex char i of `s` is in [8-9a-fA-F] — i.e.
+    * the high bit of the i-th nibble of a hex digest. One pass over the
+    * bytes; replaces 16 substring+isin subtree evaluations per row in
+    * the SimHash vote projection. Strings shorter than 16 chars vote 0
+    * on the missing positions (md5 hex is always 32). */
+  def hexVotes16(s: UTF8String): Int = {
+    val n = math.min(16, s.numBytes())
+    var m = 0
+    var i = 0
+    while (i < n) {
+      val c = s.getByte(i)
+      if ((c >= '8' && c <= '9') || (c >= 'a' && c <= 'f') ||
+          (c >= 'A' && c <= 'F')) m |= (1 << i)
+      i += 1
+    }
+    m
+  }
 
-  override def nullSafeEval(input: Any): Any = {
-    val cps = input.asInstanceOf[UTF8String].toString.codePoints().toArray
+  /** Apply a BPE merge list to a symbol array: for each (a, b) in rank
+    * order, one greedy left-to-right non-overlapping adjacent-merge pass
+    * — EXACTLY [[graft.operators.TextAnalysis.mergeAdjacent]]'s carry
+    * semantics ("a a a" → ["aa", "a"]; a null element never matches,
+    * flushes a pending carry, and is copied through). Arrays ping-pong;
+    * sizes only shrink. */
+  def bpeApplyMerges(arr: org.apache.spark.sql.catalyst.util.ArrayData,
+                     a: Array[UTF8String], b: Array[UTF8String],
+                     ab: Array[UTF8String]): GenericArrayData = {
+    var n = arr.numElements()
+    var cur = new Array[AnyRef](n)
+    var i = 0
+    while (i < n) {
+      cur(i) = if (arr.isNullAt(i)) null else arr.getUTF8String(i)
+      i += 1
+    }
+    var k = 0
+    while (k < a.length) {
+      val ak = a(k); val bk = b(k); val abk = ab(k)
+      val out = new Array[AnyRef](n)
+      var m = 0
+      var carry: AnyRef = null // non-null iff a pending `a` may merge
+      var j = 0
+      while (j < n) {
+        val x = cur(j)
+        if (carry == null) {
+          if (x != null && x.equals(ak)) carry = x
+          else { out(m) = x; m += 1 }
+        } else {
+          if (x != null && x.equals(bk)) { out(m) = abk; m += 1; carry = null }
+          else if (x != null && x.equals(ak)) { out(m) = carry; m += 1; carry = x }
+          else { out(m) = carry; m += 1; out(m) = x; m += 1; carry = null }
+        }
+        j += 1
+      }
+      if (carry != null) { out(m) = carry; m += 1 }
+      cur = out; n = m
+      k += 1
+    }
+    if (n < cur.length) cur = java.util.Arrays.copyOf(cur, n)
+    new GenericArrayData(cur)
+  }
+
+  def utf32Encode(input: UTF8String, bigEndian: Boolean): Array[Byte] = {
+    val cps = input.toString.codePoints().toArray
     val out = new Array[Byte](cps.length * 4)
     var i = 0
     while (i < cps.length) {
@@ -294,18 +361,7 @@ case class Utf32Encode(child: Expression, bigEndian: Boolean)
     out
   }
 
-  override protected def withNewChildInternal(newChild: Expression): Utf32Encode =
-    copy(child = newChild)
-}
-
-case class Utf32Decode(child: Expression, bigEndian: Boolean)
-  extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = StringType
-  override def prettyName: String = if (bigEndian) "graft_utf32be_decode" else "graft_utf32le_decode"
-
-  override def nullSafeEval(input: Any): Any = {
-    val bytes = input.asInstanceOf[Array[Byte]]
+  def utf32Decode(bytes: Array[Byte], bigEndian: Boolean): UTF8String = {
     val sb = new java.lang.StringBuilder(bytes.length / 4 + 1)
     var o = 0
     while (o + 4 <= bytes.length) {
@@ -324,6 +380,121 @@ case class Utf32Decode(child: Expression, bigEndian: Boolean)
     if (o < bytes.length) sb.appendCodePoint(0xFFFD) // truncated trailing unit
     UTF8String.fromString(sb.toString)
   }
+}
+
+/** SimHash-16 hex votes as ONE native expression: bit i of the result
+  * is set iff hex char i of the input is in [8-f] — the per-token vote
+  * mask the 16 per-bit sums then read with shift/and. Replaces 16
+  * `substring(h, i+1, 1).isin("8"…"f")` subtrees (16 UTF8String slices
+  * + up to 128 string compares per row) with one byte loop (§4:
+  * eliminate expensive expression forests in the hot path). */
+case class HexVotes16Expr(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "graft_hex_votes16"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string argument, got ${child.dataType.catalogString}")
+
+  override def nullSafeEval(input: Any): Any =
+    ExprHelpers.hexVotes16(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ExprHelpers.hexVotes16($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): HexVotes16Expr =
+    copy(child = newChild)
+}
+
+/** A full BPE merge list applied to a symbol array as ONE native
+  * expression — per word: one tight loop per merge over a ping-pong
+  * pair of arrays, instead of nMerges interpreted `aggregate` HOF
+  * passes each allocating a struct carry + array concat per element
+  * (§4). Semantics are exactly the chained
+  * [[graft.operators.TextAnalysis.mergeAdjacent]] folds it replaces
+  * (greedy left-to-right, non-overlapping, carry may re-arm on `a`),
+  * pinned against the HOF form in ExpressionSpec. The merge list is
+  * constructor data (like [[PqCodesExpr]]'s codebook) and must not be
+  * mutated after construction; case-class equality on it is
+  * reference-based — conservative (missed subexpression elimination),
+  * never incorrect. */
+case class BpeMergesExpr(child: Expression, merges: Array[(String, String)])
+  extends UnaryExpression {
+
+  override def dataType: DataType = child.dataType match {
+    case ArrayType(_, n) => ArrayType(StringType, containsNull = n)
+    case _ => ArrayType(StringType, containsNull = true)
+  }
+  override def prettyName: String = "graft_bpe_merges"
+
+  @transient private lazy val aArr: Array[UTF8String] =
+    merges.map(m => UTF8String.fromString(m._1))
+  @transient private lazy val bArr: Array[UTF8String] =
+    merges.map(m => UTF8String.fromString(m._2))
+  @transient private lazy val abArr: Array[UTF8String] =
+    merges.map(m => UTF8String.fromString(m._1 + m._2))
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires an array<string> argument, got ${child.dataType.catalogString}")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    ExprHelpers.bpeApplyMerges(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      aArr, bArr, abArr)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cls = "org.apache.spark.unsafe.types.UTF8String[]"
+    val aRef = ctx.addReferenceObj("bpeA", aArr, cls)
+    val bRef = ctx.addReferenceObj("bpeB", bArr, cls)
+    val abRef = ctx.addReferenceObj("bpeAb", abArr, cls)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ExprHelpers.bpeApplyMerges($c, $aRef, $bRef, $abRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeMergesExpr =
+    copy(child = newChild)
+}
+
+case class Utf32Encode(child: Expression, bigEndian: Boolean)
+  extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = if (bigEndian) "graft_utf32be_encode" else "graft_utf32le_encode"
+
+  override def nullSafeEval(input: Any): Any =
+    ExprHelpers.utf32Encode(input.asInstanceOf[UTF8String], bigEndian)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ExprHelpers.utf32Encode($c, $bigEndian);")
+
+  override protected def withNewChildInternal(newChild: Expression): Utf32Encode =
+    copy(child = newChild)
+}
+
+case class Utf32Decode(child: Expression, bigEndian: Boolean)
+  extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = if (bigEndian) "graft_utf32be_decode" else "graft_utf32le_decode"
+
+  override def nullSafeEval(input: Any): Any =
+    ExprHelpers.utf32Decode(input.asInstanceOf[Array[Byte]], bigEndian)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ExprHelpers.utf32Decode($c, $bigEndian);")
 
   override protected def withNewChildInternal(newChild: Expression): Utf32Decode =
     copy(child = newChild)
@@ -397,8 +568,18 @@ case class EvalBarrier(child: Expression) extends UnaryExpression {
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    // CONSTRAINT (r19 verdict): the non-determinism flag that stops the
+    // optimizer inlining the barrier's child into an aggregate's input
+    // ALSO blocks predicate pushdown through any projection containing
+    // it — a filter written above a barrier column stays above it. Only
+    // place graft_barrier immediately upstream of the consumer it
+    // shields (an aggregate/udaf input); never upstream of a selective
+    // filter that should reach the scan. Every current call site sits
+    // directly under an aggregation (ExpressionSpec pins the plan shape).
     reg.createOrReplaceTempFunction("graft_barrier",
       exprs => EvalBarrier(exprs.head), "built-in")
+    reg.createOrReplaceTempFunction("graft_hex_votes16",
+      exprs => HexVotes16Expr(exprs.head), "built-in")
     java.text.Normalizer.Form.values().foreach { form =>
       reg.createOrReplaceTempFunction(s"graft_${form.name().toLowerCase}",
         exprs => UnicodeNormalize(exprs.head, form), "built-in")

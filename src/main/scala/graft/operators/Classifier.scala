@@ -55,10 +55,10 @@ object Classifier {
     import spark.implicits._
     val w = weights.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
       .toDF("__wbk", "__wv")
-    // groupBy on the BARE id attribute (renamed after the aggregate, not
-    // aliased inside it) so a feature frame already hash-partitioned on
-    // the id — the [[fullFeatures]]+repartition checkpoint — satisfies
-    // the aggregation's distribution without a fresh exchange
+    // groupBy on the bare id attribute (renamed after the aggregate) —
+    // harmless either way; see the r20 note in logisticTrainOnFeatures:
+    // no materialized-frame layout is recognized here, the exchange is
+    // paid and partial-aggregated
     val logits = feats.join(broadcast(w), col("bk") === col("__wbk"))
       .groupBy(col(idCol))
       .agg(sum(col("x") * col("__wv")).as("__dot"))
@@ -123,9 +123,18 @@ object Classifier {
     while (it < iters && n > 0) {
       val wDf = w.zipWithIndex.map { case (v, i) => (i, v) }.toSeq
         .toDF("__wbk", "__wv")
-      // bare-attribute groupBy + rename (not an alias inside the
-      // grouping) — see logisticScore: keeps the checkpoint's hash(id)
-      // layout satisfying the aggregation, no per-round exchange
+      // NOTE (r20, claim DROPPED with evidence): the r19 hope that the
+      // checkpointed frame's hash(id) layout satisfies this aggregation
+      // without an exchange is structurally impossible — a checkpoint
+      // scan carries NO recognizable partitioning under AQE (micro-
+      // check + in-loop executed plan, plans/r20/q91_*). The exchange
+      // is per-round and feature-frame-sized but partial-aggregated.
+      // The alternative that CAN elide it — repartition(id) + persist()
+      // (InMemoryRelation keeps its layout) — was measured 25× worse
+      // task time at bench scale (29.3 s vs 1.2 s per run: per-round
+      // broadcast builds of the cached frame + fixed-width cache scans;
+      // same pathology as the r19 reverted fixed-N repartition). Pinned
+      // here so neither form is re-tried blindly.
       val probs = full.join(broadcast(wDf), col("bk") === col("__wbk"))
         .groupBy(col(idCol))
         .agg(first(col("y")).as("__py"),
@@ -133,14 +142,22 @@ object Classifier {
         .withColumnRenamed(idCol, "__pid")
       // joint gradient: features join probs on the doc id (both sides
       // hash on it — colocated), partial-aggregated to ≤257 rows
-      val grad = full.join(probs, col(idCol) === col("__pid"))
+      val gradDf = full.join(probs, col(idCol) === col("__pid"))
         .groupBy(col("bk"))
         .agg((sum((col("__pp") - col("__py")) * col("x")) / n).as("g"))
+      val grad = gradDf
         .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      // plan-audit instrumentation (dev-only, env-gated): the per-round
+      // plan is internal — dump the AQE-final executed plan of round 2
+      if (it == 1 && sys.env.contains("GRAFT_GD_EXPLAIN")) {
+        println("===== logisticTrainOnFeatures executed round plan =====")
+        println(gradDf.queryExecution.executedPlan.toString)
+      }
       var i = 0
       while (i < 257) { w(i) -= lr * grad.getOrElse(i, 0.0); i += 1 }
       it += 1
     }
     (w.take(256), w(256))
   }
+
 }

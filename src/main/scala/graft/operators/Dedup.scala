@@ -272,6 +272,15 @@ object Dedup {
             explode(col("__fk.items.ord")).as("id"))
       case None => bandDf
     }
+    // Join strategy MEASURED and left to the planner (r20): forcing
+    // SHUFFLE_HASH so both sides share one Exchange(band, key) — vs the
+    // planner's broadcast of the capped frame — is a statistical TIE in
+    // a same-JVM interleaved A/B (QProbeMh: bcast 2.645 s / shj 2.690 s
+    // median of 7 on the full q32 spine); the broadcast side's apparent
+    // pipeline duplication is mostly healed by ReuseExchange on the
+    // signature and election exchanges already, and at scale the size
+    // estimates rule out the broadcast on their own. Pinned here so the
+    // hint isn't re-tried blindly.
     val l = capped.as("l"); val r = capped.as("r")
     l.join(r, col("l.band") === col("r.band") && col("l.key") === col("r.key") &&
         col("l.id") < col("r.id"))
@@ -408,6 +417,10 @@ object Dedup {
   def connectedComponentsWithStats(edges: DataFrame, aCol: String = "a",
                                    bCol: String = "b",
                                    maxRounds: Int = 25): (DataFrame, Int, Boolean) = {
+    // maxRounds == 0 would skip the loop, unpersist the never-
+    // materialized lazy checkpoints below, and return a labels frame
+    // whose lineage-truncated blocks are already freed (r19 ADVICE)
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
     // materialize the symmetrized edge list ONCE: it re-enters every
     // round's join, and without the checkpoint each round would re-run
     // the whole upstream pipeline that produced the pairs (measured 3×
@@ -602,12 +615,17 @@ object Dedup {
     * of token digests have hex digit i in [8..f]. Same-fingerprint docs are
     * near-dup candidates. Linear scan + one groupBy. */
   def simhash16(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    // ONE native vote-mask expression per token (bit i of `m` = "hex
+    // char i of md5 is in [8-f]") instead of 16 substring+isin subtrees
+    // per row; each per-bit sum then reads its vote with two bit-ops.
+    // Vote identity with the old form is pinned in ExpressionSpec;
+    // before/after in OPTIMIZATION_r20.md (§4 expression work).
     val toks = df.select(col(idCol).as("id"),
         explode(TextAnalysis.tokens(col(textCol))).as("tok"))
-      .withColumn("h", md5(col("tok")))
+      .withColumn("m", org.apache.spark.sql.GraftColumnShim
+        .hexVotes16Column(md5(col("tok"))))
     val bitSums = (0 until 16).map { i =>
-      sum(when(substring(col("h"), i + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1)
-        .otherwise(-1)).as(s"s$i")
+      sum(shiftright(col("m"), i).bitwiseAND(lit(1)) * 2 - 1).as(s"s$i")
     }
     val agg = toks.groupBy(col("id")).agg(bitSums.head, bitSums.tail: _*)
     val fp = (0 until 16).map(i =>
@@ -730,7 +748,18 @@ object Dedup {
           col("key") === col("__k") && col("id") === col("__kid"), "left_semi")
       case None => uncapped
     }
-    val l = banded.as("l"); val r = banded.as("r")
+    // Join strategy MEASURED and left to the planner (r20): the
+    // executed plan shows the fingerprint pipeline planted once per
+    // join side under the planner's broadcast (plans/r20/q105_*), but
+    // the duplicated segments are cheap (q33 pins the whole fingerprint
+    // aggregation at ~70 ms task time at sf0.1) and a SHUFFLE_HASH
+    // rewrite that shares one Exchange(band, key) across both sides
+    // measured canary-flat (targeted runs, q17 canary; QProbeMh pins
+    // the same tie on the minhash twin). The real cost is the verified
+    // pair VOLUME (the output-density contract above) — pinned so the
+    // hint isn't re-tried blindly.
+    val l = banded.as("l")
+    val r = banded.as("r")
     // popcount verify BEFORE the pair dedup: a pair's XOR is a pure
     // function of its two fingerprints, so every banded copy of a pair
     // passes or fails together and the filter commutes with the

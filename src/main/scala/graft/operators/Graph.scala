@@ -40,7 +40,10 @@ object Graph {
     * execute as a single action with no per-round driver round-trips,
     * while deep runs keep lineage (and optimizer time) bounded.
     *
-    * Returns (id, rank) for every node appearing in any edge. */
+    * Returns (id, rank) for every node appearing in any edge. ID TYPE
+    * CONTRACT: integer-typed endpoint columns take the relabel-free
+    * fast path and return `id` as LONG (the caller's ids unchanged);
+    * any other type is cast to string and `id` comes back as STRING. */
   def pageRank(edges: DataFrame, srcCol: String = "src",
                dstCol: String = "dst", iters: Int = 5,
                damping: Double = 0.85, checkpointEvery: Int = 7): DataFrame = {
@@ -104,17 +107,38 @@ object Graph {
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // (src, dst, deg) long-keyed spine — reused by every round's join
     val spine = e.join(outDeg, "src").ckpt()
+    // Nodes with NO in-edges receive zero contribution in EVERY round
+    // (every spine src has rank > 0 and deg ≥ 1, so every node with an
+    // in-edge appears in every round's contribution aggregate), hence
+    // their rank is the CONSTANT (1−d)/N after any round. Computing
+    // that set once — a node-sized anti join — replaces the per-round
+    // dict ⋈ contribs left join that re-scanned and re-shuffled the
+    // node frame every round (guide §2.4 remove shuffles outright;
+    // in-loop plan evidence in plans/r20/). Same double: the old path
+    // computed (1−d)/N + d·0.0, and x + d·0.0 ≡ x for x > 0.
+    val noInRanks = dict.select(col("nid"))
+      .join(e.select(col("dst").as("nid")).distinct(), Seq("nid"), "left_anti")
+      .select(col("nid").as("id"), lit((1.0 - damping) / n).as("rank"))
+      .ckpt(false) // node-sized; materializes inside the output job
     var ranks = dict.select(col("nid").as("id"), lit(1.0 / n).as("rank"))
     val intermediates = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (round <- 0 until iters) {
-      val contribs = spine
-        .join(ranks.select(col("id").as("src"), col("rank")), "src")
+      // SHUFFLE_HASH on the node-sized ranks side: SMJ would SORT the
+      // edge-sized spine every round after its exchange; the hash join
+      // streams the spine unsorted and builds per-partition tables
+      // bounded by nodes/parts rows of 16 bytes — spillable,
+      // partition-count-scaled (guide §3.1). Same-JVM interleaved probe
+      // (QProbePr): leftjoin 3.19 s / union 2.79 / union+SHJ 2.00 —
+      // plans committed under plans/r20/.
+      ranks = spine
+        .join(ranks.select(col("id").as("src"), col("rank"))
+          .hint("SHUFFLE_HASH"), "src")
         .groupBy(col("dst").as("id"))
         .agg(sum(col("rank") / col("deg")).as("cin"))
-      ranks = dict.select(col("nid").as("id")).join(contribs, Seq("id"), "left")
         .select(col("id"),
           (lit((1.0 - damping) / n) +
-            lit(damping) * coalesce(col("cin"), lit(0.0))).as("rank"))
+            lit(damping) * col("cin")).as("rank"))
+        .unionByName(noInRanks)
       // periodic eager checkpoint: deep iteration counts keep lineage
       // and planning time bounded; shallow runs stay one lazy chain
       // into the final checkpoint below
@@ -133,23 +157,24 @@ object Graph {
     val out = ranks.join(dict, ranks("id") === dict("nid"))
       .select(col("name").as("id"), col("rank"))
       .ckpt()
-    (Seq(eStr, dict, spine) ++ intermediates).foreach(
+    (Seq(eStr, dict, spine, noInRanks) ++ intermediates).foreach(
       org.apache.spark.sql.GraftColumnShim.unpersistCheckpoint)
     out
   }
 
   /** [[pageRank]] for integer-typed endpoint ids — identical rank
-    * arithmetic, no relabel. The node frame replaces the dictionary (it
-    * seeds the per-round left join that re-attaches in-neighborless
-    * nodes), and the (src, dst, deg) spine is EXPLICITLY hash-partitioned
-    * on `src` before its checkpoint: localCheckpoint preserves output
-    * partitioning, so every round's ranks⋈spine join reuses the spine's
-    * exchange and each round pays exactly ONE data shuffle — the
-    * contribution groupBy on dst (one-exchange-per-round; the same
-    * share-the-exchange move as guide §2.4). Without the explicit
-    * repartition the spine's layout depends on how AQE planned the
-    * outDeg join (broadcast at small scale), and every round re-shuffles
-    * the edge list. */
+    * arithmetic, no relabel. Round shape (r20, from the executed-plan
+    * audit in plans/r20/): a checkpoint scan carries NO recognizable
+    * partitioning under AQE (micro-checked: eager and lazy alike get an
+    * Exchange on a same-key join), so the per-round spine exchange
+    * cannot be elided — AQE's ReusedExchange collapses the identical
+    * per-round spine exchanges to one write re-read per round, which is
+    * the best this structure admits. What each round pays beyond that
+    * read: one node-sized ranks exchange, one hash join (SHUFFLE_HASH —
+    * no edge-sized sorts), and the partial-aggregated contribution
+    * groupBy on dst. In-neighborless nodes are re-attached by a UNION
+    * with a once-computed constant frame, not a per-round join — see
+    * `noInRanks`. */
   private def pageRankLong(edges: DataFrame, srcCol: String, dstCol: String,
                            iters: Int, damping: Double,
                            checkpointEvery: Int): DataFrame = {
@@ -159,8 +184,20 @@ object Graph {
     // round-trips whose scheduling cost rivals the rank rounds at
     // bench scale. Blocks still bound lineage exactly as before; the
     // unpersists at the end run strictly after materialization.
+    // Repartition on src FIRST: hash(src) satisfies the distinct's
+    // (src, dst) clustering (same src ⇒ same partition), so the edge
+    // list is shuffled ONCE in the materialization job — the r19 shape
+    // paid the distinct's own (src, dst) exchange and then re-shuffled
+    // the whole edge list through a separate repartition(src) when
+    // building the spine (plan diff in plans/r20/). REPARTITION_BY_NUM
+    // so AQE cannot coalesce the width. NOTE the layout does NOT
+    // survive the checkpoint (see the round-shape doc below) — this is
+    // purely a setup-job saving.
+    val parts = math.max(1,
+      edges.sparkSession.sessionState.conf.numShufflePartitions)
     val e = edges.select(col(srcCol).cast("long").as("src"),
         col(dstCol).cast("long").as("dst"))
+      .repartition(parts, col("src"))
       .distinct()
       .ckptSpill(false)
     val nodes = e.select(col("src").as("nid"))
@@ -168,29 +205,51 @@ object Graph {
       .distinct()
       .ckpt(false)
     val n = nodes.count() // materializes e + nodes; one driver scalar
+    // SHUFFLE_HASH: both sides are already hash(src, parts), SMJ would
+    // only add two sorts; the build side is the ≤nodes-sized outDeg
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val parts = math.max(1,
-      edges.sparkSession.sessionState.conf.numShufflePartitions)
-    val spine = e.join(outDeg, "src").repartition(parts, col("src"))
+    val spine = e.join(outDeg.hint("SHUFFLE_HASH"), "src")
       .ckpt(false) // materialized inside the output job's first round
+    // Nodes with NO in-edges take zero contribution in EVERY round, so
+    // their rank is the constant (1−d)/N after any round — computed
+    // ONCE here (node-sized anti join) and unioned into each round's
+    // result instead of the per-round nodes ⋈ contribs left join that
+    // re-scanned and re-shuffled the node frame every round (guide
+    // §2.4; the r20 in-loop plan dump shows the join and its exchanges
+    // gone — plans/r20/q84_pagerank_round_{before,after}.txt). The
+    // double is unchanged: the old path computed (1−d)/N + d·0.0 and
+    // x + d·0.0 ≡ x for x > 0.
+    val noInRanks = nodes
+      .join(e.select(col("dst").as("nid")).distinct(), Seq("nid"), "left_anti")
+      .select(col("nid").as("id"), lit((1.0 - damping) / n).as("rank"))
+      .ckpt(false) // node-sized; materializes inside the output job
     var ranks = nodes.select(col("nid").as("id"), lit(1.0 / n).as("rank"))
     val intermediates = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     for (round <- 0 until iters) {
-      val contribs = spine
-        .join(ranks.select(col("id").as("src"), col("rank")), "src")
+      // SHUFFLE_HASH on the node-sized ranks side — see pageRankLong
+      ranks = spine
+        .join(ranks.select(col("id").as("src"), col("rank"))
+          .hint("SHUFFLE_HASH"), "src")
         .groupBy(col("dst").as("id"))
         .agg(sum(col("rank") / col("deg")).as("cin"))
-      ranks = nodes.select(col("nid").as("id")).join(contribs, Seq("id"), "left")
         .select(col("id"),
           (lit((1.0 - damping) / n) +
-            lit(damping) * coalesce(col("cin"), lit(0.0))).as("rank"))
+            lit(damping) * col("cin")).as("rank"))
+        .unionByName(noInRanks)
       if ((round + 1) % checkpointEvery == 0 && round + 1 < iters) {
         ranks = ranks.ckpt()
         intermediates += ranks
       }
     }
     val out = ranks.ckpt()
-    (Seq(e, nodes, spine) ++ intermediates).foreach(
+    // plan-audit instrumentation (dev-only, env-gated): the round-loop
+    // plan is internal — the checkpoint above ran ranks' own
+    // queryExecution, so its executedPlan is the AQE-FINAL loop plan
+    if (sys.env.contains("GRAFT_PR_EXPLAIN")) {
+      println("===== pageRankLong executed round-loop plan =====")
+      println(ranks.queryExecution.executedPlan.toString)
+    }
+    (Seq(e, nodes, spine, noInRanks) ++ intermediates).foreach(
       org.apache.spark.sql.GraftColumnShim.unpersistCheckpoint)
     out
   }

@@ -20,25 +20,30 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  // ImageIO's default stream cache is a TEMP FILE per read/write — every
+  // ImageIO's DEFAULT stream cache is a TEMP FILE per read/write — every
   // decoded image/frame paid a file create+write+delete even though all
-  // payloads here are in-memory byte arrays. Memory-cached streams drop
-  // that syscall churn; set once per JVM at object init (every decode
-  // path below is a method of this object, so initialization is
-  // guaranteed to precede first use on driver and executors alike).
-  javax.imageio.ImageIO.setUseCache(false)
+  // payloads here are in-memory byte arrays (r19: 294k → 2.4k
+  // syscalls/run on q76). Scoped per stream by constructing
+  // MemoryCacheImage{Input,Output}Stream explicitly at every call site
+  // below, NOT by flipping the process-wide `ImageIO.setUseCache`
+  // default (r19 ADVICE: a JVM-global mutation would also change
+  // behavior for host-application ImageIO users decoding very large
+  // images that rely on disk-backed caching).
 
-  /** ImageIO read/write through MEMORY-cached streams, centralized so
-    * every call site — including executor-side partition closures, which
-    * never touch this object otherwise — goes through the object
-    * initializer that disables ImageIO's temp-FILE stream cache. */
+  /** ImageIO read/write through explicit MEMORY-cached streams,
+    * centralized so every call site — including executor-side partition
+    * closures — takes the temp-file-free path. */
   private[operators] def imageIoRead(payload: Array[Byte]): java.awt.image.BufferedImage =
-    javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    javax.imageio.ImageIO.read(new javax.imageio.stream.MemoryCacheImageInputStream(
+      new java.io.ByteArrayInputStream(payload)))
 
   private[operators] def imageIoWrite(img: java.awt.image.RenderedImage,
                                       format: String,
-                                      out: java.io.OutputStream): Unit =
-    javax.imageio.ImageIO.write(img, format, out)
+                                      out: java.io.OutputStream): Unit = {
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    // close() flushes the memory cache into `out`
+    try javax.imageio.ImageIO.write(img, format, ios) finally ios.close()
+  }
 
   case class MediaMeta(id: Long, byte_len: Long, kind: String, width: Long, height: Long)
 
@@ -72,7 +77,8 @@ object Multimodal {
       * Returns None for bytes no installed reader recognizes. */
     def decodeImageHeader(payload: Array[Byte]): Option[(String, Int, Int)] = {
       if (payload == null || payload.isEmpty) return None
-      val iis = javax.imageio.ImageIO.createImageInputStream(
+      // explicit memory-cached stream — see imageIoRead
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(payload))
       try {
         val readers = javax.imageio.ImageIO.getImageReaders(iis)

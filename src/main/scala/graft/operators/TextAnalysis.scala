@@ -37,8 +37,13 @@ object TextAnalysis {
     * Java-regex find loop), without allocating a replaced copy of the
     * text per call — this runs per stopword per row in the quality /
     * langid batteries, so the copies were the scan's allocation bill. */
-  def countOccurrences(c: Column, target: String): Column =
+  def countOccurrences(c: Column, target: String): Column = {
+    // empty target would match at every position (length+1), where the
+    // old replace-and-measure form divided by zero — neither is a count
+    // anyone wants; reject early (r19 ADVICE)
+    require(target.nonEmpty, "countOccurrences: target must be non-empty")
     regexp_count(c, lit(java.util.regex.Pattern.quote(target))).cast("long")
+  }
 
   /** The ASCII whitespace set, written out explicitly because the
     * engines' `\s` classes disagree: Java's includes `\x0B`, RE2's
@@ -719,8 +724,11 @@ object TextAnalysis {
         val parts = best(0).getString(0).split(' ')
         val a: String = parts(0); val b: String = parts(1)
         merges += ((round + 1L, a, b, a + b, best(0).getLong(1)))
+        // native single-merge pass (same carry semantics as the
+        // interpreted mergeAdjacent fold — see bpeSegment)
         vocab = vocab.select(col("word"), col("freq"),
-            mergeAdjacent(col("syms"), a, b).as("syms"))
+            org.apache.spark.sql.GraftColumnShim.bpeMergesColumn(
+              col("syms"), Array((a, b))).as("syms"))
           .ckpt(false)
         round += 1
       }
@@ -731,30 +739,23 @@ object TextAnalysis {
 
   /** Apply a trained BPE merge list (rank order) to segment each word of
     * a word-per-row frame — the ENCODE side of [[bpeTrain]], for any
-    * word set including OOV words the trainer never saw. Each merge is
-    * one map-side [[mergeAdjacent]] pass (the same greedy left-to-right
-    * non-overlapping semantics the trainer applied, so encoding the
-    * training corpus reproduces the trainer's own `vocabSyms` exactly).
-    * The fold is pure column expressions — nMerges nested `aggregate`
-    * calls — with a localCheckpoint every 8 merges to keep the
-    * expression tree (and codegen) bounded at large merge counts.
-    * Adds `syms` (array&lt;string&gt;). */
+    * word set including OOV words the trainer never saw. The WHOLE merge
+    * list runs as ONE native expression
+    * ([[graft.functions.BpeMergesExpr]]): per word, one tight loop per
+    * merge with the same greedy left-to-right non-overlapping carry
+    * semantics the trainer applied (so encoding the training corpus
+    * reproduces the trainer's own `vocabSyms` exactly — pinned against
+    * the interpreted [[mergeAdjacent]] fold in ExpressionSpec). The r19
+    * form was nMerges nested interpreted `aggregate` HOF passes plus a
+    * checkpoint every 8 merges to bound the expression tree; the native
+    * expression is one plan node at any merge count, so neither the
+    * passes nor the checkpoints remain (§4, before/after in
+    * OPTIMIZATION_r20.md). Adds `syms` (array&lt;string&gt;). */
   def bpeSegment(words: org.apache.spark.sql.DataFrame, wordCol: String,
-                 merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame = {
-    val init = words.withColumn("syms",
-      filter(split(col(wordCol), ""), x => x =!= ""))
-    var lastCkpt: Option[org.apache.spark.sql.DataFrame] = None
-    merges.zipWithIndex.foldLeft(init) { case (d, ((a, b), i)) =>
-      val next = d.withColumn("syms", mergeAdjacent(col("syms"), a, b))
-      if ((i + 1) % 8 == 0 && i + 1 < merges.size) {
-        val ck = next.ckpt()
-        // the new eager checkpoint supersedes the previous one's blocks
-        lastCkpt.foreach(org.apache.spark.sql.GraftColumnShim.unpersistCheckpoint)
-        lastCkpt = Some(ck)
-        ck
-      } else next
-    }
-  }
+                 merges: Seq[(String, String)]): org.apache.spark.sql.DataFrame =
+    words.withColumn("syms",
+      org.apache.spark.sql.GraftColumnShim.bpeMergesColumn(
+        filter(split(col(wordCol), ""), x => x =!= ""), merges.toArray))
 
   /** BPE-encode a corpus against a trained merge list and report per-doc
     * token counts — the tokenizer-application step of an LLM data

@@ -34,6 +34,23 @@ object GraftColumnShim {
       graft.functions.PqCodesExpr(
         org.apache.spark.sql.classic.ExpressionUtils.expression(vec), books))
 
+  /** Column over the native [[graft.functions.HexVotes16Expr]] —
+    * constructed directly (not via `call_function`) so operator code
+    * does not depend on session registration order. */
+  def hexVotes16Column(hex: Column): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(
+      graft.functions.HexVotes16Expr(
+        org.apache.spark.sql.classic.ExpressionUtils.expression(hex)))
+
+  /** Column over the native [[graft.functions.BpeMergesExpr]] — the
+    * merge list is constructor data (same registry bypass as
+    * [[pqCodesColumn]]). */
+  def bpeMergesColumn(syms: Column,
+                      merges: Array[(String, String)]): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(
+      graft.functions.BpeMergesExpr(
+        org.apache.spark.sql.classic.ExpressionUtils.expression(syms), merges))
+
   /** Release the cached blocks behind a `localCheckpoint()`ed Dataset:
     * its analyzed plan is a `LogicalRDD` over the checkpointed
     * (persisted) RDD, so unpersist that RDD directly —

@@ -268,6 +268,111 @@ class ExpressionSpec extends AnyFunSuite {
     assert(rows.forall { case (id, _) => got(id).head != 2L || books(0)(1).sameElements(books(0)(2)) == false })
   }
 
+  test("graft_hex_votes16 matches the 16 substring-isin votes (r20 native rewrite)") {
+    GraftFunctions.register(spark)
+    // real md5 hex strings + adversarial shapes (short, empty). The
+    // parity contract is the md5-hex domain: LOWERCASE hex (the old
+    // isin form votes 0 on uppercase; the helper accepts A-F — pinned
+    // separately below)
+    val corpus = Seq("the", "quick", "brown", "fox", "", "a",
+      "ffffffffffffffff", "0000000000000000")
+    val df = corpus.toDF("tok")
+      .withColumn("h", when(length(col("tok")) === 16 || length(col("tok")) === 0,
+        col("tok")).otherwise(md5(col("tok"))))
+    // reference: the pre-r20 expression form
+    val oldVotes = (0 until 16).map { i =>
+      when(substring(col("h"), i + 1, 1)
+        .isin("8", "9", "a", "b", "c", "d", "e", "f"), 1).otherwise(0)
+        .as(s"v$i")
+    }
+    val rows = df.select(
+      (col("h") +: (org.apache.spark.sql.GraftColumnShim
+        .hexVotes16Column(col("h")).as("m") +: oldVotes)): _*).collect()
+    rows.foreach { r =>
+      val m = r.getInt(1)
+      (0 until 16).foreach { i =>
+        val want = r.getInt(2 + i)
+        assert(((m >> i) & 1) == want,
+          s"vote $i diverges for '${r.getString(0)}': mask=$m want=$want")
+      }
+    }
+    // uppercase hex (not produced by md5, but the helper accepts it):
+    // A-F at positions 0-5 vote 1 (bits 0x3F); "0123456789" at positions
+    // 6-15 votes only on '8' (pos 14) and '9' (pos 15) → 0xC000
+    val up = graft.functions.ExprHelpers.hexVotes16(
+      org.apache.spark.unsafe.types.UTF8String.fromString("ABCDEF0123456789"))
+    assert(up == 0xC03F)
+  }
+
+  test("BpeMergesExpr matches the greedy carry fold (r20 native rewrite)") {
+    GraftFunctions.register(spark)
+    // independent reference: greedy left-to-right non-overlapping merge
+    // with carry re-arm — the documented mergeAdjacent semantics
+    def refMerge(syms: List[String], a: String, b: String): List[String] = {
+      val out = scala.collection.mutable.ListBuffer.empty[String]
+      var carry: String = null
+      syms.foreach { x =>
+        if (carry == null) { if (x == a) carry = x else out += x }
+        else {
+          if (x == b) { out += a + b; carry = null }
+          else if (x == a) { out += carry; carry = x }
+          else { out += carry; out += x; carry = null }
+        }
+      }
+      if (carry != null) out += carry
+      out.toList
+    }
+    def refAll(word: String, merges: Seq[(String, String)]): List[String] =
+      merges.foldLeft(word.map(_.toString).toList) { case (s, (a, b)) =>
+        refMerge(s, a, b) }
+    val merges = Seq(("a", "a"), ("aa", "b"), ("c", "aab"), ("x", "y"))
+    val words = Seq("aaa", "aaaa", "ab", "aab", "caab", "ccaabb", "xyxy",
+      "xxyy", "", "z", "aabcaab")
+    val got = words.toDF("w")
+      .select(col("w"), org.apache.spark.sql.GraftColumnShim.bpeMergesColumn(
+        filter(split(col("w"), ""), x => x =!= ""), merges.toArray).as("syms"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    words.foreach { w =>
+      assert(got(w) == refAll(w, merges), s"merge diverges for '$w': ${got(w)}")
+    }
+    // classic greedy pin from the scaladoc: "a a a" -> ["aa", "a"]
+    assert(got("aaa") == List("aa", "a"))
+  }
+
+  test("no declared ranker plan strands a Filter above a graft_barrier projection") {
+    GraftFunctions.register(spark)
+    // the EvalBarrier determinism flag blocks predicate pushdown through
+    // any projection containing it (documented at the registration
+    // site); assert the current call sites keep every Filter BELOW the
+    // barrier, so nothing is lost today
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LogicalPlan}
+    val rankers = Seq("q35_cosine_topk", "q49_ann_bucketed", "q61_ann_multitable",
+      "q69_quantized_rerank", "q74_topk_per_group", "q80_pq_adc",
+      "q81_ivfpq", "q104_ivf_nprobe")
+    val dir = "/root/testdata/sf0.001"
+    rankers.foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, dir)
+        .queryExecution.optimizedPlan
+      // stranded = the Filter would have pushed through projections to
+      // the scan but is stopped by the barrier: barrier reachable from
+      // the Filter through PROJECT nodes only (an intervening
+      // Aggregate/Generate/Join gates pushdown on its own terms)
+      import org.apache.spark.sql.catalyst.plans.logical.{Project => LProject}
+      def strands(p: LogicalPlan): Boolean = p match {
+        case pr: LProject =>
+          pr.projectList.exists(_.exists(_.isInstanceOf[graft.functions.EvalBarrier])) ||
+            strands(pr.child)
+        case _ => false
+      }
+      plan.foreach {
+        case f: LFilter =>
+          assert(!strands(f.child),
+            s"$name: Filter stranded above a graft_barrier projection —\n$plan")
+        case _ => ()
+      }
+    }
+  }
+
   test("EvalBarrier (graft_barrier) is a value-identity and survives codegen") {
     GraftFunctions.register(spark)
     val df = Seq((1L, 2.5), (2L, -0.0), (3L, Double.NaN)).toDF("id", "x")

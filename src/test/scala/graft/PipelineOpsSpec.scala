@@ -109,6 +109,42 @@ class PipelineOpsSpec extends AnyFunSuite {
     r.foreach(x => assert(math.abs(x.getDouble(1) - 1.0 / 3) < 1e-12))
   }
 
+  // long-id twins: the integral-id fast path (no relabel, id returned as
+  // LONG — the documented id-type contract) reimplements the iteration,
+  // so it needs the same behavioral pins as the string path (r19 ADVICE)
+  test("pageRank long ids: uniform two-node, star closed form, dangling leak, iters=0") {
+    val e2 = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val r2 = Graph.pageRank(e2, iters = 5).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(r2(1L) - 0.5) < 1e-12 && math.abs(r2(2L) - 0.5) < 1e-12)
+
+    val fwd = Seq((1L, 9L), (2L, 9L), (3L, 9L)).toDF("src", "dst")
+    val sym = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+    val rs = Graph.pageRank(sym, iters = 1).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(math.abs(rs(9L) - ((1.0 - 0.85) / 4 + 0.85 * 0.75)) < 1e-12)
+    val leaf = (1.0 - 0.85) / 4 + 0.85 * (0.25 / 3)
+    Seq(1L, 2L, 3L).foreach(l => assert(math.abs(rs(l) - leaf) < 1e-12))
+    assert(math.abs(rs.values.sum - 1.0) < 1e-9)
+
+    val dangling = Seq((1L, 2L)).toDF("src", "dst")
+    val rd = Graph.pageRank(dangling, iters = 3).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(rd.values.sum < 1.0 - 1e-6 && rd(2L) > rd(1L))
+
+    val r0 = Graph.pageRank(Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"),
+      iters = 0).collect()
+    assert(r0.length == 3)
+    r0.foreach(x => assert(math.abs(x.getDouble(1) - 1.0 / 3) < 1e-12))
+    // checkpointEvery cadence mid-run: periodic eager checkpoint path
+    val rc = Graph.pageRank(sym, iters = 5, checkpointEvery = 2).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val rn = Graph.pageRank(sym, iters = 5).collect()
+      .map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    rc.keys.foreach(k => assert(rc(k) == rn(k),
+      s"checkpointEvery must not change values: $k ${rc(k)} ${rn(k)}"))
+  }
+
   // --- bm25 -----------------------------------------------------------
 
   test("bm25 matches the closed form on a 2-doc corpus") {
