@@ -164,6 +164,28 @@ final class SemanticStream[E](
   /** UNION ALL preserving order, renumbered continuously
     * (semantic.h:1012-1120). Lazy: order key is (source ordinal, ord). */
   def concatenate(other: SemanticStream[E]): SemanticStream[E] = {
+    // Contiguous ⊕ Contiguous needs NO rank at all (r20): both sides are
+    // idx == ord == 0..n-1 by the state invariant, so the left's indices
+    // are already final and the right's shift by exactly count(left) —
+    // computed INSIDE the union job as a broadcast 1-row aggregate (the
+    // takeWhile boundary shape: no extra driver job, and the old path's
+    // combined bucket rank re-scanned the left side for its bucket
+    // counts anyway). Replaces a 2-window + 2-aggregate rank sub-DAG
+    // with one count branch and a projection (q10: 20 → 13 stages,
+    // plans/r20/q10_concat_*).
+    if (state == Contiguous && other.state == Contiguous) {
+      val na = ds.toDF().agg(count(lit(1)).cast("long").as("__na"))
+      val shifted = other.ds.toDF().join(broadcast(na))
+        .select((col("ord") + col("__na")).as("ord"),
+          (col("idx") + col("__na")).as("idx"), col("value"))
+      val u = ds.toDF().select(col("ord"), col("idx"), col("value"))
+        .unionByName(shifted)
+      val newBound =
+        if (ordBound != Long.MaxValue && other.ordBound != Long.MaxValue &&
+          ordBound + other.ordBound > 0) ordBound + other.ordBound
+        else Long.MaxValue
+      return wrap(u, Contiguous, newBound)
+    }
     val a = ds.toDF().withColumn("__src", lit(0))
     val b = other.ds.toDF().withColumn("__src", lit(1))
     val u = a.unionByName(b)

@@ -255,15 +255,26 @@ object Similarity {
   private def stepFrom(emb: DataFrame, vecCol: String,
                        cents: Array[(Long, Array[Float])]): DataFrame = {
     val vec = col(vecCol)
-    val candidates = cents.toIndexedSeq.map { case (cid, cv) =>
-      val c = typedLit(cv)
-      struct(
-        (lit(-2.0) * dot(vec, c) + dot(c, c)).as("d"),
-        lit(cid).as("cid"))
-    }
-    val best =
-      (if (candidates.length == 1) candidates.head else least(candidates: _*))
-        .getField("cid")
+    // Assignment as ONE native expression (r20): the former k-candidate
+    // `least(struct(-2·dot+|c|², cid))` forest is the same expression
+    // cliff PqCodesExpr was built for in r19 (q80) — at k = 512 the
+    // one-shot projection compiles outside JIT limits and runs as cold
+    // bytecode. A single-subspace codebook (m = 1, ksub = k, dsub =
+    // dims) computes the identical reduced-L2 argmin with identical
+    // arithmetic (ascending double fold, d = −2s + |c|² with |c|²
+    // precomputed from the same float-widened doubles) and the identical
+    // tie-break: seedCentroids returns cids ASCENDING by construction,
+    // so PqCodes' smaller-INDEX tie equals least's smaller-CID tie. The
+    // index maps back to the cid through a k-element literal lookup.
+    val books: Array[Array[Array[Double]]] =
+      Array(cents.map(_._2.map(_.toDouble)))
+    val cids: Array[Long] = cents.map(_._1)
+    require(cids.length <= 1 ||
+      cids.sliding(2).forall(p => p(0) < p(1)),
+      "stepFrom: centroid ids must be ascending (index-tie == cid-tie)")
+    val t = element_at(
+      org.apache.spark.sql.GraftColumnShim.pqCodesColumn(vec, books), 1)
+    val best = element_at(typedLit(cids), (t + 1).cast("int"))
     emb.select(best.as("cluster"), posexplode(vec).as(Seq("dim", "v")))
       .groupBy(col("cluster"), col("dim"))
       .agg(count(lit(1)).as("n_members"),

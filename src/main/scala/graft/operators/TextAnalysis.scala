@@ -523,15 +523,14 @@ object TextAnalysis {
       .groupBy(col("key")).agg(count(lit(1)).as("n_key"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("n_key").desc, col("key").asc)
-    // lazy checkpoint (≤h rows): the floor probe below materializes it,
-    // so the exact-recount scan+shuffle runs ONCE — the returned frame
-    // used to replay it on every consumer action (blocks are reaped by
-    // the ContextCleaner with the frame, the cand/sh memo convention)
+    // lazy checkpoint (≤h rows): the first consumer action materializes
+    // it, so the exact-recount scan+shuffle runs ONCE and later actions
+    // reuse the blocks (reaped by the ContextCleaner with the frame, the
+    // cand/sh memo convention)
     val ranked = exact
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= h)
       .ckpt(false)
-    val floorRow = ranked.agg(min(col("n_key"))).head()
     // exactness needs BOTH: every returned count clears the MG survival
     // threshold n/(k+1) AND the list actually has h rows (every
     // candidate occurs, so #rows = min(h, #candidates)) — with fewer
@@ -540,11 +539,17 @@ object TextAnalysis {
     // (Conservative when the corpus has < h distinct keys: proving THAT
     // would cost the vocabulary-wide distinct count this operator
     // exists to avoid — raise k or fall back to a plain groupBy there.)
-    val guaranteed = !floorRow.isNullAt(0) &&
-      floorRow.getLong(0).toDouble > n.toDouble / (k + 1) &&
-      cand.size >= h
-    ranked.select(col("rank"), col("key"), col("n_key"),
-      lit(guaranteed).as("hh_guaranteed"))
+    // The floor is a broadcast 1-row join over the ≤h-row checkpoint —
+    // r19 ran it as a separate driver head() job per call; as a column
+    // the whole operator is ONE consumer job after the sketch (r20,
+    // guide §1.2 fewer passes). n and cand.size are driver scalars from
+    // the sketch row, so the threshold comparison stays exact.
+    val floor = ranked.agg(min(col("n_key")).as("__floor"))
+    ranked.join(broadcast(floor))
+      .select(col("rank"), col("key"), col("n_key"),
+        (col("__floor").isNotNull &&
+          col("__floor").cast("double") > lit(n.toDouble / (k + 1)) &&
+          lit(cand.size >= h)).as("hh_guaranteed"))
   }
 
   /** Document fingerprint: content hash plus a prefix-shingle hash (a
